@@ -1,0 +1,101 @@
+"""Central registry of (query, oracle) pairs — feeds ``__spark_entry__``.
+
+Every operator claimed done in SURVEY.md §2 gets an entry here; queries
+without an ``oracle`` (genuinely non-SQL-expressible ops) get the driver's
+weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from scraping_etl_spark.plans import relational as R
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None
+    description: str
+
+
+QUERIES: list[QuerySpec] = [
+    QuerySpec(
+        "pricing_summary", R.q_pricing_summary, R.ORACLE_PRICING_SUMMARY,
+        "TPC-H Q1-shape grouped aggregation over lineitem",
+    ),
+    QuerySpec(
+        "revenue_by_nation", R.q_revenue_by_nation, R.ORACLE_REVENUE_BY_NATION,
+        "4-way join with broadcast dims (TPC-H Q5 shape)",
+    ),
+    QuerySpec(
+        "top_customers", R.q_top_customers, R.ORACLE_TOP_CUSTOMERS,
+        "join + agg + deterministic windowed top-k",
+    ),
+    QuerySpec(
+        "order_priority_semi", R.q_order_priority_semi, R.ORACLE_ORDER_PRIORITY_SEMI,
+        "EXISTS via left-semi join",
+    ),
+    QuerySpec(
+        "customers_without_orders", R.q_customers_without_orders,
+        R.ORACLE_CUSTOMERS_WITHOUT_ORDERS, "NOT EXISTS via left-anti join",
+    ),
+    QuerySpec(
+        "top_acctbal_per_nation", R.q_top_acctbal_per_nation,
+        R.ORACLE_TOP_ACCTBAL_PER_NATION, "window top-k per group",
+    ),
+    QuerySpec(
+        "orders_by_month", R.q_orders_by_month, R.ORACLE_ORDERS_BY_MONTH,
+        "date-part extraction + rollup",
+    ),
+    QuerySpec(
+        "rollup_revenue", R.q_rollup_revenue, R.ORACLE_ROLLUP_REVENUE,
+        "ROLLUP grouping sets with grouping_id",
+    ),
+    QuerySpec(
+        "orderkeys_except_open", R.q_orderkeys_except_open,
+        R.ORACLE_ORDERKEYS_EXCEPT_OPEN, "EXCEPT / subtract (SURVEY U2)",
+    ),
+    QuerySpec(
+        "union_counterparties", R.q_union_counterparties,
+        R.ORACLE_UNION_COUNTERPARTIES, "unionByName + conditional agg (SURVEY U1)",
+    ),
+    QuerySpec(
+        "string_functions", R.q_string_functions, R.ORACLE_STRING_FUNCTIONS,
+        "scalar string surface F1/F4/F5/F8/F11 — built-ins only",
+    ),
+    QuerySpec(
+        "json_props", R.q_json_props, R.ORACLE_JSON_PROPS,
+        "JSON field extraction + agg (P1/F14)",
+    ),
+    QuerySpec(
+        "event_lag_delta", R.q_event_lag_delta, R.ORACLE_EVENT_LAG_DELTA,
+        "lag window per user",
+    ),
+    QuerySpec(
+        "sessionize", R.q_sessionize, R.ORACLE_SESSIONIZE,
+        "gap-based sessionization (lag + running sum)",
+    ),
+    QuerySpec(
+        "hourly_event_rollup", R.q_hourly_event_rollup, R.ORACLE_HOURLY_EVENT_ROLLUP,
+        "tumbling-window rollup in batch form",
+    ),
+    QuerySpec(
+        "event_type_pivot", R.q_event_type_pivot, R.ORACLE_EVENT_TYPE_PIVOT,
+        "pivot to per-user event-type counts",
+    ),
+]
+
+
+def queries_map() -> dict[str, QueryFn]:
+    return {q.name: q.fn for q in QUERIES}
+
+
+def oracle_sql_map() -> dict[str, str]:
+    return {q.name: q.oracle for q in QUERIES if q.oracle is not None}

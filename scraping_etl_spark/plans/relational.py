@@ -1,0 +1,510 @@
+"""Relational query surface over the scale tables.
+
+Each query demonstrates one or more operators from SURVEY.md §2 on the
+driver-provided TPC-H-ish tables, with a colocated DuckDB oracle that the
+driver hash-compares at sf=0.01. Conventions for oracle parity:
+
+- every computed column is aliased identically on both sides;
+- double aggregates are ``round``-ed on both sides (masks summation-order
+  ulp differences between engines);
+- timestamps leaving a query are rendered as epoch seconds or formatted
+  strings (Spark session TZ is pinned UTC to match DuckDB);
+- top-k queries use ``row_number`` with a total tie-break order, never a
+  bare LIMIT.
+
+Scale notes are in each docstring — the sf0.01 numbers are the
+correctness gate; the plan shapes are chosen for 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scraping_etl_spark.sources.readers import load_table
+
+
+# ---------------------------------------------------------------------------
+# Aggregation core (SURVEY §2.4 — the reference's gitignored analysis layer)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: grouped 8-agg scan over the fact table.
+
+    Scale: pure map-side partial agg + tiny shuffle (few groups); Catalyst
+    does partial/final HashAggregate automatically. No UDFs → full
+    whole-stage codegen.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 6)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 4-way join fact→orders→customer→nation→region.
+
+    Scale: nation/region are tiny → explicit ``broadcast`` (no shuffle);
+    lineitem⋈orders and orders⋈customer shuffle on their keys and AQE
+    handles skew. Join order written smallest-reduction-first but Catalyst
+    is free to reorder.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(revenue), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+ORACLE_REVENUE_BY_NATION = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)                                          AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by order revenue — join + agg + windowed top-k.
+
+    Scale: aggregate BEFORE ranking (shuffle carries one row per customer,
+    not per order); top-k via row_number with total order (revenue desc,
+    custkey) so ties are deterministic — never a bare LIMIT.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("_rev"))
+    w = Window.orderBy(F.desc("_rev"), F.asc("o_custkey"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .select(
+            F.col("c_custkey"),
+            F.col("c_name"),
+            F.round(F.col("_rev"), 2).alias("revenue"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+ORACLE_TOP_CUSTOMERS = """
+WITH rev AS (
+  SELECT o_custkey, sum(o_totalprice) AS _rev
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT o_custkey, _rev,
+         row_number() OVER (ORDER BY _rev DESC, o_custkey ASC) AS rk
+  FROM rev
+)
+SELECT c_custkey, c_name, round(_rev, 2) AS revenue, CAST(rk AS INT) AS rk
+FROM ranked JOIN customer ON o_custkey = c_custkey
+WHERE rk <= 10
+"""
+
+
+def q_order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS → left-semi join (TPC-H Q4 shape).
+
+    Scale: semi-join keeps only the probe side's columns through the
+    shuffle; the build side is pre-filtered + deduped by Spark.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.05)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+ORACLE_ORDER_PRIORITY_SEMI = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+GROUP BY o_orderpriority
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS → left-anti join, then segment rollup."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+        )
+    )
+
+
+ORACLE_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_mktsegment, count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def q_top_acctbal_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group (SURVEY §2.5 surface): top-3 customers by
+    account balance within each nation.
+
+    Scale: single shuffle on the window partition key; nation dim
+    broadcast for the name lookup.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .select(
+            "n_name",
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+ORACLE_TOP_ACCTBAL_PER_NATION = """
+WITH ranked AS (
+  SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+  FROM customer
+)
+SELECT n_name, c_custkey, c_name, round(c_acctbal, 2) AS acctbal, CAST(rk AS INT) AS rk
+FROM ranked JOIN nation ON c_nationkey = n_nationkey
+WHERE rk <= 3
+"""
+
+
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction + agg (SURVEY §2.7 F3 family: year/month)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            F.month("o_orderdate").cast("int").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        )
+    )
+
+
+ORACLE_ORDERS_BY_MONTH = """
+SELECT CAST(year(o_orderdate) AS INT)  AS order_year,
+       CAST(month(o_orderdate) AS INT) AS order_month,
+       count(*)                        AS n_orders,
+       round(sum(o_totalprice), 2)     AS total_revenue
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over region→nation (grouping-sets surface, SURVEY §2.4).
+
+    ``grouping_id`` distinguishes subtotal rows from genuine NULL keys.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+ORACLE_ROLLUP_REVENUE = """
+SELECT r_name, n_name, count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS sum_acctbal,
+       CAST(grouping(r_name) * 2 + grouping(n_name) AS INT) AS gid
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def q_orderkeys_except_open(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / subtract (SURVEY §2.6 U2 — the reference's sentinel-row
+    anti-selection, ETL cell 14 raw 434)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    lhs = li.select(F.col("l_orderkey").alias("orderkey")).distinct()
+    rhs = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderkey").alias("orderkey")
+    )
+    return lhs.subtract(rhs)
+
+
+ORACLE_ORDERKEYS_EXCEPT_OPEN = """
+SELECT DISTINCT l_orderkey AS orderkey FROM lineitem
+EXCEPT
+SELECT o_orderkey AS orderkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def q_union_counterparties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName + distinct + broadcast dim lookup (SURVEY §2.6 U1):
+    every nation that has a customer or a supplier, with both counts."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cust = c.select(F.col("c_nationkey").alias("nationkey")).withColumn(
+        "kind", F.lit("customer")
+    )
+    supp = s.select(F.col("s_nationkey").alias("nationkey")).withColumn(
+        "kind", F.lit("supplier")
+    )
+    both = cust.unionByName(supp)
+    return (
+        both.join(F.broadcast(n), F.col("nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.when(F.col("kind") == "customer", 1).otherwise(0))
+            .cast("long")
+            .alias("n_customers"),
+            F.sum(F.when(F.col("kind") == "supplier", 1).otherwise(0))
+            .cast("long")
+            .alias("n_suppliers"),
+        )
+    )
+
+
+ORACLE_UNION_COUNTERPARTIES = """
+WITH parties AS (
+  SELECT c_nationkey AS nationkey, 'customer' AS kind FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey, 'supplier' AS kind FROM supplier
+)
+SELECT n_name,
+       CAST(count(*) FILTER (WHERE kind = 'customer') AS BIGINT) AS n_customers,
+       CAST(count(*) FILTER (WHERE kind = 'supplier') AS BIGINT) AS n_suppliers
+FROM parties JOIN nation ON nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string surface (SURVEY §2.7 F1/F4/F5/F8/F11): regexp_replace,
+    regexp_extract, trim/upper/lower, concat_ws — all JVM built-ins, no UDF."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "").alias("name_novowels"),
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+        F.regexp_extract(F.col("p_type"), "^(\\w+)", 1).alias("type_first_word"),
+        F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        F.length(F.col("p_name")).cast("long").alias("name_len"),
+    )
+
+
+ORACLE_STRING_FUNCTIONS = """
+SELECT p_partkey,
+       regexp_replace(p_name, '[aeiou]', '', 'g')   AS name_novowels,
+       upper(p_brand)                               AS brand_upper,
+       regexp_extract(p_type, '^(\\w+)', 1)         AS type_first_word,
+       concat_ws('|', p_brand, p_type)              AS brand_type,
+       CAST(length(p_name) AS BIGINT)               AS name_len
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# Events: JSON extraction, windows, sessionization, pivot
+# ---------------------------------------------------------------------------
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-field projection from JSON (SURVEY §2.2 P1 / §2.7 F14):
+    parse the ``props`` JSON column and aggregate an extracted field."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+ORACLE_JSON_PROPS = """
+SELECT event_type, count(*) AS n_events,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))           AS sum_k
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_event_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag window per user (SURVEY §2.5): value delta vs previous event."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") - prev, 6).alias("value_delta"),
+    )
+
+
+ORACLE_EVENT_LAG_DELTA = """
+SELECT event_id, user_id,
+       epoch_us(ts) AS ts_us,
+       round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6)
+         AS value_delta
+FROM events
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30 min starts a new session (lag + running
+    sum — the batch equivalent of streaming ``session_window``)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap = F.unix_micros("ts") - F.unix_micros(prev_ts)
+    is_new = F.when(prev_ts.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = F.sum(is_new).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        e.withColumn("session_id", sess)
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id, count(DISTINCT session_id) AS n_sessions, count(*) AS n_events
+FROM sess
+GROUP BY user_id
+"""
+
+
+def q_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate in batch form (hypertable-rollup shape;
+    the streaming twin lives in streaming/pipeline.py)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_bucket"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+ORACLE_HOURLY_EVENT_ROLLUP = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+       event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (SURVEY §2 extensions): per-user event-type counts as columns."""
+    e = load_table(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    out = e.groupBy("user_id").pivot("event_type", kinds).count()
+    for k in kinds:
+        out = out.withColumn(f"n_{k}", F.coalesce(F.col(k), F.lit(0)).cast("long")).drop(k)
+    return out
+
+
+ORACLE_EVENT_TYPE_PIVOT = """
+SELECT user_id,
+       CAST(count(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS n_view,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS n_error
+FROM events
+GROUP BY user_id
+"""

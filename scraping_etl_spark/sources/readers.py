@@ -1,0 +1,123 @@
+"""Readers: every format the reference consumes, distributed + schema'd.
+
+Reference equivalents (SURVEY §2.1):
+- S6  whole-array JSON files (``json.load`` — SD_Upd.py:120-125) →
+  :func:`read_json_array` (``multiLine`` JSON with explicit schema).
+- S7  ``spark.read.json`` (DB/ETL.ipynb cell 5) → :func:`read_json_lines`.
+- S8  pandas ``read_csv`` (DB/iqueries generator.py:97) → :func:`read_csv`.
+- Parquet is the engine's canonical storage (the reference bounced through
+  MongoDB + JSON files; we keep Mongo as an optional connector only).
+
+All readers demand an explicit schema: at 100 TB, schema inference is a
+full extra pass over the data and an availability risk (one malformed file
+flips a column to string). ``PERMISSIVE`` mode + ``_corrupt_record``
+replaces the reference's drop-the-row cleaning (SURVEY §1.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from scraping_etl_spark import schemas
+
+#: Name of the quarantine column for malformed input rows.
+CORRUPT_COL = "_corrupt_record"
+
+
+def _with_corrupt(schema: T.StructType) -> T.StructType:
+    """Append the quarantine column so PERMISSIVE mode can capture bad rows."""
+    if CORRUPT_COL in schema.fieldNames():
+        return schema
+    return T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
+
+
+def read_json_array(
+    spark: SparkSession, path: str, schema: T.StructType, quarantine: bool = True
+) -> DataFrame:
+    """Read whole-file JSON arrays (the scrapers' output format).
+
+    The reference loads these with ``json.load`` on the driver
+    (ScienceDirect/SD_Upd.py:120-125); ``multiLine`` JSON keeps the read
+    distributed — each file is one split, so many per-topic files
+    parallelize naturally.
+    """
+    if quarantine:
+        schema = _with_corrupt(schema)
+    return (
+        spark.read.option("multiLine", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path, schema=schema)
+    )
+
+
+def read_json_lines(
+    spark: SparkSession, path: str, schema: T.StructType, quarantine: bool = True
+) -> DataFrame:
+    """Read JSON-lines (splittable — the scale-friendly JSON layout)."""
+    if quarantine:
+        schema = _with_corrupt(schema)
+    return (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path, schema=schema)
+    )
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Header CSV with explicit schema (no ``inferSchema`` extra pass)."""
+    return spark.read.csv(path, header=True, schema=schema, mode="PERMISSIVE")
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Pin the runtime-settable SQL confs the engine's semantics rely on,
+    so queries behave identically under an externally-created session
+    (e.g. the driver harness's own SparkSession):
+
+    - ``nanosAsLong``: events.parquet stores TIMESTAMP(NANOS), which Spark
+      otherwise refuses to read (PARQUET_TYPE_ILLEGAL);
+    - UTC session timezone: matches DuckDB's UTC-naive timestamps in the
+      correctness oracle.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # conf locked down — readers fall back to declared behavior
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-provided parquet table from a scale-factor dir.
+
+    Parquet carries its own schema; we assert it against the declared one
+    (names only — parquet int32/int64 nuances are tolerated) so a drifted
+    file fails loudly instead of mis-joining.
+    """
+    _ensure_session_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Parquet TIMESTAMP(NANOS) columns arrive as long (nanosAsLong conf);
+    # convert to microsecond timestamps losslessly (integer div, no float).
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.LongType) and f.name == "ts":
+            df = df.withColumn(f.name, F.timestamp_micros(F.expr(f"{f.name} div 1000")))
+    expected = schemas.TESTDATA_TABLES.get(name)
+    if expected is not None:
+        got = set(df.columns)
+        want = set(expected.fieldNames())
+        if got != want:
+            raise ValueError(f"table {name}: columns {got} != expected {want}")
+    return df
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all scale tables and register each as a temp view."""
+    out: dict[str, DataFrame] = {}
+    for name in schemas.TESTDATA_TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
