@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed once as a warm-up-free timed run; the reported
+per-query time is wall-clock from plan construction to a count/collect
+action (the realistic end-to-end latency the driver measures).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scraping_etl_spark.plans.registry import QUERIES
+    from scraping_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="scraping-etl-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # One tiny action to absorb JVM/session startup so per-query numbers
+    # measure the engine, not classloading.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for spec in QUERIES:
+        t0 = time.perf_counter()
+        df = spec.fn(spark, SF_DIR)
+        # Force full materialization of every output row (not just count —
+        # count() can prune the plan) without driver-side bottleneck.
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[spec.name] = round(dt, 4)
+        total += dt
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
