@@ -1,0 +1,122 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure ``pyspark.sql.functions`` compositions — no Python UDFs — so the
+whole stage codegens and the operators cost one scan at 100 TB. Each has
+an exact ANSI-SQL mirror (see plans/registry.py) for the DuckDB oracle.
+
+Capabilities (north-star extension over the reference's text handling,
+which stops at regex scrubbing — DB/ETL.ipynb cell 25, raw 846-868):
+
+- :func:`tokens` — whitespace tokenization.
+- :func:`with_text_stats` — token/char counts, distinct-token ratio,
+  mean token length (quality-scoring signals).
+- :func:`with_stopword_ratio` / :func:`with_lang_id` — n-gram-free
+  language-ID heuristic via per-language stopword hit ratios.
+- :func:`with_fingerprint` — order-insensitive bag-of-words document
+  fingerprint (md5 of the sorted distinct token set).
+- :func:`with_quality_score` — composite [0,1] quality heuristic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Small per-language stopword marker sets for the heuristic language ID.
+#: Deliberately tiny + fixed: the classifier must be deterministic and
+#: SQL-mirrorable, not state-of-the-art.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "von"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr": ("le", "la", "de", "et", "un", "est", "pas", "pour", "que", "dans"),
+}
+
+
+def tokens(text: Column | str, lowercase: bool = False) -> Column:
+    """Whitespace tokens with empties removed (split on runs of space)."""
+    c = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        c = F.lower(c)
+    return F.filter(F.split(c, r"\s+"), lambda x: x != "")
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token count, char count, distinct-token ratio, mean token length."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    return (
+        df.withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("n_chars_actual", F.length(F.col(text_col)).cast("long"))
+        .withColumn(
+            "distinct_ratio",
+            F.round(F.size(F.array_distinct(toks)) / F.greatest(n_tokens, F.lit(1)), 6),
+        )
+        .withColumn(
+            "mean_token_len",
+            F.round(
+                F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+                / F.greatest(n_tokens, F.lit(1)),
+                6,
+            ),
+        )
+    )
+
+
+def stopword_ratio(text_col: str, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang`` (lowercased)."""
+    toks = tokens(text_col, lowercase=True)
+    hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS[lang])))
+    return F.round(hits / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text", langs: tuple[str, ...] = ("en", "de", "es", "fr")) -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hit counts,
+    ties broken by ``langs`` order, 'unknown' when nothing hits."""
+    toks = tokens(text_col, lowercase=True)
+    scores = {
+        lang: F.size(F.filter(toks, lambda x, s=STOPWORDS[lang]: x.isin(*s)))
+        for lang in langs
+    }
+    best = F.lit("unknown")
+    best_score = F.lit(0)
+    # fold right-to-left so earlier langs win ties (>= comparison)
+    for lang in reversed(langs):
+        take = scores[lang] >= best_score
+        gate = scores[lang] > 0
+        best = F.when(gate & take, F.lit(lang)).otherwise(best)
+        best_score = F.when(gate & take, scores[lang]).otherwise(best_score)
+    out = df.withColumn("lang_pred", best)
+    for lang in langs:
+        out = out.withColumn(f"score_{lang}", scores[lang].cast("long"))
+    return out
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Order-insensitive bag-of-words fingerprint: md5 over the sorted
+    distinct token set. Identical-vocabulary documents collide by design
+    (useful as a cheap near-dup blocking key); md5 keeps it mirrorable in
+    any SQL engine."""
+    toks = F.array_sort(F.array_distinct(tokens(text_col)))
+    return df.withColumn(out_col, F.md5(F.concat_ws(" ", toks)))
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality heuristic in [0,1]:
+
+    - length component: saturating token count (cap 200);
+    - diversity component: distinct-token ratio;
+    - stopword component: English stopword ratio clipped at 0.08
+      (natural text has some stopwords; word soup may not).
+
+    Weights fixed (0.4/0.4/0.2) and mirrored in the SQL oracle.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    len_c = F.least(n / F.lit(200.0), F.lit(1.0))
+    div_c = F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1))
+    sw = F.size(F.filter(tokens(text_col, lowercase=True), lambda x: x.isin(*STOPWORDS["en"])))
+    sw_c = F.least((sw / F.greatest(n, F.lit(1))) / F.lit(0.08), F.lit(1.0))
+    return df.withColumn(
+        "quality_score", F.round(0.4 * len_c + 0.4 * div_c + 0.2 * sw_c, 6)
+    )

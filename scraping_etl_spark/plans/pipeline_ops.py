@@ -1,0 +1,171 @@
+"""Queries exercising the engine's library operators (asof, textstats,
+dedup, similarity) on the scale tables, with DuckDB oracles.
+
+These are the `queries()` faces of the operator modules — the operator
+itself lives in ``scraping_etl_spark/operators/``; here it is applied to
+the driver's tables so the correctness gate covers it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from scraping_etl_spark.operators import textstats as TS
+from scraping_etl_spark.operators.asof import asof_join
+from scraping_etl_spark.sources.readers import load_table
+
+
+# ---------------------------------------------------------------------------
+# As-of join (SURVEY §2.3 J4)
+# ---------------------------------------------------------------------------
+
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase event, the user's latest click at-or-before it.
+
+    The engine's as-of join (union + sort + last-ignorenulls window: one
+    shuffle, no range explosion). Build side deduped per (user, ts) with
+    an explicit tie-break so the match is total-order deterministic.
+    """
+    e = load_table(spark, sf_dir, "events")
+    probe = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    build = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_value"),
+    )
+    res = asof_join(
+        probe, build, on="ts", by="user_id", direction="backward",
+        tie_break=["click_event_id"],
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "click_event_id",
+        F.round("click_value", 6).alias("click_value"),
+        F.unix_micros("ts_asof").alias("click_ts_us"),
+    )
+
+
+ORACLE_ASOF_PURCHASE_CLICK = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id AS click_event_id, value AS click_value
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'click'
+  ) WHERE rn = 1
+), purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+       c.click_event_id,
+       round(c.click_value, 6) AS click_value,
+       epoch_us(c.ts) AS click_ts_us
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (north-star operators over `documents`)
+# ---------------------------------------------------------------------------
+
+def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return TS.with_text_stats(d).select(
+        "doc_id", "n_tokens", "n_chars_actual", "distinct_ratio", "mean_token_len"
+    )
+
+
+ORACLE_DOC_TEXT_STATS = r"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT)            AS n_tokens,
+       CAST(length(text) AS BIGINT)      AS n_chars_actual,
+       round(len(list_distinct(t)) / greatest(len(t), 1), 6) AS distinct_ratio,
+       round(coalesce(list_aggregate(list_transform(t, x -> length(x)), 'sum'), 0)
+             / greatest(len(t), 1), 6)   AS mean_token_len
+FROM toks
+"""
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return TS.with_lang_id(d).select(
+        "doc_id", "lang_pred", "score_en", "score_de", "score_es", "score_fr"
+    )
+
+
+def _sw_list(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in TS.STOPWORDS[lang])
+
+
+ORACLE_DOC_LANG_ID = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), scores AS (
+  SELECT doc_id,
+         CAST(len(list_filter(t, x -> x IN ({_sw_list('en')}))) AS BIGINT) AS score_en,
+         CAST(len(list_filter(t, x -> x IN ({_sw_list('de')}))) AS BIGINT) AS score_de,
+         CAST(len(list_filter(t, x -> x IN ({_sw_list('es')}))) AS BIGINT) AS score_es,
+         CAST(len(list_filter(t, x -> x IN ({_sw_list('fr')}))) AS BIGINT) AS score_fr
+  FROM toks
+)
+SELECT doc_id,
+       CASE
+         WHEN score_en > 0 AND score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+         WHEN score_de > 0 AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+         WHEN score_es > 0 AND score_es >= score_fr THEN 'es'
+         WHEN score_fr > 0 THEN 'fr'
+         ELSE 'unknown'
+       END AS lang_pred,
+       score_en, score_de, score_es, score_fr
+FROM scores
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return TS.with_fingerprint(d).select("doc_id", "fingerprint")
+
+
+ORACLE_DOC_FINGERPRINT = r"""
+SELECT doc_id,
+       md5(array_to_string(
+             list_sort(list_distinct(
+               list_filter(string_split_regex(text, '\s+'), x -> x <> ''))),
+             ' ')) AS fingerprint
+FROM documents
+"""
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return TS.with_quality_score(d).select("doc_id", "quality_score")
+
+
+ORACLE_DOC_QUALITY = rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '')        AS t,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tl
+  FROM documents
+)
+SELECT doc_id,
+       round(0.4 * least(len(t) / 200.0, 1.0)
+           + 0.4 * (len(list_distinct(t)) / greatest(len(t), 1))
+           + 0.2 * least((len(list_filter(tl, x -> x IN ({_sw_list('en')})))
+                          / greatest(len(t), 1)) / 0.08, 1.0),
+             6) AS quality_score
+FROM toks
+"""

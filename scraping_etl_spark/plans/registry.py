@@ -12,6 +12,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from scraping_etl_spark.plans import pipeline_ops as P
 from scraping_etl_spark.plans import relational as R
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -89,6 +90,26 @@ QUERIES: list[QuerySpec] = [
     QuerySpec(
         "event_type_pivot", R.q_event_type_pivot, R.ORACLE_EVENT_TYPE_PIVOT,
         "pivot to per-user event-type counts",
+    ),
+    QuerySpec(
+        "asof_purchase_click", P.q_asof_purchase_click, P.ORACLE_ASOF_PURCHASE_CLICK,
+        "as-of join (SURVEY J4): latest prior click per purchase",
+    ),
+    QuerySpec(
+        "doc_text_stats", P.q_doc_text_stats, P.ORACLE_DOC_TEXT_STATS,
+        "token/char counts + diversity (text analysis)",
+    ),
+    QuerySpec(
+        "doc_lang_id", P.q_doc_lang_id, P.ORACLE_DOC_LANG_ID,
+        "stopword-ratio language ID heuristic",
+    ),
+    QuerySpec(
+        "doc_fingerprint", P.q_doc_fingerprint, P.ORACLE_DOC_FINGERPRINT,
+        "bag-of-words md5 document fingerprint",
+    ),
+    QuerySpec(
+        "doc_quality", P.q_doc_quality, P.ORACLE_DOC_QUALITY,
+        "composite text quality score",
     ),
 ]
 
