@@ -32,30 +32,36 @@ def main() -> None:
     # measure the engine, not classloading.
     spark.range(1).count()
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for spec in QUERIES:
-        t0 = time.perf_counter()
-        df = spec.fn(spark, SF_DIR)
-        # Force full materialization of every output row (not just count —
-        # count() can prune the plan) without driver-side bottleneck.
-        df.write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        timings[spec.name] = round(dt, 4)
-        total += dt
+        # Fault-isolated: one broken query must never zero out the whole
+        # benchmark surface — report it as null and keep going.
+        try:
+            t0 = time.perf_counter()
+            df = spec.fn(spark, SF_DIR)
+            # Force full materialization of every output row (not just
+            # count — count() can prune the plan) without driver bottleneck.
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            timings[spec.name] = round(dt, 4)
+            total += dt
+        except Exception as exc:  # noqa: BLE001 - deliberate blanket isolation
+            timings[spec.name] = None
+            errors[spec.name] = f"{type(exc).__name__}: {exc}"[:300]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": round(total, 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_wall_clock",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -36,6 +36,7 @@ from pyspark.sql import types as T
 
 _TAG = "__asof_tag"
 _ON2 = "__asof_on"
+_PAY = "__asof_payload"
 
 
 def asof_join(
@@ -79,14 +80,19 @@ def asof_join(
 
     is_ts = isinstance(build.schema[on].dataType, T.TimestampType)
 
-    b = build.select(
-        *by,
-        F.col(on),
+    # All attached columns ride in ONE struct so every value (and the
+    # tolerance decision) provably comes from the same build row. With
+    # per-column last(ignorenulls) a build row carrying a NULL in one value
+    # column would silently backfill that column from an *older* build row
+    # while the others came from the newer one — a stitched match.
+    payload = F.struct(
         F.col(on).alias(_ON2),
         *[F.col(c).alias(out_names[c]) for c in value_cols],
-    ).withColumn(_TAG, F.lit(0))
+    )
+    b = build.select(*by, F.col(on), payload.alias(_PAY)).withColumn(_TAG, F.lit(0))
     p = probe.withColumn(_TAG, F.lit(1))
 
+    # Probe rows lack _PAY → NULL struct → skipped by last(ignorenulls).
     unioned = p.unionByName(b, allowMissingColumns=True)
 
     if direction == "backward":
@@ -99,15 +105,14 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
-    matched_on = F.last(_ON2, ignorenulls=True).over(w)
-    out = unioned.withColumn(_ON2, matched_on)
-    for c in value_cols:
-        out = out.withColumn(out_names[c], F.last(out_names[c], ignorenulls=True).over(w))
-
-    out = out.filter(F.col(_TAG) == 1).drop(_TAG)
+    out = (
+        unioned.withColumn(_PAY, F.last(_PAY, ignorenulls=True).over(w))
+        .filter(F.col(_TAG) == 1)
+        .drop(_TAG)
+    )
 
     if tolerance is not None:
-        lhs, rhs = F.col(on), F.col(_ON2)
+        lhs, rhs = F.col(on), F.col(_PAY)[_ON2]
         if is_ts:
             dist = F.unix_micros(lhs) - F.unix_micros(rhs)
             tol = F.lit(int(tolerance * 1_000_000))
@@ -117,10 +122,10 @@ def asof_join(
         if direction == "forward":
             dist = -dist
         too_far = rhs.isNotNull() & (dist > tol)
-        for c in value_cols:
-            out = out.withColumn(
-                out_names[c], F.when(too_far, F.lit(None)).otherwise(F.col(out_names[c]))
-            )
-        out = out.withColumn(_ON2, F.when(too_far, F.lit(None)).otherwise(rhs))
+        out = out.withColumn(_PAY, F.when(too_far, F.lit(None)).otherwise(F.col(_PAY)))
 
-    return out.withColumnRenamed(_ON2, f"{on}{suffix}")
+    return out.select(
+        *[F.col(c) for c in probe.columns],
+        *[F.col(_PAY)[out_names[c]].alias(out_names[c]) for c in value_cols],
+        F.col(_PAY)[_ON2].alias(f"{on}{suffix}"),
+    )

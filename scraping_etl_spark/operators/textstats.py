@@ -63,10 +63,21 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _stopword_member(stopwords: tuple[str, ...]):
+    """Closure factory producing a *unary* lambda for ``F.filter``.
+
+    PySpark's higher-order-function machinery inspects the lambda's arity;
+    a default-argument trick (``lambda x, s=...:``) makes it binary and
+    PySpark passes the element *index* Column as ``s``, which then raises
+    NOT_ITERABLE on ``x.isin(*s)``. Binding via a closure keeps it unary.
+    """
+    return lambda x: x.isin(*stopwords)
+
+
 def stopword_ratio(text_col: str, lang: str = "en") -> Column:
     """Fraction of tokens that are stopwords of ``lang`` (lowercased)."""
     toks = tokens(text_col, lowercase=True)
-    hits = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS[lang])))
+    hits = F.size(F.filter(toks, _stopword_member(STOPWORDS[lang])))
     return F.round(hits / F.greatest(F.size(toks), F.lit(1)), 6)
 
 
@@ -75,7 +86,7 @@ def with_lang_id(df: DataFrame, text_col: str = "text", langs: tuple[str, ...] =
     ties broken by ``langs`` order, 'unknown' when nothing hits."""
     toks = tokens(text_col, lowercase=True)
     scores = {
-        lang: F.size(F.filter(toks, lambda x, s=STOPWORDS[lang]: x.isin(*s)))
+        lang: F.size(F.filter(toks, _stopword_member(STOPWORDS[lang])))
         for lang in langs
     }
     best = F.lit("unknown")
@@ -115,7 +126,7 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     n = F.size(toks)
     len_c = F.least(n / F.lit(200.0), F.lit(1.0))
     div_c = F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1))
-    sw = F.size(F.filter(tokens(text_col, lowercase=True), lambda x: x.isin(*STOPWORDS["en"])))
+    sw = F.size(F.filter(tokens(text_col, lowercase=True), _stopword_member(STOPWORDS["en"])))
     sw_c = F.least((sw / F.greatest(n, F.lit(1))) / F.lit(0.08), F.lit(1.0))
     return df.withColumn(
         "quality_score", F.round(0.4 * len_c + 0.4 * div_c + 0.2 * sw_c, 6)

@@ -109,19 +109,24 @@ GROUP BY r_name, n_name
 
 
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 customers by order revenue — join + agg + windowed top-k.
+    """Top-10 customers by order revenue — join + agg + distributed top-k.
 
     Scale: aggregate BEFORE ranking (shuffle carries one row per customer,
-    not per order); top-k via row_number with total order (revenue desc,
-    custkey) so ties are deterministic — never a bare LIMIT.
+    not per order). Top-k is ``orderBy(total order).limit(k)`` which Spark
+    plans as TakeOrderedAndProject — each partition keeps its local top-10
+    and only k rows reach the driver-side merge, vs an unpartitioned
+    row_number window that funnels every aggregate through one task. The
+    rank column is then assigned by a window over just the k surviving
+    rows (constant-size, scale-independent). The tiny ranked side is
+    broadcast into the customer lookup join.
     """
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     rev = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("_rev"))
+    top = rev.orderBy(F.desc("_rev"), F.asc("o_custkey")).limit(10)
     w = Window.orderBy(F.desc("_rev"), F.asc("o_custkey"))
     return (
-        rev.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 10)
+        F.broadcast(top.withColumn("rk", F.row_number().over(w)))
         .join(c, F.col("o_custkey") == c.c_custkey)
         .select(
             F.col("c_custkey"),
@@ -378,12 +383,17 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse the ``props`` JSON column and aggregate an extracted field."""
     e = load_table(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    # avg is written as sum/count explicitly: DuckDB's avg(BIGINT) uses an
+    # incremental formulation whose double result can differ by an ulp from
+    # Spark's sum/count — exact integer sum then one double division is
+    # bit-identical on both sides. sum stays BIGINT (DuckDB's sum(BIGINT)
+    # natively widens to HUGEINT, which hash-mismatches long).
     return (
         e.withColumn("k", k)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.round(F.sum("k").cast("double") / F.count("k"), 4).alias("avg_k"),
             F.sum("k").alias("sum_k"),
         )
     )
@@ -391,8 +401,9 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_JSON_PROPS = """
 SELECT event_type, count(*) AS n_events,
-       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT))           AS sum_k
+       round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+             / count(json_extract_string(props, '$.k')), 4)              AS avg_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events
 GROUP BY event_type
 """

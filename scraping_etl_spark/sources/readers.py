@@ -99,12 +99,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    expected = schemas.TESTDATA_TABLES.get(name)
     # Parquet TIMESTAMP(NANOS) columns arrive as long (nanosAsLong conf);
     # convert to microsecond timestamps losslessly (integer div, no float).
-    for f in df.schema.fields:
-        if isinstance(f.dataType, T.LongType) and f.name == "ts":
-            df = df.withColumn(f.name, F.timestamp_micros(F.expr(f"{f.name} div 1000")))
-    expected = schemas.TESTDATA_TABLES.get(name)
+    # Driven by the declared schema: exactly the columns that are declared
+    # TimestampType but arrive LongType — never a genuine long column.
+    if expected is not None:
+        declared_ts = {
+            f.name for f in expected.fields if isinstance(f.dataType, T.TimestampType)
+        }
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.LongType) and f.name in declared_ts:
+                df = df.withColumn(f.name, F.timestamp_micros(F.expr(f"{f.name} div 1000")))
     if expected is not None:
         got = set(df.columns)
         want = set(expected.fieldNames())

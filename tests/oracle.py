@@ -38,10 +38,11 @@ def _canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # collapse -0.0 / 0.0 and represent at limited precision
+        # collapse -0.0 / 0.0; otherwise EXACT compare (the driver's value
+        # hash is exact — rounding here would mask ulp mismatches locally)
         if v == 0:
             return 0.0
-        return round(v, 9)
+        return v
     if isinstance(v, (list, tuple)):
         return tuple(_canon(x) for x in v)
     try:
