@@ -7,30 +7,43 @@ operators/cleaning.py). What remains here is the one operation that is
 genuinely inexpressible in SQL functions — a binary re-decode — as an
 Arrow-vectorized ``pandas_udf``.
 
-NOTE: this module must NOT use ``from __future__ import annotations`` —
-``pandas_udf`` resolves the ``pd.Series`` type hints at decoration time,
-and stringified annotations with a function-local ``pd`` break that.
+Notes:
+- no ``from __future__ import annotations`` here: ``pandas_udf``
+  resolves the ``pd.Series`` type hints at decoration time, and
+  stringified annotations with a module-local ``pd`` break that;
+- the UDF is built lazily (cached factory) because ``pandas_udf``
+  parses its return type through the active SparkContext — decorating
+  at import time would make a plain ``import scraping_etl_spark``
+  require a running session.
 """
+
+import functools
 
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 
 
-@pandas_udf("string")
-def fix_mojibake(s: pd.Series) -> pd.Series:
-    """Repair latin1-as-utf8 mojibake (SURVEY F6; quirk Q6 root cause).
+@functools.lru_cache(maxsize=1)
+def fix_mojibake():
+    """Vectorized latin1-as-utf8 mojibake repair (SURVEY F6; quirk Q6
+    root cause).
 
     Reference: ScienceDirect/ScienceDirect.py:150-156 ``decode_text`` —
     ``text.encode('latin1').decode('utf-8')`` with pass-through when the
-    string is not valid mojibake.
+    string is not valid mojibake. Returns the pandas UDF (build lazily,
+    under an active session).
     """
 
-    def one(v):
-        if v is None:
-            return None
-        try:
-            return v.encode("latin1").decode("utf-8")
-        except (UnicodeEncodeError, UnicodeDecodeError):
-            return v
+    @pandas_udf("string")
+    def _fix(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return v.encode("latin1").decode("utf-8")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                return v
 
-    return s.map(one)
+        return s.map(one)
+
+    return _fix

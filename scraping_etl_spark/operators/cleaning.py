@@ -249,7 +249,8 @@ def repair_mojibake(df: DataFrame, cols: Iterable[str]) -> DataFrame:
     """
     from scraping_etl_spark.functions.udfs import fix_mojibake
 
+    udf = fix_mojibake()
     out = df
     for c in cols:
-        out = out.withColumn(c, fix_mojibake(F.col(c)))
+        out = out.withColumn(c, udf(F.col(c)))
     return out

@@ -1,0 +1,110 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+A 100 TB training-data pipeline carries images/audio/video as binary
+columns with typed metadata and processes them in Arrow batches. The
+image/audio codec libraries are not in this container, so the *decode*
+step is stubbed (clearly marked), while everything Spark-side — schema,
+``mapInPandas`` batch shape, Arrow binary transfer, partitioning — is
+real and tested.
+
+- :func:`attach_payload` — derive a deterministic binary payload column
+  (UTF-8 bytes of a text column) so the plumbing is exercisable on the
+  driver's ``documents`` table without real media files.
+- :func:`media_features` — ``mapInPandas`` over the binary column:
+  per-payload byte length + md5 digest (deterministic, oracle-able) —
+  the stand-in for real feature extraction.
+- :func:`decode_media` — the codec boundary: dispatches on media_type
+  and raises ``NotImplementedError`` for real codecs; the ``"raw"``
+  type passes bytes through, which is what the tests pin down.
+
+Scale notes: ``mapInPandas`` streams Arrow record batches — memory is
+bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``, not
+partition size; for multi-MB payloads, lower that conf and size
+``maxPartitionBytes`` so one task's batches fit the executor. Binary
+payloads should live in their own parquet column chunk (they do, by
+virtue of being a separate column) so metadata-only queries never read
+the bytes — column pruning is the whole game at 100 TB.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Metadata struct carried next to every payload.
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("encoding", T.StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("payload_md5", T.StringType()),
+    ]
+)
+
+
+def attach_payload(
+    df: DataFrame, text_col: str = "text", media_type: str = "raw"
+) -> DataFrame:
+    """Deterministic binary payload + metadata from a text column —
+    the test stand-in for reading real media bytes (JVM-side encode,
+    no UDF)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.withColumn("payload", payload).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.lit("utf-8").alias("encoding"),
+        ),
+    )
+
+
+def decode_media(payload: bytes, media_type: str) -> bytes:
+    """Codec boundary — STUB. Real deployments plug PIL/ffmpeg/soundfile
+    in here; this container has none of them, so everything except the
+    pass-through ``"raw"`` type raises."""
+    if media_type == "raw":
+        return payload
+    raise NotImplementedError(
+        f"decode_media({media_type!r}): codec libraries are not available "
+        "in this environment — plug in PIL/ffmpeg/soundfile here."
+    )
+
+
+def media_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched feature extraction over the binary payload column.
+
+    Deterministic features (byte length, md5 hex) stand in for real
+    image/audio features; the ``mapInPandas`` batch shape, binary Arrow
+    transfer, and schema contract are the production-shaped parts.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [
+                decode_media(p, m) for p, m in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": [len(p) for p in decoded],
+                    "payload_md5": [hashlib.md5(p).hexdigest() for p in decoded],
+                }
+            )
+
+    cols = df.select(
+        F.col(id_col), F.col("payload"), F.col("media_meta.media_type").alias("media_type")
+    )
+    return cols.mapInPandas(extract, schema=FEATURE_SCHEMA)

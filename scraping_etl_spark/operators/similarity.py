@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+North-star extension: the driver ships an ``embeddings`` scale table
+(vec_id, embedding float[64], label) and a 100 TB pipeline needs
+nearest-neighbor machinery over it. Two tiers:
+
+- :func:`cosine_topk` — exact brute-force top-k. The probe set is
+  broadcast (BroadcastNestedLoopJoin — all-pairs is the *definition* of
+  exact search, so the nested-loop is the right plan as long as the
+  probe side is small); ranking is a per-probe window (partitioned, so
+  it scales with corpus size, not a global sort).
+- :func:`ann_hyperplane_topk` — approximate variant for big probe sets:
+  sign-random-projection (SimHash-style) buckets on both sides, then
+  exact cosine only *within* a bucket — the join is a hash join on the
+  bucket id, never a cross join. Recall is tunable with ``planes``
+  (fewer planes → bigger buckets → higher recall, more compute).
+
+Determinism: all arithmetic is a sequential left-fold (``F.aggregate``)
+over ``double``-cast elements, which any engine reproduces bit-for-bit
+(the DuckDB oracle mirrors the same fold); hyperplane coefficients are
+±1 derived from md5 at plan-build time — no RNG state.
+
+Everything is JVM-side built-ins (zip_with/aggregate); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product of two float arrays in double
+    precision — deterministic summation order, mirrorable in SQL."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity, null-safe for zero vectors."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "query_id",
+    probe_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k neighbors of each probe vector by cosine similarity.
+
+    Output: (probe_id, rank, neighbor id, cosine). Ties broken by
+    neighbor id for a total deterministic order. Self-matches (same id)
+    are excluded. Scale: probes broadcast; corpus streamed once; the
+    rank window is partitioned by probe, so per-partition state is k.
+    """
+    p = probes.select(
+        F.col(probe_id_col).alias("_pid"), F.col(probe_vec_col).alias("_pvec")
+    )
+    c = corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
+    scored = (
+        c.join(F.broadcast(p), F.col("_pid") != F.col("_cid"))
+        .withColumn("_cos", cosine(F.col("_pvec"), F.col("_cvec")))
+    )
+    w = Window.partitionBy("_pid").orderBy(F.desc("_cos"), F.asc("_cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_pid").alias(probe_id_col),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("_cid").alias("neighbor_id"),
+            F.round("_cos", 6).alias("cos_sim"),
+        )
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> list[int]:
+    """Deterministic ±1 hyperplane: one md5-derived bit per dimension
+    (seeded by plane and dimension index). Plan-time constants."""
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"plane:{plane}:dim:{i}".encode()).digest()
+        out.append(1 if h[0] & 1 else -1)
+    return out
+
+
+def hyperplane_bucket(vec_col: Column, dim: int, planes: int = 8) -> Column:
+    """Sign-random-projection bucket id in [0, 2^planes): bit j is the
+    sign of <vec, w_j> for the deterministic ±1 hyperplane w_j. Cosine-
+    close vectors agree on most signs and land in the same bucket."""
+    bucket = F.lit(0)
+    for j in range(planes):
+        w = F.array(*[F.lit(float(x)) for x in _hyperplane(dim, j)])
+        bit = F.when(dot(vec_col, w) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket.cast("int")
+
+
+def ann_hyperplane_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    k: int = 5,
+    planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "query_id",
+    probe_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: bucket both sides by :func:`hyperplane_bucket`,
+    hash-join on the bucket id, rank within bucket. At 100 TB this is
+    the scale path: the join shuffles on bucket (2^planes distinct keys
+    — keep ``planes`` ≥ log2(cluster parallelism); skewed buckets are
+    split by AQE), and exact cosine runs only inside buckets. Recall<1
+    by design; raise it with multi-probe (query neighboring buckets) or
+    fewer planes."""
+    c = corpus.select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cvec"),
+        hyperplane_bucket(F.col(vec_col), dim, planes).alias("_bucket"),
+    )
+    p = probes.select(
+        F.col(probe_id_col).alias("_pid"),
+        F.col(probe_vec_col).alias("_pvec"),
+        hyperplane_bucket(F.col(probe_vec_col), dim, planes).alias("_bucket"),
+    )
+    scored = (
+        c.join(p, "_bucket")
+        .filter(F.col("_pid") != F.col("_cid"))
+        .withColumn("_cos", cosine(F.col("_pvec"), F.col("_cvec")))
+    )
+    w = Window.partitionBy("_pid").orderBy(F.desc("_cos"), F.asc("_cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_pid").alias(probe_id_col),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("_cid").alias("neighbor_id"),
+            F.round("_cos", 6).alias("cos_sim"),
+            F.col("_bucket").alias("bucket"),
+        )
+    )

@@ -103,6 +103,33 @@ def with_lang_id(df: DataFrame, text_col: str = "text", langs: tuple[str, ...] =
     return out
 
 
+def type_profile(df: DataFrame) -> DataFrame:
+    """Per-column runtime type-frequency profile (SURVEY A4).
+
+    The reference profiles column types driver-side with pandas
+    ``df[col].apply(type).value_counts()`` (DB/ETL.ipynb cell 8, raw
+    166-170) to find mixed-type columns before schema coercion. The
+    distributed form: one pass per column over ``typeof`` (runtime SQL
+    type) x null-ness, unioned into a (column, sql_type, is_null, n)
+    profile. With explicit schemas the sql_type is constant per column —
+    the null split is the remaining useful signal."""
+    parts = []
+    for c in df.columns:
+        parts.append(
+            df.select(
+                F.lit(c).alias("column"),
+                F.typeof(F.col(c)).alias("sql_type"),
+                F.col(c).isNull().alias("is_null"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("column", "sql_type", "is_null").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     """Order-insensitive bag-of-words fingerprint: md5 over the sorted
     distinct token set. Identical-vocabulary documents collide by design

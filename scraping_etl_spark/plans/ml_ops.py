@@ -1,0 +1,470 @@
+r"""LLM-data-pipeline query surface: dedup, similarity search,
+multimodal plumbing, and star-schema-shaped queries on the scale tables.
+
+Each query is the driver-gate face of an operator module
+(operators/dedup.py, operators/similarity.py, operators/multimodal.py,
+etl/star_schema.py); the oracle strings are exact DuckDB mirrors built
+around engine-portable primitives (md5 hashing, lexicographic mins,
+sequential left-folds) — see the determinism notes in the operator
+modules.
+
+Corpus-construction note: the driver's ``documents`` table has no
+duplicate texts at sf0.01, so the dedup queries union the table with a
+deterministically mutated copy of itself (same transformation in the
+oracle SQL) — the operator then has real duplicates to find while
+remaining hash-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scraping_etl_spark.operators import dedup as DD
+from scraping_etl_spark.operators import multimodal as MM
+from scraping_etl_spark.operators import similarity as SIM
+from scraping_etl_spark.operators.textstats import tokens
+from scraping_etl_spark.sources.readers import load_table
+
+_TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash groupBy)
+# ---------------------------------------------------------------------------
+
+def _docs_with_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    dup = d.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    return d.unionByName(dup)
+
+
+def q_doc_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups over documents ∪ re-keyed copy of the
+    first 50 docs. One md5-groupBy shuffle (operators/dedup.py)."""
+    return DD.exact_dup_groups(_docs_with_exact_dups(spark, sf_dir)).select(
+        "dup_key", "n_docs", "min_doc_id", "max_doc_id"
+    )
+
+
+ORACLE_DOC_EXACT_DUPS = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+)
+SELECT md5(text) AS dup_key,
+       count(*)    AS n_docs,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM corpus GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dedup
+# ---------------------------------------------------------------------------
+
+_NEARDUP_SUFFIX = " zzznear zzzdup zzzmarker"
+_MH_HASHES, _MH_BANDS, _MH_K, _MH_T = 16, 4, 3, 0.5
+
+
+def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    near = d.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_NEARDUP_SUFFIX)).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return d.unionByName(near)
+
+
+def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH, verified with
+    exact shingle Jaccard ≥ 0.5. No cross join anywhere: candidates
+    come from the band-hash equi-join (operators/dedup.py)."""
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    return DD.minhash_lsh_pairs(
+        corpus, k=_MH_K, num_hashes=_MH_HASHES, bands=_MH_BANDS, threshold=_MH_T
+    ).select("id_a", "id_b", "jaccard")
+
+
+def _minhash_oracle() -> str:
+    r = _MH_HASHES // _MH_BANDS
+    mins = ",\n         ".join(
+        f"list_min(list_transform(s, x -> md5('{s}:' || x))) AS m{s}"
+        for s in range(_MH_HASHES)
+    )
+    band_cols = ",\n         ".join(
+        "md5(concat_ws('|', '{j}', {parts})) AS b{j}".format(
+            j=j, parts=", ".join(f"m{j * r + i}" for i in range(r))
+        )
+        for j in range(_MH_BANDS)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT id, {j} AS band_idx, b{j} AS band_hash FROM sig"
+        for j in range(_MH_BANDS)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || '{_NEARDUP_SUFFIX}'
+  FROM documents WHERE doc_id < 30
+), toks AS (
+  SELECT doc_id AS id, {_TOKS} AS t FROM corpus
+), sh AS (
+  SELECT id,
+         list_distinct(list_transform(
+           CASE WHEN len(t) >= {_MH_K} THEN generate_series(1, len(t) - {_MH_K - 1}) ELSE [] END,
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+  FROM toks
+), docs AS (
+  SELECT id, s FROM sh WHERE len(s) > 0
+), sig AS (
+  SELECT id,
+         {mins},
+         s
+  FROM docs
+), sig2 AS (
+  SELECT id,
+         {band_cols}
+  FROM sig
+), bands AS (
+{band_rows.replace('FROM sig', 'FROM sig2')}
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+       round(len(list_intersect(da.s, db.s))
+             / greatest(len(list_distinct(list_concat(da.s, db.s))), 1), 6) AS jaccard
+FROM cand c
+JOIN docs da ON da.id = c.id_a
+JOIN docs db ON db.id = c.id_b
+WHERE round(len(list_intersect(da.s, db.s))
+            / greatest(len(list_distinct(list_concat(da.s, db.s))), 1), 6) >= {_MH_T}
+"""
+
+
+ORACLE_DOC_MINHASH_PAIRS = _minhash_oracle()
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 16
+
+
+def q_doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 16-bit SimHash fingerprint (operators/dedup.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", DD.simhash_column(F.col("text"), _SIMHASH_BITS).alias("simhash16")
+    )
+
+
+def _simhash_oracle() -> str:
+    h = "('0x' || substr(md5(x), 1, 15))::BIGINT"
+    votes = ",\n       ".join(
+        f"list_aggregate(list_transform(td, x -> CASE WHEN (({h} >> {i}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END), 'sum') AS v{i}"
+        for i in range(_SIMHASH_BITS)
+    )
+    total = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(_SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, list_distinct({_TOKS}) AS td FROM documents
+), votes AS (
+  SELECT doc_id,
+       {votes}
+  FROM toks
+)
+SELECT doc_id, CAST({total} AS BIGINT) AS simhash16 FROM votes
+"""
+
+
+ORACLE_DOC_SIMHASH = _simhash_oracle()
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (adjacent-doc pairs — the scalar-similarity face)
+# ---------------------------------------------------------------------------
+
+def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-shingle Jaccard between consecutive doc ids — exercises
+    the exact n-gram Jaccard primitive on a deterministic pairing."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.select("doc_id", DD.word_shingles(F.col("text"), 3).alias("_sa"))
+    b = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        DD.word_shingles(F.col("text"), 3).alias("_sb"),
+    )
+    return (
+        a.join(b, "doc_id")
+        .select("doc_id", DD.jaccard(F.col("_sa"), F.col("_sb")).alias("jaccard"))
+    )
+
+
+ORACLE_DOC_NGRAM_JACCARD = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           CASE WHEN len(t) >= 3 THEN generate_series(1, len(t) - 2) ELSE [] END,
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+)
+SELECT a.doc_id,
+       round(len(list_intersect(a.s, b.s))
+             / greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_TOPK, _N_PROBES, _DIM = 3, 20, 64
+
+_DOT = (
+    "list_reduce(list_transform(generate_series(1, len({a})), "
+    "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
+)
+
+
+def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-3 for the first 20 vectors against
+    the whole corpus (operators/similarity.py — broadcast probes,
+    partitioned rank window)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return SIM.cosine_topk(e, probes, k=_TOPK)
+
+
+def _cosine_oracle() -> str:
+    dot_pq = _DOT.format(a="p.q", b="e.embedding")
+    n_p = _DOT.format(a="p.q", b="p.q")
+    n_e = _DOT.format(a="e.embedding", b="e.embedding")
+    return f"""
+WITH probes AS (
+  SELECT vec_id AS query_id, embedding AS q FROM embeddings WHERE vec_id < {_N_PROBES}
+), scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         {dot_pq} AS dot_pq,
+         sqrt({n_p}) * sqrt({n_e}) AS den
+  FROM probes p, embeddings e
+  WHERE p.query_id <> e.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         CASE WHEN den > 0 THEN dot_pq / den ELSE 0.0 END AS c,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY (CASE WHEN den > 0 THEN dot_pq / den ELSE 0.0 END) DESC,
+                    neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, CAST(rk AS INTEGER) AS rank, neighbor_id, round(c, 6) AS cos_sim
+FROM ranked WHERE rk <= {_TOPK}
+"""
+
+
+ORACLE_EMB_COSINE_TOPK = _cosine_oracle()
+
+
+def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 via sign-random-projection buckets — the 100 TB
+    scale path (hash join on bucket id, no cross join). Recall is
+    approximate by design → rows-only driver check (no SQL oracle)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return SIM.ann_hyperplane_topk(e, probes, dim=_DIM, k=_TOPK, planes=6)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def q_doc_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction via mapInPandas (Arrow batches)
+    — deterministic features so the plumbing is oracle-checkable
+    (operators/multimodal.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return MM.media_features(MM.attach_payload(d))
+
+
+ORACLE_DOC_MEDIA_FEATURES = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text)                                  AS payload_md5
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Star-schema shapes on the scale tables (J2/J3/A2/A3 driver coverage)
+# ---------------------------------------------------------------------------
+
+def q_doc_token_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension build: explode tokens → distinct → deterministic
+    md5-hex surrogate key. The scale-table twin of
+    etl/star_schema.build_keywords (which uses xxhash64; the query uses
+    an md5-prefix key because the oracle must reproduce it in DuckDB —
+    same partition-independence property)."""
+    d = load_table(spark, sf_dir, "documents")
+    dim = d.select(F.explode(tokens(F.col("text"))).alias("token")).distinct()
+    return dim.select(
+        F.substring(F.md5("token"), 1, 16).alias("token_key"), "token"
+    )
+
+
+ORACLE_DOC_TOKEN_DIM = f"""
+WITH dim AS (
+  SELECT DISTINCT token FROM (
+    SELECT unnest({_TOKS}) AS token FROM documents
+  )
+)
+SELECT substr(md5(token), 1, 16) AS token_key, token FROM dim
+"""
+
+
+def q_doc_token_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bridge build: explode (doc, token) → inner join the broadcast
+    token dim (etl/star_schema.build_keyword_article_map twin, SURVEY
+    J2/J3). Multiplicity preserved: a doc repeating a token contributes
+    one bridge row per occurrence."""
+    d = load_table(spark, sf_dir, "documents")
+    exploded = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    dim = q_doc_token_dim(spark, sf_dir)
+    return exploded.join(F.broadcast(dim), "token", "inner").select(
+        "doc_id", "token_key"
+    )
+
+
+ORACLE_DOC_TOKEN_BRIDGE = f"""
+SELECT doc_id, substr(md5(token), 1, 16) AS token_key
+FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gap-fillers: P4/P6/P8 (doc filters), F14 (from_json), F3 (date
+# round-trip), F2 (regexp_extract_all)
+# ---------------------------------------------------------------------------
+
+def q_doc_clean_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning-filter stack on the scale docs: na.drop (P6) +
+    multi-clause predicate (P4) + higher-order exists/rlike (P8, the
+    fixed Q5 form) → grouped count (A1)."""
+    d = load_table(spark, sf_dir, "documents")
+    kept = (
+        d.na.drop(subset=["text", "lang"])
+        .filter((F.col("source") != "src9") & (F.col("n_chars") > 50))
+        .filter(F.exists(tokens(F.col("text")), lambda x: x.rlike("^[a-z]{5,}$")))
+    )
+    return kept.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+ORACLE_DOC_CLEAN_FILTERS = f"""
+SELECT lang, source, count(*) AS n_docs
+FROM documents
+WHERE text IS NOT NULL AND lang IS NOT NULL
+  AND source <> 'src9' AND n_chars > 50
+  AND len(list_filter({_TOKS}, x -> regexp_matches(x, '^[a-z]{{5,}}$'))) > 0
+GROUP BY lang, source
+"""
+
+
+def q_events_props_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON deserialization as a typed struct (SURVEY F14 ``from_json``,
+    completing the get_json_object face in relational.py) + P6 na.drop
+    on the parse result. Avg computed as exact-int sum / count with one
+    double division (engine-portable)."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.withColumn("p", F.from_json("props", "k INT")).na.drop(subset=["p"])
+    return (
+        parsed.select("event_type", F.col("p.k").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        )
+    )
+
+
+ORACLE_EVENTS_PROPS_STRUCT = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(sum(k) AS DOUBLE) / count(*) AS avg_k
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+  FROM events
+) WHERE k IS NOT NULL
+GROUP BY event_type
+"""
+
+
+def q_order_date_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY F3: render dates as the reference's '19 July 2024' string
+    form, parse back with ``to_date(_, 'd MMMM yyyy')``, extract parts.
+    Proves the reference's date pipeline round-trips losslessly."""
+    o = load_table(spark, sf_dir, "orders")
+    s = F.date_format("o_orderdate", "d MMMM yyyy")
+    parsed = F.to_date(s, "d MMMM yyyy")
+    return (
+        o.select(
+            F.year(parsed).alias("yr"),
+            F.date_format(parsed, "MMMM").alias("month_name"),
+            F.dayofmonth(parsed).alias("dom"),
+        )
+        .groupBy("yr", "month_name")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("dom").alias("min_dom"))
+    )
+
+
+ORACLE_ORDER_DATE_ROUNDTRIP = """
+SELECT year(d)      AS yr,
+       monthname(d) AS month_name,
+       count(*)     AS n,
+       min(dayofmonth(d)) AS min_dom
+FROM (
+  SELECT strptime(strftime(o_orderdate, '%-d %B %Y'), '%-d %B %Y')::DATE AS d
+  FROM orders
+)
+GROUP BY yr, month_name
+"""
+
+
+def q_doc_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""SURVEY F2: ``regexp_extract_all`` + ``element_at`` (the
+    reference picks the 4th date match — ScienceDirect.py:245-251; here
+    the 1st and count of t-words per doc). ``try_element_at`` because
+    ANSI mode makes plain ``element_at`` throw on empty match arrays
+    (DuckDB's ``[1]`` is NULL-tolerant already)."""
+    d = load_table(spark, sf_dir, "documents")
+    matches = F.regexp_extract_all("text", F.lit(r"\b(t\w+)\b"), 1)
+    return d.select(
+        "doc_id",
+        F.size(matches).cast("long").alias("n_t_words"),
+        F.try_element_at(matches, F.lit(1)).alias("first_t"),
+    )
+
+
+ORACLE_DOC_REGEX_EXTRACT = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\b(t\w+)\b', 1)) AS BIGINT) AS n_t_words,
+       regexp_extract_all(text, '\b(t\w+)\b', 1)[1] AS first_t
+FROM documents
+"""

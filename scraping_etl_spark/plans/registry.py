@@ -12,6 +12,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from scraping_etl_spark.plans import ml_ops as M
 from scraping_etl_spark.plans import pipeline_ops as P
 from scraping_etl_spark.plans import relational as R
 
@@ -110,6 +111,59 @@ QUERIES: list[QuerySpec] = [
     QuerySpec(
         "doc_quality", P.q_doc_quality, P.ORACLE_DOC_QUALITY,
         "composite text quality score",
+    ),
+    QuerySpec(
+        "doc_exact_dups", M.q_doc_exact_dups, M.ORACLE_DOC_EXACT_DUPS,
+        "exact-duplicate groups via content-hash groupBy",
+    ),
+    QuerySpec(
+        "doc_minhash_pairs", M.q_doc_minhash_pairs, M.ORACLE_DOC_MINHASH_PAIRS,
+        "MinHash + banded-LSH near-dup pairs, Jaccard-verified",
+    ),
+    QuerySpec(
+        "doc_simhash", M.q_doc_simhash, M.ORACLE_DOC_SIMHASH,
+        "16-bit SimHash document fingerprint",
+    ),
+    QuerySpec(
+        "doc_ngram_jaccard", M.q_doc_ngram_jaccard, M.ORACLE_DOC_NGRAM_JACCARD,
+        "trigram-shingle Jaccard on adjacent doc pairs",
+    ),
+    QuerySpec(
+        "emb_cosine_topk", M.q_emb_cosine_topk, M.ORACLE_EMB_COSINE_TOPK,
+        "exact brute-force cosine top-k over embeddings",
+    ),
+    QuerySpec(
+        "emb_ann_topk", M.q_emb_ann_topk, None,
+        "approximate top-k via sign-random-projection LSH buckets "
+        "(approximate recall by design → rows-only check)",
+    ),
+    QuerySpec(
+        "doc_media_features", M.q_doc_media_features, M.ORACLE_DOC_MEDIA_FEATURES,
+        "binary-payload feature extraction via Arrow mapInPandas",
+    ),
+    QuerySpec(
+        "doc_token_dim", M.q_doc_token_dim, M.ORACLE_DOC_TOKEN_DIM,
+        "explode → distinct dim with deterministic surrogate key (A2/A3)",
+    ),
+    QuerySpec(
+        "doc_token_bridge", M.q_doc_token_bridge, M.ORACLE_DOC_TOKEN_BRIDGE,
+        "explode + broadcast dim join bridge build (J2/J3)",
+    ),
+    QuerySpec(
+        "doc_clean_filters", M.q_doc_clean_filters, M.ORACLE_DOC_CLEAN_FILTERS,
+        "na.drop + multi-clause + exists/rlike filter stack (P4/P6/P8)",
+    ),
+    QuerySpec(
+        "events_props_struct", M.q_events_props_struct, M.ORACLE_EVENTS_PROPS_STRUCT,
+        "from_json struct parse + agg (F14)",
+    ),
+    QuerySpec(
+        "order_date_roundtrip", M.q_order_date_roundtrip, M.ORACLE_ORDER_DATE_ROUNDTRIP,
+        "'d MMMM yyyy' render/parse round-trip (F3)",
+    ),
+    QuerySpec(
+        "doc_regex_extract", M.q_doc_regex_extract, M.ORACLE_DOC_REGEX_EXTRACT,
+        "regexp_extract_all + element_at (F2)",
     ),
 ]
 

@@ -90,6 +90,34 @@ def _ensure_session_confs(spark: SparkSession) -> None:
         pass  # conf locked down — readers fall back to declared behavior
 
 
+def read_mongodb(
+    spark: SparkSession, uri: str, database: str, collection: str,
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """S10: read a MongoDB collection directly distributed — replacing
+    the reference's driver-side ``collection.find()`` → JSON file bounce
+    (DB/ETL.ipynb cell 4, raw 77-89). Requires the mongo-spark-connector
+    jar (absent here — the reference's .gitignore names
+    ``mongo-spark-connector_2.13-10.3.0.jar``); raises a clear error
+    instead of a ClassNotFound."""
+    try:
+        reader = (
+            spark.read.format("mongodb")
+            .option("connection.uri", uri)
+            .option("database", database)
+            .option("collection", collection)
+        )
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.load()
+    except Exception as exc:  # pragma: no cover - connector not in test env
+        raise RuntimeError(
+            "MongoDB connector jar not on classpath; add "
+            "mongo-spark-connector to spark.jars.packages or read the "
+            "collection's parquet export instead"
+        ) from exc
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-provided parquet table from a scale-factor dir.
 

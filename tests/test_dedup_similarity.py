@@ -1,0 +1,125 @@
+"""Unit tests for the dedup, similarity, and multimodal operators on
+tiny in-memory frames with hand-computed expectations."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from scraping_etl_spark.operators import dedup as DD
+from scraping_etl_spark.operators import multimodal as MM
+from scraping_etl_spark.operators import similarity as SIM
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, "x x x x")], "id long, text string"
+    )
+    out = {r.id: r.s for r in df.select("id", DD.word_shingles(F.col("text"), 3).alias("s")).collect()}
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == []           # fewer than k tokens
+    assert out[3] == ["x x x"]    # distinct collapses repeats
+
+
+def test_jaccard(spark):
+    df = spark.createDataFrame([(["a", "b", "c"], ["b", "c", "d"])], "a array<string>, b array<string>")
+    [r] = df.select(DD.jaccard(F.col("a"), F.col("b")).alias("j")).collect()
+    assert r.j == 0.5  # |{b,c}| / |{a,b,c,d}|
+
+
+def test_exact_dup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other"), (4, "same text")],
+        "doc_id long, text string",
+    )
+    [g] = DD.exact_dup_groups(df).collect()
+    assert (g.n_docs, g.min_doc_id, g.max_doc_id) == (3, 1, 4)
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra"),               # near-dup of 1
+            (3, "completely different words entirely unrelated to anything else here now"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in DD.minhash_lsh_pairs(df, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.8
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "delta gamma beta alpha"), (3, "epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.s for r in df.select("doc_id", DD.simhash_column(F.col("text")).alias("s")).collect()}
+    assert out[1] == out[2]          # bag-of-words: order must not matter
+    assert 0 <= out[1] < (1 << 16)
+    assert out[1] != out[3]          # different vocab → different hash (16-bit: collisions possible but not for this pair)
+
+
+def test_cosine_topk(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    probes = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    rows = SIM.cosine_topk(emb, probes, k=2).collect()
+    assert [(r.rank, r.neighbor_id) for r in rows] == [(1, 3), (2, 2)]
+    assert rows[0].cos_sim == pytest.approx(0.707107, abs=1e-6)
+    assert rows[1].cos_sim == 0.0
+
+
+def test_ann_same_vector_same_bucket(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7 + 1), float(i % 5), 1.0, -2.0]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    probes = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = SIM.ann_hyperplane_topk(emb, probes, dim=4, k=3, planes=4)
+    rows = out.collect()
+    # identical vectors (i and i+35 share (i%7,i%5) period-35 pattern)
+    # hash to the same bucket, so every probe finds its exact twin first
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert rs[0].cos_sim == 1.0  # the identical twin is rank 1
+        assert all(r.bucket == rs[0].bucket for r in rs)
+
+
+def test_media_features_match_hashlib(spark):
+    df = spark.createDataFrame([(1, "hello world"), (2, "héllo")], "doc_id long, text string")
+    out = {r.doc_id: r for r in MM.media_features(MM.attach_payload(df)).collect()}
+    for doc_id, text in [(1, "hello world"), (2, "héllo")]:
+        raw = text.encode("utf-8")
+        assert out[doc_id].n_bytes == len(raw)
+        assert out[doc_id].payload_md5 == hashlib.md5(raw).hexdigest()
+
+
+def test_decode_media_stub():
+    assert MM.decode_media(b"abc", "raw") == b"abc"
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(b"abc", "image/png")
+
+
+def test_type_profile(spark):
+    # SURVEY A4: distributed twin of the reference's pandas
+    # apply(type).value_counts() profiling (ETL cell 8)
+    from scraping_etl_spark.operators.textstats import type_profile
+
+    df = spark.createDataFrame([(1, "a"), (2, None)], "id long, v string")
+    rows = {(r.column, r.sql_type, r.is_null): r.n for r in type_profile(df).collect()}
+    assert rows[("id", "bigint", False)] == 2
+    assert rows[("v", "string", True)] == 1
+    assert rows[("v", "string", False)] == 1

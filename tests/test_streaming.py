@@ -1,0 +1,56 @@
+"""Structured Streaming twins: availableNow end-to-end over temp dirs,
+result compared against the equivalent batch aggregation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scraping_etl_spark.sources.readers import load_table
+from scraping_etl_spark.streaming.pipeline import (
+    hourly_rollup_stream,
+    incremental_append_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    # stage a small event set as the streaming source directory, in two
+    # files so the file source sees multiple input splits
+    d = tmp_path_factory.mktemp("events_src")
+    ev = load_table(spark, SF, "events").limit(2000)
+    ev.repartition(2).write.mode("overwrite").parquet(str(d))
+    return str(d)
+
+
+def test_incremental_append_stream(spark, events_dir, tmp_path):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = incremental_append_stream(spark, events_dir, out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).count()
+    want = spark.read.parquet(events_dir).count()
+    assert got == want
+
+
+def test_hourly_rollup_stream_matches_batch(spark, events_dir, tmp_path):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = hourly_rollup_stream(spark, events_dir, out, ckpt)
+    q.awaitTermination(180)
+
+    src = spark.read.parquet(events_dir)
+    batch = (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events")
+    )
+    stream_out = spark.read.parquet(out).select(
+        "hour_start", "event_type", "n_events"
+    )
+    got = {tuple(r) for r in stream_out.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(got) > 0
