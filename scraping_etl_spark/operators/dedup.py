@@ -14,45 +14,74 @@ North-star extension (the reference stops at ``dropDuplicates`` — SURVEY
   hashes); Hamming-close SimHashes ⇒ similar token bags. One scan.
 - :func:`jaccard` / :func:`word_shingles` — the shared primitives.
 
-Determinism design: every hash is ``md5`` of a seeded string and the
-MinHash "permutation" is the lexicographic minimum of the seeded md5
-hex strings — a valid random permutation family that any SQL engine
-reproduces bit-for-bit, which is what makes the DuckDB correctness
-oracle possible (plans/dedup_ops.py). No RNG state, no Python UDFs; the
+Determinism design: the base hash is ``md5`` (bit-identical in every
+engine) and the MinHash family is Carter-Wegman universal hashing
+``(a·h + b) mod p`` over the md5-derived 28-bit shingle hash, with
+``(a, b)`` drawn once from a fixed-seed PRNG (:func:`minhash_params`) —
+plain 64-bit integer arithmetic that the DuckDB correctness oracle
+reproduces bit-for-bit. No RNG state at run time, no Python UDFs; the
 whole pipeline is JVM-side and whole-stage-codegen'd.
 
-Scale notes: signatures are fixed-size (num_hashes strings) per doc, so
-the LSH explode ships ``bands`` small rows per doc; the band-hash
-shuffle is uniform (md5). Verification re-joins the candidate pair list
-(small) back to the shingle sets — two hash joins on doc id. Skewed
-buckets (boilerplate near-dup clusters) are handled by AQE skew-join
-plus the per-bucket pair cap ``max_bucket``.
+Scale notes: signatures are computed per-row with ``array_min`` over
+the shingle-hash array — no explode, no shuffle; the only shuffles are
+the band-hash self-join (``bands`` small rows per doc, uniform md5
+key) and the candidate-verification joins on doc id. Skewed buckets
+(boilerplate near-dup clusters) are handled by AQE skew-join.
+
+Single-evaluation hazard (cost lesson baked into this module): a
+``transform`` lambda that references a *derived* column expression
+(e.g. ``split(text)``) re-evaluates that expression for EVERY array
+element — O(n²) per row. :func:`_bind` forces one evaluation by
+wrapping the expression in a 1-element array and binding it as the
+lambda variable of an outer ``transform``.
 """
 
 from __future__ import annotations
+
+import random
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from scraping_etl_spark.operators.textstats import tokens
 
+#: Modulus of the universal-hash family: the Mersenne prime 2^31-1.
+#: With 28-bit base hashes and a < p, a·h + b < 2^59 — no bigint
+#: overflow under ANSI mode in either engine.
+MINHASH_PRIME = 2_147_483_647
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """The (a, b) coefficients of the ``(a·h + b) mod p`` family —
+    fixed-seed, so Spark plans and DuckDB oracle SQL agree run-to-run."""
+    rnd = random.Random(0x5EED)
+    return [
+        (rnd.randrange(1, MINHASH_PRIME), rnd.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
+
+
+def _bind(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` once and pass it to ``fn`` as a lambda-bound
+    variable (see the module docstring's single-evaluation hazard)."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
 
 def word_shingles(text_col: Column | str, k: int = 3) -> Column:
     """Distinct word k-shingles of ``text_col`` (empty array when the
-    document has fewer than ``k`` tokens)."""
-    toks = tokens(text_col)
-    n = F.size(toks)
-    idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(k)]
-            ),
+    document has fewer than ``k`` tokens). The token array is bound
+    once; per-shingle work is a ``slice`` + ``array_join`` over it."""
+
+    def _shingle(t: Column) -> Column:
+        n = F.size(t)
+        idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
+            F.array().cast("array<int>")
         )
-    )
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(t, i, k), " "))
+        )
+
+    return _bind(tokens(text_col), _shingle)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -99,25 +128,23 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs: shingle → MinHash → banded LSH → verify.
 
-    The MinHash "permutation" for seed ``s`` is the lexicographic
-    minimum of ``md5('<s>:' || shingle)`` over the shingle set — a
-    uniform random permutation minimum that, unlike
-    integer-multiply-mod schemes, any SQL engine reproduces bit-for-bit
-    (the DuckDB oracle mirrors it verbatim).
+    Each shingle hashes ONCE to a 28-bit integer (md5-hex prefix), and
+    the MinHash for seed ``s`` is ``min((a_s·h + b_s) mod p)`` over the
+    hash array — Carter-Wegman universal hashing with fixed-seed
+    coefficients (:func:`minhash_params`), plain integer arithmetic the
+    DuckDB oracle mirrors bit-for-bit.
 
-    Plan shape (the scale-critical part — NOT a per-row expression
-    tree, which duplicates the signature computation ``bands × rows``
-    times and melts codegen):
-    1. explode shingles to (id, shingle) rows, cross the tiny seed
-       dimension (broadcast), hash once per (seed, shingle);
-    2. ``min(hash) GROUP BY (id, seed)`` — map-side combinable, so the
-       shuffle carries one row per (doc, seed), not per shingle;
-    3. fold each band's ``rows_per_band`` mins (ordered by seed) into
-       one md5 band digest — one more tiny combinable aggregation;
-    4. self-equi-join on (band_idx, band_hash) with ``id_a < id_b``
+    Plan shape (the scale-critical part):
+    1. one projection computes the shingle-hash array per row; the
+       whole num_hashes-signature is ``array_min`` expressions over
+       it — per-row, no explode, no shuffle, fully codegen'd;
+    2. each band's ``rows_per_band`` mins fold into one md5 band
+       digest; docs explode to just ``bands`` (band_idx, band_hash)
+       rows;
+    3. self-equi-join on (band_idx, band_hash) with ``id_a < id_b``
        yields candidate pairs *within buckets only* (shuffle key = band
        hash — no cross join anywhere);
-    5. distinct candidate pairs re-join the shingle sets and the exact
+    4. distinct candidate pairs re-join the shingle sets and the exact
        Jaccard filters at ``threshold``.
 
     Banding with b bands of r rows targets the usual s-curve threshold
@@ -127,44 +154,54 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0, "num_hashes must divide into bands"
     r = num_hashes // bands
+    params = minhash_params(num_hashes)
     docs = (
         df.select(F.col(id_col).alias("_id"), word_shingles(F.col(text_col), k).alias("_sh"))
         .filter(F.size("_sh") > 0)
     )
-    spark = df.sparkSession
-    seeds = spark.range(num_hashes).select(F.col("id").cast("int").alias("_seed"))
-    hashed = (
-        docs.select("_id", F.explode("_sh").alias("_shingle"))
-        .crossJoin(F.broadcast(seeds))
-        .select(
-            "_id",
-            "_seed",
-            F.md5(
-                F.concat(F.col("_seed").cast("string"), F.lit(":"), F.col("_shingle"))
-            ).alias("_h"),
-        )
+
+    def _uhash(a: int, b: int):
+        # closure factory keeps the transform lambda unary (a default
+        # arg would make PySpark treat it as an (element, index) lambda)
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    hashed = docs.withColumn(
+        "_hs",
+        F.transform(
+            "_sh",
+            lambda x: F.conv(F.substring(F.md5(x), 1, 7), 16, 10).cast("long"),
+        ),
     )
-    minh = hashed.groupBy("_id", "_seed").agg(F.min("_h").alias("_mh"))
-    banded = (
-        minh.withColumn("_band_idx", F.floor(F.col("_seed") / r).cast("int"))
-        .groupBy("_id", "_band_idx")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("_seed", "_mh"))),
-                    lambda x: x["_mh"],
-                ),
-                "|",
-            ).alias("_mins")
-        )
-        .select(
-            "_id",
-            "_band_idx",
-            F.md5(
-                F.concat_ws("|", F.col("_band_idx").cast("string"), F.col("_mins"))
-            ).alias("_band_hash"),
-        )
+    sig = hashed.select(
+        "_id",
+        *[
+            F.array_min(F.transform("_hs", _uhash(a, b))).alias(f"_m{s}")
+            for s, (a, b) in enumerate(params)
+        ],
     )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("_band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                F.lit(str(j)),
+                                *[
+                                    F.col(f"_m{j * r + i}").cast("string")
+                                    for i in range(r)
+                                ],
+                            )
+                        ).alias("_band_hash"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", F.col("_b._band_idx").alias("_band_idx"), F.col("_b._band_hash").alias("_band_hash"))
     left = banded.alias("a")
     right = banded.alias("b")
     cand = (
@@ -194,19 +231,32 @@ def simhash_column(text_col: Column | str, bits: int = 16) -> Column:
     ±1 vote sum sets the bit. Documents with similar token bags land at
     small Hamming distance. ``bits`` is kept small (16) because each bit
     is one aggregate expression over the token array — at 64 the
-    expression tree still codegens but compile time grows."""
-    toks = F.array_distinct(tokens(text_col))
-    hashed = F.transform(
-        toks, lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
-    )
+    expression tree still codegens but compile time grows.
+
+    The hashed-token array is lambda-bound so md5 runs once per token,
+    not once per (token, bit) — see the module docstring's
+    single-evaluation hazard."""
+
     def _bit_vote(i: int):
         # closure factory: keeps the aggregate merge lambda binary
         return lambda acc, h: acc + F.when(
             F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
-    out = F.lit(0).cast("long")
-    for i in range(bits):
-        vote = F.aggregate(hashed, F.lit(0).cast("long"), _bit_vote(i))
-        out = out + F.when(vote > 0, F.lit(1 << i)).otherwise(0).cast("long")
-    return out
+    def _votes(hashed: Column) -> Column:
+        out = F.lit(0).cast("long")
+        for i in range(bits):
+            vote = F.aggregate(hashed, F.lit(0).cast("long"), _bit_vote(i))
+            out = out + F.when(vote > 0, F.lit(1 << i)).otherwise(0).cast("long")
+        return out
+
+    return _bind(
+        _bind(
+            F.array_distinct(tokens(text_col)),
+            lambda t: F.transform(
+                t,
+                lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long"),
+            ),
+        ),
+        _votes,
+    )

@@ -93,18 +93,21 @@ def q_doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle() -> str:
     r = _MH_HASHES // _MH_BANDS
+    p = DD.MINHASH_PRIME
+    params = DD.minhash_params(_MH_HASHES)
     mins = ",\n         ".join(
-        f"list_min(list_transform(s, x -> md5('{s}:' || x))) AS m{s}"
-        for s in range(_MH_HASHES)
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {p})) AS m{s}"
+        for s, (a, b) in enumerate(params)
     )
     band_cols = ",\n         ".join(
         "md5(concat_ws('|', '{j}', {parts})) AS b{j}".format(
-            j=j, parts=", ".join(f"m{j * r + i}" for i in range(r))
+            j=j,
+            parts=", ".join(f"m{j * r + i}::VARCHAR" for i in range(r)),
         )
         for j in range(_MH_BANDS)
     )
     band_rows = "\n  UNION ALL\n".join(
-        f"  SELECT id, {j} AS band_idx, b{j} AS band_hash FROM sig"
+        f"  SELECT id, {j} AS band_idx, b{j} AS band_hash FROM sig2"
         for j in range(_MH_BANDS)
     )
     return f"""
@@ -125,15 +128,18 @@ WITH corpus AS (
   SELECT id, s FROM sh WHERE len(s) > 0
 ), sig AS (
   SELECT id,
-         {mins},
-         s
+         list_transform(s, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS hs
   FROM docs
 ), sig2 AS (
   SELECT id,
-         {band_cols}
+         {mins}
   FROM sig
+), sig3 AS (
+  SELECT id,
+         {band_cols}
+  FROM sig2
 ), bands AS (
-{band_rows.replace('FROM sig', 'FROM sig2')}
+{band_rows.replace('FROM sig2', 'FROM sig3')}
 ), cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM bands a JOIN bands b
