@@ -47,3 +47,28 @@ def fix_mojibake():
         return s.map(one)
 
     return _fix
+
+
+@functools.lru_cache(maxsize=1)
+def sanitize_unicode_escape():
+    """F7 compat flag: the reference's recursive unicode-escape
+    "sanitize" (ScienceDirect.py:440-455, IEEE.py:387-402) —
+    ``encode('utf-8').decode('unicode_escape')`` per string. This is a
+    documented BUG-COMPAT reproduction: the round-trip is itself the
+    mojibake *source* (quirk Q6 — "BjÃ¶rn" in the shipped authors.csv);
+    the engine's default pipeline never calls it. Only for byte-parity
+    replays against reference outputs."""
+
+    @pandas_udf("string")
+    def _sanitize(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return v.encode("utf-8").decode("unicode_escape")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                return v
+
+        return s.map(one)
+
+    return _sanitize

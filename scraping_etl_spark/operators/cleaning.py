@@ -254,3 +254,17 @@ def repair_mojibake(df: DataFrame, cols: Iterable[str]) -> DataFrame:
     for c in cols:
         out = out.withColumn(c, udf(F.col(c)))
     return out
+
+
+def compat_unicode_escape(df: DataFrame, cols: Iterable[str]) -> DataFrame:
+    """F7 (compat flag, default-off path): apply the reference's
+    unicode-escape "sanitize" to ``cols`` for byte-parity replays. The
+    default pipeline never calls this — the round-trip is quirk Q6's
+    mojibake source; :func:`repair_mojibake` (F6) is the fix."""
+    from scraping_etl_spark.functions.udfs import sanitize_unicode_escape
+
+    udf = sanitize_unicode_escape()
+    out = df
+    for c in cols:
+        out = out.withColumn(c, udf(F.col(c)))
+    return out

@@ -453,6 +453,44 @@ GROUP BY yr, month_name
 """
 
 
+def q_doc_zip_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY J5: positional zip-join — ``zip_with`` pairs each token
+    with its successor (the scale-table face of the reference's
+    given-name[i] × surname[i] pairing, ScienceDirect.py:59-73 →
+    sources/extraction.zip_full_names)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return d.select(
+        "doc_id",
+        F.size(bigrams).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).cast("long").alias("n_distinct_bigrams"),
+    )
+
+
+ORACLE_DOC_ZIP_BIGRAMS = f"""
+SELECT doc_id,
+       CAST(len(bg) AS BIGINT) AS n_bigrams,
+       CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct_bigrams
+FROM (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(generate_series(1, len(t) - 1),
+                                  i -> concat_ws(' ', t[i], t[i+1]))
+              ELSE [] END AS bg
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+)
+"""
+
+
 def q_doc_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""SURVEY F2: ``regexp_extract_all`` + ``element_at`` (the
     reference picks the 4th date match — ScienceDirect.py:245-251; here

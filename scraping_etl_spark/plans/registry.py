@@ -165,6 +165,10 @@ QUERIES: list[QuerySpec] = [
         "doc_regex_extract", M.q_doc_regex_extract, M.ORACLE_DOC_REGEX_EXTRACT,
         "regexp_extract_all + element_at (F2)",
     ),
+    QuerySpec(
+        "doc_zip_bigrams", M.q_doc_zip_bigrams, M.ORACLE_DOC_ZIP_BIGRAMS,
+        "positional zip_with pairing (J5)",
+    ),
 ]
 
 

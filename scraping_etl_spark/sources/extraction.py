@@ -221,3 +221,75 @@ PARSED_RECORD_SCHEMA = T.StructType(
         T.StructField("date", T.StringType()),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# In-extraction joins: positional zip (J5) and superscript matching (J6)
+# ---------------------------------------------------------------------------
+
+def zip_full_names(given_col, surname_col):
+    """J5: positional zip-join — pair ``given-name[i]`` with
+    ``surname[i]`` into full names, the reference's index-paired author
+    construction (ScienceDirect.py:59-73) as one higher-order
+    ``zip_with`` (F11's ``concat_ws`` per element). Shorter array pads
+    with NULL → ``concat_ws`` degrades to the non-null part."""
+    g = F.col(given_col) if isinstance(given_col, str) else given_col
+    s = F.col(surname_col) if isinstance(surname_col, str) else surname_col
+    return F.zip_with(g, s, lambda a, b: F.concat_ws(" ", a, b))
+
+
+# markers must be whitespace-separated single letters — without the \s+
+# anchor the lazy name group surrenders its own final letter
+_MARKER_RE = re.compile(r"^(?P<name>.+?)(?:\s+(?P<markers>[a-z](?:\s*,\s*[a-z])*))?$")
+_AFF_RE = re.compile(r"^(?P<marker>[a-z])\s+(?P<univ>.+?),\s*(?P<country>[^,]+)$")
+
+
+def match_superscript_affiliations(
+    authors: list[str], affiliations: list[str]
+) -> list[dict]:
+    """J6: superscript-membership matching — associate each author with
+    the affiliations its superscript markers reference, set-deduped on
+    (name, university, country) like the reference's processed-set
+    (ScienceDirect.py:84-147). Pure function: runs inside the parser
+    (extraction-UDF logic, not a DataFrame join).
+
+    Input shapes (fixture format): authors like ``"Alice Smith a,b"``
+    (trailing single-letter markers), affiliations like
+    ``"a University X, Country"``. An author with no markers, or a
+    marker with no affiliation entry, yields one record with NULL
+    university/country (per-field tolerance)."""
+    by_marker = {}
+    for aff in affiliations:
+        m = _AFF_RE.match(aff.strip())
+        if m:
+            by_marker[m.group("marker")] = (
+                m.group("univ").strip(),
+                m.group("country").strip(),
+            )
+    out, seen = [], set()
+    for raw in authors:
+        m = _MARKER_RE.match(raw.strip())
+        name = (m.group("name") or "").strip() if m else raw.strip()
+        markers = [
+            t.strip() for t in (m.group("markers") or "").split(",") if t.strip()
+        ] if m else []
+        entries = [by_marker.get(t) for t in markers] or [None]
+        for e in entries:
+            univ, country = e if e else (None, None)
+            key = (name, univ, country)
+            if key in seen:
+                continue
+            seen.add(key)
+            out.append({"author": name, "university": univ, "country": country})
+    return out
+
+
+def merge_frontiers(*frontiers: DataFrame) -> DataFrame:
+    """P11: visited-URL dedup across frontiers — overlapping topic
+    searches surface the same URLs; ``dropDuplicates`` on the URL is
+    the distributed twin of the reference's in-page visited-link set
+    (ScienceDirect.py:552-563)."""
+    out = frontiers[0]
+    for f in frontiers[1:]:
+        out = out.unionByName(f)
+    return out.dropDuplicates(["url"])

@@ -102,3 +102,44 @@ def test_parser_field_tolerance():
     # parser emits records even when fields are missing downstream;
     # a page with no matching articles yields [] → EMPTY_PAGE marker
     assert X.parse_result_page("<html>nothing here</html>") == []
+
+
+def test_zip_full_names(spark):
+    df = spark.createDataFrame(
+        [(["Alice", "Bob"], ["Smith", "Jones"]), (["Solo"], ["One", "Extra"])],
+        "given array<string>, surname array<string>",
+    )
+    out = [r["full"] for r in df.select(X.zip_full_names("given", "surname").alias("full")).collect()]
+    assert out[0] == ["Alice Smith", "Bob Jones"]
+    assert out[1] == ["Solo One", "Extra"]  # shorter side pads with NULL
+
+
+def test_match_superscript_affiliations():
+    authors = ["Alice Smith a,b", "Bob Jones b", "Carol NoMark", "Alice Smith a,b"]
+    affs = ["a Univ X, France", "b Univ Y, Spain"]
+    recs = X.match_superscript_affiliations(authors, affs)
+    assert {"author": "Alice Smith", "university": "Univ X", "country": "France"} in recs
+    assert {"author": "Alice Smith", "university": "Univ Y", "country": "Spain"} in recs
+    assert {"author": "Bob Jones", "university": "Univ Y", "country": "Spain"} in recs
+    # no-marker author keeps per-field-tolerant NULLs
+    assert {"author": "Carol NoMark", "university": None, "country": None} in recs
+    # duplicate author line set-deduped (reference's processed-set)
+    assert len(recs) == 4
+
+
+def test_merge_frontiers_visited_dedup(spark):
+    f1 = X.build_frontier(spark, "sd", "AI", "https://x/search", pages=2)
+    f2 = X.build_frontier(spark, "sd", "AI", "https://x/search", pages=3)
+    merged = X.merge_frontiers(f1, f2)
+    assert merged.count() == 3  # pages 0,1 shared; URL-level dedup
+
+
+def test_compat_unicode_escape(spark):
+    from scraping_etl_spark.operators.cleaning import compat_unicode_escape
+
+    df = spark.createDataFrame([("Bj\\u00f6rn",), (None,)], "s string")
+    out = [r["s"] for r in compat_unicode_escape(df, ["s"]).collect()]
+    # bug-compat: unicode_escape decodes the literal backslash-escape,
+    # then latin-1-mangles real non-ascii (the Q6 mojibake source)
+    assert out[0] == "Björn".encode("utf-8").decode("unicode_escape") or out[0] == "Björn"
+    assert out[1] is None
