@@ -108,3 +108,86 @@ def media_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.col(id_col), F.col("payload"), F.col("media_meta.media_type").alias("media_type")
     )
     return cols.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, width: int, height: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Resize plumbing — Arrow-batched ``mapInPandas`` with the real
+    schema/batch contract; the pixel math is a deterministic fake
+    (truncate/zero-pad the payload to width*height bytes) because no
+    image codec ships in this container. Production swaps the body for
+    PIL ``Image.resize`` keeping the exact same signature, schema and
+    batch shape."""
+    import pandas as pd
+    from typing import Iterator
+
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                bytes(p[:target]).ljust(target, b"\0") for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    cols = df.select(F.col(id_col), F.col("payload"))
+    return cols.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frame-sampling plumbing — the one-row-in / many-rows-out fan-out
+    shape of video frame extraction, as ``mapInPandas`` (which may emit
+    any number of output rows per input row — no explode needed).
+    Deterministic fake: every ``every_n_bytes`` slice of the payload is
+    "a frame", capped at ``max_frames``. Production swaps the body for
+    ffmpeg keyframe extraction with the same contract."""
+    import pandas as pd
+    from typing import Iterator
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for i, p in zip(pdf[id_col], pdf["payload"]):
+                for k in range(max_frames):
+                    lo = k * every_n_bytes
+                    if lo >= len(p):
+                        break
+                    ids.append(i)
+                    idxs.append(k)
+                    frames.append(bytes(p[lo : lo + every_n_bytes]))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    cols = df.select(F.col(id_col), F.col("payload"))
+    return cols.mapInPandas(run, schema=FRAME_SCHEMA)

@@ -453,6 +453,22 @@ GROUP BY yr, month_name
 """
 
 
+def q_doc_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analysis-surface rollup (SURVEY §2.4 extension): per-language
+    corpus profile with ``approx_count_distinct`` — the sketch whose
+    single-pass mergeability is what makes cardinality estimation
+    feasible at 100 TB (exact distinct = full shuffle of every key).
+    HyperLogLog++ estimates are engine-specific, so there is no DuckDB
+    value-oracle — the driver records a rows-only check."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.approx_count_distinct("source").alias("approx_sources"),
+        F.approx_count_distinct(F.md5("text")).alias("approx_distinct_texts"),
+        F.avg("n_chars").alias("avg_chars"),
+    )
+
+
 def q_doc_zip_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY J5: positional zip-join — ``zip_with`` pairs each token
     with its successor (the scale-table face of the reference's

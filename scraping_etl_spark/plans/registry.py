@@ -169,6 +169,11 @@ QUERIES: list[QuerySpec] = [
         "doc_zip_bigrams", M.q_doc_zip_bigrams, M.ORACLE_DOC_ZIP_BIGRAMS,
         "positional zip_with pairing (J5)",
     ),
+    QuerySpec(
+        "doc_corpus_profile", M.q_doc_corpus_profile, None,
+        "per-lang profile with approx_count_distinct (HLL sketches are "
+        "engine-specific → rows-only check)",
+    ),
 ]
 
 

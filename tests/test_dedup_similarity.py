@@ -123,3 +123,36 @@ def test_type_profile(spark):
     assert rows[("id", "bigint", False)] == 2
     assert rows[("v", "string", True)] == 1
     assert rows[("v", "string", False)] == 1
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, "hello world this is a longer document"), (2, "short"), (3, "x" * 40)],
+        "doc_id long, text string",
+    )
+
+
+def test_resize_media_plumbing(spark):
+    df = MM.attach_payload(_docs(spark))
+    out = {r.doc_id: r for r in MM.resize_media(df, 4, 3).collect()}
+    for r in out.values():
+        assert len(r.payload) == 12 and r.width == 4 and r.height == 3
+    # truncate-or-pad is deterministic on the utf-8 payload
+    src = {r.doc_id: r.text.encode() for r in _docs(spark).collect()}
+    for i, p in src.items():
+        assert out[i].payload == bytes(p[:12]).ljust(12, b"\0")
+
+
+def test_sample_frames_fanout(spark):
+    df = MM.attach_payload(_docs(spark))
+    rows = MM.sample_frames(df, every_n_bytes=8, max_frames=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    src = {r.doc_id: r.text.encode() for r in _docs(spark).collect()}
+    for i, frames in by_doc.items():
+        assert [f.frame_idx for f in sorted(frames, key=lambda f: f.frame_idx)] == list(range(len(frames)))
+        assert len(frames) == min(3, (len(src[i]) + 7) // 8)
+        for f in frames:
+            lo = f.frame_idx * 8
+            assert f.frame == src[i][lo:lo + 8]
