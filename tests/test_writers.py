@@ -118,3 +118,19 @@ def test_sql_inserts_file_sink(spark, tmp_path):
         "INSERT INTO t (id, v) VALUES (1, 'a');",
         "INSERT INTO t (id, v) VALUES (2, 'b''c');",
     ]
+
+
+def test_mongodb_connector_absent_error_paths(spark):
+    """S9/S10: without the mongo-spark-connector jar (not shipped in
+    this environment) both directions fail with the engine's actionable
+    RuntimeError, not a raw ClassNotFound."""
+    import pytest
+
+    from scraping_etl_spark.sources.readers import read_mongodb
+    from scraping_etl_spark.sources.writers import write_mongodb
+
+    df = spark.createDataFrame([(1,)], "a int")
+    with pytest.raises(RuntimeError, match="connector jar"):
+        write_mongodb(df, "mongodb://localhost:27017", "db", "c")
+    with pytest.raises(RuntimeError, match="connector jar"):
+        read_mongodb(spark, "mongodb://localhost:27017", "db", "c")
