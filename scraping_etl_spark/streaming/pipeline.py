@@ -110,3 +110,105 @@ def hourly_rollup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap_seconds: int = 1800,
+    schema: T.StructType = schemas.EVENTS,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Custom stateful operator via ``applyInPandasWithState`` — the
+    streaming twin of the batch ``q_sessionize`` (plans/relational.py):
+    per-user session counting where a gap > ``gap_seconds`` opens a new
+    session.
+
+    State design (the part ``session_window`` can't express when the
+    output must be *running per-user totals* rather than per-session
+    rows): one fixed-size state row per user — (last event time,
+    session count, event count). Each micro-batch sorts its per-user
+    rows by time, folds them into the state, and emits the updated
+    totals. State is O(|users|), not O(events); a production deployment
+    adds state TTL via ``GroupStateTimeout.ProcessingTimeTimeout``.
+
+    Within-batch rows arrive sorted here, but events that arrive in a
+    LATER batch with an earlier timestamp are folded in arrival order —
+    the documented at-scale trade-off of per-key running state (exactly
+    what a watermark + drop-late policy would formalize).
+    """
+    import pandas as pd
+
+    gap_us = gap_seconds * 1_000_000
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        if state.exists:
+            last_ts, n_sess, n_ev = state.get
+        else:
+            last_ts, n_sess, n_ev = None, 0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts in pdf["ts"]:
+                ts_us = int(ts.value // 1000) if hasattr(ts, "value") else int(ts)
+                if last_ts is None or ts_us - last_ts > gap_us:
+                    n_sess += 1
+                last_ts = ts_us
+                n_ev += 1
+        state.update((last_ts, n_sess, n_ev))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_sessions": [n_sess], "n_events": [n_ev]}
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    sessions = (
+        stream.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        # latest totals win: partition by user bucket, dynamic overwrite
+        (
+            batch_df.withColumn("bucket", F.pmod(F.col("user_id"), F.lit(16)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(out_dir)
+        )
+
+    writer = (
+        sessions.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

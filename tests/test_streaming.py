@@ -54,3 +54,37 @@ def test_hourly_rollup_stream_matches_batch(spark, events_dir, tmp_path):
     got = {tuple(r) for r in stream_out.collect()}
     want = {tuple(r) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_sessionize_stream_matches_batch(spark, events_dir, tmp_path):
+    """applyInPandasWithState sessionizer: final per-user totals equal
+    the batch lag+running-sum sessionization over the same events."""
+    from pyspark.sql import Window
+
+    from scraping_etl_spark.streaming.pipeline import sessionize_stream
+
+    out, ckpt = str(tmp_path / "sess_out"), str(tmp_path / "sess_ckpt")
+    q = sessionize_stream(spark, events_dir, out, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id): (r.n_sessions, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+
+    ev = spark.read.parquet(events_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | ((F.unix_micros("ts") - F.unix_micros(prev)) > 1800 * 1_000_000),
+        1,
+    ).otherwise(0)
+    exp = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in ev.withColumn("new", is_new)
+        .groupBy("user_id")
+        .agg(F.sum("new").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert got == exp
