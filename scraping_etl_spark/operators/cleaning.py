@@ -106,10 +106,20 @@ def filter_date_sentinels(df: DataFrame, parity: bool = False) -> DataFrame:
     exact shape (one extra shuffle); the default is the direct negated
     filter (no shuffle, same rows modulo the accidental dedup).
     """
+    # Only string columns can carry a sentinel: on an already-typed
+    # frame (Day/Year as int) the equality would ANSI-cast the sentinel
+    # literal to a number and throw — skip those columns instead.
+    string_cols = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)
+    }
     sentinel = None
     for col, value in DATE_SENTINELS.items():
+        if col not in string_cols:
+            continue
         cond = _false_if_null(F.col(col) == value)
         sentinel = cond if sentinel is None else (sentinel | cond)
+    if sentinel is None:
+        return df
     if parity:
         return df.subtract(df.filter(sentinel))
     return df.filter(~sentinel)
