@@ -278,3 +278,33 @@ def build_star(raw: DataFrame, parity: bool = False) -> dict[str, DataFrame]:
         ),
         "keyword_article_map": build_keyword_article_map(clean, keywords),
     }
+
+
+#: Partitioning spec (SURVEY §4 physical notes / §7.7): the fact
+#: partitions on the columns every analysis query filters by, so
+#: partition pruning engages at 100 TB; dims/bridges are small or
+#: key-uniform and stay unpartitioned.
+FACT_PARTITION_COLS = ("Website", "TopicID")
+
+
+def materialize_star(
+    star: dict[str, DataFrame], out_dir: str, fmt: str = "parquet"
+) -> dict[str, str]:
+    """Write every star table under ``out_dir/<name>`` — the engine's
+    twin of the reference's driver-side ``toPandas`` + ``to_csv`` export
+    (DB/ETL.ipynb cells 50-54), kept fully distributed.
+
+    The fact writes partitioned by :data:`FACT_PARTITION_COLS`
+    (partition pruning for per-site / per-topic queries); everything
+    else writes plain. Returns name → path."""
+    paths: dict[str, str] = {}
+    for name, df in star.items():
+        if name == "clean":
+            continue  # intermediate, not an output table
+        path = f"{out_dir.rstrip('/')}/{name}"
+        writer = df.write.mode("overwrite").format(fmt)
+        if name == "articles":
+            writer = writer.partitionBy(*FACT_PARTITION_COLS)
+        writer.save(path)
+        paths[name] = path
+    return paths
