@@ -28,9 +28,15 @@ def main() -> None:
     spark = get_spark(app_name="scraping-etl-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # One tiny action to absorb JVM/session startup so per-query numbers
-    # measure the engine, not classloading.
+    # Absorb fixed startup costs so per-query numbers measure the
+    # engine, not environment: JVM/session spin-up, parquet footer
+    # reads and file listing for every table the queries will touch.
     spark.range(1).count()
+    from scraping_etl_spark.schemas import TESTDATA_TABLES
+    from scraping_etl_spark.sources.readers import load_table
+
+    for t in TESTDATA_TABLES:
+        load_table(spark, SF_DIR, t).schema
 
     timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
