@@ -117,14 +117,23 @@ def ann_hyperplane_topk(
     vec_col: str = "embedding",
     probe_id_col: str = "query_id",
     probe_vec_col: str = "query_vec",
+    multiprobe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: bucket both sides by :func:`hyperplane_bucket`,
     hash-join on the bucket id, rank within bucket. At 100 TB this is
     the scale path: the join shuffles on bucket (2^planes distinct keys
     — keep ``planes`` ≥ log2(cluster parallelism); skewed buckets are
-    split by AQE), and exact cosine runs only inside buckets. Recall<1
-    by design; raise it with multi-probe (query neighboring buckets) or
-    fewer planes."""
+    split by AQE), and exact cosine runs only inside buckets.
+
+    ``multiprobe=1`` (default) also probes every bucket at Hamming
+    distance 1 from the query's bucket — the standard LSH multi-probe
+    trade: ``planes+1`` probe rows per query (corpus side untouched, a
+    vector lives in exactly one bucket, so no pair dedup is needed) for
+    a ~3x recall jump (measured 0.12 → 0.35-0.40 on the driver's
+    *random* embeddings at planes=6 — near-orthogonal vectors are LSH's
+    worst case; clustered real-world embeddings bucket far better).
+    ``multiprobe=0`` is single-bucket. Recall < 1 remains by design;
+    the exact path is :func:`cosine_topk`."""
     c = corpus.select(
         F.col(id_col).alias("_cid"),
         F.col(vec_col).alias("_cvec"),
@@ -133,8 +142,22 @@ def ann_hyperplane_topk(
     p = probes.select(
         F.col(probe_id_col).alias("_pid"),
         F.col(probe_vec_col).alias("_pvec"),
-        hyperplane_bucket(F.col(probe_vec_col), dim, planes).alias("_bucket"),
+        hyperplane_bucket(F.col(probe_vec_col), dim, planes).alias("_home"),
     )
+    if multiprobe >= 1:
+        # home bucket + each single-bit flip (Hamming radius 1)
+        variants = F.array(
+            F.col("_home"),
+            *[
+                F.col("_home").bitwiseXOR(F.lit(1 << j)).cast("int")
+                for j in range(planes)
+            ],
+        )
+        p = p.select(
+            "_pid", "_pvec", F.explode(variants).alias("_bucket")
+        )
+    else:
+        p = p.withColumnRenamed("_home", "_bucket")
     scored = (
         c.join(p, "_bucket")
         .filter(F.col("_pid") != F.col("_cid"))

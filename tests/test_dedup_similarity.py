@@ -86,10 +86,11 @@ def test_ann_same_vector_same_bucket(spark):
     probes = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    out = SIM.ann_hyperplane_topk(emb, probes, dim=4, k=3, planes=4)
+    out = SIM.ann_hyperplane_topk(emb, probes, dim=4, k=3, planes=4, multiprobe=0)
     rows = out.collect()
     # identical vectors (i and i+35 share (i%7,i%5) period-35 pattern)
-    # hash to the same bucket, so every probe finds its exact twin first
+    # hash to the same bucket, so every probe finds its exact twin first;
+    # multiprobe=0 keeps all candidates in the query's own bucket
     by_q = {}
     for r in rows:
         by_q.setdefault(r.query_id, []).append(r)
