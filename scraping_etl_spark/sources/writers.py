@@ -112,3 +112,34 @@ def write_mongodb(df: DataFrame, uri: str, database: str, collection: str) -> No
             "MongoDB connector jar not on classpath; add "
             "mongo-spark-connector to spark.jars.packages or use parquet sinks"
         ) from exc
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int = 32,
+    path: str | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Bucketed table write — the co-located-join storage layout.
+
+    Two tables bucketed (and sorted) on the same join key with the same
+    bucket count join WITHOUT a shuffle: each bucket pairs off and the
+    sort-merge runs directly on the bucket files. At 100 TB this is the
+    difference between re-shuffling the fact on every join and paying
+    the shuffle once at write time. Size ``n_buckets`` so one bucket of
+    the largest table fits an executor core's working set.
+
+    Bucketing metadata lives in the session catalog (``saveAsTable`` —
+    plain ``save`` cannot record it); pass ``path`` for an external
+    table location."""
+    writer = (
+        df.write.format(fmt)
+        .mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+    )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

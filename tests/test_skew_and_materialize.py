@@ -59,3 +59,36 @@ def test_materialize_star_partitioning(spark, tmp_path):
     # every table reads back with its rows intact
     for name, path in paths.items():
         assert spark.read.parquet(path).count() == star[name].count()
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key join without an Exchange on
+    either side — the pay-the-shuffle-once-at-write-time contract."""
+    from scraping_etl_spark.sources.readers import load_table
+    from scraping_etl_spark.sources.writers import write_bucketed
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    customer = load_table(spark, "/root/testdata/sf0.001", "customer")
+    try:
+        write_bucketed(
+            orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+            "bkt_orders", ("o_custkey",), 8, path=str(tmp_path / "o"),
+        )
+        write_bucketed(
+            customer.select(F.col("c_custkey").alias("o_custkey"), "c_name"),
+            "bkt_customer", ("o_custkey",), 8, path=str(tmp_path / "c"),
+        )
+        # hint("merge"): at this tiny scale Catalyst would broadcast the
+        # customer side; the point is the sort-merge path bucketing buys
+        joined = spark.table("bkt_orders").join(
+            spark.table("bkt_customer").hint("merge"), "o_custkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        # no hash-repartition Exchange on either side: the bucket files
+        # already provide the join partitioning
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == orders.count()  # every order has a customer
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_customer")
