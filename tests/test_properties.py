@@ -1,0 +1,113 @@
+"""Property-based tests (SURVEY §5.4): hypothesis-driven fuzz of the
+S15 SQL-literal escaping round-trip and the generic as-of join against
+a brute-force loop oracle. Hypothesis generates the data; Spark runs
+once per example set (examples are batched into one DataFrame per test
+to keep JVM round-trips sane)."""
+
+from __future__ import annotations
+
+import pytest
+
+try:
+    from hypothesis import given, settings, strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# S15 escaping round-trip
+# ---------------------------------------------------------------------------
+
+# strings exercising the escaping rules: quotes, doubled quotes, unicode,
+# newlines, empty, NULL-looking text
+_tricky = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("L", "N", "P", "S", "Z"),
+            whitelist_characters="'\"\\\n\t",
+        ),
+        max_size=40,
+    ),
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(st.integers(-10**9, 10**9), _tricky), min_size=1, max_size=8))
+def test_sql_literal_roundtrip(spark, rows):
+    """Rendered INSERT literals parse back to the original values under
+    standard SQL unescaping ('' → ')."""
+    from scraping_etl_spark.sources.writers import render_sql_inserts
+
+    df = spark.createDataFrame(rows, "n long, s string")
+    stmts = [r.stmt for r in render_sql_inserts(df, "t").collect()]
+    assert len(stmts) == len(rows)
+    got = set()
+    for s in stmts:
+        assert s.startswith("INSERT INTO t (n, s) VALUES (") and s.endswith(");")
+        body = s[len("INSERT INTO t (n, s) VALUES (") : -2]
+        n_part, s_part = body.split(", ", 1)
+        n_val = None if n_part == "NULL" else int(n_part)
+        if s_part == "NULL":
+            s_val = None
+        else:
+            assert s_part[0] == "'" and s_part[-1] == "'"
+            s_val = s_part[1:-1].replace("''", "'")
+        got.add((n_val, s_val))
+    assert got == {(n, s) for n, s in rows}
+
+
+# ---------------------------------------------------------------------------
+# Generic as-of join vs loop oracle
+# ---------------------------------------------------------------------------
+
+def _asof_oracle(probe_rows, build_rows, direction, tolerance):
+    """Brute-force reference: nearest build `on` at-or-before/after the
+    probe per key, ties broken by max value (the operator's tie_break)."""
+    out = {}
+    for key, p_on, p_id in probe_rows:
+        cands = [
+            (b_on, v) for k, b_on, v in build_rows
+            if k == key
+            and (b_on <= p_on if direction == "backward" else b_on >= p_on)
+            and (tolerance is None or abs(p_on - b_on) <= tolerance)
+        ]
+        if not cands:
+            out[p_id] = None
+            continue
+        best_on = max(c[0] for c in cands) if direction == "backward" else min(
+            c[0] for c in cands
+        )
+        out[p_id] = max(v for o, v in cands if o == best_on)
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 10**6)),
+        min_size=1, max_size=25, unique_by=lambda t: t[2],
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 99)),
+        min_size=0, max_size=25,
+    ),
+    st.sampled_from(["backward", "forward"]),
+    st.sampled_from([None, 5.0]),
+)
+def test_asof_join_matches_loop_oracle(spark, probes, builds, direction, tol):
+    from scraping_etl_spark.operators.asof import asof_join
+
+    p = spark.createDataFrame(probes, "k int, t int, pid long")
+    b = spark.createDataFrame(builds, "k int, t int, v int") if builds else (
+        spark.createDataFrame([], "k int, t int, v int")
+    )
+    got_rows = asof_join(
+        p, b, on="t", by="k", value_cols=["v"],
+        direction=direction, tolerance=tol, tie_break=["v"],
+    ).collect()
+    got = {r.pid: r.v for r in got_rows}
+    exp = _asof_oracle(probes, builds, direction, tol)
+    assert got == exp
