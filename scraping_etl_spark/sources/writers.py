@@ -43,15 +43,26 @@ def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
-def write_json_array(df: DataFrame, path: str) -> None:
+def write_json_array(df: DataFrame, path: str, max_rows: int = 1_000_000) -> None:
     """Whole-array JSON export for parity with the reference's file format
-    (SD_Upd.py:127-145). Inherently single-file — only for small exports;
-    rendered via ``to_json`` per row then a driver-side join of the parts.
+    (SD_Upd.py:127-145). Inherently single-file — only for small exports.
+    Rows stream through ``toLocalIterator`` (one partition in driver
+    memory at a time, never the full result), and ``max_rows`` refuses
+    runaway exports outright — the scale path is :func:`write_json_lines`.
     """
-    rows = df.select(F.to_json(F.struct(*df.columns)).alias("j")).collect()
-    body = ",\n".join(r["j"] for r in rows)
+    it = df.select(F.to_json(F.struct(*df.columns)).alias("j")).toLocalIterator()
     with open(path, "w", encoding="utf-8") as fh:
-        fh.write("[\n" + body + "\n]")
+        fh.write("[\n")
+        for i, row in enumerate(it):
+            if i >= max_rows:
+                raise ValueError(
+                    f"write_json_array: >{max_rows} rows — this sink is a "
+                    "small-export parity format; use write_json_lines"
+                )
+            if i:
+                fh.write(",\n")
+            fh.write(row["j"])
+        fh.write("\n]")
 
 
 # ---------------------------------------------------------------------------

@@ -134,3 +134,12 @@ def test_mongodb_connector_absent_error_paths(spark):
         write_mongodb(df, "mongodb://localhost:27017", "db", "c")
     with pytest.raises(RuntimeError, match="connector jar"):
         read_mongodb(spark, "mongodb://localhost:27017", "db", "c")
+
+
+def test_json_array_max_rows_guard(spark, tmp_path):
+    df = spark.range(10).selectExpr("id AS a")
+    p = str(tmp_path / "arr.json")
+    with pytest.raises(ValueError, match="small-export"):
+        from scraping_etl_spark.sources.writers import write_json_array
+
+        write_json_array(df, p, max_rows=5)
