@@ -453,6 +453,63 @@ GROUP BY yr, month_name
 """
 
 
+def q_parts_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL entry path (``spark.sql`` over registered temp views —
+    the engine's second query-authoring face next to the DataFrame API):
+    per-brand part stats with a LIKE filter and a size histogram bucket.
+    Also the gate coverage for the ``part`` table."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_brand,
+               CAST(floor(p_size / 10) AS INT)       AS size_bucket,
+               count(*)                               AS n_parts,
+               round(avg(p_retailprice), 4)           AS avg_price,
+               CAST(sum(CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END) AS BIGINT)
+                                                      AS n_brass
+        FROM part
+        GROUP BY p_brand, CAST(floor(p_size / 10) AS INT)
+        """
+    )
+
+
+ORACLE_PARTS_BRAND_STATS = """
+SELECT p_brand,
+       CAST(floor(p_size / 10) AS INTEGER) AS size_bucket,
+       count(*) AS n_parts,
+       round(avg(p_retailprice), 4) AS avg_price,
+       CAST(sum(CASE WHEN p_type LIKE '%BRASS%' THEN 1 ELSE 0 END) AS BIGINT) AS n_brass
+FROM part
+GROUP BY p_brand, CAST(floor(p_size / 10) AS INTEGER)
+"""
+
+
+def q_supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier ⋈ broadcast nation rollup — gate coverage for the
+    ``supplier`` table; the plan shape is the J1 fact→dim broadcast."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 4).alias("total_acctbal"),
+            F.round(F.max("s_acctbal"), 4).alias("max_acctbal"),
+        )
+    )
+
+
+ORACLE_SUPPLIER_BALANCE = """
+SELECT n_name,
+       count(*) AS n_suppliers,
+       round(sum(s_acctbal), 4) AS total_acctbal,
+       round(max(s_acctbal), 4) AS max_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 def q_doc_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analysis-surface rollup (SURVEY §2.4 extension): per-language
     corpus profile with ``approx_count_distinct`` — the sketch whose

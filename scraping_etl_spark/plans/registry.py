@@ -170,6 +170,15 @@ QUERIES: list[QuerySpec] = [
         "positional zip_with pairing (J5)",
     ),
     QuerySpec(
+        "parts_brand_stats", M.q_parts_brand_stats, M.ORACLE_PARTS_BRAND_STATS,
+        "pure-SQL entry path (spark.sql over temp views) on part",
+    ),
+    QuerySpec(
+        "supplier_balance_by_nation", M.q_supplier_balance_by_nation,
+        M.ORACLE_SUPPLIER_BALANCE,
+        "supplier x broadcast nation rollup",
+    ),
+    QuerySpec(
         "doc_corpus_profile", M.q_doc_corpus_profile, None,
         "per-lang profile with approx_count_distinct (HLL sketches are "
         "engine-specific → rows-only check)",
