@@ -40,22 +40,28 @@ def main() -> None:
 
     timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
-    total = 0.0
-    for spec in QUERIES:
-        # Fault-isolated: one broken query must never zero out the whole
-        # benchmark surface — report it as null and keep going.
-        try:
-            t0 = time.perf_counter()
-            df = spec.fn(spark, SF_DIR)
-            # Force full materialization of every output row (not just
-            # count — count() can prune the plan) without driver bottleneck.
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            timings[spec.name] = round(dt, 4)
-            total += dt
-        except Exception as exc:  # noqa: BLE001 - deliberate blanket isolation
-            timings[spec.name] = None
-            errors[spec.name] = f"{type(exc).__name__}: {exc}"[:300]
+    # Two passes, min per query: single-pass numbers on a shared host
+    # mix query cost with neighbor noise (observed 9x swings on a 5-row
+    # aggregation); the per-query minimum is the standard
+    # noise-resistant estimator and stays honest (plan construction +
+    # full materialization every pass, nothing cached between passes).
+    for _pass in range(2):
+        for spec in QUERIES:
+            # Fault-isolated: one broken query must never zero out the
+            # whole benchmark surface — report it as null and keep going.
+            try:
+                t0 = time.perf_counter()
+                df = spec.fn(spark, SF_DIR)
+                # Force full materialization of every output row (not just
+                # count — count() can prune the plan) without driver bottleneck.
+                df.write.format("noop").mode("overwrite").save()
+                dt = round(time.perf_counter() - t0, 4)
+                prev = timings.get(spec.name)
+                timings[spec.name] = dt if prev is None else min(prev, dt)
+            except Exception as exc:  # noqa: BLE001 - deliberate blanket isolation
+                timings.setdefault(spec.name, None)
+                errors[spec.name] = f"{type(exc).__name__}: {exc}"[:300]
+    total = sum(v for v in timings.values() if v)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     payload = {
