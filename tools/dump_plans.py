@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: formatted physical plans of the headline queries."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+HEADER = """# PLANS — physical plans of the headline queries
+
+Generated with `df.explain(mode="formatted")` at sf0.01 under the engine
+session. What to look for: `PushedFilters` / pruned `ReadSchema` on every
+scan, `BroadcastHashJoin` where a small side exists, `WholeStageCodegen`
+spans over the expression-heavy stages, and the absence of
+`CartesianProduct` / single-partition `Window` nodes. Regenerate with
+`python tools/dump_plans.py`.
+"""
+
+
+def main() -> None:
+    from scraping_etl_spark.plans import ml_ops as M
+    from scraping_etl_spark.plans import pipeline_ops as P
+    from scraping_etl_spark.plans import relational as R
+    from scraping_etl_spark.session import get_spark
+
+    picks = [
+        ("revenue_by_nation", R.q_revenue_by_nation,
+         "4-way join: fact shuffles on keys once, nation/region broadcast, agg partial"),
+        ("pricing_summary", R.q_pricing_summary,
+         "single-scan grouped agg: map-side partial, 4-column pruned read"),
+        ("top_customers", R.q_top_customers,
+         "top-k as TakeOrderedAndProject (no single-partition window)"),
+        ("asof_purchase_click", P.q_asof_purchase_click,
+         "as-of join: one shuffle on (user, ts), no range explosion"),
+        ("doc_minhash_pairs", M.q_doc_minhash_pairs,
+         "per-row MinHash signatures, banded LSH equi-join, no cross join"),
+        ("emb_ann_topk", M.q_emb_ann_topk,
+         "LSH bucket equi-join with multi-probe; no cartesian"),
+        ("doc_token_bridge", M.q_doc_token_bridge,
+         "explode + broadcast dim join (J2/J3 shape)"),
+    ]
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    sections = [HEADER]
+    for name, fn, why in picks:
+        df = fn(spark, SF)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        sections.append(f"## {name}\n\n*{why}*\n\n```\n{plan.strip()}\n```\n")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLANS.md"), "w", encoding="utf-8") as fh:
+        fh.write("\n".join(sections))
+    print(f"PLANS.md: {len(picks)} sections")
+
+
+if __name__ == "__main__":
+    main()
