@@ -453,6 +453,57 @@ GROUP BY yr, month_name
 """
 
 
+def q_doc_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-data composition: quality-filter →
+    normalize → exact-dedup → keep one canonical survivor per content
+    group (min doc_id) → per-language survivor stats. One groupBy
+    shuffle for the dedup, one for the rollup — the shape a 100 TB
+    corpus clean actually runs."""
+    corpus = _docs_with_exact_dups(spark, sf_dir)
+    kept = corpus.filter((F.col("n_chars") > 50) & F.col("text").isNotNull())
+    normalized = kept.withColumn(
+        "_key", F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "))
+    )
+    survivors = (
+        normalized.groupBy("_key")
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min_by("n_chars", "doc_id").alias("n_chars"),
+        )
+    )
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.sum(F.col("n_copies") - 1).alias("n_removed"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+ORACLE_DOC_DEDUP_SURVIVORS = """
+WITH corpus AS (
+  SELECT doc_id, text, lang, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, n_chars FROM documents WHERE doc_id < 50
+), kept AS (
+  SELECT *, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS _key
+  FROM corpus WHERE n_chars > 50 AND text IS NOT NULL
+), survivors AS (
+  SELECT _key,
+         min(doc_id) AS survivor_id,
+         count(*) AS n_copies,
+         min_by(lang, doc_id) AS lang,
+         min_by(n_chars, doc_id) AS n_chars
+  FROM kept GROUP BY _key
+)
+SELECT lang,
+       count(*) AS n_survivors,
+       CAST(sum(n_copies - 1) AS BIGINT) AS n_removed,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM survivors GROUP BY lang
+"""
+
+
 def q_parts_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-SQL entry path (``spark.sql`` over registered temp views —
     the engine's second query-authoring face next to the DataFrame API):

@@ -170,6 +170,10 @@ QUERIES: list[QuerySpec] = [
         "positional zip_with pairing (J5)",
     ),
     QuerySpec(
+        "doc_dedup_survivors", M.q_doc_dedup_survivors, M.ORACLE_DOC_DEDUP_SURVIVORS,
+        "quality-filter + normalize + dedup + canonical-survivor rollup",
+    ),
+    QuerySpec(
         "parts_brand_stats", M.q_parts_brand_stats, M.ORACLE_PARTS_BRAND_STATS,
         "pure-SQL entry path (spark.sql over temp views) on part",
     ),
