@@ -49,6 +49,8 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- Python data sources: let Catalyst push filters into them ----
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # --- Arrow everywhere Python touches data ------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

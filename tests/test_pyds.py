@@ -1,0 +1,53 @@
+"""Python Data Source (planner-protocol pushdown) tests — SURVEY §4's
+DSv2 stretch goal: predicates on site/topic prune fetch partitions
+through Catalyst, unsupported predicates stay in the Spark plan."""
+
+from __future__ import annotations
+
+import pytest
+
+from scraping_etl_spark.sources.pyds import ScrapeFixtureDataSource
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(ScrapeFixtureDataSource)
+
+
+def _read(spark, **opts):
+    r = spark.read.format("scrapefixture")
+    for k, v in opts.items():
+        r = r.option(k, str(v))
+    return r.load()
+
+
+def test_pushdown_prunes_partitions(spark):
+    """site='boom' raises on fetch — the equality filter must prune its
+    partitions via pushFilters, or this collect would explode."""
+    df = _read(spark, sites="sd,boom", topics="AI,IoT", pages=2).filter("site = 'sd'")
+    rows = df.collect()
+    assert {r.site for r in rows} == {"sd"}
+    assert {r.topic for r in rows} == {"AI", "IoT"}
+    assert len(rows) == 2 * 2 * 2  # 2 topics x 2 pages x 2 articles
+
+
+def test_unpushed_predicate_still_applies(spark):
+    df = _read(spark, sites="sd", topics="AI,IoT", pages=1).filter(
+        "topic = 'IoT' AND title LIKE '%study 0-1%'"
+    )
+    rows = df.collect()
+    assert [r.doi for r in rows] == ["10.1/sd.IoT.0.1"]
+
+
+def test_in_filter_pushdown(spark):
+    df = _read(spark, sites="sd,boom,ieee", topics="AI", pages=1).filter(
+        "site IN ('sd', 'ieee')"
+    )
+    assert {r.site for r in df.collect()} == {"sd", "ieee"}
+
+
+def test_partition_parallelism(spark):
+    # one input partition per (site, topic, page) — the fetch unit
+    df = _read(spark, sites="sd,ieee", topics="AI,IoT", pages=3)
+    assert df.rdd.getNumPartitions() == 2 * 2 * 3
