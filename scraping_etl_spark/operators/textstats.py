@@ -158,3 +158,22 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(
         "quality_score", F.round(0.4 * len_c + 0.4 * div_c + 0.2 * sw_c, 6)
     )
+
+
+#: GPT-2-style pre-tokenizer pattern, lookahead-free so both Java regex
+#: (Spark) and RE2 (DuckDB) evaluate it identically: contraction
+#: suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+#: whitespace runs.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_ish_tokens(text_col: Column | str) -> Column:
+    """BPE-ish sub-word-ish tokenization (north-star token counting):
+    the GPT-2 pre-tokenizer split as one ``regexp_extract_all`` — a
+    JVM-side, codegen-friendly stand-in for a real BPE vocab merge (the
+    merge table lookup would be the Pandas-UDF step; counting pre-tokens
+    is the 100 TB-cheap proxy that tracks real token counts closely)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+    # drop pure-whitespace matches: they pad the count, carry no signal
+    return F.filter(toks, lambda x: x.rlike(r"\S"))

@@ -453,6 +453,41 @@ GROUP BY yr, month_name
 """
 
 
+def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways (north-star text analysis): whitespace
+    tokens vs the GPT-2-style BPE-ish pre-tokenizer
+    (operators/textstats.bpe_ish_tokens) — the ratio approximates
+    tokens-per-word, the number a training-data budget actually uses."""
+    from scraping_etl_spark.operators.textstats import bpe_ish_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(tokens(F.col("text"))).cast("long")
+    bpe = F.size(bpe_ish_tokens("text")).cast("long")
+    return d.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        F.round(bpe / F.greatest(ws, F.lit(1)), 4).alias("tokens_per_word"),
+    )
+
+
+# \p classes work in both Java regex and RE2; the pattern is
+# lookahead-free for exactly that reason (textstats.BPE_ISH_PATTERN).
+ORACLE_DOC_TOKEN_COUNTS = rf"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,
+       CAST(len(bpe) AS BIGINT)     AS n_bpe_tokens,
+       round(len(bpe) / greatest(len({_TOKS}), 1), 4) AS tokens_per_word
+FROM (
+  SELECT doc_id, text,
+         list_filter(
+           regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{{L}}+| ?\p{{N}}+| ?[^\s\p{{L}}\p{{N}}]+|\s+', 0),
+           x -> regexp_matches(x, '\S')) AS bpe
+  FROM documents
+)
+"""
+
+
 def q_doc_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical training-data composition: quality-filter →
     normalize → exact-dedup → keep one canonical survivor per content

@@ -170,6 +170,10 @@ QUERIES: list[QuerySpec] = [
         "positional zip_with pairing (J5)",
     ),
     QuerySpec(
+        "doc_token_counts", M.q_doc_token_counts, M.ORACLE_DOC_TOKEN_COUNTS,
+        "whitespace vs BPE-ish regex token counting",
+    ),
+    QuerySpec(
         "doc_dedup_survivors", M.q_doc_dedup_survivors, M.ORACLE_DOC_DEDUP_SURVIVORS,
         "quality-filter + normalize + dedup + canonical-survivor rollup",
     ),

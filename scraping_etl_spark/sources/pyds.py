@@ -38,6 +38,7 @@ from pyspark.sql.datasource import (
     Filter,
     In,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -128,3 +129,63 @@ class ScrapeFixtureDataSource(DataSource):
 
     def reader(self, schema: StructType) -> ScrapeFixtureReader:
         return ScrapeFixtureReader(self.options)
+
+
+class ScrapeFixtureStreamReader(SimpleDataSourceStreamReader):
+    """Continuous extraction as a Structured Streaming source (SURVEY
+    §1.1 / §2.8: the scrape loop's streaming-native form): the offset is
+    the next unread page index; each micro-batch drains newly-available
+    pages across every (site, topic). Replays are exact
+    (``readBetweenOffsets`` re-fetches the page range deterministically),
+    so downstream checkpointed sinks get effectively-once rows.
+
+    ``pages_per_batch`` caps how many new pages a batch admits — the
+    streaming twin of the batch frontier's pagination bound (the live
+    analogue: "whatever new results appeared since the last poll")."""
+
+    def __init__(self, options: dict):
+        self.sites = [s for s in options.get("sites", "sd").split(",") if s]
+        self.topics = [t for t in options.get("topics", "AI").split(",") if t]
+        self.max_pages = int(options.get("pages", "3"))
+        self.per_batch = int(options.get("pages_per_batch", "1"))
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def _rows_for(self, page: int):
+        reader = ScrapeFixtureReader(
+            {"sites": ",".join(self.sites), "topics": ",".join(self.topics), "pages": "1"}
+        )
+        for site in self.sites:
+            for topic in self.topics:
+                yield from reader.read(InputPartition((site, topic, page)))
+
+    def read(self, start: dict):
+        first = start["page"]
+        until = min(first + self.per_batch, self.max_pages)
+        # list ITERATOR, not a generator and not a bare list: the
+        # prefetch wrapper calls next() on it AND pickles it to tasks —
+        # list_iterator satisfies both, generators can't pickle
+        rows = [r for p in range(first, until) for r in self._rows_for(p)]
+        return iter(rows), {"page": until}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [r for p in range(start["page"], end["page"]) for r in self._rows_for(p)]
+        )
+
+
+class ScrapeFixtureStreamDataSource(DataSource):
+    """Streaming face of the fixture scrape source (format name
+    ``scrapefixture_stream``); same schema and options as the batch
+    source plus ``pages_per_batch``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "scrapefixture_stream"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def simpleStreamReader(self, schema: StructType) -> ScrapeFixtureStreamReader:
+        return ScrapeFixtureStreamReader(self.options)

@@ -51,3 +51,36 @@ def test_partition_parallelism(spark):
     # one input partition per (site, topic, page) — the fetch unit
     df = _read(spark, sites="sd,ieee", topics="AI,IoT", pages=3)
     assert df.rdd.getNumPartitions() == 2 * 2 * 3
+
+
+def test_stream_source_drains_pages(spark, tmp_path):
+    """The streaming face: each checkpointed availableNow run admits the
+    next pages_per_batch page increment (the poll-for-new-results
+    cadence); offsets persist across restarts, and a drained source
+    yields no duplicate rows."""
+    from scraping_etl_spark.sources.pyds import ScrapeFixtureStreamDataSource
+
+    spark.dataSource.register(ScrapeFixtureStreamDataSource)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("scrapefixture_stream")
+            .option("sites", "sd,ieee").option("topics", "AI")
+            .option("pages", "3").option("pages_per_batch", "1")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out).count()
+
+    # 2 sites x 1 topic x 2 articles = 4 rows per page increment
+    assert run_once() == 4
+    assert run_once() == 8
+    assert run_once() == 12
+    got = spark.read.parquet(out)
+    assert {r.page for r in got.select("page").distinct().collect()} == {0, 1, 2}
+    assert run_once() == 12  # drained: restart adds nothing
