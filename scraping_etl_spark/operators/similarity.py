@@ -175,3 +175,40 @@ def ann_hyperplane_topk(
             F.col("_bucket").alias("bucket"),
         )
     )
+
+
+def embedding_dup_pairs(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.999,
+    planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector-space face of
+    near-dedup (dedup.py holds the text faces): candidates are pairs
+    whose vectors agree on every sign projection (the full
+    ``planes``-bit hyperplane signature as an exact blocking key —
+    same-direction vectors ALWAYS collide, near-misses almost always
+    do at high cosine), verified by exact cosine ≥ ``threshold``.
+
+    Plan: one signature projection per side, hash equi-join on the
+    signature, exact cosine only inside blocks — no cross join, and at
+    100 TB the signature join shuffles uniformly (md5-derived planes).
+    Recall caveat: a near-dup pair split by one hyperplane is missed;
+    raise recall by lowering ``planes`` or unioning rotated signature
+    sets (the text-side analogue is MinHash banding)."""
+    sig = hyperplane_bucket(F.col(vec_col), dim, planes)
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), sig.alias("_sig")
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), sig.alias("_sig")
+    )
+    return (
+        a.join(b, "_sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -301,6 +301,73 @@ def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
 
+_DUP_PLANES = 16
+
+
+def q_emb_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over embeddings ∪ 2x-scaled
+    copies of the first 25 vectors (scaling by a power of two is exact
+    in floating point, so cosine == 1.0 and every sign projection
+    matches bit-for-bit in both engines). Candidates via the full
+    16-plane sign signature as an exact blocking key — equi-join, no
+    cross join (operators/similarity.embedding_dup_pairs)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dup = e.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + F.lit(2000000)).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = e.select("vec_id", "embedding").unionByName(dup)
+    return SIM.embedding_dup_pairs(
+        corpus, dim=_DIM, threshold=0.999, planes=_DUP_PLANES
+    )
+
+
+def _emb_dups_oracle() -> str:
+    from scraping_etl_spark.operators.similarity import _hyperplane
+
+    dot_w = (
+        "list_reduce(list_transform(generate_series(1, {d}), "
+        "i -> embedding[i]::DOUBLE * (ARRAY[{w}])[i]), (x, y) -> x + y)"
+    )
+    bits = " + ".join(
+        "CASE WHEN {dw} >= 0 THEN {bit} ELSE 0 END".format(
+            dw=dot_w.format(
+                d=_DIM,
+                w=", ".join(f"{float(x):.1f}" for x in _hyperplane(_DIM, j)),
+            ),
+            bit=1 << j,
+        )
+        for j in range(_DUP_PLANES)
+    )
+    dot_ab = _DOT.format(a="a.embedding", b="b.embedding")
+    n_a = _DOT.format(a="a.embedding", b="a.embedding")
+    n_b = _DOT.format(a="b.embedding", b="b.embedding")
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 2000000,
+         list_transform(embedding, x -> CAST(x::DOUBLE * 2.0 AS FLOAT))
+  FROM embeddings WHERE vec_id < 25
+), sig AS (
+  SELECT vec_id, embedding, ({bits}) AS _sig FROM corpus
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CASE WHEN sqrt({n_a}) * sqrt({n_b}) > 0
+              THEN {dot_ab} / (sqrt({n_a}) * sqrt({n_b}))
+              ELSE 0.0 END AS c
+  FROM sig a JOIN sig b ON a._sig = b._sig AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(c, 6) AS cos_sim
+FROM pairs WHERE round(c, 6) >= 0.999
+"""
+
+
+ORACLE_EMB_COSINE_DUPS = _emb_dups_oracle()
+
+
 def q_doc_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload feature extraction via mapInPandas (Arrow batches)
     — deterministic features so the plumbing is oracle-checkable

@@ -138,6 +138,10 @@ QUERIES: list[QuerySpec] = [
         "(approximate recall by design → rows-only check)",
     ),
     QuerySpec(
+        "emb_cosine_dups", M.q_emb_cosine_dups, M.ORACLE_EMB_COSINE_DUPS,
+        "embedding-cosine near-dup pairs via sign-signature blocking",
+    ),
+    QuerySpec(
         "doc_media_features", M.q_doc_media_features, M.ORACLE_DOC_MEDIA_FEATURES,
         "binary-payload feature extraction via Arrow mapInPandas",
     ),
