@@ -212,3 +212,80 @@ def embedding_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "query_id",
+    probe_vec_col: str = "query_vec",
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-style approximate top-k — the cluster-pruned alternative to
+    the hyperplane LSH path: k-means partitions the corpus into
+    ``n_clusters`` inverted lists, each probe searches only its
+    ``n_probe`` nearest centroids, exact cosine runs inside those lists.
+
+    Plan shape at 100 TB: training samples the corpus (``pyspark.ml``
+    KMeans, one-time cost, centroids broadcast as plan constants);
+    assignment is a per-row expression; the probe→candidate join is a
+    hash equi-join on cluster id (n_probe rows per probe — same
+    no-cross-join contract as the LSH path). Recall rises with
+    ``n_probe`` (= brute force at n_probe = n_clusters).
+
+    Uses ``pyspark.ml.clustering.KMeans`` with a fixed seed; training
+    is an action (the one eager step), so build the index once and
+    reuse across queries in production."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(train)
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+
+    def _sq_dist_to(center: list[float], vec: Column) -> Column:
+        w = F.array(*[F.lit(x) for x in center])
+        diffs = F.zip_with(vec, w, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b))
+        return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+    def _nearest(vec: Column, n: int) -> Column:
+        # rank centroids by squared distance, take the n nearest ids
+        scored = F.array(
+            *[
+                F.struct(_sq_dist_to(c, vec).alias("d"), F.lit(i).alias("cid"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return F.slice(F.transform(F.array_sort(scored), lambda s: s["cid"]), 1, n)
+
+    c = corpus.select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cvec"),
+        F.element_at(_nearest(F.col(vec_col), 1), 1).alias("_cluster"),
+    )
+    p = probes.select(
+        F.col(probe_id_col).alias("_pid"),
+        F.col(probe_vec_col).alias("_pvec"),
+        F.explode(_nearest(F.col(probe_vec_col), n_probe)).alias("_cluster"),
+    )
+    scored = (
+        c.join(p, "_cluster")
+        .filter(F.col("_pid") != F.col("_cid"))
+        .withColumn("_cos", cosine(F.col("_pvec"), F.col("_cvec")))
+    )
+    w = Window.partitionBy("_pid").orderBy(F.desc("_cos"), F.asc("_cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_pid").alias(probe_id_col),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("_cid").alias("neighbor_id"),
+            F.round("_cos", 6).alias("cos_sim"),
+        )
+    )

@@ -301,6 +301,18 @@ def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
 
+def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means inverted-list) approximate top-3 — the
+    cluster-pruned scale path beside the LSH one; probes search their 4
+    nearest of 16 lists (operators/similarity.ivf_topk). Approximate by
+    design + iterative training → rows-only driver check."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return SIM.ivf_topk(e, probes, k=_TOPK, n_clusters=16, n_probe=4)
+
+
 _DUP_PLANES = 16
 
 

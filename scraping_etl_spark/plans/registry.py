@@ -138,6 +138,11 @@ QUERIES: list[QuerySpec] = [
         "(approximate recall by design → rows-only check)",
     ),
     QuerySpec(
+        "emb_ivf_topk", M.q_emb_ivf_topk, None,
+        "IVF cluster-pruned approximate top-k (iterative k-means "
+        "training → rows-only check)",
+    ),
+    QuerySpec(
         "emb_cosine_dups", M.q_emb_cosine_dups, M.ORACLE_EMB_COSINE_DUPS,
         "embedding-cosine near-dup pairs via sign-signature blocking",
     ),

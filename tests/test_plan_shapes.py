@@ -55,3 +55,30 @@ def test_ann_recall_floor(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"ANN recall collapsed: {recall:.2f}"
+
+
+def test_ivf_recall_floor(spark):
+    """IVF cluster pruning must beat the LSH path's recall at a similar
+    scan fraction (n_probe/n_clusters = 1/4 of the corpus here)."""
+    from scraping_etl_spark.operators.similarity import cosine_topk, ivf_topk
+    from scraping_etl_spark.sources.readers import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    probes = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(e, probes, k=3).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(e, probes, k=3, n_clusters=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall collapsed: {recall:.2f}"
+
+
+def test_ivf_no_cross_join(spark):
+    from scraping_etl_spark.plans import ml_ops as M
+
+    plan = _plan(M.q_emb_ivf_topk(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
