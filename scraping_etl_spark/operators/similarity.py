@@ -214,6 +214,27 @@ def embedding_dup_pairs(
     )
 
 
+def ivf_train(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 5,
+) -> list[list[float]]:
+    """Train the IVF index: k-means centroids over the corpus (the
+    one eager step — run once, reuse). Few iterations by default: the
+    index needs balanced-ish lists, not converged centroids — recall is
+    governed by ``n_probe``, and each extra iteration is a full job."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(
+        k=n_clusters, seed=seed, maxIter=max_iter, featuresCol="features"
+    ).fit(train)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -225,6 +246,8 @@ def ivf_topk(
     probe_id_col: str = "query_id",
     probe_vec_col: str = "query_vec",
     seed: int = 7,
+    max_iter: int = 5,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k — the cluster-pruned alternative to
     the hyperplane LSH path: k-means partitions the corpus into
@@ -239,14 +262,14 @@ def ivf_topk(
     ``n_probe`` (= brute force at n_probe = n_clusters).
 
     Uses ``pyspark.ml.clustering.KMeans`` with a fixed seed; training
-    is an action (the one eager step), so build the index once and
-    reuse across queries in production."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(train)
-    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    is an action (the one eager step), so build the index once with
+    :func:`ivf_train` and pass ``centroids`` to amortize it across
+    queries — exactly what a production deployment does."""
+    if centroids is None:
+        centroids = ivf_train(
+            corpus, n_clusters=n_clusters, vec_col=vec_col,
+            seed=seed, max_iter=max_iter,
+        )
 
     def _sq_dist_to(center: list[float], vec: Column) -> Column:
         w = F.array(*[F.lit(x) for x in center])
