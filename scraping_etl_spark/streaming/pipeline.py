@@ -212,3 +212,71 @@ def sessionize_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_star_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Incremental star-schema maintenance from a record stream — the
+    pipeline-level form of the reference's per-article incremental sink
+    (ScienceDirect.py:457-488 rewrote a whole JSON array per article;
+    here each micro-batch appends fact rows and dedup-merges dims).
+
+    Per batch (``foreachBatch``):
+    - ``articles`` fact: plain parquet append of the batch's rows keyed
+      by deterministic ``xxhash64`` surrogate keys — append-only, no
+      read-modify-write;
+    - ``topics`` dim: union current dim with the batch's new topics,
+      keyed dedup, overwrite — idempotent because the surrogate key is
+      a pure function of the natural key (replays converge to the same
+      dim; a nondeterministic key scheme would fork on every retry,
+      which is exactly reference quirk Q1).
+
+    Dims are orders smaller than facts, so the read-union-overwrite is
+    cheap at any scale; the fact path never rewrites existing data."""
+    import os
+
+    from scraping_etl_spark.etl.star_schema import surrogate_key
+
+    fact_dir = os.path.join(out_dir, "articles")
+    topic_dir = os.path.join(out_dir, "topics")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.withColumn("TopicID", surrogate_key("topic"))
+        # fact: append-only
+        (
+            batch_df.select(
+                F.col("doi").alias("DOI"),
+                F.col("title").alias("Title"),
+                "TopicID",
+                F.col("site").alias("Website"),
+            )
+            .write.mode("append")
+            .parquet(fact_dir)
+        )
+        # dim: keyed dedup-merge (idempotent under replay)
+        new_topics = batch_df.select("TopicID", F.col("topic").alias("Topic")).distinct()
+        try:
+            current = batch_df.sparkSession.read.parquet(topic_dir)
+            merged = current.unionByName(new_topics).dropDuplicates(["TopicID"])
+        except Exception:  # first batch — dim doesn't exist yet
+            merged = new_topics
+        # materialize before overwrite: the merged plan reads the same
+        # files the overwrite deletes
+        rows = merged.collect()
+        batch_df.sparkSession.createDataFrame(rows, merged.schema).write.mode(
+            "overwrite"
+        ).parquet(topic_dir)
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -88,3 +88,41 @@ def test_sessionize_stream_matches_batch(spark, events_dir, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_incremental_star_stream(spark, tmp_path):
+    """Streaming scrape source → incremental star maintenance: facts
+    append per micro-batch, the topics dim dedup-merges idempotently
+    (deterministic surrogate keys make replays converge)."""
+    from scraping_etl_spark.sources.pyds import ScrapeFixtureStreamDataSource
+    from scraping_etl_spark.streaming.pipeline import incremental_star_stream
+
+    spark.dataSource.register(ScrapeFixtureStreamDataSource)
+    out, ckpt = str(tmp_path / "star"), str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.format("scrapefixture_stream")
+            .option("sites", "sd").option("topics", "AI,IoT")
+            .option("pages", "2").option("pages_per_batch", "1")
+            .load()
+        )
+        q = incremental_star_stream(spark, stream, out, ckpt)
+        q.awaitTermination(120)
+
+    run_once()  # page 0: 1 site x 2 topics x 2 articles = 4 facts
+    facts1 = spark.read.parquet(f"{out}/articles")
+    assert facts1.count() == 4
+    topics1 = spark.read.parquet(f"{out}/topics").collect()
+    assert sorted(r.Topic for r in topics1) == ["AI", "IoT"]
+
+    run_once()  # page 1 appends 4 more facts; dim unchanged (same topics)
+    facts2 = spark.read.parquet(f"{out}/articles")
+    assert facts2.count() == 8
+    topics2 = spark.read.parquet(f"{out}/topics").collect()
+    assert sorted(r.Topic for r in topics2) == ["AI", "IoT"]
+    # deterministic keys: both runs agree on every TopicID
+    assert {(r.TopicID, r.Topic) for r in topics1} == {(r.TopicID, r.Topic) for r in topics2}
+    # facts join the dim losslessly
+    joined = facts2.join(spark.read.parquet(f"{out}/topics"), "TopicID")
+    assert joined.count() == 8
