@@ -113,6 +113,15 @@ QUERIES: list[QuerySpec] = [
         "composite text quality score",
     ),
     QuerySpec(
+        "event_moving_avg", R.q_event_moving_avg, R.ORACLE_EVENT_MOVING_AVG,
+        "bounded window frame spec (7-row trailing average)",
+    ),
+    QuerySpec(
+        "revenue_grouping_sets", R.q_revenue_grouping_sets,
+        R.ORACLE_REVENUE_GROUPING_SETS,
+        "GROUPING SETS multi-granularity agg in one pass",
+    ),
+    QuerySpec(
         "doc_exact_dups", M.q_doc_exact_dups, M.ORACLE_DOC_EXACT_DUPS,
         "exact-duplicate groups via content-hash groupBy",
     ),

@@ -519,3 +519,78 @@ SELECT user_id,
 FROM events
 GROUP BY user_id
 """
+
+
+def q_event_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame spec (SURVEY §2.5 surface): 7-row trailing moving
+    average of event value per user — ``rowsBetween(-6, 0)``. One
+    shuffle on the partition key; frame state is bounded (7 rows)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 6).alias("mavg_7"),
+    )
+
+
+ORACLE_EVENT_MOVING_AVG = """
+SELECT user_id, event_id,
+       round(avg(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS mavg_7
+FROM events
+"""
+
+
+def q_revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (SURVEY §2.4 note — beyond ROLLUP): revenue by
+    (region), by (order priority), and grand total in one pass —
+    Catalyst expands the sets over a single shuffle with partial aggs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            "r_name",
+            "o_orderpriority",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+        )
+    )
+    joined.createOrReplaceTempView("_gs_rev")
+    return spark.sql(
+        """
+        SELECT r_name, o_orderpriority,
+               CAST(round(sum(_rev), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_rows
+        FROM _gs_rev
+        GROUP BY GROUPING SETS ((r_name), (o_orderpriority), ())
+        """
+    )
+
+
+ORACLE_REVENUE_GROUPING_SETS = """
+SELECT r_name, o_orderpriority,
+       CAST(round(sum(rev), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+FROM (
+  SELECT r_name, o_orderpriority,
+         l_extendedprice * (1 - l_discount) AS rev
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+)
+GROUP BY GROUPING SETS ((r_name), (o_orderpriority), ())
+"""
