@@ -177,3 +177,31 @@ def bpe_ish_tokens(text_col: Column | str) -> Column:
     toks = F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
     # drop pure-whitespace matches: they pad the count, carry no signal
     return F.filter(toks, lambda x: x.rlike(r"\S"))
+
+
+#: Rolling-hash parameters: polynomial base and the 2^61-1 Mersenne
+#: prime. base*h + t stays < 2^63 only if h < 2^55 — so we reduce mod a
+#: 31-bit prime instead, keeping every intermediate in int64 range for
+#: ANSI-safe arithmetic in both engines.
+ROLLING_BASE = 1_000_003
+ROLLING_PRIME = 2_147_483_647
+
+
+def rolling_fingerprint(text_col: Column | str) -> Column:
+    """Order-SENSITIVE document fingerprint: Rabin-Karp polynomial
+    rolling hash over the token sequence — ``h = (h·B + t_i) mod p``
+    with each token's 28-bit md5-prefix hash as ``t_i``. The complement
+    of :func:`with_fingerprint`'s order-insensitive bag hash: documents
+    with the same vocabulary in a different order get different rolling
+    fingerprints. One sequential fold per row, JVM-side, engine-portable
+    (same arithmetic in the DuckDB oracle)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(c)
+    hashed = F.transform(
+        toks, lambda x: F.conv(F.substring(F.md5(x), 1, 7), 16, 10).cast("long")
+    )
+    return F.aggregate(
+        hashed,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(ROLLING_BASE) + t) % F.lit(ROLLING_PRIME),
+    )

@@ -550,6 +550,36 @@ GROUP BY yr, month_name
 """
 
 
+def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint (north-star text
+    analysis — complements the order-insensitive bag fingerprint of
+    ``doc_fingerprint``): Rabin-Karp polynomial fold over the token
+    sequence (operators/textstats.rolling_fingerprint)."""
+    from scraping_etl_spark.operators.textstats import rolling_fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_fingerprint("text").alias("rolling_fp"))
+
+
+def _rolling_oracle() -> str:
+    from scraping_etl_spark.operators.textstats import ROLLING_BASE, ROLLING_PRIME
+
+    # DuckDB's list_reduce seeds from the first element, so prepend the
+    # explicit zero accumulator to mirror Spark's aggregate(…, 0, …)
+    return f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform({_TOKS}, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT)),
+         (acc, t) -> (acc * {ROLLING_BASE} + t) % {ROLLING_PRIME}
+       ) AS rolling_fp
+FROM documents
+"""
+
+
+ORACLE_DOC_ROLLING_HASH = _rolling_oracle()
+
+
 def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting both ways (north-star text analysis): whitespace
     tokens vs the GPT-2-style BPE-ish pre-tokenizer

@@ -192,6 +192,10 @@ QUERIES: list[QuerySpec] = [
         "whitespace vs BPE-ish regex token counting",
     ),
     QuerySpec(
+        "doc_rolling_hash", M.q_doc_rolling_hash, M.ORACLE_DOC_ROLLING_HASH,
+        "order-sensitive Rabin-Karp rolling-hash fingerprint",
+    ),
+    QuerySpec(
         "doc_dedup_survivors", M.q_doc_dedup_survivors, M.ORACLE_DOC_DEDUP_SURVIVORS,
         "quality-filter + normalize + dedup + canonical-survivor rollup",
     ),
