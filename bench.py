@@ -58,6 +58,7 @@ def main() -> None:
                 dt = round(time.perf_counter() - t0, 4)
                 prev = timings.get(spec.name)
                 timings[spec.name] = dt if prev is None else min(prev, dt)
+                errors.pop(spec.name, None)  # pass-2 success clears a pass-1 error
             except Exception as exc:  # noqa: BLE001 - deliberate blanket isolation
                 timings.setdefault(spec.name, None)
                 errors[spec.name] = f"{type(exc).__name__}: {exc}"[:300]

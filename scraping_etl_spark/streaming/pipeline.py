@@ -32,6 +32,38 @@ from pyspark.sql.streaming import StreamingQuery
 from scraping_etl_spark import schemas
 
 
+def _merge_overwrite_by_key(batch_df: DataFrame, out_dir: str, keys: list[str]) -> None:
+    """Keyed upsert onto a plain-parquet sink: keep every existing row
+    whose key is absent from the batch, union the batch (batch wins),
+    write to a sibling temp dir, atomically swap directories.
+
+    This is the portable MERGE for parquet-on-a-filesystem: the merged
+    plan never reads files that the write is concurrently deleting
+    (the temp dir breaks the self-read cycle), and the swap is a single
+    rename. On an object store / real cluster this becomes a Delta or
+    Iceberg MERGE INTO — the batch-side plan is identical. Cost is one
+    scan of the sink per micro-batch, which is the price of exact keyed
+    upserts on a format with no row-level ops; keep it for dims and
+    per-key totals (small relative to facts), never for fact appends.
+    """
+    import os
+    import shutil
+
+    spark = batch_df.sparkSession
+    try:
+        current = spark.read.parquet(out_dir)
+        merged = current.join(
+            batch_df.select(*keys).distinct(), keys, "left_anti"
+        ).unionByName(batch_df)
+    except Exception:  # first batch — sink doesn't exist yet
+        merged = batch_df
+    tmp = out_dir.rstrip("/") + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.rename(tmp, out_dir)
+
+
 def incremental_append_stream(
     spark: SparkSession,
     source_dir: str,
@@ -66,6 +98,7 @@ def hourly_rollup_stream(
     schema: T.StructType = schemas.EVENTS,
     watermark: str = "2 hours",
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Streaming hourly event rollup, upserted to parquet.
 
@@ -73,8 +106,19 @@ def hourly_rollup_stream(
     (hour-window, event_type) counts and value sums. ``update`` output
     mode + ``foreachBatch`` upsert keeps windows correct under late
     data within the watermark.
+
+    The sink is partitioned by BOTH aggregation keys (hour bucket AND
+    event_type) so dynamic-overwrite granularity matches the update
+    granularity: an update-mode micro-batch carries only the
+    (window, event_type) groups that changed in that trigger, and each
+    such group rewrites exactly its own partition. Partitioning by
+    hour alone would let a batch touching one event_type in an hour
+    silently delete the other event_types' rows for that hour.
     """
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -91,14 +135,16 @@ def hourly_rollup_stream(
     )
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        # dynamic partition overwrite: only the (hour_start) partitions
-        # present in this micro-batch are rewritten — an idempotent
-        # upsert on plain parquet
+        # dynamic partition overwrite at (hour_key, event_type)
+        # granularity — exactly the aggregation key, so each changed
+        # group rewrites only itself; untouched groups from earlier
+        # batches survive. Idempotent under replay (the streaming agg
+        # re-emits the same cumulative values).
         (
             batch_df.withColumn("hour_key", F.date_format("hour_start", "yyyyMMddHH"))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("hour_key")
+            .partitionBy("hour_key", "event_type")
             .parquet(out_dir)
         )
 
@@ -137,6 +183,7 @@ def sessionize_stream(
     gap_seconds: int = 1800,
     schema: T.StructType = schemas.EVENTS,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Custom stateful operator via ``applyInPandasWithState`` — the
     streaming twin of the batch ``q_sessionize`` (plans/relational.py):
@@ -181,7 +228,10 @@ def sessionize_stream(
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    stream = spark.readStream.schema(schema).parquet(source_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
     sessions = (
         stream.select("user_id", "ts", "event_id")
         .groupBy("user_id")
@@ -195,14 +245,12 @@ def sessionize_stream(
     )
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        # latest totals win: partition by user bucket, dynamic overwrite
-        (
-            batch_df.withColumn("bucket", F.pmod(F.col("user_id"), F.lit(16)))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
-            .parquet(out_dir)
-        )
+        # keyed merge: an update batch carries only the users whose
+        # state changed this trigger; merging against the sink (batch
+        # wins on user_id) keeps every other user's latest totals.
+        # A bucket-partitioned dynamic overwrite would delete the other
+        # users sharing a bucket — silent data loss across batches.
+        _merge_overwrite_by_key(batch_df, out_dir, ["user_id"])
 
     writer = (
         sessions.writeStream.outputMode("update")
@@ -227,17 +275,22 @@ def incremental_star_stream(
     here each micro-batch appends fact rows and dedup-merges dims).
 
     Per batch (``foreachBatch``):
-    - ``articles`` fact: plain parquet append of the batch's rows keyed
-      by deterministic ``xxhash64`` surrogate keys — append-only, no
-      read-modify-write;
-    - ``topics`` dim: union current dim with the batch's new topics,
-      keyed dedup, overwrite — idempotent because the surrogate key is
-      a pure function of the natural key (replays converge to the same
-      dim; a nondeterministic key scheme would fork on every retry,
-      which is exactly reference quirk Q1).
+    - ``articles`` fact: written with dynamic partition overwrite on a
+      ``batch_id`` partition column — a replayed micro-batch (failure
+      after a partial commit) rewrites exactly its own partition
+      instead of re-appending duplicate fact rows, making the fact
+      path idempotent end-to-end, not just the dims;
+    - ``topics`` dim: keyed merge via :func:`_merge_overwrite_by_key`
+      (temp-dir write + atomic swap — the merged plan never reads the
+      files the overwrite deletes, and nothing funnels through the
+      driver) — idempotent because the surrogate key is a pure
+      function of the natural key (replays converge to the same dim;
+      a nondeterministic key scheme would fork on every retry, which
+      is exactly reference quirk Q1).
 
-    Dims are orders smaller than facts, so the read-union-overwrite is
-    cheap at any scale; the fact path never rewrites existing data."""
+    Dims are orders smaller than facts, so the scan-merge-swap is
+    cheap at any scale; the fact path only ever rewrites the replayed
+    batch's own partition."""
     import os
 
     from scraping_etl_spark.etl.star_schema import surrogate_key
@@ -247,7 +300,9 @@ def incremental_star_stream(
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.withColumn("TopicID", surrogate_key("topic"))
-        # fact: append-only
+        # fact: idempotent append — each micro-batch owns the
+        # batch_id=<id> partition; a checkpoint replay of the same
+        # batch dynamically overwrites only that partition
         (
             batch_df.select(
                 F.col("doi").alias("DOI"),
@@ -255,22 +310,15 @@ def incremental_star_stream(
                 "TopicID",
                 F.col("site").alias("Website"),
             )
-            .write.mode("append")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(fact_dir)
         )
         # dim: keyed dedup-merge (idempotent under replay)
         new_topics = batch_df.select("TopicID", F.col("topic").alias("Topic")).distinct()
-        try:
-            current = batch_df.sparkSession.read.parquet(topic_dir)
-            merged = current.unionByName(new_topics).dropDuplicates(["TopicID"])
-        except Exception:  # first batch — dim doesn't exist yet
-            merged = new_topics
-        # materialize before overwrite: the merged plan reads the same
-        # files the overwrite deletes
-        rows = merged.collect()
-        batch_df.sparkSession.createDataFrame(rows, merged.schema).write.mode(
-            "overwrite"
-        ).parquet(topic_dir)
+        _merge_overwrite_by_key(new_topics, topic_dir, ["TopicID"])
 
     writer = (
         stream.writeStream.outputMode("append")

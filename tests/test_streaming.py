@@ -90,6 +90,52 @@ def test_sessionize_stream_matches_batch(spark, events_dir, tmp_path):
     assert got == exp
 
 
+def test_hourly_rollup_stream_multi_batch(spark, events_dir, tmp_path):
+    """Two triggers (maxFilesPerTrigger=1): groups written by batch 1
+    but untouched by batch 2 must survive — the partition-overwrite
+    granularity has to match the aggregation key, not just the hour."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = hourly_rollup_stream(spark, events_dir, out, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(180)
+    assert q.lastProgress is not None
+
+    src = spark.read.parquet(events_dir)
+    batch = (
+        src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("hour_start"), "event_type", "n_events")
+    )
+    stream_out = spark.read.parquet(out).select("hour_start", "event_type", "n_events")
+    got = {tuple(r) for r in stream_out.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_sessionize_stream_multi_batch(spark, events_dir, tmp_path):
+    """Two triggers: users updated only in batch 1 must keep their
+    totals after batch 2's upsert (keyed merge, not bucket overwrite).
+    n_events per user is order-independent, so it must match the batch
+    count exactly even though cross-batch timestamps interleave."""
+    from scraping_etl_spark.streaming.pipeline import sessionize_stream
+
+    out, ckpt = str(tmp_path / "sess_out"), str(tmp_path / "sess_ckpt")
+    q = sessionize_stream(spark, events_dir, out, ckpt, max_files_per_trigger=1)
+    q.awaitTermination(180)
+
+    got = {r.user_id: r.n_events for r in spark.read.parquet(out).collect()}
+    want = {
+        r.user_id: r.n
+        for r in spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_incremental_star_stream(spark, tmp_path):
     """Streaming scrape source → incremental star maintenance: facts
     append per micro-batch, the topics dim dedup-merges idempotently
