@@ -12,6 +12,9 @@ North-star extension (the reference stops at ``dropDuplicates`` — SURVEY
   exact shingle-set Jaccard.
 - :func:`simhash_column` — per-document SimHash (sign-aggregated token
   hashes); Hamming-close SimHashes ⇒ similar token bags. One scan.
+- :func:`dedup_clusters` — pair graph → connected components (iterated
+  hash-min label propagation), turning pairwise matches into the
+  one-survivor-per-cluster collapse a deduped corpus needs.
 - :func:`jaccard` / :func:`word_shingles` — the shared primitives.
 
 Determinism design: the base hash is ``md5`` (bit-identical in every
@@ -222,6 +225,85 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", jaccard(F.col("_sh_a"), F.col("_sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Collapse a near-duplicate *pair* graph into clusters: distributed
+    connected components via iterated hash-min label propagation.
+
+    Every node starts labeled with the minimum of itself and its
+    neighbors; each round joins labels across the (symmetrized) edge
+    list and keeps the per-node minimum. Labels are monotonically
+    non-increasing, so the per-round ``sum(label)`` strictly decreases
+    until the fixpoint — one cheap scalar action per round detects
+    convergence without a row-level diff. The fixpoint is unique
+    (min reachable id per component), so the result is deterministic
+    and oracle-checkable regardless of join order.
+
+    Returns ``(doc_id, cluster_id)`` for every node that appears in
+    ``pairs``, where ``cluster_id`` is the minimum doc id in the
+    node's component — i.e. the min-id survivor's id.
+
+    Scale notes: each round is one shuffle join on node id plus one
+    partial-agg groupBy — O(|E|) work, converging in O(graph diameter)
+    rounds. Near-dup graphs are unions of small dense clusters
+    (boilerplate families), so diameter is tiny in practice; a chain
+    worst case is covered by ``max_iters``. Each round's labels are
+    ``localCheckpoint``-ed: iterative self-referential plans otherwise
+    nest exponentially (persist caches *data* but Catalyst still
+    analyzes the full logical tree — a 12-round chain OOMs the driver
+    on plan analysis alone). On a cluster with dynamic allocation use
+    reliable ``checkpoint()`` instead (localCheckpoint blocks die with
+    their executor). GraphFrames/GraphX expose the same algorithm, but
+    this stays dependency-free on plain DataFrame ops.
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    # localCheckpoint: materialize the (possibly expensive, e.g. LSH)
+    # upstream once AND cut its lineage out of every round's plan
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+
+    labels = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("_nbr"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("_nbr")).alias("label"),
+        )
+        .localCheckpoint()
+    )
+    cur_sum = labels.agg(F.sum("label")).first()[0]
+
+    for _ in range(max_iters):
+        prop = sym.join(labels, sym["src"] == labels["node"]).select(
+            F.col("dst").alias("node"), "label"
+        )
+        new_labels = (
+            prop.unionByName(labels.select("node", "label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()  # truncate lineage every round
+        )
+        new_sum = new_labels.agg(F.sum("label")).first()[0]
+        if new_sum == cur_sum:  # monotone ⇒ equal sums = fixpoint
+            break
+        labels, cur_sum = new_labels, new_sum
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iters} rounds "
+            "(pathological graph diameter — raise max_iters)"
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
 
 

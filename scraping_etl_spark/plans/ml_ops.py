@@ -162,6 +162,102 @@ ORACLE_DOC_MINHASH_PAIRS = _minhash_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Near-dup cluster collapse: pairs → connected components → survivors
+# ---------------------------------------------------------------------------
+
+
+def q_doc_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH pairs collapsed into clusters: distributed connected
+    components (operators/dedup.py::dedup_clusters — iterated hash-min
+    label propagation, one join + one partial-agg groupBy per round).
+    One row per doc in the pair graph; ``cluster_id`` is the min doc id
+    in its component, the min-id survivor."""
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    pairs = DD.minhash_lsh_pairs(
+        corpus, k=_MH_K, num_hashes=_MH_HASHES, bands=_MH_BANDS, threshold=_MH_T
+    )
+    comp = DD.dedup_clusters(pairs)
+    return comp.withColumn("is_survivor", F.col("doc_id") == F.col("cluster_id"))
+
+
+def q_doc_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dedup composition a 100 TB corpus clean runs:
+    LSH pairs → connected components → one min-id survivor per cluster
+    → per-language rollup of the deduped corpus. Docs outside the pair
+    graph are singleton clusters (their own survivor). Generalizes
+    ``q_doc_dedup_survivors`` from exact content groups to near-dup
+    clusters."""
+    corpus = _docs_with_near_dups(spark, sf_dir)
+    pairs = DD.minhash_lsh_pairs(
+        corpus, k=_MH_K, num_hashes=_MH_HASHES, bands=_MH_BANDS, threshold=_MH_T
+    )
+    comp = DD.dedup_clusters(pairs)
+    labeled = corpus.join(comp, "doc_id", "left").withColumn(
+        "cluster_id", F.coalesce("cluster_id", "doc_id")
+    )
+    clusters = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("n_chars", "doc_id").alias("n_chars"),
+    )
+    return clusters.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.sum(F.col("n_docs") - 1).alias("n_removed"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def _neardup_component_cte() -> str:
+    """Shared oracle CTE chain: the (bit-identical) MinHash pair SQL as
+    a subquery, symmetrized edges, and a recursive reachability walk —
+    ``min(reach)`` per node is exactly the hash-min fixpoint label."""
+    return f"""pairs AS (
+{_minhash_oracle()}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), walk (node, reach) AS (
+  SELECT src AS node, src AS reach FROM edges
+  UNION
+  SELECT e.src AS node, w.reach FROM edges e JOIN walk w ON w.node = e.dst
+), comp AS (
+  SELECT node AS doc_id, min(reach) AS cluster_id FROM walk GROUP BY node
+)"""
+
+
+ORACLE_DOC_NEARDUP_CLUSTERS = f"""
+WITH RECURSIVE {_neardup_component_cte()}
+SELECT doc_id, cluster_id, (doc_id = cluster_id) AS is_survivor FROM comp
+"""
+
+
+ORACLE_DOC_NEARDUP_SURVIVORS = f"""
+WITH RECURSIVE {_neardup_component_cte()},
+corpus2 AS (
+  SELECT doc_id, lang, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, lang, n_chars FROM documents WHERE doc_id < 30
+), labeled AS (
+  SELECT c.doc_id, c.lang, c.n_chars,
+         coalesce(k.cluster_id, c.doc_id) AS cluster_id
+  FROM corpus2 c LEFT JOIN comp k USING (doc_id)
+), clusters AS (
+  SELECT cluster_id,
+         count(*) AS n_docs,
+         min_by(lang, doc_id) AS lang,
+         min_by(n_chars, doc_id) AS n_chars
+  FROM labeled GROUP BY cluster_id
+)
+SELECT lang,
+       count(*) AS n_survivors,
+       CAST(sum(n_docs - 1) AS BIGINT) AS n_removed,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM clusters GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -130,6 +130,14 @@ QUERIES: list[QuerySpec] = [
         "MinHash + banded-LSH near-dup pairs, Jaccard-verified",
     ),
     QuerySpec(
+        "doc_neardup_clusters", M.q_doc_neardup_clusters, M.ORACLE_DOC_NEARDUP_CLUSTERS,
+        "LSH pairs collapsed to clusters via distributed connected components",
+    ),
+    QuerySpec(
+        "doc_neardup_survivors", M.q_doc_neardup_survivors, M.ORACLE_DOC_NEARDUP_SURVIVORS,
+        "near-dup clusters -> min-id survivor -> per-language deduped-corpus rollup",
+    ),
+    QuerySpec(
         "doc_simhash", M.q_doc_simhash, M.ORACLE_DOC_SIMHASH,
         "16-bit SimHash document fingerprint",
     ),

@@ -53,6 +53,54 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert all(3 not in p for p in pairs)
 
 
+def _union_find_components(edges):
+    """Pure-Python oracle: min-id component label per node."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # two triangles + an isolated pair
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (20, 21)],
+        # worst-case diameter: a 12-node chain (propagation needs many rounds)
+        [(i, i + 1) for i in range(12)],
+        # star + bridge merging two clusters through one shared node
+        [(100, i) for i in range(1, 6)] + [(5, 200), (200, 201)],
+    ],
+)
+def test_dedup_clusters_matches_union_find(spark, edges):
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r.doc_id: r.cluster_id for r in DD.dedup_clusters(pairs).collect()
+    }
+    assert got == _union_find_components(edges)
+
+
+def test_dedup_clusters_randomized(spark):
+    import random
+
+    rnd = random.Random(42)
+    nodes = list(range(200))
+    edges = [tuple(sorted(rnd.sample(nodes, 2))) for _ in range(120)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r.doc_id: r.cluster_id for r in DD.dedup_clusters(pairs).collect()}
+    assert got == _union_find_components(edges)
+
+
 def test_simhash_order_insensitive(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta"), (2, "delta gamma beta alpha"), (3, "epsilon zeta eta theta")],
