@@ -384,15 +384,78 @@ FROM ranked WHERE rk <= {_TOPK}
 ORACLE_EMB_COSINE_TOPK = _cosine_oracle()
 
 
+_ANN_PLANES, _ANN_PROBES = 6, 50
+
+
 def q_emb_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 via sign-random-projection buckets — the 100 TB
-    scale path (hash join on bucket id, no cross join). Recall is
-    approximate by design → rows-only driver check (no SQL oracle)."""
+    scale path (hash join on bucket id, no cross join). Recall < 1 is by
+    design, but the pipeline itself is deterministic arithmetic (seeded
+    ±1 hyperplanes, left-fold dot products, Hamming-1 multi-probe), so
+    the DuckDB oracle mirrors it bit-for-bit — a full hash gate, not a
+    rows-only check."""
     e = load_table(spark, sf_dir, "embeddings")
-    probes = e.filter(F.col("vec_id") < 50).select(
+    probes = e.filter(F.col("vec_id") < _ANN_PROBES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return SIM.ann_hyperplane_topk(e, probes, dim=_DIM, k=_TOPK, planes=6)
+    return SIM.ann_hyperplane_topk(e, probes, dim=_DIM, k=_TOPK, planes=_ANN_PLANES)
+
+
+def _ann_oracle() -> str:
+    """Bit-identical DuckDB twin of ``ann_hyperplane_topk``: same ±1
+    hyperplane literals, same left-fold dot order, same Hamming-1
+    multi-probe fan-out, same (cos DESC, id ASC) ranking."""
+    from scraping_etl_spark.operators.similarity import _hyperplane
+
+    dot_w = (
+        "list_reduce(list_transform(generate_series(1, {d}), "
+        "i -> embedding[i]::DOUBLE * (ARRAY[{w}])[i]), (x, y) -> x + y)"
+    )
+    bits = " + ".join(
+        "CASE WHEN {dw} >= 0 THEN {bit} ELSE 0 END".format(
+            dw=dot_w.format(
+                d=_DIM,
+                w=", ".join(f"{float(x):.1f}" for x in _hyperplane(_DIM, j)),
+            ),
+            bit=1 << j,
+        )
+        for j in range(_ANN_PLANES)
+    )
+    variants = ", ".join(
+        ["home"] + [f"xor(home, {1 << j})" for j in range(_ANN_PLANES)]
+    )
+    dot_pq = _DOT.format(a="p.q", b="s.embedding")
+    n_p = _DOT.format(a="p.q", b="p.q")
+    n_c = _DOT.format(a="s.embedding", b="s.embedding")
+    return f"""
+WITH sig AS (
+  SELECT vec_id, embedding, ({bits}) AS bucket FROM embeddings
+), pvariants AS (
+  SELECT vec_id AS query_id, embedding AS q,
+         unnest([{variants}]) AS bucket
+  FROM (SELECT vec_id, embedding, bucket AS home FROM sig WHERE vec_id < {_ANN_PROBES})
+), scored AS (
+  SELECT p.query_id, s.vec_id AS neighbor_id, s.bucket,
+         {dot_pq} AS dp,
+         sqrt({n_p}) * sqrt({n_c}) AS den
+  FROM pvariants p JOIN sig s
+    ON s.bucket = p.bucket AND p.query_id <> s.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, bucket,
+         CASE WHEN den > 0 THEN dp / den ELSE 0.0 END AS c,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY (CASE WHEN den > 0 THEN dp / den ELSE 0.0 END) DESC,
+                    neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, CAST(rk AS INTEGER) AS rank, neighbor_id,
+       round(c, 6) AS cos_sim, CAST(bucket AS INTEGER) AS bucket
+FROM ranked WHERE rk <= {_TOPK}
+"""
+
+
+ORACLE_EMB_ANN_TOPK = _ann_oracle()
 
 
 # ---------------------------------------------------------------------------

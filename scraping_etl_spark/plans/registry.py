@@ -23,7 +23,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 class QuerySpec:
     name: str
     fn: QueryFn
-    oracle: str | None
+    #: SQL string, or a zero-arg callable building it lazily (used when
+    #: the oracle embeds plan constants computed at run time, e.g. the
+    #: IVF centroids), or None for the driver's rows-only check.
+    oracle: str | Callable[[], str] | None
     description: str
 
 
@@ -229,4 +232,8 @@ def queries_map() -> dict[str, QueryFn]:
 
 
 def oracle_sql_map() -> dict[str, str]:
-    return {q.name: q.oracle for q in QUERIES if q.oracle is not None}
+    return {
+        q.name: (q.oracle() if callable(q.oracle) else q.oracle)
+        for q in QUERIES
+        if q.oracle is not None
+    }
