@@ -228,6 +228,27 @@ def minhash_lsh_pairs(
     )
 
 
+def _long_id(c: Column, name: str) -> Column:
+    """Cast an id column to long, raising (JVM-side, no extra action)
+    on values that would silently cast to NULL — see the id contract in
+    :func:`dedup_clusters`. ``coalesce`` is lazy left-to-right, so the
+    error branch only evaluates for rows the cast cannot represent;
+    ``try_cast`` keeps the check mode-independent under ANSI."""
+    return F.coalesce(
+        c.try_cast("long"),
+        F.when(c.isNull(), F.lit(None).cast("long")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"dedup_clusters: non-numeric '{name}' id "),
+                    c.cast("string"),
+                    F.lit(" — ids must be integral; hash string keys "
+                          "(e.g. F.xxhash64) first"),
+                )
+            ).cast("long")
+        ),
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -262,9 +283,16 @@ def dedup_clusters(
     reliable ``checkpoint()`` instead (localCheckpoint blocks die with
     their executor). GraphFrames/GraphX expose the same algorithm, but
     this stays dependency-free on plain DataFrame ops.
+
+    Id contract: ids must be integral (min-label propagation needs a
+    total order and exact equality). Non-numeric ids (e.g. md5-hex doc
+    keys) raise per-row instead of silently becoming NULL and dropping
+    their nodes from the component computation — map string keys
+    through a 64-bit hash (``F.xxhash64``) before calling if needed.
     """
     edges = pairs.select(
-        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+        _long_id(F.col(id_a), id_a).alias("src"),
+        _long_id(F.col(id_b), id_b).alias("dst"),
     )
     # localCheckpoint: materialize the (possibly expensive, e.g. LSH)
     # upstream once AND cut its lineage out of every round's plan

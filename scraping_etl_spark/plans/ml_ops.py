@@ -18,6 +18,7 @@ remaining hash-comparable.
 from __future__ import annotations
 
 import functools
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -490,6 +491,77 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The driver's correctness compare runs at sf=0.01 (driver contract in
+#: ``__spark_entry__``), so the lazily-built IVF oracle trains there by
+#: default; override for local experiments at other scales.
+_IVF_ORACLE_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
+
+
+def oracle_emb_ivf_topk() -> str:
+    """DuckDB twin of :func:`q_emb_ivf_topk`, built *lazily* (the
+    registry's callable-oracle support exists for exactly this case)
+    because the centroids are run-time plan constants: ``ivf_train``
+    runs once per sf_dir (``_ivf_index`` cache, shared with the Spark
+    query), and the trained centroids are embedded as DOUBLE literals —
+    the same constants-in-the-plan pattern ``_ann_oracle`` uses for its
+    hyperplanes. Everything downstream of training is deterministic
+    arithmetic mirrored bit-for-bit: the same left-fold squared-distance
+    sum, the same (distance, cid) lexicographic nearest-centroid pick
+    (Spark's ``array_sort`` over structs ≡ ``ORDER BY d, cid``), the
+    same 4-probe fan-out, and the same (cos DESC, id ASC) ranking."""
+    centroids = _ivf_index(_IVF_ORACLE_SF_DIR)
+    cent_rows = ",\n         ".join(
+        "({i}, [{xs}])".format(
+            i=i, xs=", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in c)
+        )
+        for i, c in enumerate(centroids)
+    )
+    # identical fold order to similarity._sq_dist_to: (a - b) * (a - b)
+    sq_dist = (
+        "list_reduce(list_transform(generate_series(1, {d}), "
+        "i -> (e.embedding[i]::DOUBLE - cent.c[i]) "
+        "* (e.embedding[i]::DOUBLE - cent.c[i])), (x, y) -> x + y)"
+    ).format(d=_DIM)
+    dot_pq = _DOT.format(a="p.q", b="s.embedding")
+    n_p = _DOT.format(a="p.q", b="p.q")
+    n_c = _DOT.format(a="s.embedding", b="s.embedding")
+    return f"""
+WITH cent(cid, c) AS (
+  VALUES {cent_rows}
+), dist AS (
+  SELECT e.vec_id, e.embedding, cent.cid, {sq_dist} AS d
+  FROM embeddings e CROSS JOIN cent
+), assign AS (
+  SELECT vec_id, embedding, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+  FROM dist
+), corpus AS (
+  SELECT vec_id, embedding, cid AS cluster FROM assign WHERE rk = 1
+), probes AS (
+  SELECT vec_id AS query_id, embedding AS q, cid AS cluster
+  FROM assign WHERE vec_id < 20 AND rk <= 4
+), scored AS (
+  SELECT p.query_id, s.vec_id AS neighbor_id,
+         {dot_pq} AS dp,
+         sqrt({n_p}) * sqrt({n_c}) AS den
+  FROM probes p JOIN corpus s
+    ON s.cluster = p.cluster AND p.query_id <> s.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         CASE WHEN den > 0 THEN dp / den ELSE 0.0 END AS c,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY (CASE WHEN den > 0 THEN dp / den ELSE 0.0 END) DESC,
+                    neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, CAST(rk AS INTEGER) AS rank, neighbor_id, round(c, 6) AS cos_sim
+FROM ranked WHERE rk <= {_TOPK}
+"""
+
+
 _DUP_PLANES = 16
 
 
@@ -884,17 +956,46 @@ GROUP BY n_name
 
 def q_doc_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analysis-surface rollup (SURVEY §2.4 extension): per-language
-    corpus profile with ``approx_count_distinct`` — the sketch whose
-    single-pass mergeability is what makes cardinality estimation
-    feasible at 100 TB (exact distinct = full shuffle of every key).
-    HyperLogLog++ estimates are engine-specific, so there is no DuckDB
-    value-oracle — the driver records a rows-only check."""
+    corpus profile with *exact* distinct counts — deterministic, so it
+    carries a full DuckDB hash gate. The HLL-sketch variant of the same
+    profile (the single-pass mergeable estimate that replaces the exact
+    distinct's full key shuffle at 100 TB) lives in
+    :func:`q_doc_corpus_profile_hll`; this split exists so the
+    engine-specific sketch doesn't drag the whole profile down to a
+    rows-only check."""
     d = load_table(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+        F.avg("n_chars").alias("avg_chars"),
+    )
+
+
+ORACLE_DOC_CORPUS_PROFILE = """
+SELECT lang,
+       count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources,
+       count(DISTINCT md5(text)) AS n_distinct_texts,
+       avg(n_chars) AS avg_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+def q_doc_corpus_profile_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch tier of the corpus profile: ``approx_count_distinct``
+    (HyperLogLog++) — the mergeable single-pass estimate that makes
+    cardinality profiling feasible at 100 TB, where the exact variant
+    (:func:`q_doc_corpus_profile`) means a full shuffle of every key.
+    HLL register layouts and estimates are engine-specific, so there is
+    deliberately no DuckDB value-oracle — the driver records a
+    rows-only check for this query alone; every deterministic column of
+    the profile is hash-gated through its exact twin."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
         F.approx_count_distinct("source").alias("approx_sources"),
         F.approx_count_distinct(F.md5("text")).alias("approx_distinct_texts"),
-        F.avg("n_chars").alias("avg_chars"),
     )
 
 

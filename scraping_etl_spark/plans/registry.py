@@ -153,14 +153,16 @@ QUERIES: list[QuerySpec] = [
         "exact brute-force cosine top-k over embeddings",
     ),
     QuerySpec(
-        "emb_ann_topk", M.q_emb_ann_topk, None,
-        "approximate top-k via sign-random-projection LSH buckets "
-        "(approximate recall by design → rows-only check)",
+        "emb_ann_topk", M.q_emb_ann_topk, M.ORACLE_EMB_ANN_TOPK,
+        "approximate top-k via sign-random-projection LSH buckets; the "
+        "pipeline is deterministic arithmetic so the DuckDB oracle "
+        "mirrors it bit-for-bit (full hash gate)",
     ),
     QuerySpec(
-        "emb_ivf_topk", M.q_emb_ivf_topk, None,
-        "IVF cluster-pruned approximate top-k (iterative k-means "
-        "training → rows-only check)",
+        "emb_ivf_topk", M.q_emb_ivf_topk, M.oracle_emb_ivf_topk,
+        "IVF cluster-pruned approximate top-k; centroids are trained "
+        "once and embedded in the lazily-built DuckDB oracle as plan "
+        "constants (full hash gate)",
     ),
     QuerySpec(
         "emb_cosine_dups", M.q_emb_cosine_dups, M.ORACLE_EMB_COSINE_DUPS,
@@ -220,9 +222,14 @@ QUERIES: list[QuerySpec] = [
         "supplier x broadcast nation rollup",
     ),
     QuerySpec(
-        "doc_corpus_profile", M.q_doc_corpus_profile, None,
-        "per-lang profile with approx_count_distinct (HLL sketches are "
-        "engine-specific → rows-only check)",
+        "doc_corpus_profile", M.q_doc_corpus_profile, M.ORACLE_DOC_CORPUS_PROFILE,
+        "per-lang corpus profile with exact distinct counts (hash-gated "
+        "twin of the HLL tier)",
+    ),
+    QuerySpec(
+        "doc_corpus_profile_hll", M.q_doc_corpus_profile_hll, None,
+        "per-lang approx_count_distinct profile (HLL sketches are "
+        "engine-specific → rows-only check, by design)",
     ),
 ]
 

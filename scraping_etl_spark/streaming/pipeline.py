@@ -35,33 +35,58 @@ from scraping_etl_spark import schemas
 def _merge_overwrite_by_key(batch_df: DataFrame, out_dir: str, keys: list[str]) -> None:
     """Keyed upsert onto a plain-parquet sink: keep every existing row
     whose key is absent from the batch, union the batch (batch wins),
-    write to a sibling temp dir, atomically swap directories.
+    write to a sibling temp dir, swap via rename-aside.
 
     This is the portable MERGE for parquet-on-a-filesystem: the merged
     plan never reads files that the write is concurrently deleting
-    (the temp dir breaks the self-read cycle), and the swap is a single
-    rename. On an object store / real cluster this becomes a Delta or
-    Iceberg MERGE INTO — the batch-side plan is identical. Cost is one
-    scan of the sink per micro-batch, which is the price of exact keyed
-    upserts on a format with no row-level ops; keep it for dims and
-    per-key totals (small relative to facts), never for fact appends.
+    (the temp dir breaks the self-read cycle). The swap is two renames
+    with a crash-recoverable intermediate — delete-then-rename would
+    leave *no* sink if the process died between the steps, and on
+    checkpoint replay that reads as "first batch", silently discarding
+    every previously merged key. Here every crash window leaves either
+    ``out_dir`` or ``out_dir.old`` intact, and the prologue restores a
+    consistent sink before merging (the replayed batch then re-merges
+    idempotently). Genuine read errors on an existing sink (corrupt
+    footer, permissions) propagate and fail the micro-batch instead of
+    being mistaken for the first batch.
+
+    On an object store / real cluster this becomes a Delta or Iceberg
+    MERGE INTO — the batch-side plan is identical. Cost is one scan of
+    the sink per micro-batch, which is the price of exact keyed upserts
+    on a format with no row-level ops; keep it for dims and per-key
+    totals (small relative to facts), never for fact appends.
     """
     import os
     import shutil
 
+    tmp = out_dir.rstrip("/") + ".tmp"
+    old = out_dir.rstrip("/") + ".old"
+
+    # crash recovery: roll a half-finished previous swap back (or
+    # forward) so the sink is consistent before this batch merges
+    if os.path.exists(old):
+        if os.path.exists(out_dir):
+            shutil.rmtree(old)  # crash after swap, before cleanup
+        else:
+            os.rename(old, out_dir)  # crash mid-swap: restore pre-batch sink
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # incomplete previous write
+
     spark = batch_df.sparkSession
-    try:
+    sink_exists = os.path.exists(out_dir)
+    if sink_exists:
         current = spark.read.parquet(out_dir)
         merged = current.join(
             batch_df.select(*keys).distinct(), keys, "left_anti"
         ).unionByName(batch_df)
-    except Exception:  # first batch — sink doesn't exist yet
+    else:  # first batch — sink doesn't exist yet
         merged = batch_df
-    tmp = out_dir.rstrip("/") + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(out_dir):
-        shutil.rmtree(out_dir)
+    if sink_exists:
+        os.rename(out_dir, old)
     os.rename(tmp, out_dir)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def incremental_append_stream(

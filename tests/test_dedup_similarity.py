@@ -205,3 +205,22 @@ def test_sample_frames_fanout(spark):
         for f in frames:
             lo = f.frame_idx * 8
             assert f.frame == src[i][lo:lo + 8]
+
+
+def test_dedup_clusters_rejects_non_numeric_ids(spark):
+    """Id contract (ADVICE r3): string keys that cast('long') would
+    silently NULL — dropping their nodes from the component computation
+    — must raise instead."""
+    from scraping_etl_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([("a1x", "b2y")], ["id_a", "id_b"])
+    with pytest.raises(Exception, match="non-numeric"):
+        dedup_clusters(pairs).collect()
+
+
+def test_dedup_clusters_numeric_string_ids_ok(spark):
+    from scraping_etl_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([("1", "2"), ("2", "3")], ["id_a", "id_b"])
+    got = {(r.doc_id, r.cluster_id) for r in dedup_clusters(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1)}

@@ -172,3 +172,58 @@ def test_incremental_star_stream(spark, tmp_path):
     # facts join the dim losslessly
     joined = facts2.join(spark.read.parquet(f"{out}/topics"), "TopicID")
     assert joined.count() == 8
+
+
+def test_merge_overwrite_by_key_crash_recovery(spark, tmp_path):
+    """The keyed-upsert swap must survive a crash at any window: a sink
+    renamed aside but never replaced (mid-swap) is rolled back before
+    merging — previously merged keys survive instead of being silently
+    discarded as a fake 'first batch'; stale .old/.tmp leftovers from a
+    completed swap are cleaned up."""
+    import os
+    import shutil
+
+    from scraping_etl_spark.streaming.pipeline import _merge_overwrite_by_key
+
+    out = str(tmp_path / "sink")
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    _merge_overwrite_by_key(b1, out, ["k"])
+
+    # crash window: out_dir was renamed aside, replacement never landed
+    os.rename(out, out + ".old")
+    b2 = spark.createDataFrame([(2, "b2"), (3, "c")], ["k", "v"])
+    _merge_overwrite_by_key(b2, out, ["k"])
+    got = {(r.k, r.v) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "a"), (2, "b2"), (3, "c")}  # key 1 recovered
+    assert not os.path.exists(out + ".old") and not os.path.exists(out + ".tmp")
+
+    # crash window: swap completed but cleanup didn't — stale .old and
+    # a half-written .tmp must both be discarded, sink wins
+    shutil.copytree(out, out + ".old")
+    os.makedirs(out + ".tmp")
+    b3 = spark.createDataFrame([(4, "d")], ["k", "v"])
+    _merge_overwrite_by_key(b3, out, ["k"])
+    got = {(r.k, r.v) for r in spark.read.parquet(out).collect()}
+    assert got == {(1, "a"), (2, "b2"), (3, "c"), (4, "d")}
+    assert not os.path.exists(out + ".old") and not os.path.exists(out + ".tmp")
+
+
+def test_merge_overwrite_by_key_read_error_propagates(spark, tmp_path):
+    """A corrupt existing sink must fail the micro-batch, not be
+    mistaken for the first batch (which would reset the sink to just
+    the current batch's keys)."""
+    import os
+
+    import pytest
+
+    from scraping_etl_spark.streaming.pipeline import _merge_overwrite_by_key
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    with open(os.path.join(out, "part-00000.parquet"), "w") as f:
+        f.write("not parquet at all")
+    batch = spark.createDataFrame([(1, "a")], ["k", "v"])
+    with pytest.raises(Exception):
+        _merge_overwrite_by_key(batch, out, ["k"])
+    # the corrupt sink was not clobbered by the failed merge
+    assert os.path.exists(os.path.join(out, "part-00000.parquet"))
