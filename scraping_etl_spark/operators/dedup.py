@@ -120,6 +120,35 @@ def exact_dup_groups(
     )
 
 
+#: LSH sizing presets. The query-registry defaults (16 hashes × 4
+#: bands) are DEMO-scale — cheap signatures sized for sf0.1 tests, with
+#: the same ≈0.71 s-curve midpoint as production but a shallow curve
+#: (loose pairs still collide occasionally and must be killed by the
+#: exact-Jaccard verify). The production preset is the standard
+#: 128-hash signature in 16 bands of 8 rows: same ≈0.71 midpoint,
+#: but the collision s-curve is far sharper — P(collide) ≈ 0.001 at
+#: J=0.3 vs ≈ 0.97 at J=0.85 — so the verify join sees orders of
+#: magnitude fewer false candidates per true pair, which is what
+#: matters at 100 TB (candidate volume, not signature cost, dominates).
+MINHASH_PRESET_DEMO = {"num_hashes": 16, "bands": 4}
+MINHASH_PRESET_PRODUCTION = {"num_hashes": 128, "bands": 16}
+
+
+def lsh_threshold(num_hashes: int, bands: int) -> float:
+    """The banded-LSH s-curve midpoint ``(1/b)^(1/r)``: the Jaccard
+    similarity at which a pair's collision probability crosses ~50%."""
+    rows = num_hashes // bands
+    return (1.0 / bands) ** (1.0 / rows)
+
+
+def lsh_collision_probability(s: float, num_hashes: int, bands: int) -> float:
+    """P(candidate) for a pair with true Jaccard ``s`` under b bands of
+    r rows: ``1 - (1 - s^r)^b`` — each band collides iff all r minhashes
+    agree (prob s^r), and any colliding band makes the pair a candidate."""
+    rows = num_hashes // bands
+    return 1.0 - (1.0 - s**rows) ** bands
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -151,9 +180,12 @@ def minhash_lsh_pairs(
        Jaccard filters at ``threshold``.
 
     Banding with b bands of r rows targets the usual s-curve threshold
-    (1/b)^(1/r); defaults (4×4) sit at ≈0.71, so pairs above ~0.8 are
-    caught with probability >0.99 while unrelated pairs almost never
-    collide.
+    ``(1/b)^(1/r)`` (:func:`lsh_threshold`); the demo defaults (16
+    hashes, 4 bands of 4) sit at ≈0.71, so pairs above ~0.8 are caught
+    with probability >0.99 while unrelated pairs almost never collide.
+    At scale pass ``**MINHASH_PRESET_PRODUCTION`` (128 hashes, 16 bands
+    of 8 — same midpoint, far sharper curve, so the verify join sees
+    orders of magnitude fewer false candidates).
     """
     assert num_hashes % bands == 0, "num_hashes must divide into bands"
     r = num_hashes // bands

@@ -109,24 +109,29 @@ def type_profile(df: DataFrame) -> DataFrame:
     The reference profiles column types driver-side with pandas
     ``df[col].apply(type).value_counts()`` (DB/ETL.ipynb cell 8, raw
     166-170) to find mixed-type columns before schema coercion. The
-    distributed form: one pass per column over ``typeof`` (runtime SQL
-    type) x null-ness, unioned into a (column, sql_type, is_null, n)
-    profile. With explicit schemas the sql_type is constant per column —
-    the null split is the remaining useful signal."""
-    parts = []
-    for c in df.columns:
-        parts.append(
-            df.select(
+    distributed form reads the table ONCE: each row projects to an
+    array of (column, typeof, is_null) structs — one element per
+    column — which explodes and feeds a single partial-agg groupBy.
+    A union-of-per-column-scans shape would cost C full scans of a
+    C-column table; this is one scan regardless of width (the explode
+    fans out C× in-memory, which partial aggregation collapses before
+    the shuffle). With explicit schemas the sql_type is constant per
+    column — the null split is the remaining useful signal."""
+    entries = F.array(
+        *[
+            F.struct(
                 F.lit(c).alias("column"),
                 F.typeof(F.col(c)).alias("sql_type"),
                 F.col(c).isNull().alias("is_null"),
             )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.groupBy("column", "sql_type", "is_null").agg(
-        F.count(F.lit(1)).alias("n")
+            for c in df.columns
+        ]
+    )
+    return (
+        df.select(F.explode(entries).alias("_e"))
+        .select("_e.column", "_e.sql_type", "_e.is_null")
+        .groupBy("column", "sql_type", "is_null")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 

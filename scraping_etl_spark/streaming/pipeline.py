@@ -305,45 +305,78 @@ def incremental_star_stream(
       after a partial commit) rewrites exactly its own partition
       instead of re-appending duplicate fact rows, making the fact
       path idempotent end-to-end, not just the dims;
-    - ``topics`` dim: keyed merge via :func:`_merge_overwrite_by_key`
-      (temp-dir write + atomic swap — the merged plan never reads the
-      files the overwrite deletes, and nothing funnels through the
-      driver) — idempotent because the surrogate key is a pure
-      function of the natural key (replays converge to the same dim;
-      a nondeterministic key scheme would fork on every retry, which
-      is exactly reference quirk Q1).
+    - ``topics`` / ``authors`` dims: keyed merge via
+      :func:`_merge_overwrite_by_key` (temp-dir write + rename-aside
+      swap — the merged plan never reads the files the overwrite
+      deletes, and nothing funnels through the driver) — idempotent
+      because the surrogate key is a pure function of the natural key
+      (replays converge to the same dim; a nondeterministic key scheme
+      would fork on every retry, which is exactly reference quirk Q1);
+    - ``author_article_map`` bridge: explode(authors) per batch. The
+      bridge grows with the *fact*, not the dims, so it takes the fact
+      path — ``batch_id``-partition dynamic overwrite — rather than a
+      keyed merge (which would rescan the whole fact-scale bridge every
+      micro-batch). Replays rewrite exactly their own partition; no
+      duplicate (DOI, AuthorID) edges survive a retry.
 
     Dims are orders smaller than facts, so the scan-merge-swap is
-    cheap at any scale; the fact path only ever rewrites the replayed
-    batch's own partition."""
+    cheap at any scale; the fact and bridge paths only ever rewrite the
+    replayed batch's own partition."""
     import os
 
     from scraping_etl_spark.etl.star_schema import surrogate_key
 
     fact_dir = os.path.join(out_dir, "articles")
     topic_dir = os.path.join(out_dir, "topics")
+    author_dir = os.path.join(out_dir, "authors")
+    bridge_dir = os.path.join(out_dir, "author_article_map")
+
+    def _overwrite_own_partition(df: DataFrame, batch_id: int, path: str) -> None:
+        # idempotent append: each micro-batch owns the batch_id=<id>
+        # partition; a checkpoint replay of the same batch dynamically
+        # overwrites only that partition
+        (
+            df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.withColumn("TopicID", surrogate_key("topic"))
-        # fact: idempotent append — each micro-batch owns the
-        # batch_id=<id> partition; a checkpoint replay of the same
-        # batch dynamically overwrites only that partition
-        (
+        # fact
+        _overwrite_own_partition(
             batch_df.select(
                 F.col("doi").alias("DOI"),
                 F.col("title").alias("Title"),
                 "TopicID",
                 F.col("site").alias("Website"),
-            )
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(fact_dir)
+            ),
+            batch_id,
+            fact_dir,
         )
-        # dim: keyed dedup-merge (idempotent under replay)
+        # dims: keyed dedup-merge (idempotent under replay)
         new_topics = batch_df.select("TopicID", F.col("topic").alias("Topic")).distinct()
         _merge_overwrite_by_key(new_topics, topic_dir, ["TopicID"])
+        exploded = batch_df.select(
+            F.col("doi").alias("DOI"), F.explode("authors").alias("FullName")
+        )
+        new_authors = (
+            exploded.select("FullName")
+            .distinct()
+            .withColumn("AuthorID", surrogate_key("FullName"))
+            .select("AuthorID", "FullName")
+        )
+        _merge_overwrite_by_key(new_authors, author_dir, ["AuthorID"])
+        # bridge: fact-scale, so fact-path idempotency
+        _overwrite_own_partition(
+            exploded.select(
+                "DOI", surrogate_key("FullName").alias("AuthorID")
+            ).distinct(),
+            batch_id,
+            bridge_dir,
+        )
 
     writer = (
         stream.writeStream.outputMode("append")

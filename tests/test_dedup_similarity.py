@@ -174,6 +174,19 @@ def test_type_profile(spark):
     assert rows[("v", "string", False)] == 1
 
 
+def test_type_profile_single_scan(spark, tmp_path):
+    """The profile must read the table exactly once however wide it is
+    (the union-of-per-column-scans shape costs C scans at 100 TB)."""
+    from scraping_etl_spark.operators.textstats import type_profile
+
+    path = str(tmp_path / "wide")
+    spark.range(100).selectExpr(
+        "id", "cast(id as string) a", "id * 2 b", "cast(null as string) c"
+    ).write.parquet(path)
+    plan = type_profile(spark.read.parquet(path))._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+
+
 def _docs(spark):
     return spark.createDataFrame(
         [(1, "hello world this is a longer document"), (2, "short"), (3, "x" * 40)],
@@ -224,3 +237,58 @@ def test_dedup_clusters_numeric_string_ids_ok(spark):
     pairs = spark.createDataFrame([("1", "2"), ("2", "3")], ["id_a", "id_b"])
     got = {(r.doc_id, r.cluster_id) for r in dedup_clusters(pairs).collect()}
     assert got == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_lsh_scurve_math():
+    """Pin the (1/b)^(1/r) threshold and 1-(1-s^r)^b collision curve
+    for both presets: same ~0.71 midpoint, production curve far sharper
+    at both tails (the property that bounds verify-join volume at
+    scale)."""
+    from scraping_etl_spark.operators.dedup import (
+        MINHASH_PRESET_DEMO,
+        MINHASH_PRESET_PRODUCTION,
+        lsh_collision_probability,
+        lsh_threshold,
+    )
+
+    demo_t = lsh_threshold(**MINHASH_PRESET_DEMO)
+    prod_t = lsh_threshold(**MINHASH_PRESET_PRODUCTION)
+    assert demo_t == pytest.approx((1 / 4) ** (1 / 4)) == pytest.approx(0.7071, abs=1e-4)
+    assert prod_t == pytest.approx((1 / 16) ** (1 / 8)) == pytest.approx(0.7071, abs=1e-4)
+
+    # sharper curve: production admits far fewer loose pairs and
+    # catches near-dups with higher probability than demo
+    p = lambda s, preset: lsh_collision_probability(s, **preset)
+    assert p(0.3, MINHASH_PRESET_PRODUCTION) < 0.002 < p(0.3, MINHASH_PRESET_DEMO)
+    assert p(0.85, MINHASH_PRESET_PRODUCTION) > 0.95 > p(0.85, MINHASH_PRESET_DEMO)
+    # at the midpoint t, t^r = 1/b exactly, so P = 1 - (1 - 1/b)^b
+    for preset, t in ((MINHASH_PRESET_DEMO, demo_t), (MINHASH_PRESET_PRODUCTION, prod_t)):
+        b = preset["bands"]
+        assert p(t, preset) == pytest.approx(1 - (1 - 1 / b) ** b)
+    # monotone in s
+    probs = [p(s / 20, MINHASH_PRESET_PRODUCTION) for s in range(21)]
+    assert probs == sorted(probs) and probs[0] == 0.0 and probs[-1] == 1.0
+
+
+def test_minhash_production_preset_runs(spark):
+    """The 128x16 production preset is mechanically valid end-to-end:
+    near-identical docs pair up, unrelated docs don't."""
+    from scraping_etl_spark.operators.dedup import (
+        MINHASH_PRESET_PRODUCTION,
+        minhash_lsh_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    rows = [
+        (1, base),
+        (2, base + " tonight"),  # near-dup of 1
+        (3, "completely different content about distributed query engines at scale"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            df, threshold=0.5, **MINHASH_PRESET_PRODUCTION
+        ).collect()
+    }
+    assert got == {(1, 2)}

@@ -92,3 +92,59 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_customer")
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Scale proof for the no-salt path: AQE's skew-join handles a
+    90%-one-key join on its own (thresholds scaled down to test size).
+    At 100 TB the same mechanism splits oversized shuffle partitions at
+    their real defaults; salted_join remains the belt-and-braces manual
+    fallback for engines/joins AQE can't rewrite."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        # force a sort-merge join: skew splitting applies to SMJ/SHJ
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+        pad = "x" * 100
+        probe = spark.range(50_000).selectExpr(
+            "if(id % 10 = 0, id, 1) as k", f"concat('{pad}', id) as pv"
+        )
+        build = spark.range(0, 50_000, 7).selectExpr(
+            "id as k", "concat('b', id) as bv"
+        )
+        joined = probe.join(build, "k")
+        # execute joined ITSELF (count() would run a different plan and
+        # leave joined's AdaptiveSparkPlan unfinalized)
+        n = len(joined.collect())
+        # correctness: hot key 1 matches nothing (1 % 7 != 0) except k=1?
+        # 1 is not a multiple of 7, so only the 10%-tail keys match
+        expect = probe.filter("k % 7 = 0").count()
+        assert n == expect > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -18,6 +18,13 @@ scan, `BroadcastHashJoin` where a small side exists, `WholeStageCodegen`
 spans over the expression-heavy stages, and the absence of
 `CartesianProduct` / single-partition `Window` nodes. Regenerate with
 `python tools/dump_plans.py`.
+
+Skew: the engine session runs with AQE + skew-join enabled, so oversized
+shuffle partitions in any of these joins are split at runtime
+(`tests/test_skew_and_materialize.py::test_aqe_skew_join_splits_hot_partition`
+proves the mechanism engages on a 90%-one-key join, with `skew=true` in
+the final adaptive plan); `operators/skew.salted_join` stays as the
+manual fallback for join shapes AQE can't rewrite.
 """
 
 
@@ -40,8 +47,23 @@ def main() -> None:
          "per-row MinHash signatures, banded LSH equi-join, no cross join"),
         ("emb_ann_topk", M.q_emb_ann_topk,
          "LSH bucket equi-join with multi-probe; no cartesian"),
+        ("emb_ivf_topk", M.q_emb_ivf_topk,
+         "IVF: centroid literals in-plan, per-row nearest-list assignment, "
+         "hash equi-join on cluster id"),
         ("doc_token_bridge", M.q_doc_token_bridge,
          "explode + broadcast dim join (J2/J3 shape)"),
+        ("doc_neardup_clusters", M.q_doc_neardup_clusters,
+         "iterative connected components: the visible plan is the FINAL "
+         "round's labels over a localCheckpoint scan — each of the "
+         "O(diameter) rounds was one equi-join + one partial-agg groupBy, "
+         "its lineage deliberately truncated (un-truncated, plan analysis "
+         "alone OOMs the driver at ~12 rounds)"),
+        ("doc_neardup_survivors", M.q_doc_neardup_survivors,
+         "pairs -> clusters -> min-id survivor left-join (singletons kept "
+         "via coalesce) -> per-language rollup"),
+        ("doc_corpus_profile", M.q_doc_corpus_profile,
+         "exact distinct counts: single scan, partial-agg before the "
+         "lang shuffle (HLL twin shares the shape minus the distinct)"),
     ]
 
     spark = get_spark()
