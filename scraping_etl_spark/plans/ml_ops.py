@@ -499,7 +499,7 @@ _IVF_ORACLE_SF_DIR = os.environ.get(
 )
 
 
-def oracle_emb_ivf_topk() -> str:
+def oracle_emb_ivf_topk(sf_dir: str | None = None) -> str:
     """DuckDB twin of :func:`q_emb_ivf_topk`, built *lazily* (the
     registry's callable-oracle support exists for exactly this case)
     because the centroids are run-time plan constants: ``ivf_train``
@@ -510,8 +510,12 @@ def oracle_emb_ivf_topk() -> str:
     arithmetic mirrored bit-for-bit: the same left-fold squared-distance
     sum, the same (distance, cid) lexicographic nearest-centroid pick
     (Spark's ``array_sort`` over structs ≡ ``ORDER BY d, cid``), the
-    same 4-probe fan-out, and the same (cos DESC, id ASC) ranking."""
-    centroids = _ivf_index(_IVF_ORACLE_SF_DIR)
+    same 4-probe fan-out, and the same (cos DESC, id ASC) ranking.
+
+    Zero-arg (the registry's lazy-oracle contract) trains at the
+    driver's correctness scale; tests comparing at another sf pass
+    their own ``sf_dir`` so both sides share one index."""
+    centroids = _ivf_index(sf_dir or _IVF_ORACLE_SF_DIR)
     cent_rows = ",\n         ".join(
         "({i}, [{xs}])".format(
             i=i, xs=", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in c)

@@ -15,7 +15,11 @@ ORACLE_SPECS = [q for q in QUERIES if q.oracle is not None]
 @pytest.mark.parametrize("spec", ORACLE_SPECS, ids=[q.name for q in ORACLE_SPECS])
 def test_query_matches_oracle(spark, spec):
     df = spec.fn(spark, SF_SMOKE)
-    assert_matches_oracle(df, spec.oracle, SF_SMOKE)
+    # lazy oracles embed run-time plan constants (e.g. IVF centroids)
+    # that depend on the scale dir — build them for THIS sf, the same
+    # way the driver's zero-arg call builds them for sf0.01
+    oracle = spec.oracle(SF_SMOKE) if callable(spec.oracle) else spec.oracle
+    assert_matches_oracle(df, oracle, SF_SMOKE)
 
 
 @pytest.mark.parametrize("spec", [q for q in QUERIES if q.oracle is None],

@@ -143,3 +143,66 @@ def test_json_array_max_rows_guard(spark, tmp_path):
         from scraping_etl_spark.sources.writers import write_json_array
 
         write_json_array(df, p, max_rows=5)
+
+
+def test_mongodb_contract_via_fake_source(spark):
+    """S9/S10 contract without the connector jar: a Python DataSource
+    registered under the same ``mongodb`` format name receives exactly
+    the options the wrappers wire (connection.uri / database /
+    collection). NOTE: registration is session-wide and cannot be
+    undone, so this test must stay AFTER the jar-absent error-path test
+    in this file (pytest runs tests in definition order)."""
+    import pytest
+    from pyspark.sql.datasource import DataSource, DataSourceReader
+
+    from scraping_etl_spark.sources.readers import read_mongodb
+    from scraping_etl_spark.sources.writers import write_mongodb
+
+    class FakeMongoReader(DataSourceReader):
+        def __init__(self, options):
+            self.options = options
+
+        def read(self, partition):
+            for k in ("connection.uri", "database", "collection"):
+                yield (k, self.options.get(k))
+
+    class FakeMongoSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "mongodb"
+
+        def schema(self):
+            return "k string, v string"
+
+        def reader(self, schema):
+            return FakeMongoReader(self.options)
+
+        def writer(self, schema, overwrite):
+            raise ValueError(
+                "fake-mongo-write "
+                + " ".join(
+                    f"{k}={self.options.get(k)}"
+                    for k in ("connection.uri", "database", "collection")
+                )
+            )
+
+    spark.dataSource.register(FakeMongoSource)
+
+    got = {
+        r.k: r.v
+        for r in read_mongodb(
+            spark, "mongodb://h:27017", "db1", "coll1"
+        ).collect()
+    }
+    assert got == {
+        "connection.uri": "mongodb://h:27017",
+        "database": "db1",
+        "collection": "coll1",
+    }
+
+    df = spark.createDataFrame([(1,)], "a int")
+    with pytest.raises(RuntimeError) as ei:
+        write_mongodb(df, "mongodb://h:27017", "db2", "coll2")
+    cause = str(ei.value.__cause__)
+    assert "connection.uri=mongodb://h:27017" in cause
+    assert "database=db2" in cause and "collection=coll2" in cause
