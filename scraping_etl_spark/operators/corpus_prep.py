@@ -1,0 +1,321 @@
+"""Corpus-preparation operators for LLM training-data pipelines.
+
+North-star extensions beyond the reference's cleaning surface
+(reference stops at notebook-style column cleanup — ``ETL.ipynb``
+fillna/replace cells): these are the document-level operators a
+100 TB pretraining corpus needs between "scraped" and "tokenized":
+
+- :func:`scrub_pii` — regex redaction of emails / phones / SSNs /
+  IPs / card numbers, with per-category match counts. Pure
+  ``regexp_replace`` chain: JVM-side, whole-stage-codegen'd, and the
+  patterns are written in the Java∩RE2 common subset (no lookarounds,
+  no backreferences) so a DuckDB oracle reproduces them bit-for-bit.
+- :func:`with_repetition_stats` — Gopher-style repetition signals
+  (Rae et al. 2021, arXiv:2112.11446 §A1.1): duplicate-token /
+  duplicate-trigram fractions per row, top-bigram fraction via an
+  explode + two-level partial aggregation (never a per-row O(n²)
+  scan of the gram array).
+- :func:`chunk_dedup_stats` — cross-document chunk-level dedup
+  (CCNet-style line dedup, Wenzek et al. 2019, adapted to fixed
+  token windows because the synthetic corpus is single-line): the
+  fraction of a doc's 10-token chunks that also appear in other docs.
+- :func:`decontaminate` — benchmark decontamination (GPT-3 paper
+  §C, Brown et al. 2020): flag training docs sharing any word
+  k-gram with a held-out benchmark set, via an equi-join on the
+  gram — the benchmark side is small by construction and broadcast.
+- :func:`domain_mix_sample` — deterministic stratified sampling to
+  a target domain mix: a doc survives iff its md5-derived bucket
+  falls under the stratum's rate. No RNG state, so reruns and the
+  correctness oracle are exact; sampling is a map-side filter (zero
+  shuffle) at any scale.
+- :func:`pack_sequences` — concat-and-chunk sequence packing: docs
+  are laid end-to-end per stratum in key order and cut every
+  ``budget`` tokens (the standard pretraining packing). The window
+  is partitioned by stratum — a 100 TB corpus packs each shard
+  independently; there is deliberately NO global-order window here.
+
+Scale notes: every operator is one scan plus (where unavoidable)
+hash-partitioned shuffles on high-cardinality keys (gram text, doc
+id). Nothing collects to the driver; nothing cross-joins.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from scraping_etl_spark.operators.dedup import _bind, word_shingles
+from scraping_etl_spark.operators.textstats import tokens
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+#: (name, pattern, replacement) — applied IN ORDER (a card number must be
+#: consumed before the phone pattern can bite a 3-3-4 suffix of it).
+#: Patterns stay inside the Java∩RE2 regex subset: character classes,
+#: bounded repetition, ``\b`` word boundaries; no lookarounds.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("card", r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b", "<CARD>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_scrubbed",
+    with_counts: bool = True,
+) -> DataFrame:
+    """Redact PII spans in ``text_col`` into ``out_col``; when
+    ``with_counts``, add one ``n_<category>`` column per pattern
+    (match counts against the ORIGINAL text, so categories are
+    independent of the replacement order)."""
+    scrubbed: Column = F.col(text_col)
+    for _, pat, rep in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, rep)
+    out = df.withColumn(out_col, scrubbed)
+    if with_counts:
+        for name, pat, _ in PII_PATTERNS:
+            out = out.withColumn(
+                f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)).cast("long")
+            )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Repetition (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+def word_grams(text_col: Column | str, k: int) -> Column:
+    """ALL word k-grams of ``text_col`` in order, repeats kept (the
+    multiset — unlike :func:`~scraping_etl_spark.operators.dedup.
+    word_shingles`, which is the distinct set). Token array bound once
+    (single-evaluation hazard, see dedup module docstring)."""
+
+    def _grams(t: Column) -> Column:
+        n = F.size(t)
+        idx = F.when(n >= k, F.sequence(F.lit(1), n - k + 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(idx, lambda i: F.array_join(F.slice(t, i, k), " "))
+
+    return _bind(tokens(text_col), _grams)
+
+
+def with_repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition signals: ``dup_token_frac`` and
+    ``dup_trigram_frac`` (1 − distinct/total, zero when total is 0)
+    computed per row, plus ``top_bigram_frac`` (occurrences of the
+    modal bigram / total bigrams) via explode → count(doc, gram) →
+    max-per-doc — two partial-aggregated shuffles, never a per-row
+    quadratic pass. ``repeated_flag`` trips at the Gopher-ish
+    thresholds (top-bigram > 0.18 or dup-trigram > 0.30)."""
+
+    def dup_frac(grams: Column) -> Column:
+        return _bind(
+            grams,
+            lambda g: F.when(
+                F.size(g) > 0,
+                F.round(1.0 - F.size(F.array_distinct(g)) / F.size(g), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+
+    per_row = df.select(
+        F.col(id_col),
+        dup_frac(tokens(text_col)).alias("dup_token_frac"),
+        dup_frac(word_grams(text_col, 3)).alias("dup_trigram_frac"),
+    )
+    bigram_counts = (
+        df.select(F.col(id_col), F.explode(word_grams(text_col, 2)).alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy(id_col)
+        .agg(
+            F.max("_n").alias("_top"),
+            F.sum("_n").alias("_total"),
+        )
+        .select(
+            F.col(id_col),
+            F.round(F.col("_top") / F.col("_total"), 6).alias("top_bigram_frac"),
+        )
+    )
+    return (
+        per_row.join(bigram_counts, id_col, "left")
+        .withColumn("top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0)))
+        .withColumn(
+            "repeated_flag",
+            (F.col("top_bigram_frac") > 0.18) | (F.col("dup_trigram_frac") > 0.30),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document chunk dedup
+# ---------------------------------------------------------------------------
+
+def token_chunks(text_col: Column | str, chunk_len: int = 10) -> Column:
+    """Non-overlapping ``chunk_len``-token windows (tail shorter than
+    ``chunk_len`` kept) — the 'lines' of a single-line corpus."""
+
+    def _chunks(t: Column) -> Column:
+        n = F.size(t)
+        starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(chunk_len))).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(starts, lambda i: F.array_join(F.slice(t, i, chunk_len), " "))
+
+    return _bind(tokens(text_col), _chunks)
+
+
+def chunk_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_len: int = 10,
+) -> DataFrame:
+    """For every document: how many of its distinct chunks also occur
+    in at least one OTHER document, and the shared fraction. The plan
+    is explode → per-(doc, chunk) distinct → per-chunk distinct-doc
+    count → join back on the chunk hash → per-doc aggregate: all
+    shuffles keyed on high-cardinality values (chunk md5, doc id)."""
+    pairs = (
+        df.select(F.col(id_col), F.explode(token_chunks(text_col, chunk_len)).alias("_c"))
+        .select(id_col, F.md5("_c").alias("_h"))
+        .distinct()
+    )
+    docs_per_chunk = pairs.groupBy("_h").agg(F.count(F.lit(1)).alias("_docs"))
+    return (
+        pairs.join(docs_per_chunk, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("_docs") > 1, 1).otherwise(0)).alias("n_shared"),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_chunks"), 6).alias("shared_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Flag training docs that share ≥1 word ``k``-gram with the
+    benchmark corpus (GPT-3-style n-gram decontamination). Returns
+    ``train`` ids + ``n_hits`` (distinct shared grams) +
+    ``contaminated``. The benchmark gram set is deduped and
+    broadcast — the join never shuffles the training-side grams when
+    the planner takes the hint; at benchmark sizes that outgrow a
+    broadcast, drop the hint and the same plan becomes a shuffle
+    hash join on the gram."""
+    bench_grams = bench.select(
+        F.explode(word_shingles(F.col(text_col), k)).alias("_g")
+    ).distinct()
+    train_grams = train.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("_g")
+    )
+    hits = (
+        train_grams.join(F.broadcast(bench_grams), "_g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic domain-mix sampling
+# ---------------------------------------------------------------------------
+
+#: Resolution of the sampling rates (1/10000ths).
+MIX_BUCKETS = 10_000
+
+
+def mix_bucket(key: Column) -> Column:
+    """Uniform bucket in [0, MIX_BUCKETS) from the md5 of the key —
+    60 md5 bits via the base-16→10 conv trick, bit-identical in the
+    DuckDB oracle (``('0x' || substr(md5(x), 1, 15))::BIGINT``)."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(MIX_BUCKETS))
+
+
+def domain_mix_sample(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    key_col: str = "doc_id",
+    strata_col: str = "lang",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified downsampling to a target mix: a row
+    survives iff ``mix_bucket(key) < rate(stratum) · MIX_BUCKETS``.
+    Zero shuffle — the whole sampler is a map-side filter — and
+    rerun-stable (no RNG state), which is what makes a 100 TB mix
+    reproducible and its correctness oracle exact."""
+    rate = F.lit(default_rate)
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(float(r))).otherwise(rate)
+    return df.filter(mix_bucket(F.col(key_col)) < rate * MIX_BUCKETS)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: str = "lang",
+) -> DataFrame:
+    """Concat-and-chunk packing: within each ``by`` stratum, documents
+    are laid end-to-end in ``id_col`` order and cut every ``budget``
+    tokens; a doc belongs to the sequence its first token lands in.
+    Returns one row per (stratum, seq_id): doc count, token total,
+    id span. The running sum is windowed PER STRATUM — shards pack
+    independently, so there is no global sort and no single-partition
+    window at any scale."""
+    w = (
+        Window.partitionBy(by)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    toks = df.select(
+        F.col(by), F.col(id_col), F.size(tokens(text_col)).cast("long").alias("_n")
+    )
+    placed = toks.withColumn(
+        "seq_id", F.floor(F.coalesce(F.sum("_n").over(w), F.lit(0)) / budget)
+    )
+    return placed.groupBy(by, "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n").alias("seq_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )

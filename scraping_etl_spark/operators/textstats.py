@@ -19,7 +19,7 @@ which stops at regex scrubbing — DB/ETL.ipynb cell 25, raw 846-868):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Small per-language stopword marker sets for the heuristic language ID.
@@ -210,3 +210,33 @@ def rolling_fingerprint(text_col: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda acc, t: (acc * F.lit(ROLLING_BASE) + t) % F.lit(ROLLING_PRIME),
     )
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer-style vocabulary build: the top-``k`` lowercased
+    whitespace tokens by corpus frequency, with document frequency and
+    a deterministic rank (ties broken by token text — the same total
+    order a reproducible tokenizer build needs).
+
+    Plan shape for 100 TB: explode → partial-aggregated groupBy(token)
+    → ``TakeOrderedAndProject`` for the top-k (each partition keeps
+    only k candidates; no global sort materializes). Only the k
+    SURVIVORS pass through the single-partition rank window — k is a
+    vocab size (10^3..10^5), driver-safe by construction."""
+    counts = (
+        df.select(F.explode(tokens(text_col, lowercase=True)).alias("token"),
+                  F.col(id_col))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct(id_col).alias("n_docs"),
+        )
+    )
+    top = counts.orderBy(F.desc("n_occ"), F.asc("token")).limit(k)
+    w = Window.orderBy(F.desc("n_occ"), F.asc("token"))
+    return top.withColumn("rank", F.row_number().over(w))
