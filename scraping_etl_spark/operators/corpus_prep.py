@@ -110,7 +110,10 @@ def word_grams(text_col: Column | str, k: int) -> Column:
 
 
 def with_repetition_stats(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_grams: int = 20,
 ) -> DataFrame:
     """Per-document repetition signals: ``dup_token_frac`` and
     ``dup_trigram_frac`` (1 − distinct/total, zero when total is 0)
@@ -118,7 +121,16 @@ def with_repetition_stats(
     modal bigram / total bigrams) via explode → count(doc, gram) →
     max-per-doc — two partial-aggregated shuffles, never a per-row
     quadratic pass. ``repeated_flag`` trips at the Gopher-ish
-    thresholds (top-bigram > 0.18 or dup-trigram > 0.30)."""
+    thresholds (top-bigram > 0.18 or dup-trigram > 0.30).
+
+    The top-bigram clause only applies to docs with at least
+    ``min_grams`` bigrams: with n bigrams the modal fraction is ≥ 1/n,
+    so without the floor every ≤6-token doc would trip the 0.18
+    threshold even with all-unique tokens. Gopher applies these
+    fractional thresholds to long documents (Rae et al. 2021 §A1.1);
+    short docs are judged by the dup-trigram clause alone (which needs
+    actual repeats to fire). ``n_bigrams`` is emitted so downstream
+    filters can apply their own floor."""
 
     def dup_frac(grams: Column) -> Column:
         return _bind(
@@ -146,14 +158,17 @@ def with_repetition_stats(
         .select(
             F.col(id_col),
             F.round(F.col("_top") / F.col("_total"), 6).alias("top_bigram_frac"),
+            F.col("_total").cast("long").alias("n_bigrams"),
         )
     )
     return (
         per_row.join(bigram_counts, id_col, "left")
         .withColumn("top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0)))
+        .withColumn("n_bigrams", F.coalesce("n_bigrams", F.lit(0)).cast("long"))
         .withColumn(
             "repeated_flag",
-            (F.col("top_bigram_frac") > 0.18) | (F.col("dup_trigram_frac") > 0.30),
+            ((F.col("top_bigram_frac") > 0.18) & (F.col("n_bigrams") >= min_grams))
+            | (F.col("dup_trigram_frac") > 0.30),
         )
     )
 

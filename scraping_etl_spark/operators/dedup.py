@@ -265,9 +265,29 @@ def _long_id(c: Column, name: str) -> Column:
     on values that would silently cast to NULL — see the id contract in
     :func:`dedup_clusters`. ``coalesce`` is lazy left-to-right, so the
     error branch only evaluates for rows the cast cannot represent;
-    ``try_cast`` keeps the check mode-independent under ANSI."""
-    return F.coalesce(
-        c.try_cast("long"),
+    ``try_cast`` keeps the check mode-independent under ANSI.
+
+    Fractional numeric ids are rejected too: ``try_cast('long')`` on a
+    DOUBLE truncates (1.5 → 1), which would silently merge distinct
+    nodes. The round-trip compare runs in DECIMAL(38,18) — wide enough
+    to represent every long exactly (a double compare would rot above
+    2^53 for xxhash64-style ids) and exact for any fractional input
+    that survives the long cast."""
+    as_long = c.try_cast("long")
+    not_integral = as_long.isNotNull() & (
+        c.try_cast("decimal(38,18)") != as_long.cast("decimal(38,18)")
+    )
+    return F.when(
+        not_integral,
+        F.raise_error(
+            F.concat(
+                F.lit(f"dedup_clusters: fractional '{name}' id "),
+                c.cast("string"),
+                F.lit(" — ids must be integral; hash or floor first"),
+            )
+        ).cast("long"),
+    ).otherwise(F.coalesce(
+        as_long,
         F.when(c.isNull(), F.lit(None).cast("long")).otherwise(
             F.raise_error(
                 F.concat(
@@ -278,7 +298,7 @@ def _long_id(c: Column, name: str) -> Column:
                 )
             ).cast("long")
         ),
-    )
+    ))
 
 
 def dedup_clusters(

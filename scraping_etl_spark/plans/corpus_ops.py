@@ -1,0 +1,417 @@
+"""Driver-gate faces for the corpus-preparation operators.
+
+Each query here is the registry face of an operator in
+``operators/corpus_prep.py`` (PII scrub, repetition stats, chunk
+dedup, decontamination, domain-mix sampling, sequence packing),
+``operators/interval.py`` (bucketed point-in-interval join) or
+``operators/textstats.py`` (``vocab_topk``), paired with an exact
+DuckDB oracle. The operators were written oracle-portable on purpose
+(regexes in the Java∩RE2 common subset, md5-bucket arithmetic,
+window sums — see the corpus_prep module docstring); these gates
+cash that in.
+
+Corpus-construction notes, same convention as ``plans/ml_ops.py``:
+the synthetic ``documents`` table contains neither PII nor duplicate
+texts, so the PII query appends deterministic PII spans (mirrored in
+the oracle) and the chunk-dedup query unions a re-keyed copy of the
+first 50 docs — the operator then has real work to do while staying
+hash-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scraping_etl_spark.operators import corpus_prep as CP
+from scraping_etl_spark.operators.interval import interval_join
+from scraping_etl_spark.operators.textstats import vocab_topk
+from scraping_etl_spark.sources.readers import load_table
+
+_TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+_LTOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+def _with_injected_pii(d: DataFrame) -> DataFrame:
+    """Append deterministic PII spans (the synthetic corpus has none):
+    emails + a phone on doc_id ≡ 0 (mod 4), an SSN + a dashed card on
+    ≡ 1, an IP on ≡ 2, nothing on ≡ 3 — so every pattern fires, the
+    card-before-phone ordering is exercised (the dashed card contains a
+    3-3-4 digit suffix), and a quarter of the corpus is a no-op."""
+    mod = F.col("doc_id") % 4
+    suffix = (
+        F.when(
+            mod == 0,
+            F.concat(
+                F.lit(" reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-867-5309"),
+            ),
+        )
+        .when(mod == 1, F.lit(" ssn 123-45-6789 card 4111-1111-1111-1111"))
+        .when(
+            mod == 2,
+            F.concat(F.lit(" server 10.0.0."), (F.col("doc_id") % 250).cast("string")),
+        )
+        .otherwise(F.lit(""))
+    )
+    return d.withColumn("text", F.concat(F.col("text"), suffix))
+
+
+def q_doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction gate: inject deterministic PII, scrub with the
+    ordered ``regexp_replace`` chain, emit the md5 of the scrubbed text
+    (proves the replacement bytes, not just the counts) plus the
+    per-category match counts against the original text."""
+    d = load_table(spark, sf_dir, "documents")
+    out = CP.scrub_pii(_with_injected_pii(d))
+    return out.select(
+        "doc_id",
+        F.md5("text_scrubbed").alias("scrub_md5"),
+        "n_email", "n_ssn", "n_card", "n_phone", "n_ipv4",
+    )
+
+
+def _pii_oracle() -> str:
+    scrub = "text"
+    for _, pat, rep in CP.PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{rep}', 'g')"
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in CP.PII_PATTERNS
+    )
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+         text || CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN ' reach user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or 555-867-5309'
+           WHEN 1 THEN ' ssn 123-45-6789 card 4111-1111-1111-1111'
+           WHEN 2 THEN ' server 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+           ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       md5({scrub}) AS scrub_md5,
+       {counts}
+FROM injected
+"""
+
+
+ORACLE_DOC_PII_SCRUB = _pii_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Repetition stats
+# ---------------------------------------------------------------------------
+
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals over the documents table; the
+    synthetic corpus has a ~30-word vocabulary, so the dup fractions
+    are high and the thresholds genuinely split the rows."""
+    d = load_table(spark, sf_dir, "documents")
+    return CP.with_repetition_stats(d).select(
+        "doc_id", "dup_token_frac", "dup_trigram_frac",
+        "top_bigram_frac", "n_bigrams", "repeated_flag",
+    )
+
+
+ORACLE_DOC_REPETITION_STATS = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+grams AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(generate_series(1, len(t) - 2),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+              ELSE [] END AS tri,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(generate_series(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1])
+              ELSE [] END AS bi
+  FROM tok
+),
+per_row AS (
+  SELECT doc_id,
+         CASE WHEN len(t) > 0
+              THEN round(1.0 - len(list_distinct(t)) / len(t), 6)
+              ELSE 0.0 END AS dup_token_frac,
+         CASE WHEN len(tri) > 0
+              THEN round(1.0 - len(list_distinct(tri)) / len(tri), 6)
+              ELSE 0.0 END AS dup_trigram_frac
+  FROM grams
+),
+bg AS (
+  SELECT doc_id, g, count(*) AS n
+  FROM (SELECT doc_id, unnest(bi) AS g FROM grams)
+  GROUP BY 1, 2
+),
+top AS (
+  SELECT doc_id,
+         round(max(n) / sum(n), 6) AS top_bigram_frac,
+         CAST(sum(n) AS BIGINT) AS n_bigrams
+  FROM bg GROUP BY 1
+)
+SELECT p.doc_id,
+       dup_token_frac,
+       dup_trigram_frac,
+       coalesce(top_bigram_frac, 0.0) AS top_bigram_frac,
+       CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       ((coalesce(top_bigram_frac, 0.0) > 0.18
+         AND coalesce(n_bigrams, 0) >= 20)
+        OR dup_trigram_frac > 0.30) AS repeated_flag
+FROM per_row p LEFT JOIN top USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Chunk dedup
+# ---------------------------------------------------------------------------
+
+def q_doc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document chunk sharing over documents ∪ a re-keyed copy of
+    the first 50 docs (the corpus has no natural duplicates) — the
+    copied docs and their originals share every chunk."""
+    d = load_table(spark, sf_dir, "documents")
+    dup = d.filter(F.col("doc_id") < 50).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    return CP.chunk_dedup_stats(d.unionByName(dup)).select(
+        "doc_id", "n_chunks", "n_shared", "shared_frac"
+    )
+
+
+ORACLE_DOC_CHUNK_DEDUP = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50
+),
+tok AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+chunks AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(list_slice(t, i, i + 9), ' ')) AS h
+  FROM (
+    SELECT doc_id, t,
+           unnest(CASE WHEN len(t) > 0
+                       THEN generate_series(1, len(t), 10)
+                       ELSE [] END) AS i
+    FROM tok
+  )
+),
+dpc AS (SELECT h, count(*) AS docs FROM chunks GROUP BY 1)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       round(sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END) / count(*), 6)
+         AS shared_frac
+FROM chunks JOIN dpc USING (h)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Decontamination
+# ---------------------------------------------------------------------------
+
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination gate: the 'benchmark' is the doc_id ≡ 0
+    (mod 97) slice of the corpus itself (deterministic, non-empty at
+    every sf); with a ~30-word vocabulary many training docs share a
+    5-gram with it, so both flag values occur."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    return CP.decontaminate(d, bench, k=5).select(
+        "doc_id", "n_hits", "contaminated"
+    )
+
+
+ORACLE_DOC_DECONTAMINATE = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 5
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(t) - 4),
+                     i -> array_to_string(list_slice(t, i, i + 4), ' ')))
+              ELSE [] END AS s
+  FROM tok
+),
+bgrams AS (
+  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0
+),
+tgrams AS (SELECT doc_id, unnest(s) AS g FROM sh),
+hits AS (
+  SELECT doc_id, count(*) AS n
+  FROM tgrams JOIN bgrams USING (g)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_hits,
+       coalesce(n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Domain-mix sampling
+# ---------------------------------------------------------------------------
+
+#: lang → survival rate for the gate (fr/es fall to the 0.0 default).
+_MIX_RATES = {"de": 1.0, "en": 0.5, "zh": 0.25}
+
+
+def q_doc_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling gate: keep all de, half of en,
+    a quarter of zh, none of fr/es — the md5-bucket rule is
+    bit-portable, so the oracle reproduces the exact surviving set."""
+    d = load_table(spark, sf_dir, "documents")
+    return CP.domain_mix_sample(d, _MIX_RATES).select("doc_id", "lang")
+
+
+def _mix_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {int(rate * CP.MIX_BUCKETS)}"
+        for lang, rate in sorted(_MIX_RATES.items())
+    )
+    return f"""
+SELECT doc_id, lang
+FROM documents
+WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        % {CP.MIX_BUCKETS})
+      < CASE lang {cases} ELSE 0 END
+"""
+
+
+ORACLE_DOC_DOMAIN_MIX = _mix_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 256
+
+
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing gate: 256-token sequences per language
+    stratum (docs are ≤99 tokens, so sequences hold ~2-5 docs and some
+    docs straddle a boundary — the first-token placement rule is
+    exercised)."""
+    d = load_table(spark, sf_dir, "documents")
+    return CP.pack_sequences(d, budget=_PACK_BUDGET).select(
+        "lang", "seq_id", "n_docs", "seq_tokens", "first_doc", "last_doc"
+    )
+
+
+ORACLE_DOC_PACK_SEQUENCES = f"""
+WITH toks AS (
+  SELECT lang, doc_id, CAST(len({_TOKS}) AS BIGINT) AS n FROM documents
+),
+placed AS (
+  SELECT lang, doc_id, n,
+         CAST(floor(coalesce(
+           sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) / {_PACK_BUDGET}) AS BIGINT) AS seq_id
+  FROM toks
+)
+SELECT lang, seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS seq_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM placed
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bucketed interval join (operators/interval.py gate)
+# ---------------------------------------------------------------------------
+
+#: One day in microseconds — events span ~30 days, so per-(user, type)
+#: intervals explode into ≤31 buckets each.
+_IV_BUCKET_US = 86_400_000_000
+
+
+def q_event_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval gate: intervals are each user's [min ts,
+    max ts] activity span per event type; points are all of the user's
+    events. The bucketed join is a plain hash equi-join on
+    (user_id, day-bucket) — the plan-shape test asserts no
+    BroadcastNestedLoopJoin/CartesianProduct appears."""
+    e = load_table(spark, sf_dir, "events")
+    points = e.select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    intervals = e.groupBy("user_id", "event_type").agg(
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        F.unix_micros(F.max("ts")).alias("end_us"),
+    )
+    joined = interval_join(
+        points, intervals, "ts_us", "start_us", "end_us",
+        by="user_id", bucket_width=_IV_BUCKET_US,
+    )
+    return joined.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
+ORACLE_EVENT_INTERVAL_JOIN = """
+WITH pts AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+),
+iv AS (
+  SELECT user_id, event_type,
+         min(epoch_us(ts)) AS start_us,
+         max(epoch_us(ts)) AS end_us
+  FROM events GROUP BY 1, 2
+)
+SELECT iv.user_id, event_type,
+       CAST(count(*) AS BIGINT) AS n_points,
+       min(event_id) AS first_event
+FROM pts JOIN iv
+  ON pts.user_id = iv.user_id
+ AND ts_us BETWEEN start_us AND end_us
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary (textstats.vocab_topk gate)
+# ---------------------------------------------------------------------------
+
+#: The synthetic vocabulary is ~31 tokens — k=20 makes the top-k cut
+#: real (TakeOrderedAndProject actually drops rows).
+_VOCAB_K = 20
+
+
+def q_doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocab build gate: top-20 lowercased tokens by corpus
+    frequency with doc frequency and a deterministic tie-broken rank."""
+    d = load_table(spark, sf_dir, "documents")
+    return vocab_topk(d, k=_VOCAB_K).select("token", "n_occ", "n_docs", "rank")
+
+
+ORACLE_DOC_VOCAB_TOPK = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_LTOKS}) AS token FROM documents
+),
+counts AS (
+  SELECT token,
+         CAST(count(*) AS BIGINT) AS n_occ,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM tok GROUP BY 1
+),
+top AS (
+  SELECT * FROM counts ORDER BY n_occ DESC, token LIMIT {_VOCAB_K}
+)
+SELECT token, n_occ, n_docs,
+       CAST(row_number() OVER (ORDER BY n_occ DESC, token) AS INTEGER) AS rank
+FROM top
+"""

@@ -304,7 +304,10 @@ ORACLE_DOC_SIMHASH = _simhash_oracle()
 
 def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram-shingle Jaccard between consecutive doc ids — exercises
-    the exact n-gram Jaccard primitive on a deterministic pairing."""
+    the exact n-gram Jaccard primitive on a deterministic pairing. The
+    pairing is a LEFT join so the max-id doc (which has no successor)
+    still appears, with a NULL jaccard — one output row per input doc,
+    the contract a boundary-safe operator face owes its callers."""
     d = load_table(spark, sf_dir, "documents")
     a = d.select("doc_id", DD.word_shingles(F.col("text"), 3).alias("_sa"))
     b = d.select(
@@ -312,8 +315,14 @@ def q_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         DD.word_shingles(F.col("text"), 3).alias("_sb"),
     )
     return (
-        a.join(b, "doc_id")
-        .select("doc_id", DD.jaccard(F.col("_sa"), F.col("_sb")).alias("jaccard"))
+        a.join(b, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("_sb").isNotNull(),
+                DD.jaccard(F.col("_sa"), F.col("_sb")),
+            ).alias("jaccard"),
+        )
     )
 
 
@@ -326,9 +335,11 @@ WITH sh AS (
   FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
 )
 SELECT a.doc_id,
-       round(len(list_intersect(a.s, b.s))
-             / greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) AS jaccard
-FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+       CASE WHEN b.doc_id IS NOT NULL
+            THEN round(len(list_intersect(a.s, b.s))
+                       / greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6)
+            END AS jaccard
+FROM sh a LEFT JOIN sh b ON b.doc_id = a.doc_id + 1
 """
 
 
@@ -475,12 +486,29 @@ def _ivf_index(sf_dir: str) -> tuple:
     return tuple(tuple(c) for c in SIM.ivf_train(e, n_clusters=16))
 
 
+#: sf_dirs this process has run :func:`q_emb_ivf_topk` at, and the dir
+#: the ZERO-ARG oracle (the driver's path) trained at — used to fail
+#: fast on the silent-mismatch hazard where the Spark query trains at
+#: one scale while the default-built oracle trained at another.
+_ivf_query_dirs: set[str] = set()
+_ivf_zero_arg_oracle_dir: str | None = None
+
+
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means inverted-list) approximate top-3 — the
     cluster-pruned scale path beside the LSH one; probes search their 4
     nearest of 16 lists (operators/similarity.ivf_topk). The index is
     built once per sf_dir and reused. Approximate by design + iterative
     training → rows-only driver check."""
+    if _ivf_zero_arg_oracle_dir is not None and _ivf_zero_arg_oracle_dir != sf_dir:
+        raise RuntimeError(
+            f"emb_ivf_topk: the zero-arg oracle trained its index at "
+            f"{_ivf_zero_arg_oracle_dir!r} but the query is running at "
+            f"{sf_dir!r} — the hash compare would silently mismatch. Set "
+            f"SPARK_GRAFT_ORACLE_SF_DIR={sf_dir} (or pass sf_dir to "
+            f"oracle_emb_ivf_topk) so both sides share one index."
+        )
+    _ivf_query_dirs.add(sf_dir)
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -514,8 +542,30 @@ def oracle_emb_ivf_topk(sf_dir: str | None = None) -> str:
 
     Zero-arg (the registry's lazy-oracle contract) trains at the
     driver's correctness scale; tests comparing at another sf pass
-    their own ``sf_dir`` so both sides share one index."""
-    centroids = _ivf_index(sf_dir or _IVF_ORACLE_SF_DIR)
+    their own ``sf_dir`` so both sides share one index. The zero-arg
+    path threads the live sf rather than trusting the import-time env
+    default: if this process has already run the IVF *query* at exactly
+    one sf_dir, the oracle adopts it (driver runs query + oracle in one
+    process, so this pairs them by construction); the chosen dir is
+    recorded and :func:`q_emb_ivf_topk` fails fast on any later
+    divergence instead of letting the hash gate silently mismatch."""
+    global _ivf_zero_arg_oracle_dir
+    if sf_dir is None:
+        if "SPARK_GRAFT_ORACLE_SF_DIR" in os.environ:
+            resolved = os.environ["SPARK_GRAFT_ORACLE_SF_DIR"]
+        elif len(_ivf_query_dirs) == 1:
+            resolved = next(iter(_ivf_query_dirs))
+        else:
+            resolved = _IVF_ORACLE_SF_DIR
+        if _ivf_query_dirs and resolved not in _ivf_query_dirs:
+            raise RuntimeError(
+                f"emb_ivf_topk oracle: would train at {resolved!r} but the "
+                f"query ran at {sorted(_ivf_query_dirs)!r} — pass sf_dir or "
+                f"set SPARK_GRAFT_ORACLE_SF_DIR to pair them."
+            )
+        _ivf_zero_arg_oracle_dir = resolved
+        sf_dir = resolved
+    centroids = _ivf_index(sf_dir)
     cent_rows = ",\n         ".join(
         "({i}, [{xs}])".format(
             i=i, xs=", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in c)

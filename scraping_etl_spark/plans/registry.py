@@ -12,6 +12,7 @@ from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from scraping_etl_spark.plans import corpus_ops as C
 from scraping_etl_spark.plans import ml_ops as M
 from scraping_etl_spark.plans import pipeline_ops as P
 from scraping_etl_spark.plans import relational as R
@@ -230,6 +231,49 @@ QUERIES: list[QuerySpec] = [
         "doc_corpus_profile_hll", M.q_doc_corpus_profile_hll, None,
         "per-lang approx_count_distinct profile (HLL sketches are "
         "engine-specific → rows-only check, by design)",
+    ),
+    QuerySpec(
+        "doc_pii_scrub", C.q_doc_pii_scrub, C.ORACLE_DOC_PII_SCRUB,
+        "ordered regexp_replace PII redaction + per-category counts "
+        "(corpus_prep.scrub_pii)",
+    ),
+    QuerySpec(
+        "doc_repetition_stats", C.q_doc_repetition_stats,
+        C.ORACLE_DOC_REPETITION_STATS,
+        "Gopher-style dup-token/trigram + modal-bigram repetition "
+        "signals (corpus_prep.with_repetition_stats)",
+    ),
+    QuerySpec(
+        "doc_chunk_dedup", C.q_doc_chunk_dedup, C.ORACLE_DOC_CHUNK_DEDUP,
+        "cross-document chunk-sharing stats, CCNet-style "
+        "(corpus_prep.chunk_dedup_stats)",
+    ),
+    QuerySpec(
+        "doc_decontaminate", C.q_doc_decontaminate, C.ORACLE_DOC_DECONTAMINATE,
+        "GPT-3-style 5-gram benchmark decontamination "
+        "(corpus_prep.decontaminate)",
+    ),
+    QuerySpec(
+        "doc_domain_mix", C.q_doc_domain_mix, C.ORACLE_DOC_DOMAIN_MIX,
+        "deterministic md5-bucket stratified sampling to a target mix "
+        "(corpus_prep.domain_mix_sample)",
+    ),
+    QuerySpec(
+        "doc_pack_sequences", C.q_doc_pack_sequences,
+        C.ORACLE_DOC_PACK_SEQUENCES,
+        "concat-and-chunk sequence packing per stratum "
+        "(corpus_prep.pack_sequences)",
+    ),
+    QuerySpec(
+        "event_interval_join", C.q_event_interval_join,
+        C.ORACLE_EVENT_INTERVAL_JOIN,
+        "bucketed point-in-interval join — hash equi-join, never BNLJ "
+        "(operators/interval.interval_join)",
+    ),
+    QuerySpec(
+        "doc_vocab_topk", C.q_doc_vocab_topk, C.ORACLE_DOC_VOCAB_TOPK,
+        "tokenizer vocab build: top-k tokens via TakeOrderedAndProject "
+        "(textstats.vocab_topk)",
     ),
 ]
 

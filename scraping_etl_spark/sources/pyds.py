@@ -53,8 +53,11 @@ def _fixture_fetch(site: str, topic: str, page: int) -> str:
     """Deterministic fixture HTML for one result page. A site named
     'boom' raises — used by tests to PROVE partition pruning (a pruned
     partition is never fetched, so filtering site != 'boom' must
-    succeed)."""
+    succeed). A topic of the form 'boomafterN' raises for pages > N —
+    the same proof for page-window (limit) pruning."""
     if site == "boom":
+        raise IOError(f"fetch exploded for {site}/{topic}/{page}")
+    if topic.startswith("boomafter") and page > int(topic[len("boomafter"):]):
         raise IOError(f"fetch exploded for {site}/{topic}/{page}")
     rows = []
     for i in (1, 2):
@@ -68,10 +71,28 @@ def _fixture_fetch(site: str, topic: str, page: int) -> str:
 
 
 class ScrapeFixtureReader(DataSourceReader):
+    """Reader with filter pushdown via the planner protocol and limit
+    pushdown via the page-window option.
+
+    LIMIT note: PySpark's Python DataSource API (4.1) exposes
+    ``pushFilters`` but no ``pushLimit`` — a ``.limit(n)`` cannot reach
+    the reader through Catalyst. The reference's limit pushdown is the
+    paginated URL window (``show=100&offset=k`` —
+    ScienceDirect/ScienceDirect.py:534), and that form IS expressible
+    here: ``max_results`` truncates the page range so trailing page
+    partitions are never even planned, let alone fetched. Spark's
+    CollectLimit still applies the exact row cut on top; the source's
+    job is to not fetch pages past the window."""
+
     def __init__(self, options: dict):
         self.sites = [s for s in options.get("sites", "sd").split(",") if s]
         self.topics = [t for t in options.get("topics", "AI").split(",") if t]
         self.pages = int(options.get("pages", "1"))
+        #: rows one page of one (site, topic) yields — the reference's
+        #: ``show`` page-size parameter (fixture pages carry 2 articles)
+        self.page_size = int(options.get("page_size", "2"))
+        mr = options.get("max_results")
+        self.max_results = int(mr) if mr is not None else None
 
     def pushFilters(self, filters: List[Filter]) -> Iterator[Filter]:
         """S3 as the planner protocol: accept equality/IN predicates on
@@ -89,12 +110,22 @@ class ScrapeFixtureReader(DataSourceReader):
                 yield f  # unsupported → Spark keeps it in the plan
 
     def partitions(self):
-        # fetch unit = one result page of one (site, topic) search
+        # fetch unit = one result page of one (site, topic) search.
+        # The page window is computed AFTER pushFilters pruned
+        # sites/topics: fewer (site, topic) pairs per page → more pages
+        # may be needed to satisfy the same max_results.
+        pages = self.pages
+        if self.max_results is not None:
+            per_page = self.page_size * max(
+                1, len(self.sites) * len(self.topics)
+            )
+            need = -(-self.max_results // per_page)  # ceil
+            pages = min(pages, max(need, 1))
         return [
             InputPartition((site, topic, page))
             for site in self.sites
             for topic in self.topics
-            for page in range(self.pages)
+            for page in range(pages)
         ]
 
     def read(self, partition: InputPartition):

@@ -1,0 +1,328 @@
+"""Edge-case units for the corpus-prep layer (operators/corpus_prep.py,
+operators/interval.py, textstats.vocab_topk) — the cases the DuckDB
+hash gates can't distinguish: pattern ordering, threshold floors,
+budget boundaries, rate extremes, and plan shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from scraping_etl_spark.operators import corpus_prep as CP
+from scraping_etl_spark.operators.interval import interval_join
+from scraping_etl_spark.operators.textstats import vocab_topk
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+def test_pii_card_consumed_before_phone(spark):
+    """Ordering contract: a dashed card number contains a 3-3-4 digit
+    suffix the phone pattern would bite — the card pattern must run
+    first, so the scrubbed text contains <CARD> and no <PHONE>."""
+    df = _docs(spark, [(1, "pay 4111-1111-1111-1111 today")])
+    row = CP.scrub_pii(df).collect()[0]
+    assert row.text_scrubbed == "pay <CARD> today"
+    assert "<PHONE>" not in row.text_scrubbed
+    assert row.n_card == 1
+
+
+def test_pii_counts_against_original_text(spark):
+    """Counts are per-category against the ORIGINAL text, independent
+    of replacement order: one of each category in one doc."""
+    df = _docs(spark, [(1, "a@b.io 111-22-3333 4111 1111 1111 1111 "
+                           "555-867-5309 10.0.0.1 end")])
+    row = CP.scrub_pii(df).collect()[0]
+    assert (row.n_email, row.n_ssn, row.n_card, row.n_phone, row.n_ipv4) == (
+        1, 1, 1, 1, 1
+    )
+    assert row.text_scrubbed == "<EMAIL> <SSN> <CARD> <PHONE> <IP> end"
+
+
+def test_pii_clean_text_untouched(spark):
+    df = _docs(spark, [(1, "no pii here at all")])
+    row = CP.scrub_pii(df).collect()[0]
+    assert row.text_scrubbed == "no pii here at all"
+    assert row.n_email == row.n_ssn == row.n_card == row.n_phone == row.n_ipv4 == 0
+
+
+# ---------------------------------------------------------------------------
+# Repetition stats
+# ---------------------------------------------------------------------------
+
+def test_repetition_short_unique_doc_not_flagged(spark):
+    """ADVICE r4 repro: with n bigrams the modal fraction is ≥ 1/n, so
+    a ≤6-token all-unique doc trips the 0.18 top-bigram threshold
+    unless the clause is floored on a minimum gram count."""
+    df = _docs(spark, [(1, "unique words only here today friends")])
+    row = CP.with_repetition_stats(df).collect()[0]
+    assert row.dup_token_frac == 0.0
+    assert row.n_bigrams == 5
+    assert row.repeated_flag is False
+
+
+def test_repetition_long_repeated_doc_flagged(spark):
+    # 30 bigrams (>= min_grams), all the same -> top_bigram_frac = 1.0
+    df = _docs(spark, [(1, " ".join(["spam"] * 31))])
+    row = CP.with_repetition_stats(df).collect()[0]
+    assert row.top_bigram_frac == 1.0
+    assert row.dup_trigram_frac > 0.30
+    assert row.repeated_flag is True
+
+
+def test_repetition_long_unique_doc_not_flagged(spark):
+    # 40 distinct tokens: plenty of bigrams, no repeats anywhere
+    df = _docs(spark, [(1, " ".join(f"w{i}" for i in range(40)))])
+    row = CP.with_repetition_stats(df).collect()[0]
+    assert row.dup_token_frac == 0.0
+    assert row.dup_trigram_frac == 0.0
+    assert row.repeated_flag is False
+
+
+def test_repetition_empty_doc(spark):
+    df = _docs(spark, [(1, "")])
+    row = CP.with_repetition_stats(df).collect()[0]
+    assert (row.dup_token_frac, row.dup_trigram_frac, row.top_bigram_frac) == (
+        0.0, 0.0, 0.0
+    )
+    assert row.n_bigrams == 0 and row.repeated_flag is False
+
+
+# ---------------------------------------------------------------------------
+# Chunk dedup
+# ---------------------------------------------------------------------------
+
+def test_chunk_dedup_single_chunk_docs(spark):
+    """Docs shorter than chunk_len have exactly one chunk; sharing is
+    whole-text equality for them."""
+    df = _docs(spark, [(1, "tiny doc"), (2, "tiny doc"), (3, "другой text")])
+    got = {r.doc_id: r for r in CP.chunk_dedup_stats(df).collect()}
+    assert got[1].n_chunks == 1 and got[1].n_shared == 1
+    assert got[1].shared_frac == 1.0
+    assert got[3].n_shared == 0 and got[3].shared_frac == 0.0
+
+
+def test_chunk_dedup_partial_overlap(spark):
+    """Two docs sharing their first 10-token chunk but not the rest."""
+    head = " ".join(f"t{i}" for i in range(10))
+    df = _docs(spark, [(1, head + " alpha beta"), (2, head + " gamma delta")])
+    got = {r.doc_id: r for r in CP.chunk_dedup_stats(df).collect()}
+    assert got[1].n_chunks == 2 and got[1].n_shared == 1
+    assert got[1].shared_frac == 0.5
+
+
+# ---------------------------------------------------------------------------
+# Decontamination
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_flags_only_gram_sharers(spark):
+    bench = _docs(spark, [(100, "the quick brown fox jumps over lazy dogs")])
+    train = _docs(spark, [
+        (1, "prefix the quick brown fox jumps suffix"),  # shares a 5-gram
+        (2, "completely different words in this doc here"),
+        (3, "quick brown fox jumps over"),               # exactly one 5-gram
+    ])
+    got = {r.doc_id: r for r in CP.decontaminate(train, bench, k=5).collect()}
+    assert got[1].contaminated is True and got[1].n_hits >= 1
+    assert got[2].contaminated is False and got[2].n_hits == 0
+    assert got[3].contaminated is True and got[3].n_hits == 1
+
+
+# ---------------------------------------------------------------------------
+# Domain-mix sampling
+# ---------------------------------------------------------------------------
+
+def test_domain_mix_rate_extremes(spark):
+    rows = [(i, f"doc {i}", "en" if i % 2 else "fr") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept = CP.domain_mix_sample(df, {"en": 1.0, "fr": 0.0}).collect()
+    assert {r.lang for r in kept} == {"en"}
+    assert len(kept) == 100  # rate 1.0 keeps every row of the stratum
+
+    # default_rate applies to strata absent from the mapping
+    none_kept = CP.domain_mix_sample(df, {}, default_rate=0.0).count()
+    all_kept = CP.domain_mix_sample(df, {}, default_rate=1.0).count()
+    assert (none_kept, all_kept) == (0, 200)
+
+
+def test_domain_mix_deterministic_and_proportional(spark):
+    rows = [(i, f"doc {i}", "en") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    a = sorted(r.doc_id for r in CP.domain_mix_sample(df, {"en": 0.25}).collect())
+    b = sorted(r.doc_id for r in CP.domain_mix_sample(df, {"en": 0.25}).collect())
+    assert a == b  # rerun-stable, no RNG state
+    assert 0.20 < len(a) / 2000 < 0.30  # md5 buckets ~uniform
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_doc_exceeding_budget(spark):
+    """A doc longer than the budget: it lands in the sequence its FIRST
+    token falls in (the documented placement rule), and the running sum
+    pushes later docs past the oversized one."""
+    rows = [
+        (1, " ".join(["a"] * 5), "en"),    # tokens 0-4   -> seq 0
+        (2, " ".join(["b"] * 25), "en"),   # starts at 5  -> seq 0 (oversized)
+        (3, " ".join(["c"] * 5), "en"),    # starts at 30 -> seq 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.seq_id: r for r in CP.pack_sequences(df, budget=10).collect()}
+    assert got[0].n_docs == 2 and got[0].seq_tokens == 30
+    assert got[0].first_doc == 1 and got[0].last_doc == 2
+    assert got[3].n_docs == 1 and got[3].first_doc == 3
+
+
+def test_pack_sequences_exact_boundary(spark):
+    """A doc whose predecessor sums to exactly the budget starts the
+    next sequence (floor(budget/budget) = 1)."""
+    rows = [(1, " ".join(["a"] * 10), "en"), (2, "b b", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    placed = {r.seq_id: r for r in CP.pack_sequences(df, budget=10).collect()}
+    assert placed[0].n_docs == 1 and placed[0].first_doc == 1
+    assert placed[1].n_docs == 1 and placed[1].first_doc == 2
+
+
+def test_pack_sequences_strata_independent(spark):
+    """Each stratum packs from zero — no cross-stratum running sum."""
+    rows = [(1, "a a a", "en"), (2, "b b b", "fr")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {(r.lang, r.seq_id) for r in CP.pack_sequences(df, budget=10).collect()}
+    assert got == {("en", 0), ("fr", 0)}
+
+
+# ---------------------------------------------------------------------------
+# Interval join
+# ---------------------------------------------------------------------------
+
+def _iv_frames(spark):
+    pts = spark.createDataFrame(
+        [(1, "u", 0), (2, "u", 3_600_000_000), (3, "u", 7_199_999_999),
+         (4, "u", 7_200_000_000), (5, "v", 100)],
+        "event_id long, user_id string, ts_us long",
+    )
+    iv = spark.createDataFrame(
+        [("u", "w1", 0, 7_199_999_999)],
+        "user_id string, name string, start_us long, end_us long",
+    )
+    return pts, iv
+
+
+def test_interval_join_matches_naive_and_bounds(spark):
+    pts, iv = _iv_frames(spark)
+    got = {r.event_id for r in interval_join(
+        pts, iv, "ts_us", "start_us", "end_us", by="user_id"
+    ).collect()}
+    # 4 is past end, 5 is the wrong user
+    assert got == {1, 2, 3}
+
+    exclusive = {r.event_id for r in interval_join(
+        pts, iv, "ts_us", "start_us", "end_us", by="user_id",
+        start_inclusive=False, end_inclusive=False,
+    ).collect()}
+    assert exclusive == {2}  # 1 sits on start, 3 on end
+
+
+def test_interval_join_multi_bucket_interval_no_dup(spark):
+    """An interval spanning many buckets must not duplicate a matching
+    point (a point lives in exactly one bucket)."""
+    pts = spark.createDataFrame(
+        [(1, 5_000_000_000)], "event_id long, ts_us long"
+    )
+    iv = spark.createDataFrame(
+        [("w", 0, 50_000_000_000)], "name string, start_us long, end_us long"
+    )
+    rows = interval_join(pts, iv, "ts_us", "start_us", "end_us",
+                         bucket_width=1_000_000_000).collect()
+    assert len(rows) == 1
+
+
+def test_interval_join_plan_has_no_nested_loop(spark):
+    """The module's reason to exist: the plan is a hash/sort-merge
+    equi-join on (key, bucket), never BroadcastNestedLoopJoin or
+    CartesianProduct."""
+    pts, iv = _iv_frames(spark)
+    plan = interval_join(
+        pts, iv, "ts_us", "start_us", "end_us", by="user_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# vocab_topk
+# ---------------------------------------------------------------------------
+
+def test_vocab_topk_rank_and_ties(spark):
+    df = _docs(spark, [(1, "b a a C c"), (2, "a b")])
+    got = vocab_topk(df, k=2).collect()
+    # a: 3 occurrences in 2 docs; b and c tie at 2 -> 'b' wins the tie
+    assert [(r.token, r.n_occ, r.n_docs, r.rank) for r in got] == [
+        ("a", 3, 2, 1), ("b", 2, 2, 2),
+    ]
+
+
+def test_vocab_topk_plan_uses_take_ordered(spark):
+    df = _docs(spark, [(1, "x y z")])
+    plan = vocab_topk(df, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+# ---------------------------------------------------------------------------
+# dedup id contract (ADVICE r4: fractional ids)
+# ---------------------------------------------------------------------------
+
+def test_dedup_clusters_rejects_fractional_ids(spark):
+    from scraping_etl_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([(1.5, 2.0)], "id_a double, id_b double")
+    with pytest.raises(Exception, match="fractional"):
+        dedup_clusters(pairs).collect()
+
+
+def test_dedup_clusters_integral_doubles_ok(spark):
+    from scraping_etl_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([(1.0, 2.0)], "id_a double, id_b double")
+    got = {(r.doc_id, r.cluster_id) for r in dedup_clusters(pairs).collect()}
+    assert got == {(1, 1), (2, 1)}
+
+
+# ---------------------------------------------------------------------------
+# IVF oracle/query sf pairing (ADVICE r4)
+# ---------------------------------------------------------------------------
+
+def test_ivf_query_fails_fast_on_oracle_sf_divergence(spark):
+    from scraping_etl_spark.plans import ml_ops as M
+
+    saved = (M._ivf_zero_arg_oracle_dir, set(M._ivf_query_dirs))
+    try:
+        M._ivf_zero_arg_oracle_dir = "/root/testdata/sf0.01"
+        with pytest.raises(RuntimeError, match="silently mismatch"):
+            M.q_emb_ivf_topk(spark, "/root/testdata/sf0.001")
+    finally:
+        M._ivf_zero_arg_oracle_dir, M._ivf_query_dirs = saved[0], saved[1]
+
+
+def test_ivf_zero_arg_oracle_rejects_unpaired_default(monkeypatch):
+    from scraping_etl_spark.plans import ml_ops as M
+
+    saved = (M._ivf_zero_arg_oracle_dir, set(M._ivf_query_dirs))
+    monkeypatch.delenv("SPARK_GRAFT_ORACLE_SF_DIR", raising=False)
+    try:
+        # queries ran at two dirs, default at neither -> ambiguous: raise
+        M._ivf_query_dirs.clear()
+        M._ivf_query_dirs.update({"/a", "/b"})
+        M._ivf_zero_arg_oracle_dir = None
+        with pytest.raises(RuntimeError, match="pair them"):
+            M.oracle_emb_ivf_topk()
+    finally:
+        M._ivf_zero_arg_oracle_dir = saved[0]
+        M._ivf_query_dirs.clear()
+        M._ivf_query_dirs.update(saved[1])

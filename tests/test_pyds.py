@@ -84,3 +84,42 @@ def test_stream_source_drains_pages(spark, tmp_path):
     got = spark.read.parquet(out)
     assert {r.page for r in got.select("page").distinct().collect()} == {0, 1, 2}
     assert run_once() == 12  # drained: restart adds nothing
+
+
+def test_max_results_page_window_prunes_fetches(spark):
+    """Limit pushdown in the reference's form (show/offset page window,
+    ScienceDirect.py:534): max_results truncates the page range BEFORE
+    planning, so pages past the window are never fetched. Topic
+    'boomafter0' explodes for any page > 0 — with pages=4 declared,
+    only a max_results small enough to stop at page 0 survives."""
+    df = _read(spark, sites="sd", topics="boomafter0", pages=4, max_results=2)
+    assert df.rdd.getNumPartitions() == 1  # 1 site x 1 topic x 1 page
+    assert len(df.collect()) == 2
+
+    # without the window the planner would schedule all 4 pages and hit
+    # the exploding fetch
+    with pytest.raises(Exception):
+        _read(spark, sites="sd", topics="boomafter0", pages=4).collect()
+
+
+def test_max_results_window_recomputed_after_filter_pushdown(spark):
+    """The page window is sized from the PRUNED (site, topic) frontier:
+    8 results over 2 sites need 2 pages, but once site='sd' is pushed
+    the same 8 need 4 pages of the single remaining site."""
+    from scraping_etl_spark.sources.pyds import ScrapeFixtureReader
+
+    r = ScrapeFixtureReader(
+        {"sites": "sd,ieee", "topics": "AI", "pages": "6", "max_results": "8"}
+    )
+    assert len(r.partitions()) == 2 * 1 * 2
+    consumed = list(r.pushFilters([]))  # no-op pushdown, window unchanged
+    assert consumed == []
+
+    r2 = ScrapeFixtureReader(
+        {"sites": "sd,ieee", "topics": "AI", "pages": "6", "max_results": "8"}
+    )
+    from pyspark.sql.datasource import EqualTo
+
+    leftover = list(r2.pushFilters([EqualTo(("site",), "sd")]))
+    assert leftover == []
+    assert len(r2.partitions()) == 1 * 1 * 4

@@ -120,22 +120,6 @@ def test_sql_inserts_file_sink(spark, tmp_path):
     ]
 
 
-def test_mongodb_connector_absent_error_paths(spark):
-    """S9/S10: without the mongo-spark-connector jar (not shipped in
-    this environment) both directions fail with the engine's actionable
-    RuntimeError, not a raw ClassNotFound."""
-    import pytest
-
-    from scraping_etl_spark.sources.readers import read_mongodb
-    from scraping_etl_spark.sources.writers import write_mongodb
-
-    df = spark.createDataFrame([(1,)], "a int")
-    with pytest.raises(RuntimeError, match="connector jar"):
-        write_mongodb(df, "mongodb://localhost:27017", "db", "c")
-    with pytest.raises(RuntimeError, match="connector jar"):
-        read_mongodb(spark, "mongodb://localhost:27017", "db", "c")
-
-
 def test_json_array_max_rows_guard(spark, tmp_path):
     df = spark.range(10).selectExpr("id AS a")
     p = str(tmp_path / "arr.json")
@@ -145,18 +129,30 @@ def test_json_array_max_rows_guard(spark, tmp_path):
         write_json_array(df, p, max_rows=5)
 
 
-def test_mongodb_contract_via_fake_source(spark):
-    """S9/S10 contract without the connector jar: a Python DataSource
-    registered under the same ``mongodb`` format name receives exactly
-    the options the wrappers wire (connection.uri / database /
-    collection). NOTE: registration is session-wide and cannot be
-    undone, so this test must stay AFTER the jar-absent error-path test
-    in this file (pytest runs tests in definition order)."""
+def test_mongodb_contract(spark):
+    """S9/S10 without the connector jar, both phases in ONE test so the
+    ordering is explicit rather than a file-position accident (the
+    fake-source registration below is session-wide and irreversible, so
+    the jar-absent error paths must be probed first):
+
+    phase 1 — with no ``mongodb`` format available, both directions
+    fail with the engine's actionable RuntimeError, not a raw
+    ClassNotFound;
+
+    phase 2 — a Python DataSource registered under the same ``mongodb``
+    format name receives exactly the options the wrappers wire
+    (connection.uri / database / collection)."""
     import pytest
     from pyspark.sql.datasource import DataSource, DataSourceReader
 
     from scraping_etl_spark.sources.readers import read_mongodb
     from scraping_etl_spark.sources.writers import write_mongodb
+
+    df_probe = spark.createDataFrame([(1,)], "a int")
+    with pytest.raises(RuntimeError, match="connector jar"):
+        write_mongodb(df_probe, "mongodb://localhost:27017", "db", "c")
+    with pytest.raises(RuntimeError, match="connector jar"):
+        read_mongodb(spark, "mongodb://localhost:27017", "db", "c")
 
     class FakeMongoReader(DataSourceReader):
         def __init__(self, options):
