@@ -45,7 +45,7 @@ from pyspark.sql.types import StructType
 #: Declared output schema (explicit, never inferred — engine policy).
 SCHEMA_DDL = (
     "site string, topic string, page int, doi string, title string, "
-    "authors array<string>, date string"
+    "authors array<string>, date string, keywords array<string>"
 )
 
 
@@ -65,7 +65,8 @@ def _fixture_fetch(site: str, topic: str, page: int) -> str:
             f'<article data-doi="10.1/{site}.{topic}.{page}.{i}">'
             f"<h2>{topic} study {page}-{i}</h2>"
             f'<span class="authors">Alice Smith; Bob Jones</span>'
-            f'<span class="date">19 July 2024</span></article>'
+            f'<span class="date">19 July 2024</span>'
+            f'<span class="keywords">{topic}; scaling; s{i}</span></article>'
         )
     return "<html><body>" + "".join(rows) + "</body></html>"
 
@@ -136,9 +137,10 @@ class ScrapeFixtureReader(DataSourceReader):
         art = re.compile(
             r'<article data-doi="(.*?)"><h2>(.*?)</h2>'
             r'<span class="authors">(.*?)</span>'
-            r'<span class="date">(.*?)</span></article>'
+            r'<span class="date">(.*?)</span>'
+            r'<span class="keywords">(.*?)</span></article>'
         )
-        for doi, title, authors, date in art.findall(html):
+        for doi, title, authors, date, keywords in art.findall(html):
             yield (
                 site,
                 topic,
@@ -147,6 +149,7 @@ class ScrapeFixtureReader(DataSourceReader):
                 title,
                 [a.strip() for a in authors.split(";")],
                 date,
+                [k.strip() for k in keywords.split(";")],
             )
 
 

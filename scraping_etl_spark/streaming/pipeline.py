@@ -318,6 +318,11 @@ def incremental_star_stream(
       keyed merge (which would rescan the whole fact-scale bridge every
       micro-batch). Replays rewrite exactly their own partition; no
       duplicate (DOI, AuthorID) edges survive a retry.
+    - ``keywords`` dim + ``keyword_article_map`` bridge (reference ETL
+      cells 33/45 — the symmetric pair to authors): same keyed-merge
+      dim path, same batch-partition bridge path. Emitted only when the
+      stream carries a ``keywords`` column, so record streams without
+      keywords keep working unchanged.
 
     Dims are orders smaller than facts, so the scan-merge-swap is
     cheap at any scale; the fact and bridge paths only ever rewrite the
@@ -330,6 +335,8 @@ def incremental_star_stream(
     topic_dir = os.path.join(out_dir, "topics")
     author_dir = os.path.join(out_dir, "authors")
     bridge_dir = os.path.join(out_dir, "author_article_map")
+    keyword_dir = os.path.join(out_dir, "keywords")
+    kw_bridge_dir = os.path.join(out_dir, "keyword_article_map")
 
     def _overwrite_own_partition(df: DataFrame, batch_id: int, path: str) -> None:
         # idempotent append: each micro-batch owns the batch_id=<id>
@@ -377,6 +384,25 @@ def incremental_star_stream(
             batch_id,
             bridge_dir,
         )
+        # keywords dim + bridge — the authors pair's symmetric twin
+        if "keywords" in batch_df.columns:
+            kw_exploded = batch_df.select(
+                F.col("doi").alias("DOI"), F.explode("keywords").alias("Keyword")
+            )
+            new_keywords = (
+                kw_exploded.select("Keyword")
+                .distinct()
+                .withColumn("KeywordID", surrogate_key("Keyword"))
+                .select("KeywordID", "Keyword")
+            )
+            _merge_overwrite_by_key(new_keywords, keyword_dir, ["KeywordID"])
+            _overwrite_own_partition(
+                kw_exploded.select(
+                    "DOI", surrogate_key("Keyword").alias("KeywordID")
+                ).distinct(),
+                batch_id,
+                kw_bridge_dir,
+            )
 
     writer = (
         stream.writeStream.outputMode("append")

@@ -184,22 +184,39 @@ def test_incremental_star_stream(spark, tmp_path):
     assert bridge.join(authors, "AuthorID").count() == n_edges
     assert bridge.join(facts2, "DOI").count() >= n_edges
 
+    # keywords dim + bridge (reference ETL cells 33/45, the authors
+    # pair's symmetric twin): per-topic + shared keywords dedup into
+    # one dim row each; every edge joins dim and fact losslessly
+    keywords = spark.read.parquet(f"{out}/keywords")
+    kw_names = sorted(r.Keyword for r in keywords.collect())
+    assert kw_names == ["AI", "IoT", "s1", "s2", "scaling"]
+    kw_bridge = spark.read.parquet(f"{out}/keyword_article_map")
+    n_kw_edges = kw_bridge.count()
+    assert n_kw_edges == kw_bridge.select("DOI", "KeywordID").distinct().count()
+    assert n_kw_edges == 8 * 3  # every article carries 3 keywords
+    assert kw_bridge.join(keywords, "KeywordID").count() == n_kw_edges
+    assert kw_bridge.join(facts2, "DOI").count() == n_kw_edges
+
     # forced full replay: wipe the checkpoint, keep the sink — every
     # micro-batch re-fires with the same batch ids. Facts and bridge
     # overwrite their own batch_id partitions, dims re-merge to the
     # same keys: counts and contents must be stable, no dupes.
     import shutil
 
+    star_tables = (
+        "articles", "topics", "authors", "author_article_map",
+        "keywords", "keyword_article_map",
+    )
     before = {
         t: {tuple(r) for r in spark.read.parquet(f"{out}/{t}").drop("batch_id").collect()}
-        for t in ("articles", "topics", "authors", "author_article_map")
+        for t in star_tables
     }
     shutil.rmtree(ckpt)
     run_once()
     run_once()
     after = {
         t: {tuple(r) for r in spark.read.parquet(f"{out}/{t}").drop("batch_id").collect()}
-        for t in ("articles", "topics", "authors", "author_article_map")
+        for t in star_tables
     }
     assert after == before
 
