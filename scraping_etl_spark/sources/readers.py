@@ -139,6 +139,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         for f in df.schema.fields:
             if isinstance(f.dataType, T.LongType) and f.name in declared_ts:
                 df = df.withColumn(f.name, F.timestamp_micros(F.expr(f"{f.name} div 1000")))
+            # TIMESTAMP_NTZ (how DuckDB/pandas write micros parquet):
+            # normalize to the declared TimestampType so downstream
+            # unix_micros/window math sees one type everywhere
+            elif isinstance(f.dataType, T.TimestampNTZType) and f.name in declared_ts:
+                df = df.withColumn(f.name, F.col(f.name).cast(T.TimestampType()))
     if expected is not None:
         got = set(df.columns)
         want = set(expected.fieldNames())
