@@ -130,7 +130,16 @@ def with_repetition_stats(
     fractional thresholds to long documents (Rae et al. 2021 §A1.1);
     short docs are judged by the dup-trigram clause alone (which needs
     actual repeats to fire). ``n_bigrams`` is emitted so downstream
-    filters can apply their own floor."""
+    filters can apply their own floor.
+
+    Scale note: every signal — including the modal-bigram count — is
+    computed PER ROW with array built-ins (the modal count is the
+    longest equal-run of the sorted gram array, one ``array_sort`` +
+    one ``aggregate`` fold, JVM-side). The whole operator is a single
+    zero-shuffle projection; an earlier formulation paid two
+    partial-agg shuffles (explode → count(doc, gram) → max-per-doc)
+    for exactly the same values — at 100 TB those shuffles are the
+    operator's entire cost, and a ~100-element per-row sort is not."""
 
     def dup_frac(grams: Column) -> Column:
         return _bind(
@@ -141,35 +150,48 @@ def with_repetition_stats(
             ).otherwise(F.lit(0.0)),
         )
 
-    per_row = df.select(
+    def modal_count(grams: Column) -> Column:
+        # longest run of equal elements after sorting == multiplicity
+        # of the modal gram. Fold state: (prev gram, current run, best)
+        def _m(g: Column) -> Column:
+            init = F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).cast("long").alias("run"),
+                F.lit(0).cast("long").alias("best"),
+            )
+
+            def step(acc: Column, x: Column) -> Column:
+                run = F.when(
+                    acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1
+                ).otherwise(F.lit(1).cast("long"))
+                return F.struct(
+                    x.alias("prev"),
+                    run.alias("run"),
+                    F.greatest(acc["best"], run).alias("best"),
+                )
+
+            return F.aggregate(F.array_sort(g), init, step, lambda a: a["best"])
+
+        return _bind(grams, _m)
+
+    bigrams = word_grams(text_col, 2)
+    n_bigrams = _bind(bigrams, F.size).cast("long")
+    top_frac = _bind(
+        bigrams,
+        lambda b: F.when(
+            F.size(b) > 0, F.round(modal_count(b) / F.size(b), 6)
+        ).otherwise(F.lit(0.0)),
+    )
+    return df.select(
         F.col(id_col),
         dup_frac(tokens(text_col)).alias("dup_token_frac"),
         dup_frac(word_grams(text_col, 3)).alias("dup_trigram_frac"),
-    )
-    bigram_counts = (
-        df.select(F.col(id_col), F.explode(word_grams(text_col, 2)).alias("_g"))
-        .groupBy(id_col, "_g")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .groupBy(id_col)
-        .agg(
-            F.max("_n").alias("_top"),
-            F.sum("_n").alias("_total"),
-        )
-        .select(
-            F.col(id_col),
-            F.round(F.col("_top") / F.col("_total"), 6).alias("top_bigram_frac"),
-            F.col("_total").cast("long").alias("n_bigrams"),
-        )
-    )
-    return (
-        per_row.join(bigram_counts, id_col, "left")
-        .withColumn("top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0)))
-        .withColumn("n_bigrams", F.coalesce("n_bigrams", F.lit(0)).cast("long"))
-        .withColumn(
-            "repeated_flag",
-            ((F.col("top_bigram_frac") > 0.18) & (F.col("n_bigrams") >= min_grams))
-            | (F.col("dup_trigram_frac") > 0.30),
-        )
+        top_frac.alias("top_bigram_frac"),
+        n_bigrams.alias("n_bigrams"),
+    ).withColumn(
+        "repeated_flag",
+        ((F.col("top_bigram_frac") > 0.18) & (F.col("n_bigrams") >= min_grams))
+        | (F.col("dup_trigram_frac") > 0.30),
     )
 
 

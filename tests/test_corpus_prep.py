@@ -326,3 +326,43 @@ def test_ivf_zero_arg_oracle_rejects_unpaired_default(monkeypatch):
         M._ivf_zero_arg_oracle_dir = saved[0]
         M._ivf_query_dirs.clear()
         M._ivf_query_dirs.update(saved[1])
+
+
+# ---------------------------------------------------------------------------
+# load_table timestamp normalization (NTZ parquet writers)
+# ---------------------------------------------------------------------------
+
+def test_load_table_normalizes_ntz_timestamps(spark, tmp_path):
+    """DuckDB/pandas write micros parquet as TIMESTAMP_NTZ; load_table
+    must hand every declared-timestamp column to queries as plain
+    TimestampType so unix_micros/window math works on any writer's
+    files (the driver's nanos files already get the long→micros
+    repair)."""
+    import duckdb
+    import pyspark.sql.types as T
+
+    sf = str(tmp_path)
+    duckdb.connect().execute(
+        f"""COPY (SELECT 1::BIGINT AS event_id,
+                        TIMESTAMP '2024-01-01 00:00:01' AS ts,
+                        7::BIGINT AS user_id, 'click' AS event_type,
+                        1.5 AS value, '{{}}' AS props)
+            TO '{sf}/events.parquet' (FORMAT PARQUET)"""
+    )
+    from scraping_etl_spark.sources.readers import load_table
+
+    df = load_table(spark, sf, "events")
+    [f] = [f for f in df.schema.fields if f.name == "ts"]
+    assert isinstance(f.dataType, T.TimestampType)
+    from pyspark.sql import functions as F
+
+    assert df.select(F.unix_micros("ts")).collect()[0][0] is not None
+
+
+def test_repetition_stats_zero_shuffle_plan(spark):
+    """The operator's scale contract: one projection, NO shuffle — the
+    modal-bigram count comes from a per-row sorted-run fold, not an
+    explode + groupBy."""
+    df = _docs(spark, [(1, "a b c a b"), (2, "x y")])
+    plan = CP.with_repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
