@@ -287,6 +287,65 @@ def sessionize_stream(
     return writer.start()
 
 
+def dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType = schemas.DOCUMENTS,
+    key_cols: tuple[str, ...] = ("text",),
+    event_time_col: str | None = None,
+    watermark: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming exact dedup — duplicate suppression at ingest, the
+    streaming twin of ``operators/dedup.exact_dup_groups`` and the op a
+    training-data pipeline runs BEFORE documents ever land in the lake
+    (dedup-on-write beats dedup-as-a-batch-job: the corpus is never
+    dirty, and every downstream consumer shares one pass).
+
+    The dedup key is ``md5(concat_ws(US, key_cols))`` — the same
+    content-hash convention as the batch operator, so batch and stream
+    agree on what "duplicate" means. State holds one entry per distinct
+    key:
+
+    - default (no watermark): ``dropDuplicates`` with unbounded state —
+      exact global dedup; state size is O(|distinct keys|), the honest
+      cost of exactly-once global dedup (RocksDB state store at
+      production scale).
+    - with ``event_time_col`` + ``watermark``:
+      ``dropDuplicatesWithinWatermark`` — state is bounded by the
+      watermark horizon; duplicates arriving later than the horizon
+      pass through. That is the standard at-scale trade (dedup windows
+      in CCNet-style pipelines) and the caller opts into it explicitly.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    hashed = stream.withColumn(
+        "content_hash", F.md5(F.concat_ws("", *key_cols))
+    )
+    if watermark is not None:
+        if event_time_col is None:
+            raise ValueError("watermark requires event_time_col")
+        deduped = hashed.withWatermark(
+            event_time_col, watermark
+        ).dropDuplicatesWithinWatermark(["content_hash"])
+    else:
+        deduped = hashed.dropDuplicates(["content_hash"])
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def incremental_star_stream(
     spark: SparkSession,
     stream: DataFrame,

@@ -274,3 +274,39 @@ def test_merge_overwrite_by_key_read_error_propagates(spark, tmp_path):
         _merge_overwrite_by_key(batch, out, ["k"])
     # the corrupt sink was not clobbered by the failed merge
     assert os.path.exists(os.path.join(out, "part-00000.parquet"))
+
+
+def test_dedup_stream_suppresses_duplicates_across_batches(spark, tmp_path):
+    """Streaming exact dedup (dedup-on-ingest): duplicates within a
+    batch AND across checkpointed restarts are suppressed by the
+    content-hash state; distinct docs all pass."""
+    from scraping_etl_spark.streaming.pipeline import dedup_stream
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    import os
+
+    os.makedirs(src)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    # file 1: docs 0-19; file 2 (later batch): 10 dupes + 10 fresh re-keyed
+    docs.write.parquet(f"{src}/f1")
+
+    def run_once():
+        q = dedup_stream(spark, f"{src}/*", out, ckpt)
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(out)
+    assert first.count() == first.select("content_hash").distinct().count() == 20
+
+    from pyspark.sql import functions as F
+
+    half = docs.limit(10)
+    fresh = half.withColumn("doc_id", F.col("doc_id") + 1000).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" fresh tail"))
+    )
+    half.unionByName(fresh).write.parquet(f"{src}/f2")
+    run_once()
+    final = spark.read.parquet(out)
+    # 20 originals + 10 fresh; the 10 replayed duplicates are suppressed
+    assert final.count() == 30
+    assert final.select("content_hash").distinct().count() == 30

@@ -28,7 +28,39 @@ manual fallback for join shapes AQE can't rewrite.
 """
 
 
+FOOTER = """
+## sf1 sanity pass (10× bench scale, round 5)
+
+Synthetic 10× scale-up of the sf0.1 tables (10 replicas, ids shifted;
+document replicas carry one extra token so they are NEAR-duplicates —
+every doc sits in a 10-member near-dup group, a far DENSER pair graph
+than the bench corpus; events replicas extend the time span by 31 days
+each and add 10× users). Run on `local[32]` with the engine session,
+`df.count()` as the action, executed plan audited for
+BroadcastNestedLoopJoin / CartesianProduct and exchange count.
+
+| Query | sf0.1 (BENCH_r04) | sf1 (10×) | plan at sf1 |
+|---|---|---|---|
+| doc_neardup_clusters | 2.73 s | 25.2 s (49,986 clusters / 50k docs) | hash joins + partial aggs only; localCheckpoint truncation holds (final adaptive plan: 0 residual exchanges) |
+| doc_neardup_survivors | 2.67 s | 19.0 s | same pipeline + rollup, 4 exchanges, no BNLJ |
+| doc_minhash_pairs | 2.30 s | 16.9 s (249,058 verified pairs) | band-hash equi-join + verify join, no BNLJ |
+| emb_ivf_topk | 2.21 s | 11.8 s (incl. k-means at 20k vecs) | centroid assignment map-side, candidate hash equi-join, 2 exchanges |
+| emb_cosine_topk | 1.26 s | 10.9 s | BroadcastNestedLoopJoin — **by design**: the exact tier IS broadcast-probes × streamed corpus (all-pairs is the definition of exact; the scale paths are ANN/IVF) |
+| event_interval_join (new) | — | 1.76 s (1M points × 75k intervals) | bucket explode + hash equi-join on (user, day-bucket), residual range filter; no BNLJ |
+
+Readings: the dedup chain grows ~7-10× on 10× data with a pair graph
+~100× denser than bench — the growth is in the pair volume (genuine
+work), not in plan degradation; no operator fell back to a nested-loop
+or cartesian strategy, and cluster label propagation still converges
+with the O(1)-row fixpoint probe. The one latency surprise at this
+density is simply |pairs|: 45 intra-group pairs × 5.5k groups. At
+production thresholds (MINHASH_PRESET_PRODUCTION's sharper s-curve)
+the band-collision volume would be far lower for the same corpus.
+"""
+
+
 def main() -> None:
+    from scraping_etl_spark.plans import corpus_ops as C
     from scraping_etl_spark.plans import ml_ops as M
     from scraping_etl_spark.plans import pipeline_ops as P
     from scraping_etl_spark.plans import relational as R
@@ -64,6 +96,19 @@ def main() -> None:
         ("doc_corpus_profile", M.q_doc_corpus_profile,
          "exact distinct counts: single scan, partial-agg before the "
          "lang shuffle (HLL twin shares the shape minus the distinct)"),
+        ("doc_repetition_stats", C.q_doc_repetition_stats,
+         "zero-shuffle corpus-quality signals: modal-bigram via per-row "
+         "sorted-run fold — a single projection, no Exchange anywhere"),
+        ("doc_domain_mix", C.q_doc_domain_mix,
+         "deterministic stratified sampling: map-side md5-bucket filter, "
+         "zero shuffle at any scale"),
+        ("event_interval_join", C.q_event_interval_join,
+         "bucketed range join: interval explode + hash equi-join on "
+         "(user, day-bucket) + residual range filter — no "
+         "BroadcastNestedLoopJoin/CartesianProduct"),
+        ("doc_vocab_topk", C.q_doc_vocab_topk,
+         "vocab build: partial-agg token counts, TakeOrderedAndProject "
+         "top-k, rank window only over the k survivors"),
     ]
 
     spark = get_spark()
@@ -77,7 +122,7 @@ def main() -> None:
         sections.append(f"## {name}\n\n*{why}*\n\n```\n{plan.strip()}\n```\n")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "PLANS.md"), "w", encoding="utf-8") as fh:
-        fh.write("\n".join(sections))
+        fh.write("\n".join(sections + [FOOTER]))
     print(f"PLANS.md: {len(picks)} sections")
 
 
