@@ -111,3 +111,76 @@ def test_asof_join_matches_loop_oracle(spark, probes, builds, direction, tol):
     got = {r.pid: r.v for r in got_rows}
     exp = _asof_oracle(probes, builds, direction, tol)
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# interval_join vs brute-force loop oracle
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(0, 500), min_size=1, max_size=20),           # point ts
+    st.lists(st.tuples(st.integers(0, 500), st.integers(0, 200)),    # (start, span)
+             min_size=1, max_size=10),
+    st.integers(7, 100),                                             # bucket width
+)
+def test_interval_join_matches_loop_oracle(spark, pts, ivs, width):
+    """Bucketed range join == the O(n·m) loop for any point/interval
+    set and any bucket width (width must not change results, only the
+    plan's duplication factor)."""
+    from scraping_etl_spark.operators.interval import interval_join
+
+    points = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(pts)], "pid long, ts long"
+    )
+    intervals = spark.createDataFrame(
+        [(j, s, s + span) for j, (s, span) in enumerate(ivs)],
+        "iid long, lo long, hi long",
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(
+            points, intervals, "ts", "lo", "hi", bucket_width=width
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, t in enumerate(pts)
+        for j, (s, span) in enumerate(ivs)
+        if s <= t <= s + span
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# pack_sequences conservation invariants
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.sampled_from(["en", "fr"])),
+        min_size=1, max_size=15,
+    ),
+    st.integers(1, 40),
+)
+def test_pack_sequences_conserves_tokens_and_docs(spark, docs, budget):
+    """Packing must conserve: every doc appears in exactly one sequence,
+    token totals per stratum are preserved, and seq ids per stratum are
+    the floor-division image of the running sum (monotone from 0 when
+    the stratum's first doc is non-empty, no gaps skipped backwards)."""
+    from scraping_etl_spark.operators.corpus_prep import pack_sequences
+
+    rows = [
+        (i, " ".join(["w"] * n) if n else "", lang)
+        for i, (n, lang) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = pack_sequences(df, budget=budget).collect()
+
+    assert sum(r.n_docs for r in out) == len(docs)
+    for lang in {l for _, l in docs}:
+        want_tokens = sum(n for n, l in docs if l == lang)
+        assert sum(r.seq_tokens for r in out if r.lang == lang) == want_tokens
+        seqs = sorted(r.seq_id for r in out if r.lang == lang)
+        assert seqs[0] == 0 and seqs == sorted(set(seqs))
