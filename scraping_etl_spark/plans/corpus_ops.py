@@ -398,6 +398,145 @@ def q_doc_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(d, k=_VOCAB_K).select("token", "n_occ", "n_docs", "rank")
 
 
+# ---------------------------------------------------------------------------
+# Full corpus-prep pipeline composition
+# ---------------------------------------------------------------------------
+
+def q_doc_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole prep pipeline as ONE query — the composition a
+    training-data team actually runs, end-to-end on this engine:
+
+    inject (test PII) → scrub → repetition + decontamination quality
+    gates on the SCRUBBED text → deterministic domain-mix sample →
+    per-stratum sequence packing → per-(lang, seq) rollup.
+
+    Plan shape: scrub and the repetition signals are zero-shuffle
+    projections; decontamination is one broadcast gram join; the mix
+    sample is a map-side filter; packing is one per-stratum window.
+    Total: two narrow shuffles (decon groupBy, packing window) over the
+    whole pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    scrubbed = CP.scrub_pii(_with_injected_pii(d), with_counts=False).select(
+        "doc_id", F.col("text_scrubbed").alias("text"), "lang"
+    )
+    rep = CP.with_repetition_stats(scrubbed).select("doc_id", "repeated_flag")
+    decon = CP.decontaminate(
+        scrubbed, scrubbed.filter(F.col("doc_id") % 97 == 0), k=5
+    ).select("doc_id", "contaminated")
+    keep = (
+        scrubbed.join(rep, "doc_id")
+        .join(decon, "doc_id")
+        .filter(~F.col("repeated_flag") & ~F.col("contaminated"))
+    )
+    mixed = CP.domain_mix_sample(keep, _MIX_RATES)
+    return CP.pack_sequences(mixed, budget=_PACK_BUDGET).select(
+        "lang", "seq_id", "n_docs", "seq_tokens", "first_doc", "last_doc"
+    )
+
+
+def _pipeline_oracle() -> str:
+    scrub = "text"
+    for _, pat, rep in CP.PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{rep}', 'g')"
+    mix_cases = " ".join(
+        f"WHEN '{lang}' THEN {int(rate * CP.MIX_BUCKETS)}"
+        for lang, rate in sorted(_MIX_RATES.items())
+    )
+    return f"""
+WITH injected AS (
+  SELECT doc_id, lang,
+         text || CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN ' reach user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or 555-867-5309'
+           WHEN 1 THEN ' ssn 123-45-6789 card 4111-1111-1111-1111'
+           WHEN 2 THEN ' server 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+           ELSE '' END AS text
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id, lang, {scrub} AS text FROM injected
+),
+tok AS (SELECT doc_id, lang, {_TOKS} AS t FROM scrubbed),
+grams AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) >= 3
+              THEN list_transform(generate_series(1, len(t) - 2),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+              ELSE [] END AS tri,
+         CASE WHEN len(t) >= 2
+              THEN list_transform(generate_series(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1])
+              ELSE [] END AS bi
+  FROM tok
+),
+bg AS (
+  SELECT doc_id, g, count(*) AS n
+  FROM (SELECT doc_id, unnest(bi) AS g FROM grams) GROUP BY 1, 2
+),
+top AS (
+  SELECT doc_id, max(n) / sum(n) AS top_frac, CAST(sum(n) AS BIGINT) AS nbi
+  FROM bg GROUP BY 1
+),
+rep AS (
+  SELECT g.doc_id,
+         ((coalesce(round(top_frac, 6), 0.0) > 0.18 AND coalesce(nbi, 0) >= 20)
+          OR (CASE WHEN len(tri) > 0
+                   THEN round(1.0 - len(list_distinct(tri)) / len(tri), 6)
+                   ELSE 0.0 END) > 0.30) AS repeated_flag
+  FROM grams g LEFT JOIN top ON g.doc_id = top.doc_id
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 5
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(t) - 4),
+                     i -> array_to_string(list_slice(t, i, i + 4), ' ')))
+              ELSE [] END AS s
+  FROM tok
+),
+bgrams AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT doc_id, count(*) AS n
+  FROM (SELECT doc_id, unnest(s) AS g FROM sh) tg JOIN bgrams USING (g)
+  GROUP BY 1
+),
+keep AS (
+  SELECT s.doc_id, s.lang, s.text
+  FROM scrubbed s
+  JOIN rep USING (doc_id)
+  LEFT JOIN hits USING (doc_id)
+  WHERE NOT repeated_flag AND coalesce(n, 0) = 0
+),
+mixed AS (
+  SELECT doc_id, lang, text FROM keep
+  WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % {CP.MIX_BUCKETS})
+        < CASE lang {mix_cases} ELSE 0 END
+),
+toks2 AS (
+  SELECT lang, doc_id, CAST(len({_TOKS}) AS BIGINT) AS n FROM mixed
+),
+placed AS (
+  SELECT lang, doc_id, n,
+         CAST(floor(coalesce(
+           sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) / {_PACK_BUDGET}) AS BIGINT) AS seq_id
+  FROM toks2
+)
+SELECT lang, seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS seq_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM placed
+GROUP BY 1, 2
+"""
+
+
+ORACLE_DOC_CORPUS_PIPELINE = _pipeline_oracle()
+
+
 ORACLE_DOC_VOCAB_TOPK = f"""
 WITH tok AS (
   SELECT doc_id, unnest({_LTOKS}) AS token FROM documents

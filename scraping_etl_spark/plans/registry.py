@@ -275,6 +275,12 @@ QUERIES: list[QuerySpec] = [
         "tokenizer vocab build: top-k tokens via TakeOrderedAndProject "
         "(textstats.vocab_topk)",
     ),
+    QuerySpec(
+        "doc_corpus_pipeline", C.q_doc_corpus_pipeline,
+        C.ORACLE_DOC_CORPUS_PIPELINE,
+        "full prep composition: scrub -> repetition + decontamination "
+        "gates -> domain-mix sample -> sequence packing, one query",
+    ),
 ]
 
 
