@@ -310,3 +310,29 @@ def test_dedup_stream_suppresses_duplicates_across_batches(spark, tmp_path):
     # 20 originals + 10 fresh; the 10 replayed duplicates are suppressed
     assert final.count() == 30
     assert final.select("content_hash").distinct().count() == 30
+
+
+def test_dedup_stream_watermark_bounded_mode(spark, events_dir, tmp_path):
+    """The bounded-state variant: dropDuplicatesWithinWatermark keyed on
+    (user_id, event_type) over event time. Within one availableNow run
+    every in-horizon duplicate is suppressed; distinct keys all pass."""
+    from scraping_etl_spark import schemas
+    from scraping_etl_spark.streaming.pipeline import dedup_stream
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = dedup_stream(
+        spark, events_dir, out, ckpt,
+        schema=schemas.EVENTS,
+        key_cols=("user_id", "event_type"),
+        event_time_col="ts", watermark="10 minutes",
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    keys = got.select("user_id", "event_type")
+    assert keys.count() == keys.distinct().count() > 0
+
+    # misuse guard
+    import pytest
+
+    with pytest.raises(ValueError, match="event_time_col"):
+        dedup_stream(spark, events_dir, out, ckpt, watermark="10 minutes")

@@ -109,6 +109,10 @@ def main() -> None:
         ("doc_vocab_topk", C.q_doc_vocab_topk,
          "vocab build: partial-agg token counts, TakeOrderedAndProject "
          "top-k, rank window only over the k survivors"),
+        ("doc_corpus_pipeline", C.q_doc_corpus_pipeline,
+         "whole prep pipeline in one plan: zero-shuffle scrub + "
+         "repetition signals, broadcast decontamination gram join, "
+         "map-side mix filter, one per-stratum packing window"),
     ]
 
     spark = get_spark()
