@@ -366,3 +366,34 @@ def test_repetition_stats_zero_shuffle_plan(spark):
     df = _docs(spark, [(1, "a b c a b"), (2, "x y")])
     plan = CP.with_repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_interval_join_descending_interval_matches_nothing(spark):
+    """An inverted interval (end < start) contains no points — it must
+    yield zero matches, not an error (F.sequence iterates backwards, so
+    the exploded buckets exist but the range residual rejects all)."""
+    pts = spark.createDataFrame([(1, 50)], "event_id long, ts_us long")
+    iv = spark.createDataFrame([("w", 100, 0)], "name string, start_us long, end_us long")
+    assert interval_join(pts, iv, "ts_us", "start_us", "end_us",
+                         bucket_width=10).count() == 0
+
+
+def test_vocab_topk_k_exceeding_vocab(spark):
+    df = _docs(spark, [(1, "only three tokens")])
+    got = vocab_topk(df, k=100).collect()
+    assert [r.token for r in got] == ["only", "three", "tokens"]
+    assert [r.rank for r in got] == [1, 2, 3]
+
+
+def test_chunk_dedup_empty_doc_drops_out(spark):
+    """A zero-token doc has no chunks; it is absent from the stats (the
+    caller left-joins if it wants a row per doc)."""
+    df = _docs(spark, [(1, ""), (2, "real text here")])
+    assert {r.doc_id for r in CP.chunk_dedup_stats(df).collect()} == {2}
+
+
+def test_scrub_pii_custom_columns_and_no_counts(spark):
+    df = spark.createDataFrame([(1, "a@b.io")], "id long, body string")
+    out = CP.scrub_pii(df, text_col="body", out_col="clean", with_counts=False)
+    assert out.columns == ["id", "body", "clean"]
+    assert out.collect()[0].clean == "<EMAIL>"

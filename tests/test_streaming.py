@@ -336,3 +336,42 @@ def test_dedup_stream_watermark_bounded_mode(spark, events_dir, tmp_path):
 
     with pytest.raises(ValueError, match="event_time_col"):
         dedup_stream(spark, events_dir, out, ckpt, watermark="10 minutes")
+
+
+def test_corpus_prep_ops_compose_with_streams(spark, tmp_path):
+    """scrub_pii and with_repetition_stats are single-projection
+    operators (no shuffle, no state) — so they apply to a STREAMING
+    DataFrame as-is, in append mode. That is a direct payoff of the
+    zero-shuffle repetition rework: the groupBy+join formulation could
+    not run on an append stream at all. Prep-at-ingest: scrub + quality
+    signals land with the documents."""
+    import os
+
+    from scraping_etl_spark import schemas
+    from scraping_etl_spark.operators.corpus_prep import (
+        scrub_pii,
+        with_repetition_stats,
+    )
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(
+        30
+    ).write.parquet(f"{src}/f1")
+
+    stream = spark.readStream.schema(schemas.DOCUMENTS).parquet(f"{src}/*")
+    scrubbed = scrub_pii(stream, with_counts=True)
+    q = (
+        with_repetition_stats(scrubbed)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 30
+    assert set(got.columns) >= {"doc_id", "dup_token_frac", "top_bigram_frac",
+                                "n_bigrams", "repeated_flag"}
