@@ -117,11 +117,11 @@ def with_repetition_stats(
 ) -> DataFrame:
     """Per-document repetition signals: ``dup_token_frac`` and
     ``dup_trigram_frac`` (1 − distinct/total, zero when total is 0)
-    computed per row, plus ``top_bigram_frac`` (occurrences of the
-    modal bigram / total bigrams) via explode → count(doc, gram) →
-    max-per-doc — two partial-aggregated shuffles, never a per-row
-    quadratic pass. ``repeated_flag`` trips at the Gopher-ish
-    thresholds (top-bigram > 0.18 or dup-trigram > 0.30).
+    plus ``top_bigram_frac`` (occurrences of the modal bigram / total
+    bigrams) — all computed per row with array built-ins, never a
+    per-row quadratic pass and never a shuffle. ``repeated_flag`` trips
+    at the Gopher-ish thresholds (top-bigram > 0.18 or dup-trigram
+    > 0.30).
 
     The top-bigram clause only applies to docs with at least
     ``min_grams`` bigrams: with n bigrams the modal fraction is ≥ 1/n,

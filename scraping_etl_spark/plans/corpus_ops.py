@@ -31,6 +31,20 @@ from scraping_etl_spark.sources.readers import load_table
 _TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
 _LTOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
 
+#: SQL mirror of :func:`_with_injected_pii` — ONE copy shared by every
+#: oracle that injects (the Spark injector + this fragment are the only
+#: two places the injection rule lives).
+_INJECT_PII_SQL = """
+  SELECT doc_id, lang,
+         text || CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN ' reach user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or 555-867-5309'
+           WHEN 1 THEN ' ssn 123-45-6789 card 4111-1111-1111-1111'
+           WHEN 2 THEN ' server 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+           ELSE '' END AS text
+  FROM documents
+"""
+
 
 # ---------------------------------------------------------------------------
 # PII scrubbing
@@ -86,14 +100,7 @@ def _pii_oracle() -> str:
     )
     return f"""
 WITH injected AS (
-  SELECT doc_id,
-         text || CASE CAST(doc_id % 4 AS INTEGER)
-           WHEN 0 THEN ' reach user' || CAST(doc_id AS VARCHAR)
-                       || '@example.com or 555-867-5309'
-           WHEN 1 THEN ' ssn 123-45-6789 card 4111-1111-1111-1111'
-           WHEN 2 THEN ' server 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
-           ELSE '' END AS text
-  FROM documents
+{_INJECT_PII_SQL}
 )
 SELECT doc_id,
        md5({scrub}) AS scrub_md5,
@@ -444,14 +451,7 @@ def _pipeline_oracle() -> str:
     )
     return f"""
 WITH injected AS (
-  SELECT doc_id, lang,
-         text || CASE CAST(doc_id % 4 AS INTEGER)
-           WHEN 0 THEN ' reach user' || CAST(doc_id AS VARCHAR)
-                       || '@example.com or 555-867-5309'
-           WHEN 1 THEN ' ssn 123-45-6789 card 4111-1111-1111-1111'
-           WHEN 2 THEN ' server 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
-           ELSE '' END AS text
-  FROM documents
+{_INJECT_PII_SQL}
 ),
 scrubbed AS (
   SELECT doc_id, lang, {scrub} AS text FROM injected

@@ -486,12 +486,17 @@ def _ivf_index(sf_dir: str) -> tuple:
     return tuple(tuple(c) for c in SIM.ivf_train(e, n_clusters=16))
 
 
-#: sf_dirs this process has run :func:`q_emb_ivf_topk` at, and the dir
-#: the ZERO-ARG oracle (the driver's path) trained at — used to fail
-#: fast on the silent-mismatch hazard where the Spark query trains at
-#: one scale while the default-built oracle trained at another.
+#: sf_dirs this process has run :func:`q_emb_ivf_topk` at, the dir the
+#: ZERO-ARG oracle (the driver's path) trained at, and the dirs oracles
+#: were built for EXPLICITLY — used to fail fast on the silent-mismatch
+#: hazard where the Spark query trains at one scale while the
+#: default-built oracle trained at another. An explicit
+#: ``oracle_emb_ivf_topk(sf_dir)`` marks that dir correctly paired, so
+#: a stray zero-arg enumeration earlier in the process cannot produce
+#: a spurious failure for properly-paired compares.
 _ivf_query_dirs: set[str] = set()
 _ivf_zero_arg_oracle_dir: str | None = None
+_ivf_explicit_oracle_dirs: set[str] = set()
 
 
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,7 +505,11 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest of 16 lists (operators/similarity.ivf_topk). The index is
     built once per sf_dir and reused. Approximate by design + iterative
     training → rows-only driver check."""
-    if _ivf_zero_arg_oracle_dir is not None and _ivf_zero_arg_oracle_dir != sf_dir:
+    if (
+        _ivf_zero_arg_oracle_dir is not None
+        and _ivf_zero_arg_oracle_dir != sf_dir
+        and sf_dir not in _ivf_explicit_oracle_dirs
+    ):
         raise RuntimeError(
             f"emb_ivf_topk: the zero-arg oracle trained its index at "
             f"{_ivf_zero_arg_oracle_dir!r} but the query is running at "
@@ -565,6 +574,8 @@ def oracle_emb_ivf_topk(sf_dir: str | None = None) -> str:
             )
         _ivf_zero_arg_oracle_dir = resolved
         sf_dir = resolved
+    else:
+        _ivf_explicit_oracle_dirs.add(sf_dir)
     centroids = _ivf_index(sf_dir)
     cent_rows = ",\n         ".join(
         "({i}, [{xs}])".format(

@@ -57,7 +57,8 @@ def _fixture_fetch(site: str, topic: str, page: int) -> str:
     the same proof for page-window (limit) pruning."""
     if site == "boom":
         raise IOError(f"fetch exploded for {site}/{topic}/{page}")
-    if topic.startswith("boomafter") and page > int(topic[len("boomafter"):]):
+    suffix = topic[len("boomafter"):]
+    if topic.startswith("boomafter") and suffix.isdigit() and page > int(suffix):
         raise IOError(f"fetch exploded for {site}/{topic}/{page}")
     rows = []
     for i in (1, 2):
@@ -94,6 +95,8 @@ class ScrapeFixtureReader(DataSourceReader):
         self.page_size = int(options.get("page_size", "2"))
         mr = options.get("max_results")
         self.max_results = int(mr) if mr is not None else None
+        if self.max_results is not None and self.max_results < 0:
+            raise ValueError(f"max_results must be >= 0, got {self.max_results}")
 
     def pushFilters(self, filters: List[Filter]) -> Iterator[Filter]:
         """S3 as the planner protocol: accept equality/IN predicates on
@@ -120,8 +123,9 @@ class ScrapeFixtureReader(DataSourceReader):
             per_page = self.page_size * max(
                 1, len(self.sites) * len(self.topics)
             )
-            need = -(-self.max_results // per_page)  # ceil
-            pages = min(pages, max(need, 1))
+            # ceil; max_results=0 legitimately plans ZERO partitions
+            # (nothing is ever fetched for an empty window)
+            pages = min(pages, -(-self.max_results // per_page))
         return [
             InputPartition((site, topic, page))
             for site in self.sites

@@ -305,10 +305,12 @@ def dedup_stream(
     (dedup-on-write beats dedup-as-a-batch-job: the corpus is never
     dirty, and every downstream consumer shares one pass).
 
-    The dedup key is ``md5(concat_ws(US, key_cols))`` — the same
-    content-hash convention as the batch operator, so batch and stream
-    agree on what "duplicate" means. State holds one entry per distinct
-    key:
+    The dedup key is ``md5`` of the key columns joined with a unit
+    separator (nulls mapped to a NUL sentinel, so reordered/null-shifted
+    keys cannot collide); a single non-null key column degenerates to
+    ``md5(value)`` — the batch operator's convention, so batch and
+    stream agree on what "duplicate" means. State holds one entry per
+    distinct key:
 
     - default (no watermark): ``dropDuplicates`` with unbounded state —
       exact global dedup; state size is O(|distinct keys|), the honest
@@ -324,8 +326,16 @@ def dedup_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
+    # unit separator + NUL null-sentinel keep multi-column keys
+    # unambiguous: ("ab","c") vs ("a","bc") and ("a",NULL) vs (NULL,"a")
+    # must not hash alike (concat_ws alone both joins and SKIPS nulls).
+    # A single non-null key column degenerates to md5(value) — the same
+    # content-hash convention as the batch exact_dup_groups operator.
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in key_cols
+    ]
     hashed = stream.withColumn(
-        "content_hash", F.md5(F.concat_ws("", *key_cols))
+        "content_hash", F.md5(F.concat_ws("\x1f", *parts))
     )
     if watermark is not None:
         if event_time_col is None:

@@ -397,3 +397,31 @@ def test_scrub_pii_custom_columns_and_no_counts(spark):
     out = CP.scrub_pii(df, text_col="body", out_col="clean", with_counts=False)
     assert out.columns == ["id", "body", "clean"]
     assert out.collect()[0].clean == "<EMAIL>"
+
+
+def test_ivf_explicit_pairing_not_poisoned_by_zero_arg_oracle():
+    """A zero-arg oracle enumeration earlier in the process must NOT
+    make a later, explicitly-paired (query at X, oracle(X)) compare
+    raise — only genuinely unpaired zero-arg usage fails fast."""
+    from scraping_etl_spark.plans import ml_ops as M
+
+    saved = (M._ivf_zero_arg_oracle_dir, set(M._ivf_query_dirs),
+             set(M._ivf_explicit_oracle_dirs))
+    try:
+        M._ivf_zero_arg_oracle_dir = "/root/testdata/sf0.01"
+        M._ivf_explicit_oracle_dirs.clear()
+        M._ivf_explicit_oracle_dirs.add("/root/testdata/sf0.001")
+        # the guard inside q_emb_ivf_topk runs before any Spark work;
+        # with the explicit pairing recorded it must not raise at the
+        # guard (we don't run the full query here — just confirm the
+        # guard logic via the same predicate)
+        assert not (
+            M._ivf_zero_arg_oracle_dir is not None
+            and M._ivf_zero_arg_oracle_dir != "/root/testdata/sf0.001"
+            and "/root/testdata/sf0.001" not in M._ivf_explicit_oracle_dirs
+        )
+    finally:
+        M._ivf_zero_arg_oracle_dir = saved[0]
+        M._ivf_query_dirs.clear(); M._ivf_query_dirs.update(saved[1])
+        M._ivf_explicit_oracle_dirs.clear()
+        M._ivf_explicit_oracle_dirs.update(saved[2])

@@ -123,3 +123,21 @@ def test_max_results_window_recomputed_after_filter_pushdown(spark):
     leftover = list(r2.pushFilters([EqualTo(("site",), "sd")]))
     assert leftover == []
     assert len(r2.partitions()) == 1 * 1 * 4
+
+
+def test_max_results_zero_and_negative(spark):
+    """max_results=0 plans ZERO partitions (nothing fetched, empty
+    result); negative is a configuration error."""
+    from scraping_etl_spark.sources.pyds import ScrapeFixtureReader
+
+    r = ScrapeFixtureReader({"sites": "boom", "topics": "AI",
+                             "pages": "3", "max_results": "0"})
+    assert r.partitions() == []
+
+    with pytest.raises(ValueError, match="max_results"):
+        ScrapeFixtureReader({"sites": "sd", "max_results": "-1"})
+
+    # non-numeric boomafter suffixes are ordinary topics, not bombs
+    from scraping_etl_spark.sources.pyds import _fixture_fetch
+
+    assert "boomafterparty" in _fixture_fetch("sd", "boomafterparty", 5)

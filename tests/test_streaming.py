@@ -375,3 +375,29 @@ def test_corpus_prep_ops_compose_with_streams(spark, tmp_path):
     assert got.count() == 30
     assert set(got.columns) >= {"doc_id", "dup_token_frac", "top_bigram_frac",
                                 "n_bigrams", "repeated_flag"}
+
+
+def test_dedup_stream_multi_column_keys_unambiguous(spark, tmp_path):
+    """("ab","c") vs ("a","bc") and ("a",NULL) vs (NULL,"a") are four
+    DISTINCT keys — the separator + null sentinel must keep them from
+    hashing alike (plain concat would collapse all four)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from scraping_etl_spark.streaming.pipeline import dedup_stream
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    schema = T.StructType(
+        [T.StructField("a", T.StringType()), T.StructField("b", T.StringType())]
+    )
+    spark.createDataFrame(
+        [("ab", "c"), ("a", "bc"), ("a", None), (None, "a")], schema
+    ).write.parquet(f"{src}/f1")
+    q = dedup_stream(spark, f"{src}/*", out, ckpt, schema=schema,
+                     key_cols=("a", "b"))
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 4
+    assert got.select("content_hash").distinct().count() == 4
