@@ -85,6 +85,34 @@ def cosine_topk(
     )
 
 
+def quantize_embedding(vec: Column, bits: int = 8) -> Column:
+    """Per-vector symmetric integer quantization — the memory-bandwidth
+    tier of the similarity stack: at 100 TB an ``array<float>`` corpus
+    streamed for brute-force or in-bucket scoring is bandwidth-bound,
+    and int8 cuts the bytes 4× while cosine is (nearly) invariant to
+    the per-vector scale (scale cancels in the normalization; only the
+    rounding error remains, ~1/254 per element).
+
+    ``q_i = round(x_i · (qmax / max|x|))`` with ``qmax = 2^(bits-1)-1``
+    (127 for int8); the all-zero vector quantizes to all zeros. Pure
+    deterministic arithmetic (half-away-from-zero rounding in both
+    Spark and DuckDB), so the quantized search path is fully
+    hash-gateable — no float-fuzz exemptions. The input array is bound
+    once (single-evaluation hazard, see the dedup module)."""
+    from scraping_etl_spark.operators.dedup import _bind
+
+    qmax = float(2 ** (bits - 1) - 1)
+
+    def _q(v: Column) -> Column:
+        mx = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+        scale = F.when(mx > 0, F.lit(qmax) / mx).otherwise(F.lit(0.0))
+        return F.transform(
+            v, lambda x: F.round(x.cast("double") * scale, 0).cast("int")
+        )
+
+    return _bind(vec, _q)
+
+
 def _hyperplane(dim: int, plane: int) -> list[int]:
     """Deterministic ±1 hyperplane: one md5-derived bit per dimension
     (seeded by plane and dimension index). Plan-time constants."""

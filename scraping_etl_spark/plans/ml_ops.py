@@ -396,6 +396,64 @@ FROM ranked WHERE rk <= {_TOPK}
 ORACLE_EMB_COSINE_TOPK = _cosine_oracle()
 
 
+def q_emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 over the int8-QUANTIZED corpus — the
+    memory-bandwidth tier (similarity.quantize_embedding): 4× fewer
+    bytes streamed than float32 with near-identical ranking (the
+    per-vector scale cancels in cosine). Quantization is deterministic
+    integer arithmetic, so unlike most compressed-index engines this
+    path keeps a full value-level oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qe = e.select(
+        "vec_id", SIM.quantize_embedding(F.col("embedding")).alias("embedding")
+    )
+    probes = qe.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return SIM.cosine_topk(qe, probes, k=_TOPK)
+
+
+def _quantized_oracle() -> str:
+    dot_pq = _DOT.format(a="p.q", b="e.q")
+    n_p = _DOT.format(a="p.q", b="p.q")
+    n_e = _DOT.format(a="e.q", b="e.q")
+    return f"""
+WITH quant AS (
+  SELECT vec_id,
+         CASE WHEN mx > 0
+              THEN list_transform(embedding,
+                     x -> CAST(round(x::DOUBLE * (127.0 / mx), 0) AS INTEGER))
+              ELSE list_transform(embedding, x -> 0) END AS q
+  FROM (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx
+    FROM embeddings
+  )
+), probes AS (
+  SELECT vec_id AS query_id, q FROM quant WHERE vec_id < {_N_PROBES}
+), scored AS (
+  SELECT p.query_id, e.vec_id AS neighbor_id,
+         {dot_pq} AS dot_pq,
+         sqrt({n_p}) * sqrt({n_e}) AS den
+  FROM probes p, quant e
+  WHERE p.query_id <> e.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         CASE WHEN den > 0 THEN dot_pq / den ELSE 0.0 END AS c,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY (CASE WHEN den > 0 THEN dot_pq / den ELSE 0.0 END) DESC,
+                    neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, CAST(rk AS INTEGER) AS rank, neighbor_id, round(c, 6) AS cos_sim
+FROM ranked WHERE rk <= {_TOPK}
+"""
+
+
+ORACLE_EMB_QUANTIZED_TOPK = _quantized_oracle()
+
+
 _ANN_PLANES, _ANN_PROBES = 6, 50
 
 

@@ -166,6 +166,11 @@ QUERIES: list[QuerySpec] = [
         "constants (full hash gate)",
     ),
     QuerySpec(
+        "emb_quantized_topk", M.q_emb_quantized_topk, M.ORACLE_EMB_QUANTIZED_TOPK,
+        "exact top-k over the int8-quantized corpus (4x bandwidth tier; "
+        "deterministic integer quantization keeps the full hash gate)",
+    ),
+    QuerySpec(
         "emb_cosine_dups", M.q_emb_cosine_dups, M.ORACLE_EMB_COSINE_DUPS,
         "embedding-cosine near-dup pairs via sign-signature blocking",
     ),

@@ -292,3 +292,46 @@ def test_minhash_production_preset_runs(spark):
         ).collect()
     }
     assert got == {(1, 2)}
+
+
+def test_quantize_embedding_bounds_and_recall(spark):
+    """int8 quantization: values land in [-127, 127] with the max-|x|
+    element hitting ±127 exactly; top-3 neighbors over the quantized
+    corpus agree with the float ranking for most probes (scale cancels
+    in cosine; only rounding error remains)."""
+    from scraping_etl_spark.operators.similarity import (
+        cosine_topk,
+        quantize_embedding,
+    )
+    from scraping_etl_spark.sources.readers import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.select("vec_id", quantize_embedding(F.col("embedding")).alias("qv"))
+    row = q.select(
+        F.array_max("qv").alias("mx"),
+        F.array_min("qv").alias("mn"),
+        F.greatest(F.array_max("qv"), -F.array_min("qv")).alias("absmax"),
+    ).agg(
+        F.max("mx").alias("gmax"), F.min("mn").alias("gmin"),
+        F.min("absmax").alias("min_absmax"),
+    ).collect()[0]
+    assert row.gmax <= 127 and row.gmin >= -127
+    assert row.min_absmax == 127  # every nonzero vector saturates its max
+
+    probes_f = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top_f = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk(e, probes_f, k=3).collect()
+    }
+    qe = q.select("vec_id", F.col("qv").alias("embedding"))
+    probes_q = qe.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top_q = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk(qe, probes_q, k=3).collect()
+    }
+    agree = sum(1 for k in top_f if top_q.get(k) == top_f[k])
+    assert agree / len(top_f) >= 0.8  # rounding may flip near-ties only
