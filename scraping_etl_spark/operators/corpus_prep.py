@@ -321,6 +321,85 @@ def domain_mix_sample(
     return df.filter(mix_bucket(F.col(key_col)) < rate * MIX_BUCKETS)
 
 
+def split_corpus(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    key_col: str = "doc_id",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the md5 bucket of the
+    key is mapped onto cumulative weight thresholds (insertion order of
+    ``weights``), so every rerun — and every engine — assigns each row
+    to the same split with zero RNG state and zero shuffle. Weights
+    must sum to ≤ 1; any residual bucket mass falls into the LAST
+    split (sum-to-1 exactly in practice).
+
+    The map-side-only property is what matters at 100 TB: splitting is
+    a projection, not a repartition, and downstream readers filter on
+    ``split`` with ordinary predicate pushdown."""
+    total = sum(weights.values())
+    if not 0 < total <= 1.0 + 1e-9:
+        raise ValueError(f"split weights must sum to (0, 1], got {total}")
+    bucket = mix_bucket(F.col(key_col))
+    expr: Column | None = None
+    cum = 0.0
+    names = list(weights)
+    for name in names:
+        cum += weights[name]
+        # INTEGER thresholds, rounded once: float running sums differ by
+        # ulps across engines (0.8 + 0.1 != 0.9 in IEEE), and a
+        # threshold that lands a hair above an integer silently moves
+        # the boundary bucket between splits. Integers are exact
+        # everywhere, which is the operator's whole determinism claim.
+        hi = F.lit(int(round(cum * MIX_BUCKETS)))
+        cond = bucket < hi
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return df.withColumn(out_col, expr.otherwise(F.lit(names[-1])))
+
+
+def with_oov_ratio(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_col: str = "token",
+) -> DataFrame:
+    """Out-of-vocabulary ratio per document against a reference vocab
+    (e.g. the :func:`~scraping_etl_spark.operators.textstats.vocab_topk`
+    output) — the cheap proxy for CCNet's LM-perplexity quality filter:
+    documents whose tokens mostly fall outside the reference vocabulary
+    are likely noise.
+
+    Plan: explode lowercased tokens, LEFT join the vocab (broadcast —
+    a vocab is 10^3..10^5 rows by construction), one partial-agg
+    groupBy back to the doc. Returns ``n_tokens``, ``n_oov``,
+    ``oov_ratio`` (0.0 for empty docs)."""
+    toks = df.select(
+        F.col(id_col), F.explode_outer(tokens(text_col, lowercase=True)).alias("_t")
+    )
+    v = vocab.select(F.col(vocab_col).alias("_t")).distinct().withColumn(
+        "_known", F.lit(1)
+    )
+    return (
+        toks.join(F.broadcast(v), "_t", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("_t").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_t").isNotNull() & F.col("_known").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+            ).alias("oov_ratio"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing
 # ---------------------------------------------------------------------------
