@@ -29,10 +29,12 @@ fillna/replace cells): these are the document-level operators a
   correctness oracle are exact; sampling is a map-side filter (zero
   shuffle) at any scale.
 - :func:`pack_sequences` — concat-and-chunk sequence packing: docs
-  are laid end-to-end per stratum in key order and cut every
-  ``budget`` tokens (the standard pretraining packing). The window
-  is partitioned by stratum — a 100 TB corpus packs each shard
-  independently; there is deliberately NO global-order window here.
+  are laid end-to-end per (stratum, md5-shard) in key order and cut
+  every ``budget`` tokens (the standard pretraining packing). The
+  window key includes a deterministic shard bucket so no window
+  partition ever holds a whole stratum — a 100 TB corpus packs
+  ~1/n_shards of a language per task; there is deliberately NO
+  global-order window here.
 
 Scale notes: every operator is one scan plus (where unavoidable)
 hash-partitioned shuffles on high-cardinality keys (gram text, doc
@@ -295,12 +297,17 @@ def decontaminate(
 MIX_BUCKETS = 10_000
 
 
-def mix_bucket(key: Column) -> Column:
-    """Uniform bucket in [0, MIX_BUCKETS) from the md5 of the key —
-    60 md5 bits via the base-16→10 conv trick, bit-identical in the
-    DuckDB oracle (``('0x' || substr(md5(x), 1, 15))::BIGINT``)."""
+def md5_bucket(key: Column, n: int) -> Column:
+    """Uniform bucket in [0, n) from the md5 of the key — 60 md5 bits
+    via the base-16→10 conv trick, bit-identical in the DuckDB oracle
+    (``('0x' || substr(md5(x), 1, 15))::BIGINT % n``)."""
     h = F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")
-    return F.pmod(h, F.lit(MIX_BUCKETS))
+    return F.pmod(h, F.lit(n))
+
+
+def mix_bucket(key: Column) -> Column:
+    """Sampling bucket in [0, MIX_BUCKETS) — see :func:`md5_bucket`."""
+    return md5_bucket(key, MIX_BUCKETS)
 
 
 def domain_mix_sample(
@@ -410,26 +417,50 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     by: str = "lang",
+    n_shards: int = 64,
 ) -> DataFrame:
-    """Concat-and-chunk packing: within each ``by`` stratum, documents
-    are laid end-to-end in ``id_col`` order and cut every ``budget``
-    tokens; a doc belongs to the sequence its first token lands in.
-    Returns one row per (stratum, seq_id): doc count, token total,
-    id span. The running sum is windowed PER STRATUM — shards pack
-    independently, so there is no global sort and no single-partition
-    window at any scale."""
+    """Concat-and-chunk packing: within each (``by`` stratum, shard),
+    documents are laid end-to-end in ``id_col`` order and cut every
+    ``budget`` tokens; a doc belongs to the sequence its first token
+    lands in. Returns one row per (stratum, shard, seq_id): doc count,
+    token total, id span.
+
+    The window is partitioned by (stratum, shard) where ``shard`` is a
+    deterministic md5 bucket of the id — NOT by the stratum alone: a
+    coarse stratum key (e.g. 5 language values over a 100 TB corpus)
+    would make each window partition an entire language sorted in one
+    task. Sharding bounds every window partition to ~1/``n_shards`` of
+    its stratum; packing never crosses a shard boundary, which is the
+    standard accepted approximation in pretraining pipelines (each
+    shard wastes at most one partial sequence). Size ``n_shards`` so a
+    (stratum, shard) slice fits comfortably in one task — at 100 TB
+    that is O(10^4-10^5), not the test-scale default.
+
+    ``n_shards=1`` recovers the single-stream-per-stratum semantics
+    (useful when ``by`` is already fine-grained). The md5-bucket shard
+    term is the same base-16→10 trick as :func:`mix_bucket`, so the
+    DuckDB oracle reproduces placement bit-for-bit."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    shard = (
+        md5_bucket(F.col(id_col), n_shards) if n_shards > 1
+        else F.lit(0).cast("long")
+    )
     w = (
-        Window.partitionBy(by)
+        Window.partitionBy(by, "shard")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     toks = df.select(
-        F.col(by), F.col(id_col), F.size(tokens(text_col)).cast("long").alias("_n")
+        F.col(by),
+        shard.alias("shard"),
+        F.col(id_col),
+        F.size(tokens(text_col)).cast("long").alias("_n"),
     )
     placed = toks.withColumn(
         "seq_id", F.floor(F.coalesce(F.sum("_n").over(w), F.lit(0)) / budget)
     )
-    return placed.groupBy(by, "seq_id").agg(
+    return placed.groupBy(by, "shard", "seq_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("_n").alias("seq_tokens"),
         F.min(id_col).alias("first_doc"),

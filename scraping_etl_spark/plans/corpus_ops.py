@@ -302,37 +302,56 @@ ORACLE_DOC_DOMAIN_MIX = _mix_oracle()
 
 _PACK_BUDGET = 256
 
+#: Shard count for the packing gates — small enough that each
+#: (lang, shard) slice at sf0.01 still packs multi-doc sequences,
+#: large enough that the sharded window key is genuinely exercised.
+_PACK_SHARDS = 8
+
+#: SQL mirror of :func:`corpus_prep.md5_bucket` over the doc id —
+#: the shard term of the packing window, shared by both packing oracles.
+_PACK_SHARD_SQL = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    f" % {_PACK_SHARDS})"
+)
+
 
 def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chunk packing gate: 256-token sequences per language
-    stratum (docs are ≤99 tokens, so sequences hold ~2-5 docs and some
-    docs straddle a boundary — the first-token placement rule is
-    exercised)."""
+    """Concat-and-chunk packing gate: 256-token sequences per
+    (language, md5-shard) window partition (docs are ≤99 tokens, so
+    sequences hold ~2-5 docs and some docs straddle a boundary — the
+    first-token placement rule is exercised; the shard term in the
+    window key is the 100 TB guard: no partition ever sorts a whole
+    language)."""
     d = load_table(spark, sf_dir, "documents")
-    return CP.pack_sequences(d, budget=_PACK_BUDGET).select(
-        "lang", "seq_id", "n_docs", "seq_tokens", "first_doc", "last_doc"
+    return CP.pack_sequences(
+        d, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    ).select(
+        "lang", "shard", "seq_id", "n_docs", "seq_tokens", "first_doc", "last_doc"
     )
 
 
 ORACLE_DOC_PACK_SEQUENCES = f"""
 WITH toks AS (
-  SELECT lang, doc_id, CAST(len({_TOKS}) AS BIGINT) AS n FROM documents
+  SELECT lang, doc_id,
+         {_PACK_SHARD_SQL} AS shard,
+         CAST(len({_TOKS}) AS BIGINT) AS n
+  FROM documents
 ),
 placed AS (
-  SELECT lang, doc_id, n,
+  SELECT lang, shard, doc_id, n,
          CAST(floor(coalesce(
-           sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+           sum(n) OVER (PARTITION BY lang, shard ORDER BY doc_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
            0) / {_PACK_BUDGET}) AS BIGINT) AS seq_id
   FROM toks
 )
-SELECT lang, seq_id,
+SELECT lang, shard, seq_id,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n) AS BIGINT) AS seq_tokens,
        min(doc_id) AS first_doc,
        max(doc_id) AS last_doc
 FROM placed
-GROUP BY 1, 2
+GROUP BY 1, 2, 3
 """
 
 
@@ -436,8 +455,10 @@ def q_doc_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~F.col("repeated_flag") & ~F.col("contaminated"))
     )
     mixed = CP.domain_mix_sample(keep, _MIX_RATES)
-    return CP.pack_sequences(mixed, budget=_PACK_BUDGET).select(
-        "lang", "seq_id", "n_docs", "seq_tokens", "first_doc", "last_doc"
+    return CP.pack_sequences(
+        mixed, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    ).select(
+        "lang", "shard", "seq_id", "n_docs", "seq_tokens", "first_doc", "last_doc"
     )
 
 
@@ -514,23 +535,26 @@ mixed AS (
         < CASE lang {mix_cases} ELSE 0 END
 ),
 toks2 AS (
-  SELECT lang, doc_id, CAST(len({_TOKS}) AS BIGINT) AS n FROM mixed
+  SELECT lang, doc_id,
+         {_PACK_SHARD_SQL} AS shard,
+         CAST(len({_TOKS}) AS BIGINT) AS n
+  FROM mixed
 ),
 placed AS (
-  SELECT lang, doc_id, n,
+  SELECT lang, shard, doc_id, n,
          CAST(floor(coalesce(
-           sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+           sum(n) OVER (PARTITION BY lang, shard ORDER BY doc_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
            0) / {_PACK_BUDGET}) AS BIGINT) AS seq_id
   FROM toks2
 )
-SELECT lang, seq_id,
+SELECT lang, shard, seq_id,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n) AS BIGINT) AS seq_tokens,
        min(doc_id) AS first_doc,
        max(doc_id) AS last_doc
 FROM placed
-GROUP BY 1, 2
+GROUP BY 1, 2, 3
 """
 
 
@@ -553,4 +577,89 @@ top AS (
 SELECT token, n_occ, n_docs,
        CAST(row_number() OVER (ORDER BY n_occ DESC, token) AS INTEGER) AS rank
 FROM top
+"""
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test split (corpus_prep.split_corpus gate)
+# ---------------------------------------------------------------------------
+
+#: Insertion order matters — cumulative thresholds follow dict order.
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_doc_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment gate: the md5 bucket of
+    the doc id against integer cumulative-weight thresholds — a
+    zero-shuffle projection whose exact surviving assignment the
+    oracle reproduces (no RNG state anywhere)."""
+    d = load_table(spark, sf_dir, "documents")
+    return CP.split_corpus(d, _SPLIT_WEIGHTS).select("doc_id", "lang", "split")
+
+
+def _split_oracle() -> str:
+    clauses, cum = [], 0.0
+    names = list(_SPLIT_WEIGHTS)
+    for name in names:
+        cum += _SPLIT_WEIGHTS[name]
+        clauses.append(f"WHEN b < {int(round(cum * CP.MIX_BUCKETS))} THEN '{name}'")
+    return f"""
+SELECT doc_id, lang,
+       CASE {' '.join(clauses)} ELSE '{names[-1]}' END AS split
+FROM (
+  SELECT doc_id, lang,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % {CP.MIX_BUCKETS}) AS b
+  FROM documents
+)
+"""
+
+
+ORACLE_DOC_SPLIT_CORPUS = _split_oracle()
+
+
+# ---------------------------------------------------------------------------
+# OOV ratio (corpus_prep.with_oov_ratio gate)
+# ---------------------------------------------------------------------------
+
+#: Vocab size for the OOV gate — the synthetic vocabulary is ~31
+#: tokens, so a top-10 vocab leaves most token mass in-vocab while
+#: every doc still carries real OOV tokens (both counters exercised).
+_OOV_VOCAB_K = 10
+
+
+def q_doc_oov_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOV-ratio gate: build the top-10 corpus vocab with
+    :func:`~scraping_etl_spark.operators.textstats.vocab_topk`, then
+    score every document's out-of-vocabulary token ratio against it —
+    explode + broadcast vocab join + one partial-agg groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = vocab_topk(d, k=_OOV_VOCAB_K)
+    return CP.with_oov_ratio(d, vocab).select(
+        "doc_id", "n_tokens", "n_oov", "oov_ratio"
+    )
+
+
+ORACLE_DOC_OOV_RATIO = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_LTOKS}) AS t FROM documents
+),
+vocab AS (
+  SELECT t AS token FROM tok GROUP BY t
+  ORDER BY count(*) DESC, t LIMIT {_OOV_VOCAB_K}
+),
+agg AS (
+  SELECT tok.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov
+  FROM tok LEFT JOIN vocab v ON tok.t = v.token
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+       round(coalesce(n_oov, 0) / greatest(coalesce(n_tokens, 0), 1), 6)
+         AS oov_ratio
+FROM documents d LEFT JOIN agg USING (doc_id)
 """

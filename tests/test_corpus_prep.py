@@ -173,7 +173,10 @@ def test_pack_sequences_doc_exceeding_budget(spark):
         (3, " ".join(["c"] * 5), "en"),    # starts at 30 -> seq 3
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
-    got = {r.seq_id: r for r in CP.pack_sequences(df, budget=10).collect()}
+    got = {
+        r.seq_id: r
+        for r in CP.pack_sequences(df, budget=10, n_shards=1).collect()
+    }
     assert got[0].n_docs == 2 and got[0].seq_tokens == 30
     assert got[0].first_doc == 1 and got[0].last_doc == 2
     assert got[3].n_docs == 1 and got[3].first_doc == 3
@@ -184,7 +187,10 @@ def test_pack_sequences_exact_boundary(spark):
     next sequence (floor(budget/budget) = 1)."""
     rows = [(1, " ".join(["a"] * 10), "en"), (2, "b b", "en")]
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
-    placed = {r.seq_id: r for r in CP.pack_sequences(df, budget=10).collect()}
+    placed = {
+        r.seq_id: r
+        for r in CP.pack_sequences(df, budget=10, n_shards=1).collect()
+    }
     assert placed[0].n_docs == 1 and placed[0].first_doc == 1
     assert placed[1].n_docs == 1 and placed[1].first_doc == 2
 
@@ -193,8 +199,42 @@ def test_pack_sequences_strata_independent(spark):
     """Each stratum packs from zero — no cross-stratum running sum."""
     rows = [(1, "a a a", "en"), (2, "b b b", "fr")]
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
-    got = {(r.lang, r.seq_id) for r in CP.pack_sequences(df, budget=10).collect()}
+    got = {
+        (r.lang, r.seq_id)
+        for r in CP.pack_sequences(df, budget=10, n_shards=1).collect()
+    }
     assert got == {("en", 0), ("fr", 0)}
+
+
+def test_pack_sequences_sharded_window_bounds_partitions(spark):
+    """With n_shards > 1 the window key is (stratum, md5-shard): docs
+    spread across shards (no partition holds the whole stratum), every
+    shard packs from seq 0 independently, and totals are conserved.
+    Shard assignment must equal the oracle-portable md5-bucket rule."""
+    n_shards = 4
+    rows = [(i, " ".join(["w"] * 6), "en") for i in range(64)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = CP.pack_sequences(df, budget=10, n_shards=n_shards).collect()
+
+    shards = {r.shard for r in out}
+    assert shards == set(range(n_shards))  # 64 ids cover all 4 buckets
+    assert sum(r.n_docs for r in out) == 64
+    assert sum(r.seq_tokens for r in out) == 64 * 6
+    for s in shards:
+        assert min(r.seq_id for r in out if r.shard == s) == 0
+
+    # shard term matches md5_bucket (the DuckDB-oracle arithmetic)
+    import hashlib
+    for r in out:
+        for doc in (r.first_doc, r.last_doc):
+            want = int(hashlib.md5(str(doc).encode()).hexdigest()[:15], 16) % n_shards
+            assert want == r.shard
+
+
+def test_pack_sequences_rejects_bad_shards(spark):
+    df = spark.createDataFrame([(1, "a", "en")], "doc_id long, text string, lang string")
+    with pytest.raises(ValueError, match="n_shards"):
+        CP.pack_sequences(df, budget=10, n_shards=0)
 
 
 # ---------------------------------------------------------------------------

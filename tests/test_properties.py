@@ -163,12 +163,14 @@ def test_interval_join_matches_loop_oracle(spark, pts, ivs, width):
         min_size=1, max_size=15,
     ),
     st.integers(1, 40),
+    st.sampled_from([1, 4]),
 )
-def test_pack_sequences_conserves_tokens_and_docs(spark, docs, budget):
-    """Packing must conserve: every doc appears in exactly one sequence,
-    token totals per stratum are preserved, and seq ids per stratum are
-    the floor-division image of the running sum (monotone from 0 when
-    the stratum's first doc is non-empty, no gaps skipped backwards)."""
+def test_pack_sequences_conserves_tokens_and_docs(spark, docs, budget, n_shards):
+    """Packing must conserve under any shard count: every doc appears in
+    exactly one sequence, token totals per stratum are preserved, and
+    seq ids per (stratum, shard) window partition are the
+    floor-division image of that partition's running sum (monotone
+    from 0, no duplicates)."""
     from scraping_etl_spark.operators.corpus_prep import pack_sequences
 
     rows = [
@@ -176,11 +178,12 @@ def test_pack_sequences_conserves_tokens_and_docs(spark, docs, budget):
         for i, (n, lang) in enumerate(docs)
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
-    out = pack_sequences(df, budget=budget).collect()
+    out = pack_sequences(df, budget=budget, n_shards=n_shards).collect()
 
     assert sum(r.n_docs for r in out) == len(docs)
     for lang in {l for _, l in docs}:
         want_tokens = sum(n for n, l in docs if l == lang)
         assert sum(r.seq_tokens for r in out if r.lang == lang) == want_tokens
-        seqs = sorted(r.seq_id for r in out if r.lang == lang)
+    for key in {(r.lang, r.shard) for r in out}:
+        seqs = sorted(r.seq_id for r in out if (r.lang, r.shard) == key)
         assert seqs[0] == 0 and seqs == sorted(set(seqs))
