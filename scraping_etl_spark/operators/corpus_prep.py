@@ -442,27 +442,38 @@ def pack_sequences(
     DuckDB oracle reproduces placement bit-for-bit."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    if "shard" in (by, id_col) or "_shard" in (by, id_col):
+        # The output carries a 'shard' column ('_shard' while building);
+        # a same-named input would make the window key ambiguous.
+        raise ValueError(
+            f"by/id_col may not be named 'shard' or '_shard' "
+            f"(got by={by!r}, id_col={id_col!r})"
+        )
     shard = (
         md5_bucket(F.col(id_col), n_shards) if n_shards > 1
         else F.lit(0).cast("long")
     )
     w = (
-        Window.partitionBy(by, "shard")
+        Window.partitionBy(by, "_shard")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     toks = df.select(
         F.col(by),
-        shard.alias("shard"),
+        shard.alias("_shard"),
         F.col(id_col),
         F.size(tokens(text_col)).cast("long").alias("_n"),
     )
     placed = toks.withColumn(
         "seq_id", F.floor(F.coalesce(F.sum("_n").over(w), F.lit(0)) / budget)
     )
-    return placed.groupBy(by, "shard", "seq_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("_n").alias("seq_tokens"),
-        F.min(id_col).alias("first_doc"),
-        F.max(id_col).alias("last_doc"),
+    return (
+        placed.groupBy(by, "_shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("seq_tokens"),
+            F.min(id_col).alias("first_doc"),
+            F.max(id_col).alias("last_doc"),
+        )
+        .withColumnRenamed("_shard", "shard")
     )

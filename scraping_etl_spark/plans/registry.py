@@ -3,6 +3,24 @@
 Every operator claimed done in SURVEY.md §2 gets an entry here; queries
 without an ``oracle`` (genuinely non-SQL-expressible ops) get the driver's
 weaker rows-only check.
+
+Seat-rotation policy (see README.md "Correctness rotation"): the driver
+verifies the FIRST 50 entries each round, and the registry holds more
+than 50, so list order is a verification schedule, not cosmetics. Each
+round, queries that are new or whose oracle changed get a window seat;
+the seats are paid for by rotating the longest-continuously-green
+entries to the tail. Tail entries stay covered every round by the local
+DuckDB-oracle suite (``tests/test_relational_queries.py`` parametrizes
+over the WHOLE registry) and re-earn a driver seat on a later rotation.
+
+Round-7 rotation: ``doc_repetition_stats`` … ``doc_corpus_pipeline``
+(driver-unseen since round 5, two with round-6 oracle changes) plus the
+newly registered ``doc_split_corpus`` / ``doc_oov_ratio`` enter the
+window; ``doc_text_stats``, ``doc_lang_id``, ``doc_fingerprint``,
+``doc_quality``, ``string_functions``, ``json_props``,
+``event_lag_delta``, ``event_moving_avg``, ``doc_zip_bigrams``,
+``order_date_roundtrip`` (all driver-green every round since they
+landed, code untouched) rotate to the tail.
 """
 
 from __future__ import annotations
@@ -73,18 +91,6 @@ QUERIES: list[QuerySpec] = [
         R.ORACLE_UNION_COUNTERPARTIES, "unionByName + conditional agg (SURVEY U1)",
     ),
     QuerySpec(
-        "string_functions", R.q_string_functions, R.ORACLE_STRING_FUNCTIONS,
-        "scalar string surface F1/F4/F5/F8/F11 — built-ins only",
-    ),
-    QuerySpec(
-        "json_props", R.q_json_props, R.ORACLE_JSON_PROPS,
-        "JSON field extraction + agg (P1/F14)",
-    ),
-    QuerySpec(
-        "event_lag_delta", R.q_event_lag_delta, R.ORACLE_EVENT_LAG_DELTA,
-        "lag window per user",
-    ),
-    QuerySpec(
         "sessionize", R.q_sessionize, R.ORACLE_SESSIONIZE,
         "gap-based sessionization (lag + running sum)",
     ),
@@ -99,26 +105,6 @@ QUERIES: list[QuerySpec] = [
     QuerySpec(
         "asof_purchase_click", P.q_asof_purchase_click, P.ORACLE_ASOF_PURCHASE_CLICK,
         "as-of join (SURVEY J4): latest prior click per purchase",
-    ),
-    QuerySpec(
-        "doc_text_stats", P.q_doc_text_stats, P.ORACLE_DOC_TEXT_STATS,
-        "token/char counts + diversity (text analysis)",
-    ),
-    QuerySpec(
-        "doc_lang_id", P.q_doc_lang_id, P.ORACLE_DOC_LANG_ID,
-        "stopword-ratio language ID heuristic",
-    ),
-    QuerySpec(
-        "doc_fingerprint", P.q_doc_fingerprint, P.ORACLE_DOC_FINGERPRINT,
-        "bag-of-words md5 document fingerprint",
-    ),
-    QuerySpec(
-        "doc_quality", P.q_doc_quality, P.ORACLE_DOC_QUALITY,
-        "composite text quality score",
-    ),
-    QuerySpec(
-        "event_moving_avg", R.q_event_moving_avg, R.ORACLE_EVENT_MOVING_AVG,
-        "bounded window frame spec (7-row trailing average)",
     ),
     QuerySpec(
         "revenue_grouping_sets", R.q_revenue_grouping_sets,
@@ -195,16 +181,8 @@ QUERIES: list[QuerySpec] = [
         "from_json struct parse + agg (F14)",
     ),
     QuerySpec(
-        "order_date_roundtrip", M.q_order_date_roundtrip, M.ORACLE_ORDER_DATE_ROUNDTRIP,
-        "'d MMMM yyyy' render/parse round-trip (F3)",
-    ),
-    QuerySpec(
         "doc_regex_extract", M.q_doc_regex_extract, M.ORACLE_DOC_REGEX_EXTRACT,
         "regexp_extract_all + element_at (F2)",
-    ),
-    QuerySpec(
-        "doc_zip_bigrams", M.q_doc_zip_bigrams, M.ORACLE_DOC_ZIP_BIGRAMS,
-        "positional zip_with pairing (J5)",
     ),
     QuerySpec(
         "doc_token_counts", M.q_doc_token_counts, M.ORACLE_DOC_TOKEN_COUNTS,
@@ -266,7 +244,7 @@ QUERIES: list[QuerySpec] = [
     QuerySpec(
         "doc_pack_sequences", C.q_doc_pack_sequences,
         C.ORACLE_DOC_PACK_SEQUENCES,
-        "concat-and-chunk sequence packing per stratum "
+        "concat-and-chunk sequence packing per (stratum, md5 shard) "
         "(corpus_prep.pack_sequences)",
     ),
     QuerySpec(
@@ -285,6 +263,58 @@ QUERIES: list[QuerySpec] = [
         C.ORACLE_DOC_CORPUS_PIPELINE,
         "full prep composition: scrub -> repetition + decontamination "
         "gates -> domain-mix sample -> sequence packing, one query",
+    ),
+    QuerySpec(
+        "doc_split_corpus", C.q_doc_split_corpus, C.ORACLE_DOC_SPLIT_CORPUS,
+        "deterministic md5-bucket train/val/test assignment, zero "
+        "shuffle (corpus_prep.split_corpus)",
+    ),
+    QuerySpec(
+        "doc_oov_ratio", C.q_doc_oov_ratio, C.ORACLE_DOC_OOV_RATIO,
+        "per-doc out-of-vocabulary ratio vs the top-k corpus vocab — "
+        "explode + broadcast vocab join (corpus_prep.with_oov_ratio)",
+    ),
+    # ---- tail: rotated out of the driver window this round (still ----
+    # ---- verified every round by the local DuckDB-oracle suite)   ----
+    QuerySpec(
+        "doc_text_stats", P.q_doc_text_stats, P.ORACLE_DOC_TEXT_STATS,
+        "token/char counts + diversity (text analysis)",
+    ),
+    QuerySpec(
+        "doc_lang_id", P.q_doc_lang_id, P.ORACLE_DOC_LANG_ID,
+        "stopword-ratio language ID heuristic",
+    ),
+    QuerySpec(
+        "doc_fingerprint", P.q_doc_fingerprint, P.ORACLE_DOC_FINGERPRINT,
+        "bag-of-words md5 document fingerprint",
+    ),
+    QuerySpec(
+        "doc_quality", P.q_doc_quality, P.ORACLE_DOC_QUALITY,
+        "composite text quality score",
+    ),
+    QuerySpec(
+        "string_functions", R.q_string_functions, R.ORACLE_STRING_FUNCTIONS,
+        "scalar string surface F1/F4/F5/F8/F11 — built-ins only",
+    ),
+    QuerySpec(
+        "json_props", R.q_json_props, R.ORACLE_JSON_PROPS,
+        "JSON field extraction + agg (P1/F14)",
+    ),
+    QuerySpec(
+        "event_lag_delta", R.q_event_lag_delta, R.ORACLE_EVENT_LAG_DELTA,
+        "lag window per user",
+    ),
+    QuerySpec(
+        "event_moving_avg", R.q_event_moving_avg, R.ORACLE_EVENT_MOVING_AVG,
+        "bounded window frame spec (7-row trailing average)",
+    ),
+    QuerySpec(
+        "doc_zip_bigrams", M.q_doc_zip_bigrams, M.ORACLE_DOC_ZIP_BIGRAMS,
+        "positional zip_with pairing (J5)",
+    ),
+    QuerySpec(
+        "order_date_roundtrip", M.q_order_date_roundtrip, M.ORACLE_ORDER_DATE_ROUNDTRIP,
+        "'d MMMM yyyy' render/parse round-trip (F3)",
     ),
 ]
 

@@ -465,3 +465,109 @@ def test_ivf_explicit_pairing_not_poisoned_by_zero_arg_oracle():
         M._ivf_query_dirs.clear(); M._ivf_query_dirs.update(saved[1])
         M._ivf_explicit_oracle_dirs.clear()
         M._ivf_explicit_oracle_dirs.update(saved[2])
+
+
+# ---------------------------------------------------------------------------
+# split_corpus
+# ---------------------------------------------------------------------------
+
+def test_split_corpus_rejects_bad_weight_sums(spark):
+    df = _docs(spark, [(1, "a")])
+    with pytest.raises(ValueError):
+        CP.split_corpus(df, {"train": 0.9, "val": 0.2})  # sums to 1.1
+    with pytest.raises(ValueError):
+        CP.split_corpus(df, {"train": 0.0})  # sums to 0
+
+
+def test_split_corpus_boundary_bucket_is_exclusive(spark):
+    """The integer-threshold contract: bucket < round(0.8·MIX_BUCKETS)
+    is train — a doc whose md5 bucket is EXACTLY the threshold falls
+    into the next split. doc_id 7762 hashes to bucket 7999 (train's
+    last bucket) and doc_id 1730 to bucket 8000 (val's first); both
+    verified against hashlib.md5 in Python."""
+    df = _docs(spark, [(7762, "x"), (1730, "y")])
+    out = {
+        r.doc_id: r.split
+        for r in CP.split_corpus(
+            df, {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    assert out == {7762: "train", 1730: "val"}
+
+
+def test_split_corpus_partitions_every_row_and_is_rerun_stable(spark):
+    """Every row gets exactly one split; residual bucket mass (weights
+    summing to < 1) lands in the LAST split; a rerun assigns
+    identically (no RNG state)."""
+    df = _docs(spark, [(i, "t") for i in range(200)])
+    w = {"train": 0.5, "val": 0.25}  # 25% residual -> "val"
+    a = {r.doc_id: r.split for r in CP.split_corpus(df, w).collect()}
+    b = {r.doc_id: r.split for r in CP.split_corpus(df, w).collect()}
+    assert a == b
+    assert set(a.values()) <= {"train", "val"}
+    assert len(a) == 200
+
+
+def test_split_corpus_zero_shuffle_plan(spark):
+    """Scale contract: assignment is a map-side projection — NO
+    Exchange anywhere in the executed plan (at 100 TB a split that
+    repartitions would be the most expensive no-op in the pipeline)."""
+    df = _docs(spark, [(1, "a"), (2, "b")])
+    plan = (
+        CP.split_corpus(df, {"train": 0.8, "val": 0.2})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# with_oov_ratio
+# ---------------------------------------------------------------------------
+
+def _vocab(spark, toks):
+    return spark.createDataFrame([(t,) for t in toks], "token string")
+
+
+def test_oov_ratio_counts_and_ratio(spark):
+    """vocab {a,b}; 'a b c d' -> 4 tokens, 2 OOV, ratio 0.5; an
+    all-in-vocab doc scores 0; tokens are lowercased before lookup."""
+    df = _docs(spark, [(1, "a B c d"), (2, "a b a")])
+    out = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_ratio)
+        for r in CP.with_oov_ratio(df, _vocab(spark, ["a", "b"])).collect()
+    }
+    assert out[1] == (4, 2, 0.5)
+    assert out[2] == (3, 0, 0.0)
+
+
+def test_oov_ratio_empty_doc_is_zero_not_null(spark):
+    """An empty/whitespace doc still gets a row: n_tokens 0, n_oov 0,
+    ratio 0.0 (the greatest(n,1) guard, not NULL/NaN)."""
+    df = _docs(spark, [(1, ""), (2, "   ")])
+    rows = CP.with_oov_ratio(df, _vocab(spark, ["a"])).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert (r.n_tokens, r.n_oov, r.oov_ratio) == (0, 0, 0.0)
+
+
+def test_oov_ratio_vocab_join_broadcasts(spark):
+    """Scale contract: the vocab side (10^3..10^5 rows) must broadcast
+    — a shuffle join keyed on token would redistribute the whole
+    exploded corpus."""
+    df = _docs(spark, [(1, "a b c")])
+    plan = (
+        CP.with_oov_ratio(df, _vocab(spark, ["a", "b"]))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pack_sequences_rejects_shard_named_columns(spark):
+    """The output carries a 'shard' column ('_shard' while building);
+    a by/id_col with either name would make the window key ambiguous —
+    rejected up front."""
+    df = spark.createDataFrame([(1, "a", 0)], "doc_id long, text string, shard long")
+    with pytest.raises(ValueError):
+        CP.pack_sequences(df, budget=8, by="shard")
+    with pytest.raises(ValueError):
+        CP.pack_sequences(df, budget=8, id_col="_shard")
