@@ -215,29 +215,67 @@ def token_chunks(text_col: Column | str, chunk_len: int = 10) -> Column:
     return _bind(tokens(text_col), _chunks)
 
 
+#: A chunk shared by more docs than this is "viral": its pair rows are
+#: flagged via a broadcast join instead of riding the shuffle join. The
+#: hot SET is small by definition (≤ total_pairs / threshold distinct
+#: hashes), which is what makes it broadcastable.
+HOT_CHUNK_DOCS = 100_000
+
+
 def chunk_dedup_stats(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     chunk_len: int = 10,
+    hot_threshold: int = HOT_CHUNK_DOCS,
 ) -> DataFrame:
     """For every document: how many of its distinct chunks also occur
     in at least one OTHER document, and the shared fraction. The plan
     is explode → per-(doc, chunk) distinct → per-chunk distinct-doc
-    count → join back on the chunk hash → per-doc aggregate: all
-    shuffles keyed on high-cardinality values (chunk md5, doc id)."""
+    count → flag each (doc, chunk) pair as shared → per-doc aggregate:
+    all shuffles keyed on high-cardinality values (chunk md5, doc id).
+
+    Skew: a boilerplate chunk shared by 10^8 docs would put 10^8 pair
+    rows in ONE task of the pairs ⋈ docs_per_chunk join, and AQE's
+    skew-join rewrite structurally cannot help — OptimizeSkewedJoin
+    only matches a join whose children are bare shuffle stages (modulo
+    Sort), and the build side's final HashAggregate sits between its
+    shuffle and the join (verified empirically: no split even with
+    forceOptimizeSkewedJoin). So the operator is skew-proof by
+    construction instead: chunks shared by more than ``hot_threshold``
+    docs (a small set by definition — ≤ pairs/threshold hashes) are
+    flagged via a BROADCAST join, map-side, no hot partition anywhere;
+    only the residual keys — none hotter than ``hot_threshold`` — take
+    the shuffle join. ``docs_per_chunk`` itself is skew-immune (Spark's
+    partial aggregation collapses the hot key to one row per map task
+    before the shuffle)."""
+    if hot_threshold < 1:
+        raise ValueError(f"hot_threshold must be >= 1, got {hot_threshold}")
     pairs = (
         df.select(F.col(id_col), F.explode(token_chunks(text_col, chunk_len)).alias("_c"))
         .select(id_col, F.md5("_c").alias("_h"))
         .distinct()
     )
     docs_per_chunk = pairs.groupBy("_h").agg(F.count(F.lit(1)).alias("_docs"))
+    hot = docs_per_chunk.filter(F.col("_docs") > hot_threshold).select("_h")
+    # hot ⇒ _docs > hot_threshold ≥ 1 ⇒ shared, no lookup needed
+    hot_flagged = pairs.join(F.broadcast(hot), "_h").select(
+        id_col, F.lit(1).alias("_shared")
+    )
+    cold_flagged = (
+        pairs.join(F.broadcast(hot), "_h", "left_anti")
+        .join(docs_per_chunk, "_h")
+        .select(
+            id_col,
+            F.when(F.col("_docs") > 1, 1).otherwise(0).alias("_shared"),
+        )
+    )
     return (
-        pairs.join(docs_per_chunk, "_h")
+        hot_flagged.unionByName(cold_flagged)
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
-            F.sum(F.when(F.col("_docs") > 1, 1).otherwise(0)).alias("n_shared"),
+            F.sum("_shared").alias("n_shared"),
         )
         .select(
             id_col,
@@ -252,29 +290,51 @@ def chunk_dedup_stats(
 # Benchmark decontamination
 # ---------------------------------------------------------------------------
 
+#: Broadcast the deduped benchmark gram set only below this many grams.
+#: ~40 B/gram puts 2M grams near 80 MB serialized — comfortably inside
+#: a default driver/executor heap, far above any real eval benchmark
+#: (GPT-3's full decontamination list is orders of magnitude smaller),
+#: and safely below the point where a broadcast build OOMs.
+MAX_BROADCAST_GRAMS = 2_000_000
+
+
 def decontaminate(
     train: DataFrame,
     bench: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
+    max_broadcast_grams: int = MAX_BROADCAST_GRAMS,
 ) -> DataFrame:
     """Flag training docs that share ≥1 word ``k``-gram with the
     benchmark corpus (GPT-3-style n-gram decontamination). Returns
     ``train`` ids + ``n_hits`` (distinct shared grams) +
-    ``contaminated``. The benchmark gram set is deduped and
-    broadcast — the join never shuffles the training-side grams when
-    the planner takes the hint; at benchmark sizes that outgrow a
-    broadcast, drop the hint and the same plan becomes a shuffle
-    hash join on the gram."""
+    ``contaminated``.
+
+    The benchmark gram set is deduped and — when it is small enough —
+    broadcast, so the join never shuffles the training-side grams.
+    "Small enough" is measured, not assumed: a bounded probe
+    (``limit(threshold+1).count()``, short-circuiting — never a full
+    gram count) checks the deduped gram cardinality against
+    ``max_broadcast_grams``; past the threshold the hint is dropped
+    and the same plan becomes a shuffle hash join on the gram, which
+    scales to arbitrarily large benchmark sets instead of OOMing the
+    broadcast build. ``max_broadcast_grams=0`` forces the shuffle
+    path. The probe scans only the (small) benchmark side — the
+    training corpus is untouched until the real join."""
     bench_grams = bench.select(
         F.explode(word_shingles(F.col(text_col), k)).alias("_g")
     ).distinct()
+    fits_broadcast = (
+        max_broadcast_grams > 0
+        and bench_grams.limit(max_broadcast_grams + 1).count() <= max_broadcast_grams
+    )
+    bench_side = F.broadcast(bench_grams) if fits_broadcast else bench_grams
     train_grams = train.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("_g")
     )
     hits = (
-        train_grams.join(F.broadcast(bench_grams), "_g")
+        train_grams.join(bench_side, "_g")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )

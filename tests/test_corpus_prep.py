@@ -133,6 +133,43 @@ def test_decontaminate_flags_only_gram_sharers(spark):
     assert got[3].contaminated is True and got[3].n_hits == 1
 
 
+def test_decontaminate_size_guard_falls_back_to_shuffle_join(spark):
+    """The broadcast hint is conditional on measured bench-gram
+    cardinality: with max_broadcast_grams=0 (bench 'outgrows' any
+    broadcast) the gram join must plan as a shuffle join — no
+    BroadcastExchange anywhere once auto-broadcast is disabled — and
+    the flags must match the broadcast path exactly."""
+    bench = _docs(spark, [(100, "the quick brown fox jumps over lazy dogs")])
+    train = _docs(spark, [
+        (1, "prefix the quick brown fox jumps suffix"),
+        (2, "completely different words in this doc here"),
+    ])
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = CP.decontaminate(train, bench, k=5, max_broadcast_grams=0)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" not in plan
+        got = {r.doc_id: (r.n_hits, r.contaminated) for r in out.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    ref = {
+        r.doc_id: (r.n_hits, r.contaminated)
+        for r in CP.decontaminate(train, bench, k=5).collect()
+    }
+    assert got == ref == {1: (1, True), 2: (0, False)}
+
+
+def test_decontaminate_probe_keeps_broadcast_below_threshold(spark):
+    """A bench whose gram set fits under the threshold keeps the
+    broadcast hint (the probe measures, it doesn't pessimize)."""
+    bench = _docs(spark, [(100, "the quick brown fox jumps over lazy dogs")])
+    train = _docs(spark, [(1, "prefix the quick brown fox jumps suffix")])
+    out = CP.decontaminate(train, bench, k=5, max_broadcast_grams=1000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 # ---------------------------------------------------------------------------
 # Domain-mix sampling
 # ---------------------------------------------------------------------------

@@ -148,3 +148,63 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_chunk_dedup_hot_chunk_takes_broadcast_path(spark):
+    """Skew proof for chunk_dedup_stats: a boilerplate chunk shared by
+    20% of docs makes its md5 the hot key of the pairs ⋈ docs_per_chunk
+    join — and AQE's skew-join CANNOT rewrite that join (the build
+    side's final HashAggregate sits between its shuffle stage and the
+    join, which breaks OptimizeSkewedJoin's pattern; verified
+    empirically, no split even with forceOptimizeSkewedJoin). So the
+    operator decomposes by construction: with hot_threshold below the
+    boilerplate's doc count, its pair rows are flagged through a
+    map-side BROADCAST join (no hot shuffle partition anywhere), only
+    the skew-free residual takes the shuffle join, and the
+    shared-fraction results stay exact."""
+    from scraping_etl_spark.operators.corpus_prep import chunk_dedup_stats
+
+    boiler = " ".join(f"b{j}" for j in range(10))  # one full chunk
+    docs = spark.range(5_000).selectExpr(
+        "id as doc_id",
+        # 20% of docs open with the identical boilerplate chunk, then
+        # 10 unique tokens (their own second chunk); the rest are 10
+        # unique tokens (one unshared chunk)
+        f"""if(id % 5 = 0,
+             concat('{boiler} ',
+                    concat_ws(' ', transform(sequence(0, 9),
+                                             j -> concat('u', id, '_', j)))),
+             concat_ws(' ', transform(sequence(0, 9),
+                                      j -> concat('v', id, '_', j)))
+           ) as text""",
+    )
+    out = chunk_dedup_stats(docs, chunk_len=10, hot_threshold=100)
+    rows = out.collect()
+    assert len(rows) == 5_000
+    hot = [r for r in rows if r.doc_id % 5 == 0]
+    cold = [r for r in rows if r.doc_id % 5 != 0]
+    assert all(
+        (r.n_chunks, r.n_shared, r.shared_frac) == (2, 1, 0.5) for r in hot
+    )
+    assert all(r.n_shared == 0 for r in cold)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the viral chunk's 1000 pair rows ride BroadcastHashJoins (flag +
+    # anti), never a shuffled join partition
+    assert "BroadcastHashJoin" in plan, plan
+    # default threshold (nothing "viral" at test scale): same results
+    # through the pure shuffle path
+    ref = {
+        (r.doc_id, r.n_chunks, r.n_shared)
+        for r in chunk_dedup_stats(docs, chunk_len=10).collect()
+    }
+    assert {(r.doc_id, r.n_chunks, r.n_shared) for r in rows} == ref
+
+
+def test_chunk_dedup_rejects_bad_hot_threshold(spark):
+    import pytest
+
+    from scraping_etl_spark.operators.corpus_prep import chunk_dedup_stats
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_dedup_stats(docs, hot_threshold=0)
