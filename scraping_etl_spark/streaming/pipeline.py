@@ -356,6 +356,78 @@ def dedup_stream(
     return writer.start()
 
 
+def corpus_prep_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType = schemas.DOCUMENTS,
+    bench: DataFrame | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Corpus-prep gates at ingest — the streaming twin of
+    ``doc_corpus_pipeline``'s gate stage (plans/corpus_ops.py): each
+    micro-batch runs the BATCH operators inside ``foreachBatch`` —
+    :func:`~scraping_etl_spark.operators.corpus_prep.scrub_pii` →
+    :func:`~...corpus_prep.with_repetition_stats` → (when ``bench`` is
+    given) :func:`~...corpus_prep.decontaminate` against the STATIC
+    benchmark corpus — and lands only the documents that pass both
+    gates, with the scrubbed text and the quality signals.
+
+    Semantics: every gate is per-document (scrub and repetition are
+    row-local projections; contamination tests each doc against the
+    static ``bench``), so batch-local evaluation equals global — any
+    micro-batch partitioning of the corpus lands exactly the documents
+    the batch pipeline keeps. That is what makes the twin honest rather
+    than approximate.
+
+    Idempotency: each micro-batch dynamic-overwrites its own
+    ``batch_id`` partition (the fact-path convention of
+    :func:`incremental_star_stream`), so checkpoint replays rewrite
+    their partitions instead of appending duplicates. At 100 TB this is
+    the dedup-on-write shape: the corpus lake only ever contains
+    already-scrubbed, already-gated documents, and every downstream
+    consumer shares one prep pass."""
+    from scraping_etl_spark.operators import corpus_prep as CP
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        keep_cols = [c for c in batch_df.columns if c != "text"]
+        scrubbed = CP.scrub_pii(batch_df, with_counts=False).select(
+            *keep_cols, F.col("text_scrubbed").alias("text")
+        )
+        rep = CP.with_repetition_stats(scrubbed).select(
+            "doc_id", "dup_trigram_frac", "top_bigram_frac", "repeated_flag"
+        )
+        kept = scrubbed.join(rep, "doc_id").filter(~F.col("repeated_flag"))
+        if bench is not None:
+            clean = CP.decontaminate(kept, bench).filter(
+                ~F.col("contaminated")
+            ).select("doc_id")
+            kept = kept.join(clean, "doc_id", "left_semi")
+        (
+            kept.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def incremental_star_stream(
     spark: SparkSession,
     stream: DataFrame,

@@ -401,3 +401,65 @@ def test_dedup_stream_multi_column_keys_unambiguous(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 4
     assert got.select("content_hash").distinct().count() == 4
+
+
+def test_corpus_prep_stream_matches_batch_and_replays_stable(spark, tmp_path):
+    """foreachBatch gate twin of doc_corpus_pipeline's prep stage: the
+    streamed sink holds exactly the docs the batch operators keep (same
+    scrub, same repetition gate, same decontamination vs the static
+    bench), regardless of micro-batch slicing; a forced full replay
+    (checkpoint wiped, sink kept) converges to the same rows — each
+    batch overwrites its own batch_id partition, no dupes."""
+    import os
+    import shutil
+
+    from scraping_etl_spark.operators.corpus_prep import (
+        decontaminate,
+        scrub_pii,
+        with_repetition_stats,
+    )
+    from scraping_etl_spark.streaming.pipeline import corpus_prep_stream
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    # two source files -> two micro-batches with maxFilesPerTrigger=1
+    docs.filter("doc_id % 2 = 0").write.parquet(f"{src}/f1")
+    docs.filter("doc_id % 2 = 1").write.parquet(f"{src}/f2")
+    # static benchmark: every ~7th doc's text, so decontamination
+    # genuinely removes rows
+    bench = docs.filter("doc_id % 7 = 0").select("doc_id", "text")
+
+    def run_once():
+        q = corpus_prep_stream(
+            spark, f"{src}/*", out, ckpt, bench=bench, max_files_per_trigger=1
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.select("batch_id").distinct().count() == 2
+
+    # batch-side expectation with the same operators
+    keep_cols = [c for c in docs.columns if c != "text"]
+    scrubbed = scrub_pii(docs, with_counts=False).select(
+        *keep_cols, F.col("text_scrubbed").alias("text")
+    )
+    rep = with_repetition_stats(scrubbed).select("doc_id", "repeated_flag")
+    kept = scrubbed.join(rep, "doc_id").filter(~F.col("repeated_flag"))
+    clean = decontaminate(kept, bench).filter("NOT contaminated").select("doc_id")
+    want_ids = {r.doc_id for r in kept.join(clean, "doc_id", "left_semi").collect()}
+    got_ids = {r.doc_id for r in got.collect()}
+    assert got_ids == want_ids
+    # decontamination actually bit (bench docs are their own 5-gram hits)
+    assert len(want_ids) < kept.count()
+    # scrubbed text + signals landed with the docs
+    assert {"text", "dup_trigram_frac", "top_bigram_frac"} <= set(got.columns)
+
+    before = {tuple(r) for r in got.drop("batch_id").collect()}
+    shutil.rmtree(ckpt)
+    run_once()  # full replay: same batches rewrite their own partitions
+    after_df = spark.read.parquet(out)
+    after = {tuple(r) for r in after_df.drop("batch_id").collect()}
+    assert after == before
+    assert after_df.count() == len(want_ids)  # no duplicate rows
