@@ -350,6 +350,113 @@ def decontaminate(
 
 
 # ---------------------------------------------------------------------------
+# Bigram-LM quality scoring (CCNet-style perplexity filter)
+# ---------------------------------------------------------------------------
+
+#: A bigram occurring more often than this is "hot": its occurrences are
+#: scored via a broadcast join (the hot set is ≤ total_occurrences /
+#: threshold distinct grams — small by definition). Same decomposition
+#: as :data:`HOT_CHUNK_DOCS` for :func:`chunk_dedup_stats`.
+HOT_GRAM_OCCS = 1_000_000
+
+
+def with_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hot_threshold: int = HOT_GRAM_OCCS,
+) -> DataFrame:
+    """Per-document corpus-LM score — the real form of the quality
+    filter :func:`with_oov_ratio` proxies (CCNet, Wenzek et al. 2019,
+    scores documents with a language-model perplexity; GPT-3 appendix A
+    filters on a similar classifier). Here the LM is the corpus's own
+    add-one-smoothed bigram model: for each in-doc bigram
+    ``P(w2|w1) = (C(w1 w2) + 1) / (C(w1) + V)`` over lowercased
+    whitespace tokens, and the score is the mean natural log-prob.
+    Returns ``n_bigrams`` and ``avg_logp`` (0.0 for docs with < 2
+    tokens); LOW ``avg_logp`` = improbable-under-the-corpus text =
+    likely noise.
+
+    Plan: explode bigrams, two partial-agg count shuffles (bigram and
+    unigram counts — skew-immune: map-side combine collapses hot grams
+    before the shuffle), vocabulary size attached as a broadcast 1-row
+    join, then the occurrence ⋈ counts join. That join is hot-key
+    skewed in real text (Zipf: "of the" appears in every doc) and has
+    the same AQE-can't-split shape as :func:`chunk_dedup_stats` (agg
+    under join), so it reuses the hot/cold decomposition: grams with
+    more than ``hot_threshold`` occurrences score through a broadcast
+    join map-side; only sub-threshold grams ride the shuffle join. The
+    stats ⋈ unigram join runs at DISTINCT-gram scale (one row per
+    bigram type), where per-key fan-out is vocabulary branching, not
+    corpus size."""
+    if hot_threshold < 1:
+        raise ValueError(f"hot_threshold must be >= 1, got {hot_threshold}")
+    lowered = F.lower(F.col(text_col))
+    # per-(doc, gram) occurrence counts FIRST: every downstream branch
+    # (bigram totals, hot probe, cold probe) hangs off this one
+    # exchange, so ReuseExchange runs the explode exactly once — the
+    # hot/cold split costs reduce-side reads, not extra corpus scans.
+    # The (doc, gram) key is skew-free by construction.
+    pairs = (
+        df.select(F.col(id_col), F.explode(word_grams(lowered, 2)).alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    bi_counts = pairs.groupBy("_g").agg(F.sum("_n").alias("_cbi"))
+    uni_counts = (
+        df.select(F.explode(tokens(text_col, lowercase=True)).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_cw"))
+    )
+    # 1-row vocabulary size: joined on a NON-FOLDABLE always-zero key
+    # on BOTH sides — with a literal key, FoldablePropagation rewrites
+    # the equi-condition into a one-sided filter and the join degrades
+    # to a BroadcastNestedLoopJoin; pmod(<attribute-derived hash>, 1)
+    # is always 0 but opaque to constant folding, so the planner keeps
+    # a BroadcastHashJoin (same 1-row build, clean plan discipline).
+    vsize = uni_counts.agg(F.count(F.lit(1)).alias("_v")).withColumn(
+        "_k", F.pmod(F.xxhash64(F.col("_v")), F.lit(1))
+    )
+    stats = (
+        bi_counts.withColumn("_w", F.split_part(F.col("_g"), F.lit(" "), F.lit(1)))
+        .join(uni_counts, "_w")
+        .withColumn("_k", F.pmod(F.xxhash64("_g"), F.lit(1)))
+        .join(F.broadcast(vsize), "_k")
+        .select("_g", "_cbi", "_cw", "_v")
+    )
+    logp = F.log((F.col("_cbi") + 1.0) / (F.col("_cw") + F.col("_v")))
+    hot = stats.filter(F.col("_cbi") > hot_threshold)
+    scored_cols = [
+        F.col(id_col),
+        F.col("_n"),
+        (F.col("_n") * logp).alias("_nlp"),
+    ]
+    hot_scored = pairs.join(F.broadcast(hot), "_g").select(scored_cols)
+    cold_scored = (
+        pairs.join(F.broadcast(hot.select("_g")), "_g", "left_anti")
+        .join(stats, "_g")
+        .select(scored_cols)
+    )
+    agg = (
+        hot_scored.unionByName(cold_scored)
+        .groupBy(id_col)
+        .agg(
+            F.sum("_n").alias("n_bigrams"),
+            F.round(F.sum("_nlp") / F.sum("_n"), 6).alias("avg_logp"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("avg_logp", F.lit(0.0)).alias("avg_logp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic domain-mix sampling
 # ---------------------------------------------------------------------------
 

@@ -15,8 +15,9 @@ over the WHOLE registry) and re-earn a driver seat on a later rotation.
 
 Round-7 rotation: ``doc_repetition_stats`` … ``doc_corpus_pipeline``
 (driver-unseen since round 5, two with round-6 oracle changes) plus the
-newly registered ``doc_split_corpus`` / ``doc_oov_ratio`` enter the
-window; ``doc_text_stats``, ``doc_lang_id``, ``doc_fingerprint``,
+newly registered ``doc_lm_score`` / ``doc_split_corpus`` /
+``doc_oov_ratio`` enter the window; ``hourly_event_rollup``,
+``doc_text_stats``, ``doc_lang_id``, ``doc_fingerprint``,
 ``doc_quality``, ``string_functions``, ``json_props``,
 ``event_lag_delta``, ``event_moving_avg``, ``doc_zip_bigrams``,
 ``order_date_roundtrip`` (all driver-green every round since they
@@ -93,10 +94,6 @@ QUERIES: list[QuerySpec] = [
     QuerySpec(
         "sessionize", R.q_sessionize, R.ORACLE_SESSIONIZE,
         "gap-based sessionization (lag + running sum)",
-    ),
-    QuerySpec(
-        "hourly_event_rollup", R.q_hourly_event_rollup, R.ORACLE_HOURLY_EVENT_ROLLUP,
-        "tumbling-window rollup in batch form",
     ),
     QuerySpec(
         "event_type_pivot", R.q_event_type_pivot, R.ORACLE_EVENT_TYPE_PIVOT,
@@ -265,6 +262,11 @@ QUERIES: list[QuerySpec] = [
         "gates -> domain-mix sample -> sequence packing, one query",
     ),
     QuerySpec(
+        "doc_lm_score", C.q_doc_lm_score, C.ORACLE_DOC_LM_SCORE,
+        "corpus-bigram-LM mean log-prob per doc (CCNet-style quality "
+        "filter, add-one smoothing; corpus_prep.with_lm_score)",
+    ),
+    QuerySpec(
         "doc_split_corpus", C.q_doc_split_corpus, C.ORACLE_DOC_SPLIT_CORPUS,
         "deterministic md5-bucket train/val/test assignment, zero "
         "shuffle (corpus_prep.split_corpus)",
@@ -276,6 +278,10 @@ QUERIES: list[QuerySpec] = [
     ),
     # ---- tail: rotated out of the driver window this round (still ----
     # ---- verified every round by the local DuckDB-oracle suite)   ----
+    QuerySpec(
+        "hourly_event_rollup", R.q_hourly_event_rollup, R.ORACLE_HOURLY_EVENT_ROLLUP,
+        "tumbling-window rollup in batch form",
+    ),
     QuerySpec(
         "doc_text_stats", P.q_doc_text_stats, P.ORACLE_DOC_TEXT_STATS,
         "token/char counts + diversity (text analysis)",

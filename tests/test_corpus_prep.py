@@ -608,3 +608,45 @@ def test_pack_sequences_rejects_shard_named_columns(spark):
         CP.pack_sequences(df, budget=8, by="shard")
     with pytest.raises(ValueError):
         CP.pack_sequences(df, budget=8, id_col="_shard")
+
+
+# ---------------------------------------------------------------------------
+# with_lm_score
+# ---------------------------------------------------------------------------
+
+def test_lm_score_hand_computed(spark):
+    """Tiny corpus, hand-computed add-one bigram model: unigrams
+    a:2 b:2 c:1 d:1 x:1 (V=5); bigrams 'a b':2 'b a':1 'c d':1.
+    doc1 = avg(2·ln(3/7), ln(2/7)); doc2 = ln(2/6); doc3 has no
+    bigrams -> (0, 0.0)."""
+    import math
+
+    df = _docs(spark, [(1, "a B a b"), (2, "c d"), (3, "x")])
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_logp)
+        for r in CP.with_lm_score(df).collect()
+    }
+    d1 = round((2 * math.log(3 / 7) + math.log(2 / 7)) / 3, 6)
+    d2 = round(math.log(2 / 6), 6)
+    assert got == {1: (3, d1), 2: (1, d2), 3: (0, 0.0)}
+
+
+def test_lm_score_hot_path_matches_cold(spark):
+    """hot_threshold=1 sends the repeated bigram through the broadcast
+    flag join; scores must equal the pure-shuffle default path."""
+    df = _docs(spark, [(1, "a b a b a b"), (2, "a b c"), (3, "q r")])
+    out = CP.with_lm_score(df, hot_threshold=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    got = {(r.doc_id, r.n_bigrams, r.avg_logp) for r in out.collect()}
+    ref = {
+        (r.doc_id, r.n_bigrams, r.avg_logp)
+        for r in CP.with_lm_score(df).collect()
+    }
+    assert got == ref
+
+
+def test_lm_score_rejects_bad_hot_threshold(spark):
+    df = _docs(spark, [(1, "a b")])
+    with pytest.raises(ValueError):
+        CP.with_lm_score(df, hot_threshold=0)
