@@ -575,6 +575,110 @@ def with_oov_ratio(
 
 
 # ---------------------------------------------------------------------------
+# Deterministic stratified bottom-N sampling (eval-set construction)
+# ---------------------------------------------------------------------------
+
+def stratified_sample_n(
+    df: DataFrame,
+    n: int,
+    key_col: str = "doc_id",
+    strata_col: str = "lang",
+    n_salts: int = 64,
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum, chosen as the N
+    smallest ``(md5(key), key)`` — the deterministic analogue of a
+    uniform without-replacement sample (bottom-N by hash), so reruns,
+    engines, and the correctness oracle pick the SAME rows. The use
+    case is eval/holdout-set construction where "random but
+    reproducible" is a hard requirement.
+
+    Scale: a single ``row_number`` window per stratum would sort whole
+    strata in single tasks (the coarse-key trap ``pack_sequences``
+    sharding avoids). Instead a two-stage tournament: stage 1 ranks
+    within (stratum, salt) — ``n_salts`` deterministic md5 buckets —
+    and keeps each bucket's bottom N; stage 2 ranks the ≤ n_salts·N
+    survivors per stratum. Exactness is a tournament invariant (any
+    global bottom-N row is necessarily in its own bucket's bottom N);
+    stage-1 partitions are ~1/n_salts of a stratum, stage 2 sorts at
+    most n_salts·N rows per stratum. Size ``n_salts`` so both stay
+    task-sized at the target scale."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    h = F.md5(F.col(key_col).cast("string"))
+    salt = md5_bucket(F.col(key_col), n_salts)  # independent 60-bit slice
+    w1 = Window.partitionBy(strata_col, "_salt").orderBy("_h", key_col)
+    w2 = Window.partitionBy(strata_col).orderBy("_h", key_col)
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= n)
+        .withColumn("sample_rank", F.row_number().over(w2))
+        .filter(F.col("sample_rank") <= n)
+        .drop("_h", "_salt", "_r1")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-stratum quantiles via value-histogram CDF
+# ---------------------------------------------------------------------------
+
+def stratified_quantiles(
+    df: DataFrame,
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+    strata_col: str = "lang",
+) -> DataFrame:
+    """EXACT per-stratum discrete quantiles (SQL-standard
+    ``percentile_disc``: the smallest value whose cumulative row count
+    reaches ``ceil(q·n)``) — corpus length/quality profiling without
+    the usual either/or of approx sketches vs whole-stratum sorts.
+
+    Scale: the input first collapses to a value histogram
+    (``groupBy(stratum, value)``, a skew-immune partial-agg shuffle);
+    the CDF walk then runs over DISTINCT-VALUE rows per stratum —
+    bounded by the value domain (e.g. token lengths: ~10^4 distinct),
+    not the corpus — so the per-stratum window sort is always
+    task-sized. One quantile row per (stratum, q). Exact, no
+    interpolation (values keep their column type), deterministic, and
+    the oracle reproduces the same histogram-CDF construction."""
+    for q in quantiles:
+        if not 0 < q <= 1:
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    hist = df.groupBy(strata_col, value_col).agg(
+        F.count(F.lit(1)).alias("_f")
+    )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cdf = hist.withColumn("_cum", F.sum("_f").over(w)).withColumn(
+        "_n", F.sum("_f").over(Window.partitionBy(strata_col))
+    )
+    out = None
+    for q in quantiles:
+        # smallest value with cum >= ceil(q*n): rank-1 ascending among
+        # qualifying rows
+        wq = Window.partitionBy(strata_col).orderBy(value_col)
+        picked = (
+            cdf.filter(F.col("_cum") >= F.ceil(F.lit(q) * F.col("_n")))
+            .withColumn("_rq", F.row_number().over(wq))
+            .filter(F.col("_rq") == 1)
+            .select(
+                strata_col,
+                F.lit(q).alias("quantile"),
+                F.col(value_col).alias("value"),
+                F.col("_n").alias("n_rows"),
+            )
+        )
+        out = picked if out is None else out.unionByName(picked)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing
 # ---------------------------------------------------------------------------
 

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from scraping_etl_spark.operators import corpus_prep as CP
 from scraping_etl_spark.operators.interval import interval_join
-from scraping_etl_spark.operators.textstats import vocab_topk
+from scraping_etl_spark.operators.textstats import tokens, vocab_topk
 from scraping_etl_spark.sources.readers import load_table
 
 _TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
@@ -710,4 +710,77 @@ SELECT d.doc_id,
        CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
        coalesce(avg_logp, 0.0) AS avg_logp
 FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Stratified bottom-N sample (corpus_prep.stratified_sample_n gate)
+# ---------------------------------------------------------------------------
+
+_SAMPLE_N = 20
+
+
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language eval sample: the N smallest
+    (md5(doc_id), doc_id) per stratum via the two-stage salt
+    tournament — the oracle reproduces the selection with a single
+    row_number (exactness of the tournament IS the tested claim)."""
+    d = load_table(spark, sf_dir, "documents")
+    return CP.stratified_sample_n(d, _SAMPLE_N).select(
+        "doc_id", "lang", "sample_rank"
+    )
+
+
+ORACLE_DOC_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang, sample_rank FROM (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS INTEGER) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= {_SAMPLE_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-stratum token-length quantiles (corpus_prep.stratified_quantiles gate)
+# ---------------------------------------------------------------------------
+
+_QUANTILES = (0.25, 0.5, 0.75, 0.95)
+
+
+def q_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language token-count quantiles via the value-histogram
+    CDF — discrete percentile_disc semantics, no interpolation, so the
+    values hash-compare exactly."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(tokens("text"))
+    )
+    return CP.stratified_quantiles(d, "n_tokens", _QUANTILES).select(
+        "lang",
+        F.col("quantile").cast("double").alias("quantile"),
+        F.col("value").cast("long").alias("value"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
+ORACLE_DOC_LENGTH_QUANTILES = f"""
+WITH t AS (
+  SELECT lang, len({_TOKS}) AS v FROM documents
+),
+hist AS (SELECT lang, v, count(*) AS f FROM t GROUP BY 1, 2),
+cdf AS (
+  SELECT lang, v,
+         sum(f) OVER (PARTITION BY lang ORDER BY v) AS cum,
+         sum(f) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+qs(q) AS (VALUES {", ".join(f"({q})" for q in _QUANTILES)})
+SELECT cdf.lang,
+       CAST(qs.q AS DOUBLE) AS quantile,
+       CAST(min(cdf.v) AS BIGINT) AS value,
+       CAST(min(cdf.n) AS BIGINT) AS n_rows
+FROM cdf JOIN qs ON cdf.cum >= ceil(qs.q * cdf.n)
+GROUP BY 1, 2
 """

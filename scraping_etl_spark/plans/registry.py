@@ -16,12 +16,14 @@ over the WHOLE registry) and re-earn a driver seat on a later rotation.
 Round-7 rotation: ``doc_repetition_stats`` … ``doc_corpus_pipeline``
 (driver-unseen since round 5, two with round-6 oracle changes) plus the
 newly registered ``doc_lm_score`` / ``doc_split_corpus`` /
-``doc_oov_ratio`` enter the window; ``hourly_event_rollup``,
-``doc_text_stats``, ``doc_lang_id``, ``doc_fingerprint``,
-``doc_quality``, ``string_functions``, ``json_props``,
-``event_lag_delta``, ``event_moving_avg``, ``doc_zip_bigrams``,
-``order_date_roundtrip`` (all driver-green every round since they
-landed, code untouched) rotate to the tail.
+``doc_oov_ratio`` / ``doc_stratified_sample`` /
+``doc_length_quantiles`` enter the window; ``orders_by_month``,
+``hourly_event_rollup``, ``event_type_pivot``, ``doc_text_stats``,
+``doc_lang_id``, ``doc_fingerprint``, ``doc_quality``,
+``string_functions``, ``json_props``, ``event_lag_delta``,
+``event_moving_avg``, ``doc_zip_bigrams``, ``order_date_roundtrip``
+(all driver-green every round since they landed, code untouched)
+rotate to the tail.
 """
 
 from __future__ import annotations
@@ -76,10 +78,6 @@ QUERIES: list[QuerySpec] = [
         R.ORACLE_TOP_ACCTBAL_PER_NATION, "window top-k per group",
     ),
     QuerySpec(
-        "orders_by_month", R.q_orders_by_month, R.ORACLE_ORDERS_BY_MONTH,
-        "date-part extraction + rollup",
-    ),
-    QuerySpec(
         "rollup_revenue", R.q_rollup_revenue, R.ORACLE_ROLLUP_REVENUE,
         "ROLLUP grouping sets with grouping_id",
     ),
@@ -94,10 +92,6 @@ QUERIES: list[QuerySpec] = [
     QuerySpec(
         "sessionize", R.q_sessionize, R.ORACLE_SESSIONIZE,
         "gap-based sessionization (lag + running sum)",
-    ),
-    QuerySpec(
-        "event_type_pivot", R.q_event_type_pivot, R.ORACLE_EVENT_TYPE_PIVOT,
-        "pivot to per-user event-type counts",
     ),
     QuerySpec(
         "asof_purchase_click", P.q_asof_purchase_click, P.ORACLE_ASOF_PURCHASE_CLICK,
@@ -276,6 +270,18 @@ QUERIES: list[QuerySpec] = [
         "per-doc out-of-vocabulary ratio vs the top-k corpus vocab — "
         "explode + broadcast vocab join (corpus_prep.with_oov_ratio)",
     ),
+    QuerySpec(
+        "doc_stratified_sample", C.q_doc_stratified_sample,
+        C.ORACLE_DOC_STRATIFIED_SAMPLE,
+        "deterministic bottom-N-by-hash eval sample per stratum via "
+        "two-stage salt tournament (corpus_prep.stratified_sample_n)",
+    ),
+    QuerySpec(
+        "doc_length_quantiles", C.q_doc_length_quantiles,
+        C.ORACLE_DOC_LENGTH_QUANTILES,
+        "exact per-stratum token-length quantiles via value-histogram "
+        "CDF (corpus_prep.stratified_quantiles)",
+    ),
     # ---- tail: rotated out of the driver window this round (still ----
     # ---- verified every round by the local DuckDB-oracle suite)   ----
     QuerySpec(
@@ -321,6 +327,14 @@ QUERIES: list[QuerySpec] = [
     QuerySpec(
         "order_date_roundtrip", M.q_order_date_roundtrip, M.ORACLE_ORDER_DATE_ROUNDTRIP,
         "'d MMMM yyyy' render/parse round-trip (F3)",
+    ),
+    QuerySpec(
+        "event_type_pivot", R.q_event_type_pivot, R.ORACLE_EVENT_TYPE_PIVOT,
+        "pivot to per-user event-type counts",
+    ),
+    QuerySpec(
+        "orders_by_month", R.q_orders_by_month, R.ORACLE_ORDERS_BY_MONTH,
+        "date-part extraction + rollup",
     ),
 ]
 

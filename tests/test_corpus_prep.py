@@ -650,3 +650,90 @@ def test_lm_score_rejects_bad_hot_threshold(spark):
     df = _docs(spark, [(1, "a b")])
     with pytest.raises(ValueError):
         CP.with_lm_score(df, hot_threshold=0)
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample_n
+# ---------------------------------------------------------------------------
+
+def _lang_docs(spark, n):
+    rows = [(i, f"text {i}", "en" if i % 3 else "fr") for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_stratified_sample_tournament_is_exact(spark):
+    """Tournament invariant: for any n_salts, the two-stage selection
+    equals the single-window bottom-N-by-(md5, id) per stratum."""
+    from pyspark.sql.window import Window as W
+
+    df = _lang_docs(spark, 300)
+    w = W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ref = {
+        (r.doc_id, r.sample_rank)
+        for r in df.withColumn("sample_rank", F.row_number().over(w))
+        .filter("sample_rank <= 15")
+        .collect()
+    }
+    for n_salts in (1, 4, 64):
+        got = {
+            (r.doc_id, r.sample_rank)
+            for r in CP.stratified_sample_n(df, 15, n_salts=n_salts).collect()
+        }
+        assert got == ref, n_salts
+
+
+def test_stratified_sample_small_stratum_keeps_all(spark):
+    df = _lang_docs(spark, 12)  # fr stratum has 4 rows < n
+    got = CP.stratified_sample_n(df, 10).groupBy("lang").count().collect()
+    counts = {r.lang: r["count"] for r in got}
+    assert counts == {"en": 8, "fr": 4}
+
+
+def test_stratified_sample_validates_args(spark):
+    df = _lang_docs(spark, 3)
+    with pytest.raises(ValueError):
+        CP.stratified_sample_n(df, 0)
+    with pytest.raises(ValueError):
+        CP.stratified_sample_n(df, 5, n_salts=0)
+
+
+# ---------------------------------------------------------------------------
+# stratified_quantiles
+# ---------------------------------------------------------------------------
+
+def test_stratified_quantiles_hand_computed(spark):
+    """percentile_disc semantics: smallest value with cum >= ceil(q·n).
+    en = [1,2,3,4]; fr = [1,1,1,9] (duplicates collapse in the
+    histogram but weigh the CDF)."""
+    rows = [(1, "en", 1), (2, "en", 2), (3, "en", 3), (4, "en", 4),
+            (5, "fr", 1), (6, "fr", 1), (7, "fr", 1), (8, "fr", 9)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, v int")
+    out = CP.stratified_quantiles(df, "v", (0.25, 0.5, 0.75, 0.95))
+    got = {(r.lang, r.quantile): (r.value, r.n_rows) for r in out.collect()}
+    assert got[("en", 0.25)] == (1, 4)
+    assert got[("en", 0.5)] == (2, 4)
+    assert got[("en", 0.75)] == (3, 4)
+    assert got[("en", 0.95)] == (4, 4)   # ceil(3.8) = 4
+    assert got[("fr", 0.75)] == (1, 4)   # cum(1) = 3 >= ceil(3)
+    assert got[("fr", 0.95)] == (9, 4)
+
+
+def test_stratified_quantiles_validates_range(spark):
+    df = spark.createDataFrame([(1, "en", 1)], "doc_id long, lang string, v int")
+    with pytest.raises(ValueError):
+        CP.stratified_quantiles(df, "v", (0.0,))
+    with pytest.raises(ValueError):
+        CP.stratified_quantiles(df, "v", (1.5,))
+
+
+def test_stratified_quantiles_histogram_before_window(spark):
+    """Scale contract: the window walks the distinct-value histogram,
+    not the raw rows — the plan aggregates on (stratum, value) BELOW
+    the window sort."""
+    df = spark.createDataFrame(
+        [(i, "en", i % 5) for i in range(100)], "doc_id long, lang string, v int"
+    )
+    out = CP.stratified_quantiles(df, "v", (0.5,))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan and "HashAggregate" in plan
+    assert out.count() == 1
