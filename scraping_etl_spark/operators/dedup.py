@@ -149,44 +149,20 @@ def lsh_collision_probability(s: float, num_hashes: int, bands: int) -> float:
     return 1.0 - (1.0 - s**rows) ** bands
 
 
-def minhash_lsh_pairs(
+def minhash_banded(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """Near-duplicate pairs: shingle → MinHash → banded LSH → verify.
-
-    Each shingle hashes ONCE to a 28-bit integer (md5-hex prefix), and
-    the MinHash for seed ``s`` is ``min((a_s·h + b_s) mod p)`` over the
-    hash array — Carter-Wegman universal hashing with fixed-seed
-    coefficients (:func:`minhash_params`), plain integer arithmetic the
-    DuckDB oracle mirrors bit-for-bit.
-
-    Plan shape (the scale-critical part):
-    1. one projection computes the shingle-hash array per row; the
-       whole num_hashes-signature is ``array_min`` expressions over
-       it — per-row, no explode, no shuffle, fully codegen'd;
-    2. each band's ``rows_per_band`` mins fold into one md5 band
-       digest; docs explode to just ``bands`` (band_idx, band_hash)
-       rows;
-    3. self-equi-join on (band_idx, band_hash) with ``id_a < id_b``
-       yields candidate pairs *within buckets only* (shuffle key = band
-       hash — no cross join anywhere);
-    4. distinct candidate pairs re-join the shingle sets and the exact
-       Jaccard filters at ``threshold``.
-
-    Banding with b bands of r rows targets the usual s-curve threshold
-    ``(1/b)^(1/r)`` (:func:`lsh_threshold`); the demo defaults (16
-    hashes, 4 bands of 4) sit at ≈0.71, so pairs above ~0.8 are caught
-    with probability >0.99 while unrelated pairs almost never collide.
-    At scale pass ``**MINHASH_PRESET_PRODUCTION`` (128 hashes, 16 bands
-    of 8 — same midpoint, far sharper curve, so the verify join sees
-    orders of magnitude fewer false candidates).
-    """
+) -> tuple[DataFrame, DataFrame]:
+    """Shared signature/banding stage of the MinHash pipeline: returns
+    ``(docs, banded)`` — per-doc distinct shingle sets ``(_id, _sh)``
+    and the exploded ``(_id, _band_idx, _band_hash)`` bucket rows.
+    Factored out of :func:`minhash_lsh_pairs` (same expressions,
+    bit-identical signatures) so :func:`cross_corpus_neardup_pairs`
+    bands both corpora with the same arithmetic."""
     assert num_hashes % bands == 0, "num_hashes must divide into bands"
     r = num_hashes // bands
     params = minhash_params(num_hashes)
@@ -237,6 +213,48 @@ def minhash_lsh_pairs(
             )
         ).alias("_b"),
     ).select("_id", F.col("_b._band_idx").alias("_band_idx"), F.col("_b._band_hash").alias("_band_hash"))
+    return docs, banded
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs: shingle → MinHash → banded LSH → verify.
+
+    Each shingle hashes ONCE to a 28-bit integer (md5-hex prefix), and
+    the MinHash for seed ``s`` is ``min((a_s·h + b_s) mod p)`` over the
+    hash array — Carter-Wegman universal hashing with fixed-seed
+    coefficients (:func:`minhash_params`), plain integer arithmetic the
+    DuckDB oracle mirrors bit-for-bit.
+
+    Plan shape (the scale-critical part):
+    1. one projection computes the shingle-hash array per row; the
+       whole num_hashes-signature is ``array_min`` expressions over
+       it — per-row, no explode, no shuffle, fully codegen'd;
+    2. each band's ``rows_per_band`` mins fold into one md5 band
+       digest; docs explode to just ``bands`` (band_idx, band_hash)
+       rows;
+    3. self-equi-join on (band_idx, band_hash) with ``id_a < id_b``
+       yields candidate pairs *within buckets only* (shuffle key = band
+       hash — no cross join anywhere);
+    4. distinct candidate pairs re-join the shingle sets and the exact
+       Jaccard filters at ``threshold``.
+
+    Banding with b bands of r rows targets the usual s-curve threshold
+    ``(1/b)^(1/r)`` (:func:`lsh_threshold`); the demo defaults (16
+    hashes, 4 bands of 4) sit at ≈0.71, so pairs above ~0.8 are caught
+    with probability >0.99 while unrelated pairs almost never collide.
+    At scale pass ``**MINHASH_PRESET_PRODUCTION`` (128 hashes, 16 bands
+    of 8 — same midpoint, far sharper curve, so the verify join sees
+    orders of magnitude fewer false candidates).
+    """
+    docs, banded = minhash_banded(df, id_col, text_col, k, num_hashes, bands)
     left = banded.alias("a")
     right = banded.alias("b")
     cand = (
@@ -257,6 +275,60 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", jaccard(F.col("_sh_a"), F.col("_sh_b")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def cross_corpus_neardup_pairs(
+    new: DataFrame,
+    ref: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicates of ``new`` documents AGAINST a reference corpus
+    — the incremental form of :func:`minhash_lsh_pairs` ("have we seen
+    this before?"): an incoming batch is screened against the existing
+    lake without re-pairing the lake with itself. Both sides band with
+    the same fixed-seed arithmetic (:func:`minhash_banded`), candidates
+    come from the new×ref equi-join on (band_idx, band_hash) — never
+    new×ref all-pairs — and exact shingle Jaccard ≥ ``threshold``
+    verifies. Returns ``(new_id, ref_id, jaccard)``.
+
+    Scale: the banded relations are |corpus|·bands rows keyed by band
+    hash (high-cardinality); the join shuffles only band rows, and at
+    production presets (:data:`MINHASH_PRESET_PRODUCTION`) the sharper
+    s-curve keeps false candidates rare. In continuous ingest the ref
+    side's signatures are computed once and persisted — re-banding the
+    lake per batch would dominate; the operator takes the raw ref
+    corpus for self-containment and the signature reuse is the
+    documented deployment step."""
+    new_docs, new_banded = minhash_banded(
+        new, id_col, text_col, k, num_hashes, bands
+    )
+    ref_docs, ref_banded = minhash_banded(
+        ref, id_col, text_col, k, num_hashes, bands
+    )
+    cand = (
+        new_banded.alias("a")
+        .join(
+            ref_banded.alias("b"),
+            (F.col("a._band_idx") == F.col("b._band_idx"))
+            & (F.col("a._band_hash") == F.col("b._band_hash")),
+        )
+        .select(F.col("a._id").alias("new_id"), F.col("b._id").alias("ref_id"))
+        .distinct()
+    )
+    sh_n = new_docs.select(F.col("_id").alias("new_id"), F.col("_sh").alias("_sh_n"))
+    sh_r = ref_docs.select(F.col("_id").alias("ref_id"), F.col("_sh").alias("_sh_r"))
+    return (
+        cand.join(sh_n, "new_id")
+        .join(sh_r, "ref_id")
+        .withColumn("jaccard", jaccard(F.col("_sh_n"), F.col("_sh_r")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "ref_id", "jaccard")
     )
 
 

@@ -162,6 +162,92 @@ WHERE round(len(list_intersect(da.s, db.s))
 ORACLE_DOC_MINHASH_PAIRS = _minhash_oracle()
 
 
+def q_doc_cross_corpus_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup screen: an incoming batch (30 re-keyed docs
+    with a near-dup suffix) checked against the existing corpus via
+    cross-corpus banded LSH — candidates only from band-bucket
+    collisions, Jaccard-verified (operators/dedup.py
+    cross_corpus_neardup_pairs)."""
+    ref = load_table(spark, sf_dir, "documents")
+    new = ref.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_NEARDUP_SUFFIX)).alias("text"),
+    )
+    return DD.cross_corpus_neardup_pairs(
+        new, ref, k=_MH_K, num_hashes=_MH_HASHES, bands=_MH_BANDS, threshold=_MH_T
+    ).select("new_id", "ref_id", "jaccard")
+
+
+def _cross_minhash_oracle() -> str:
+    r = _MH_HASHES // _MH_BANDS
+    p = DD.MINHASH_PRIME
+    params = DD.minhash_params(_MH_HASHES)
+    mins = ",\n         ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {p})) AS m{s}"
+        for s, (a, b) in enumerate(params)
+    )
+    band_cols = ",\n         ".join(
+        "md5(concat_ws('|', '{j}', {parts})) AS b{j}".format(
+            j=j,
+            parts=", ".join(f"m{j * r + i}::VARCHAR" for i in range(r)),
+        )
+        for j in range(_MH_BANDS)
+    )
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT id, side, {j} AS band_idx, b{j} AS band_hash FROM sig3"
+        for j in range(_MH_BANDS)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id + 1000000 AS doc_id, text || '{_NEARDUP_SUFFIX}' AS text,
+         'n' AS side
+  FROM documents WHERE doc_id < 30
+  UNION ALL
+  SELECT doc_id, text, 'r' AS side FROM documents
+), toks AS (
+  SELECT doc_id AS id, side, {_TOKS} AS t FROM corpus
+), sh AS (
+  SELECT id, side,
+         list_distinct(list_transform(
+           CASE WHEN len(t) >= {_MH_K} THEN generate_series(1, len(t) - {_MH_K - 1}) ELSE [] END,
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+  FROM toks
+), docs AS (
+  SELECT id, side, s FROM sh WHERE len(s) > 0
+), sig AS (
+  SELECT id, side,
+         list_transform(s, x -> ('0x' || substr(md5(x), 1, 7))::BIGINT) AS hs
+  FROM docs
+), sig2 AS (
+  SELECT id, side,
+         {mins}
+  FROM sig
+), sig3 AS (
+  SELECT id, side,
+         {band_cols}
+  FROM sig2
+), bands AS (
+{band_rows}
+), cand AS (
+  SELECT DISTINCT a.id AS new_id, b.id AS ref_id
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.side = 'n' AND b.side = 'r'
+)
+SELECT c.new_id, c.ref_id,
+       round(len(list_intersect(da.s, db.s))
+             / greatest(len(list_distinct(list_concat(da.s, db.s))), 1), 6) AS jaccard
+FROM cand c
+JOIN docs da ON da.id = c.new_id AND da.side = 'n'
+JOIN docs db ON db.id = c.ref_id AND db.side = 'r'
+WHERE round(len(list_intersect(da.s, db.s))
+            / greatest(len(list_distinct(list_concat(da.s, db.s))), 1), 6) >= {_MH_T}
+"""
+
+
+ORACLE_DOC_CROSS_CORPUS_DUPS = _cross_minhash_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Near-dup cluster collapse: pairs → connected components → survivors
 # ---------------------------------------------------------------------------

@@ -86,10 +86,6 @@ QUERIES: list[QuerySpec] = [
         R.ORACLE_ORDERKEYS_EXCEPT_OPEN, "EXCEPT / subtract (SURVEY U2)",
     ),
     QuerySpec(
-        "union_counterparties", R.q_union_counterparties,
-        R.ORACLE_UNION_COUNTERPARTIES, "unionByName + conditional agg (SURVEY U1)",
-    ),
-    QuerySpec(
         "sessionize", R.q_sessionize, R.ORACLE_SESSIONIZE,
         "gap-based sessionization (lag + running sum)",
     ),
@@ -109,6 +105,12 @@ QUERIES: list[QuerySpec] = [
     QuerySpec(
         "doc_minhash_pairs", M.q_doc_minhash_pairs, M.ORACLE_DOC_MINHASH_PAIRS,
         "MinHash + banded-LSH near-dup pairs, Jaccard-verified",
+    ),
+    QuerySpec(
+        "doc_cross_corpus_dups", M.q_doc_cross_corpus_dups,
+        M.ORACLE_DOC_CROSS_CORPUS_DUPS,
+        "incremental dedup screen: incoming batch vs existing corpus "
+        "via cross-corpus banded LSH, Jaccard-verified",
     ),
     QuerySpec(
         "doc_neardup_clusters", M.q_doc_neardup_clusters, M.ORACLE_DOC_NEARDUP_CLUSTERS,
@@ -335,6 +337,10 @@ QUERIES: list[QuerySpec] = [
     QuerySpec(
         "orders_by_month", R.q_orders_by_month, R.ORACLE_ORDERS_BY_MONTH,
         "date-part extraction + rollup",
+    ),
+    QuerySpec(
+        "union_counterparties", R.q_union_counterparties,
+        R.ORACLE_UNION_COUNTERPARTIES, "unionByName + conditional agg (SURVEY U1)",
     ),
 ]
 

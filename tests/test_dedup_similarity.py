@@ -335,3 +335,34 @@ def test_quantize_embedding_bounds_and_recall(spark):
     }
     agree = sum(1 for k in top_f if top_q.get(k) == top_f[k])
     assert agree / len(top_f) >= 0.8  # rounding may flip near-ties only
+
+
+def test_cross_corpus_neardup_pairs_finds_only_cross_matches(spark):
+    """Incoming batch vs reference corpus: a near-dup of a ref doc is
+    caught, an unrelated doc is not, and pairs are strictly cross-side
+    (new ids never appear as ref_id and vice versa) even when the NEW
+    batch contains near-dups of itself."""
+    from scraping_etl_spark.operators.dedup import cross_corpus_neardup_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ref = spark.createDataFrame(
+        [(1, base), (2, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (101, base + " tail"),          # near-dup of ref 1
+            (102, base + " tail marker"),   # near-dup of ref 1 AND of 101
+            (103, "totally different words in this incoming doc here now"),
+        ],
+        "doc_id long, text string",
+    )
+    out = cross_corpus_neardup_pairs(new, ref, threshold=0.5)
+    rows = out.collect()
+    got = {(r.new_id, r.ref_id) for r in rows}
+    assert (101, 1) in got and (102, 1) in got
+    assert all(r.new_id in (101, 102, 103) and r.ref_id in (1, 2) for r in rows)
+    assert not any(r.new_id == 103 for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
