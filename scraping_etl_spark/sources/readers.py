@@ -68,6 +68,12 @@ def read_json_lines(
     )
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (schema from file metadata, like parquet — ORC is
+    self-describing; predicate pushdown and column pruning apply)."""
+    return spark.read.orc(path)
+
+
 def read_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
     """Header CSV with explicit schema (no ``inferSchema`` extra pass)."""
     return spark.read.csv(path, header=True, schema=schema, mode="PERMISSIVE")

@@ -363,6 +363,8 @@ def corpus_prep_stream(
     checkpoint_dir: str,
     schema: T.StructType = schemas.DOCUMENTS,
     bench: DataFrame | None = None,
+    vocab: DataFrame | None = None,
+    max_oov_ratio: float = 0.5,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
@@ -372,15 +374,22 @@ def corpus_prep_stream(
     :func:`~scraping_etl_spark.operators.corpus_prep.scrub_pii` →
     :func:`~...corpus_prep.with_repetition_stats` → (when ``bench`` is
     given) :func:`~...corpus_prep.decontaminate` against the STATIC
-    benchmark corpus — and lands only the documents that pass both
-    gates, with the scrubbed text and the quality signals.
+    benchmark corpus → (when ``vocab`` is given)
+    :func:`~...corpus_prep.with_oov_ratio` against the STATIC reference
+    vocabulary, dropping docs above ``max_oov_ratio`` — and lands only
+    the documents that pass every gate, with the scrubbed text and the
+    quality signals.
 
     Semantics: every gate is per-document (scrub and repetition are
-    row-local projections; contamination tests each doc against the
-    static ``bench``), so batch-local evaluation equals global — any
+    row-local projections; contamination and OOV test each doc against
+    static side inputs), so batch-local evaluation equals global — any
     micro-batch partitioning of the corpus lands exactly the documents
     the batch pipeline keeps. That is what makes the twin honest rather
-    than approximate.
+    than approximate. The one deliberately-static piece is ``vocab``:
+    a corpus-global top-k vocabulary cannot be computed inside a
+    micro-batch, so the caller supplies it (typically
+    ``textstats.vocab_topk`` over the existing lake) — the standard
+    side-input pattern for stream-vs-corpus statistics.
 
     Idempotency: each micro-batch dynamic-overwrites its own
     ``batch_id`` partition (the fact-path convention of
@@ -410,6 +419,11 @@ def corpus_prep_stream(
                 ~F.col("contaminated")
             ).select("doc_id")
             kept = kept.join(clean, "doc_id", "left_semi")
+        if vocab is not None:
+            in_vocab = CP.with_oov_ratio(kept, vocab).filter(
+                F.col("oov_ratio") <= max_oov_ratio
+            ).select("doc_id")
+            kept = kept.join(in_vocab, "doc_id", "left_semi")
         (
             kept.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")

@@ -463,3 +463,37 @@ def test_corpus_prep_stream_matches_batch_and_replays_stable(spark, tmp_path):
     after = {tuple(r) for r in after_df.drop("batch_id").collect()}
     assert after == before
     assert after_df.count() == len(want_ids)  # no duplicate rows
+
+
+def test_corpus_prep_stream_oov_gate_drops_high_oov_docs(spark, tmp_path):
+    """The static-vocab OOV gate: docs mostly outside the reference
+    vocabulary are dropped at ingest; in-vocab docs land."""
+    import os
+
+    from scraping_etl_spark.streaming.pipeline import corpus_prep_stream
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    rows = [
+        (1, "alpha beta alpha beta gamma", "en"),   # fully in-vocab
+        (2, "zork quux blarg frotz nix grue", "en"),  # fully OOV
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(f"{src}/f1")
+    vocab = spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",)], "token string"
+    )
+    import pyspark.sql.types as T2
+    schema = T2.StructType([
+        T2.StructField("doc_id", T2.LongType()),
+        T2.StructField("text", T2.StringType()),
+        T2.StructField("lang", T2.StringType()),
+    ])
+    q = corpus_prep_stream(
+        spark, f"{src}/*", out, ckpt, schema=schema,
+        vocab=vocab, max_oov_ratio=0.2,
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1}

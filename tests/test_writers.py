@@ -202,3 +202,22 @@ def test_mongodb_contract(spark):
     cause = str(ei.value.__cause__)
     assert "connection.uri=mongodb://h:27017" in cause
     assert "database=db2" in cause and "collection=coll2" in cause
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC sink/source round-trip; the filter reaches the ORC scan as a
+    pushed predicate (searchArgument) and the projection prunes."""
+    from scraping_etl_spark.sources.readers import load_table, read_orc
+    from scraping_etl_spark.sources.writers import write_orc
+
+    src = load_table(spark, "/root/testdata/sf0.001", "customer")
+    path = str(tmp_path / "cust_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.count() == src.count()
+    q = back.filter("c_nationkey = 3").select("c_custkey", "c_name")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "c_nationkey" in plan
+    got = {r.c_custkey for r in q.collect()}
+    want = {r.c_custkey for r in src.filter("c_nationkey = 3").collect()}
+    assert got == want
