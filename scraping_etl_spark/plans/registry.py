@@ -15,15 +15,15 @@ over the WHOLE registry) and re-earn a driver seat on a later rotation.
 
 Round-7 rotation: ``doc_repetition_stats`` … ``doc_corpus_pipeline``
 (driver-unseen since round 5, two with round-6 oracle changes) plus the
-newly registered ``doc_lm_score`` / ``doc_split_corpus`` /
-``doc_oov_ratio`` / ``doc_stratified_sample`` /
+newly registered ``doc_cross_corpus_dups`` / ``doc_lm_score`` /
+``doc_split_corpus`` / ``doc_oov_ratio`` / ``doc_stratified_sample`` /
 ``doc_length_quantiles`` enter the window; ``orders_by_month``,
-``hourly_event_rollup``, ``event_type_pivot``, ``doc_text_stats``,
-``doc_lang_id``, ``doc_fingerprint``, ``doc_quality``,
-``string_functions``, ``json_props``, ``event_lag_delta``,
-``event_moving_avg``, ``doc_zip_bigrams``, ``order_date_roundtrip``
-(all driver-green every round since they landed, code untouched)
-rotate to the tail.
+``hourly_event_rollup``, ``event_type_pivot``, ``union_counterparties``,
+``doc_text_stats``, ``doc_lang_id``, ``doc_fingerprint``,
+``doc_quality``, ``string_functions``, ``json_props``,
+``event_lag_delta``, ``event_moving_avg``, ``doc_zip_bigrams``,
+``order_date_roundtrip`` (all driver-green every round since they
+landed, code untouched) rotate to the tail.
 """
 
 from __future__ import annotations

@@ -187,3 +187,34 @@ def test_pack_sequences_conserves_tokens_and_docs(spark, docs, budget, n_shards)
     for key in {(r.lang, r.shard) for r in out}:
         seqs = sorted(r.seq_id for r in out if (r.lang, r.shard) == key)
         assert seqs[0] == 0 and seqs == sorted(set(seqs))
+
+
+# ---------------------------------------------------------------------------
+# stratified_quantiles vs the direct sorted-list definition
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.sampled_from(["en", "fr"])),
+        min_size=1, max_size=40,
+    ),
+    st.sampled_from([0.25, 0.5, 0.9, 1.0]),
+)
+def test_stratified_quantiles_matches_sorted_definition(spark, vals, q):
+    """Histogram-CDF quantile == sorted(stratum)[ceil(q·n) - 1] (the
+    percentile_disc definition) for every stratum and any q."""
+    import math
+
+    from scraping_etl_spark.operators.corpus_prep import stratified_quantiles
+
+    rows = [(i, lang, v) for i, (v, lang) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, v int")
+    got = {
+        r.lang: (r.value, r.n_rows)
+        for r in stratified_quantiles(df, "v", (q,)).collect()
+    }
+    for lang in {l for _, l in vals}:
+        stratum = sorted(v for v, l in vals if l == lang)
+        want = stratum[math.ceil(q * len(stratum)) - 1]
+        assert got[lang] == (want, len(stratum)), (lang, q, stratum)
