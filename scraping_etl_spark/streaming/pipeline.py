@@ -365,6 +365,8 @@ def corpus_prep_stream(
     bench: DataFrame | None = None,
     vocab: DataFrame | None = None,
     max_oov_ratio: float = 0.5,
+    dedup_ref: DataFrame | None = None,
+    dedup_threshold: float = 0.8,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
@@ -376,9 +378,14 @@ def corpus_prep_stream(
     given) :func:`~...corpus_prep.decontaminate` against the STATIC
     benchmark corpus → (when ``vocab`` is given)
     :func:`~...corpus_prep.with_oov_ratio` against the STATIC reference
-    vocabulary, dropping docs above ``max_oov_ratio`` — and lands only
-    the documents that pass every gate, with the scrubbed text and the
-    quality signals.
+    vocabulary, dropping docs above ``max_oov_ratio`` → (when
+    ``dedup_ref`` is given)
+    :func:`~scraping_etl_spark.operators.dedup.cross_corpus_neardup_pairs`
+    against the STATIC reference corpus, dropping incoming docs whose
+    shingle Jaccard against any lake document reaches
+    ``dedup_threshold`` ("have we seen this before?" at the door) —
+    and lands only the documents that pass every gate, with the
+    scrubbed text and the quality signals.
 
     Semantics: every gate is per-document (scrub and repetition are
     row-local projections; contamination and OOV test each doc against
@@ -424,6 +431,19 @@ def corpus_prep_stream(
                 F.col("oov_ratio") <= max_oov_ratio
             ).select("doc_id")
             kept = kept.join(in_vocab, "doc_id", "left_semi")
+        if dedup_ref is not None:
+            from scraping_etl_spark.operators.dedup import (
+                cross_corpus_neardup_pairs,
+            )
+
+            seen = (
+                cross_corpus_neardup_pairs(
+                    kept, dedup_ref, threshold=dedup_threshold
+                )
+                .select(F.col("new_id").alias("doc_id"))
+                .distinct()
+            )
+            kept = kept.join(seen, "doc_id", "left_anti")
         (
             kept.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")

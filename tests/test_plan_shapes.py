@@ -82,3 +82,18 @@ def test_ivf_no_cross_join(spark):
     plan = _plan(M.q_emb_ivf_topk(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lm_score_plan_no_bnlj(spark):
+    """Regression guard for the vocab-size attach: FoldablePropagation
+    turns a literal join key into a one-sided filter and the 1-row
+    join degrades to BroadcastNestedLoopJoin; the non-foldable key must
+    keep the whole plan BNLJ- and cartesian-free."""
+    from scraping_etl_spark.operators.corpus_prep import with_lm_score
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+    )
+    plan = _plan(with_lm_score(df))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

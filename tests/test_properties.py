@@ -218,3 +218,42 @@ def test_stratified_quantiles_matches_sorted_definition(spark, vals, q):
         stratum = sorted(v for v, l in vals if l == lang)
         want = stratum[math.ceil(q * len(stratum)) - 1]
         assert got[lang] == (want, len(stratum)), (lang, q, stratum)
+
+
+# ---------------------------------------------------------------------------
+# with_lm_score vs a pure-Python bigram LM
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd"]), min_size=0, max_size=8),
+        min_size=1, max_size=8,
+    )
+)
+def test_lm_score_matches_python_reference(spark, docs):
+    """Add-one bigram LM computed independently in Python: unigram and
+    bigram counts over the whole corpus, V = |vocab|, per-doc mean
+    ln((c_bi+1)/(c_w1+V)) — must match the operator exactly (round 6)."""
+    import math
+    from collections import Counter
+
+    from scraping_etl_spark.operators.corpus_prep import with_lm_score
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.avg_logp) for r in with_lm_score(df).collect()}
+
+    uni = Counter(t for toks in docs for t in toks)
+    big = Counter(
+        (toks[i], toks[i + 1]) for toks in docs for i in range(len(toks) - 1)
+    )
+    v = len(uni)
+    for i, toks in enumerate(docs):
+        bis = [(toks[j], toks[j + 1]) for j in range(len(toks) - 1)]
+        if not bis:
+            assert got[i] == (0, 0.0)
+            continue
+        lps = [math.log((big[b] + 1.0) / (uni[b[0]] + v)) for b in bis]
+        assert got[i][0] == len(bis)
+        assert abs(got[i][1] - round(sum(lps) / len(lps), 6)) < 1e-9, (i, toks)

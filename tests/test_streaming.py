@@ -497,3 +497,37 @@ def test_corpus_prep_stream_oov_gate_drops_high_oov_docs(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got == {1}
+
+
+def test_corpus_prep_stream_neardup_screen_drops_seen_docs(spark, tmp_path):
+    """Dedup-at-the-door: an incoming doc that is a near-dup of a lake
+    document is dropped by the cross-corpus LSH screen; novel docs
+    land."""
+    import os
+
+    from scraping_etl_spark.streaming.pipeline import corpus_prep_stream
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    lake = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    rows = [
+        (101, base + " tail", "en"),  # near-dup of the lake doc
+        (102, "totally different incoming document with novel words here", "en"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(f"{src}/f1")
+    import pyspark.sql.types as T2
+    schema = T2.StructType([
+        T2.StructField("doc_id", T2.LongType()),
+        T2.StructField("text", T2.StringType()),
+        T2.StructField("lang", T2.StringType()),
+    ])
+    q = corpus_prep_stream(
+        spark, f"{src}/*", out, ckpt, schema=schema,
+        dedup_ref=lake, dedup_threshold=0.5,
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {102}
