@@ -263,6 +263,57 @@ def ivf_train(
     return [[float(x) for x in c] for c in model.clusterCenters()]
 
 
+def centroid_sq_dist(center: list[float], vec: Column) -> Column:
+    """Squared L2 distance to one centroid — identical fold order on
+    every engine: ``(a-b)*(a-b)`` left-summed, mirrored by the DuckDB
+    oracles (plans/ml_ops.py)."""
+    w = F.array(*[F.lit(x) for x in center])
+    diffs = F.zip_with(vec, w, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def nearest_centroids(vec: Column, centroids: list[list[float]], n: int) -> Column:
+    """Ids of the ``n`` nearest centroids, (distance, cid)-lexicographic
+    — a per-row expression over centroid literals (plan constants), no
+    join, no shuffle."""
+    scored = F.array(
+        *[
+            F.struct(centroid_sq_dist(c, vec).alias("d"), F.lit(i).alias("cid"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.slice(F.transform(F.array_sort(scored), lambda s: s["cid"]), 1, n)
+
+
+def cluster_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic clustering of a corpus: assign every vector to its
+    nearest trained centroid (the IVF index's assignment stage as a
+    first-class output — domain discovery, mixture balancing, and
+    per-cluster corpus stats all start here). Pure map-side: centroids
+    are plan constants, the argmin is a per-row expression — zero
+    shuffle at any scale. Returns ``(id, cluster, sq_dist)`` with the
+    squared distance to the winning centroid (rounded 6 for the exact
+    oracle compare)."""
+    v = F.col(vec_col)
+    scored = F.array(
+        *[
+            F.struct(centroid_sq_dist(c, v).alias("d"), F.lit(i).alias("cid"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.element_at(F.array_sort(scored), 1)
+    return corpus.select(
+        F.col(id_col),
+        best["cid"].cast("int").alias("cluster"),
+        F.round(best["d"], 6).alias("sq_dist"),
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -299,20 +350,8 @@ def ivf_topk(
             seed=seed, max_iter=max_iter,
         )
 
-    def _sq_dist_to(center: list[float], vec: Column) -> Column:
-        w = F.array(*[F.lit(x) for x in center])
-        diffs = F.zip_with(vec, w, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b))
-        return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
-
     def _nearest(vec: Column, n: int) -> Column:
-        # rank centroids by squared distance, take the n nearest ids
-        scored = F.array(
-            *[
-                F.struct(_sq_dist_to(c, vec).alias("d"), F.lit(i).alias("cid"))
-                for i, c in enumerate(centroids)
-            ]
-        )
-        return F.slice(F.transform(F.array_sort(scored), lambda s: s["cid"]), 1, n)
+        return nearest_centroids(vec, centroids, n)
 
     c = corpus.select(
         F.col(id_col).alias("_cid"),

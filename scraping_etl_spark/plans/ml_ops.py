@@ -1267,3 +1267,85 @@ SELECT doc_id,
        regexp_extract_all(text, '\b(t\w+)\b', 1)[1] AS first_t
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Semantic cluster assignment (similarity.cluster_assign gate)
+# ---------------------------------------------------------------------------
+
+def q_emb_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering: every embedding assigned to its nearest
+    trained IVF centroid (operators/similarity.cluster_assign) — the
+    per-doc domain label a mixture-balancing pipeline keys on. Shares
+    the per-sf index cache (and the oracle-pairing guard) with
+    q_emb_ivf_topk; assignment itself is map-side over centroid plan
+    constants, zero shuffle."""
+    if (
+        _ivf_zero_arg_oracle_dir is not None
+        and _ivf_zero_arg_oracle_dir != sf_dir
+        and sf_dir not in _ivf_explicit_oracle_dirs
+    ):
+        raise RuntimeError(
+            f"emb_cluster_assign: the zero-arg oracle trained its index at "
+            f"{_ivf_zero_arg_oracle_dir!r} but the query is running at "
+            f"{sf_dir!r} — the hash compare would silently mismatch. Set "
+            f"SPARK_GRAFT_ORACLE_SF_DIR={sf_dir} so both sides share one "
+            f"index."
+        )
+    _ivf_query_dirs.add(sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = [list(c) for c in _ivf_index(sf_dir)]
+    return SIM.cluster_assign(e, centroids)
+
+
+def oracle_emb_cluster_assign(sf_dir: str | None = None) -> str:
+    """DuckDB twin of :func:`q_emb_cluster_assign` — same lazy
+    constants-in-the-plan pattern as :func:`oracle_emb_ivf_topk` (the
+    two share one `_ivf_index` cache and one pairing state, so driver
+    runs that execute both queries in one process train exactly one
+    index per scale dir). Same left-fold squared distance, same
+    (d, cid) lexicographic argmin, same round-6 distance."""
+    global _ivf_zero_arg_oracle_dir
+    if sf_dir is None:
+        if "SPARK_GRAFT_ORACLE_SF_DIR" in os.environ:
+            resolved = os.environ["SPARK_GRAFT_ORACLE_SF_DIR"]
+        elif len(_ivf_query_dirs) == 1:
+            resolved = next(iter(_ivf_query_dirs))
+        else:
+            resolved = _IVF_ORACLE_SF_DIR
+        if _ivf_query_dirs and resolved not in _ivf_query_dirs:
+            raise RuntimeError(
+                f"emb_cluster_assign oracle: would train at {resolved!r} but "
+                f"the query ran at {sorted(_ivf_query_dirs)!r} — pass sf_dir "
+                f"or set SPARK_GRAFT_ORACLE_SF_DIR to pair them."
+            )
+        _ivf_zero_arg_oracle_dir = resolved
+        sf_dir = resolved
+    else:
+        _ivf_explicit_oracle_dirs.add(sf_dir)
+    centroids = _ivf_index(sf_dir)
+    cent_rows = ",\n         ".join(
+        "({i}, [{xs}])".format(
+            i=i, xs=", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in c)
+        )
+        for i, c in enumerate(centroids)
+    )
+    sq_dist = (
+        "list_reduce(list_transform(generate_series(1, {d}), "
+        "i -> (e.embedding[i]::DOUBLE - cent.c[i]) "
+        "* (e.embedding[i]::DOUBLE - cent.c[i])), (x, y) -> x + y)"
+    ).format(d=_DIM)
+    return f"""
+WITH cent(cid, c) AS (
+  VALUES {cent_rows}
+), dist AS (
+  SELECT e.vec_id, cent.cid, {sq_dist} AS d
+  FROM embeddings e CROSS JOIN cent
+), assign AS (
+  SELECT vec_id, cid, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+  FROM dist
+)
+SELECT vec_id, CAST(cid AS INTEGER) AS cluster, round(d, 6) AS sq_dist
+FROM assign WHERE rk = 1
+"""

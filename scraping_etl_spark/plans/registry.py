@@ -82,10 +82,6 @@ QUERIES: list[QuerySpec] = [
         "ROLLUP grouping sets with grouping_id",
     ),
     QuerySpec(
-        "orderkeys_except_open", R.q_orderkeys_except_open,
-        R.ORACLE_ORDERKEYS_EXCEPT_OPEN, "EXCEPT / subtract (SURVEY U2)",
-    ),
-    QuerySpec(
         "sessionize", R.q_sessionize, R.ORACLE_SESSIONIZE,
         "gap-based sessionization (lag + running sum)",
     ),
@@ -143,6 +139,12 @@ QUERIES: list[QuerySpec] = [
         "IVF cluster-pruned approximate top-k; centroids are trained "
         "once and embedded in the lazily-built DuckDB oracle as plan "
         "constants (full hash gate)",
+    ),
+    QuerySpec(
+        "emb_cluster_assign", M.q_emb_cluster_assign, M.oracle_emb_cluster_assign,
+        "semantic clustering: nearest trained IVF centroid per vector, "
+        "map-side over centroid plan constants (lazy oracle embeds the "
+        "trained centroids; full hash gate)",
     ),
     QuerySpec(
         "emb_quantized_topk", M.q_emb_quantized_topk, M.ORACLE_EMB_QUANTIZED_TOPK,
@@ -341,6 +343,10 @@ QUERIES: list[QuerySpec] = [
     QuerySpec(
         "union_counterparties", R.q_union_counterparties,
         R.ORACLE_UNION_COUNTERPARTIES, "unionByName + conditional agg (SURVEY U1)",
+    ),
+    QuerySpec(
+        "orderkeys_except_open", R.q_orderkeys_except_open,
+        R.ORACLE_ORDERKEYS_EXCEPT_OPEN, "EXCEPT / subtract (SURVEY U2)",
     ),
 ]
 

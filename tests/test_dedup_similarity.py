@@ -366,3 +366,35 @@ def test_cross_corpus_neardup_pairs_finds_only_cross_matches(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cluster_assign_picks_nearest_centroid(spark):
+    """Hand-checkable assignment: vectors near [0,0] vs [10,10] land in
+    their own clusters with the exact squared distance; ties break to
+    the lower centroid id ((d, cid) lexicographic)."""
+    from scraping_etl_spark.operators.similarity import cluster_assign
+
+    rows = [
+        (1, [0.0, 1.0]),    # -> c0, d = 1
+        (2, [9.0, 10.0]),   # -> c1, d = 1
+        (3, [5.0, 5.0]),    # equidistant (50 vs 50) -> c0 by id
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: (r.cluster, r.sq_dist)
+        for r in cluster_assign(df, [[0.0, 0.0], [10.0, 10.0]]).collect()
+    }
+    assert got == {1: (0, 1.0), 2: (1, 1.0), 3: (0, 50.0)}
+
+
+def test_cluster_assign_plan_is_map_side(spark):
+    from scraping_etl_spark.operators.similarity import cluster_assign
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    plan = (
+        cluster_assign(df, [[0.0, 0.0], [1.0, 1.0]])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
