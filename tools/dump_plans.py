@@ -28,35 +28,14 @@ manual fallback for join shapes AQE can't rewrite.
 """
 
 
-FOOTER = """
-## sf1 sanity pass (10× bench scale, round 5)
+#: The audit sections (sf1 passes, bench-anomaly notes) evolve by
+#: round and are kept in tools/plans_footer.md so regeneration
+#: preserves them.
+def _footer() -> str:
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "plans_footer.md"), encoding="utf-8") as fh:
+        return fh.read()
 
-Synthetic 10× scale-up of the sf0.1 tables (10 replicas, ids shifted;
-document replicas carry one extra token so they are NEAR-duplicates —
-every doc sits in a 10-member near-dup group, a far DENSER pair graph
-than the bench corpus; events replicas extend the time span by 31 days
-each and add 10× users). Run on `local[32]` with the engine session,
-`df.count()` as the action, executed plan audited for
-BroadcastNestedLoopJoin / CartesianProduct and exchange count.
-
-| Query | sf0.1 (BENCH_r04) | sf1 (10×) | plan at sf1 |
-|---|---|---|---|
-| doc_neardup_clusters | 2.73 s | 25.2 s (49,986 clusters / 50k docs) | hash joins + partial aggs only; localCheckpoint truncation holds (final adaptive plan: 0 residual exchanges) |
-| doc_neardup_survivors | 2.67 s | 19.0 s | same pipeline + rollup, 4 exchanges, no BNLJ |
-| doc_minhash_pairs | 2.30 s | 16.9 s (249,058 verified pairs) | band-hash equi-join + verify join, no BNLJ |
-| emb_ivf_topk | 2.21 s | 11.8 s (incl. k-means at 20k vecs) | centroid assignment map-side, candidate hash equi-join, 2 exchanges |
-| emb_cosine_topk | 1.26 s | 10.9 s | BroadcastNestedLoopJoin — **by design**: the exact tier IS broadcast-probes × streamed corpus (all-pairs is the definition of exact; the scale paths are ANN/IVF) |
-| event_interval_join (new) | — | 1.76 s (1M points × 75k intervals) | bucket explode + hash equi-join on (user, day-bucket), residual range filter; no BNLJ |
-
-Readings: the dedup chain grows ~7-10× on 10× data with a pair graph
-~100× denser than bench — the growth is in the pair volume (genuine
-work), not in plan degradation; no operator fell back to a nested-loop
-or cartesian strategy, and cluster label propagation still converges
-with the O(1)-row fixpoint probe. The one latency surprise at this
-density is simply |pairs|: 45 intra-group pairs × 5.5k groups. At
-production thresholds (MINHASH_PRESET_PRODUCTION's sharper s-curve)
-the band-collision volume would be far lower for the same corpus.
-"""
 
 
 def main() -> None:
@@ -113,6 +92,25 @@ def main() -> None:
          "whole prep pipeline in one plan: zero-shuffle scrub + "
          "repetition signals, broadcast decontamination gram join, "
          "map-side mix filter, one per-stratum packing window"),
+        ("doc_pack_sequences", C.q_doc_pack_sequences,
+         "sharded packing: ONE exchange — the (stratum, md5-shard) "
+         "window repartition; no whole-stratum window partition"),
+        ("doc_lm_score", C.q_doc_lm_score,
+         "corpus-bigram LM: branches share the (doc, gram) pair "
+         "exchange; hot grams broadcast; vocab-size attach is a "
+         "BroadcastHashJoin on a non-foldable key, never BNLJ"),
+        ("doc_cross_corpus_dups", M.q_doc_cross_corpus_dups,
+         "incremental dedup screen: new-vs-ref band-hash equi-join, "
+         "never all-pairs"),
+        ("doc_stratified_sample", C.q_doc_stratified_sample,
+         "bottom-N-by-hash eval sample: two tournament windows, "
+         "stage-1 keyed by (stratum, salt) — no whole-stratum sort"),
+        ("doc_length_quantiles", C.q_doc_length_quantiles,
+         "exact quantiles: input collapses to a value histogram before "
+         "any window — the CDF walks distinct values, not rows"),
+        ("emb_cluster_assign", M.q_emb_cluster_assign,
+         "semantic clustering: centroid literals in-plan, per-row "
+         "argmin, ZERO exchanges"),
     ]
 
     spark = get_spark()
@@ -126,7 +124,7 @@ def main() -> None:
         sections.append(f"## {name}\n\n*{why}*\n\n```\n{plan.strip()}\n```\n")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "PLANS.md"), "w", encoding="utf-8") as fh:
-        fh.write("\n".join(sections + [FOOTER]))
+        fh.write("\n".join(sections + [_footer()]))
     print(f"PLANS.md: {len(picks)} sections")
 
 
