@@ -360,11 +360,18 @@ def decontaminate(
 HOT_GRAM_OCCS = 1_000_000
 
 
+#: Broadcast the reference LM's unigram table only below this many
+#: distinct words (vocabulary-scale; same measured-guard pattern as
+#: :data:`MAX_BROADCAST_GRAMS`).
+MAX_BROADCAST_VOCAB = 2_000_000
+
+
 def with_lm_score(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     hot_threshold: int = HOT_GRAM_OCCS,
+    lm: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document corpus-LM score — the real form of the quality
     filter :func:`with_oov_ratio` proxies (CCNet, Wenzek et al. 2019,
@@ -388,9 +395,20 @@ def with_lm_score(
     join map-side; only sub-threshold grams ride the shuffle join. The
     stats ⋈ unigram join runs at DISTINCT-gram scale (one row per
     bigram type), where per-key fan-out is vocabulary branching, not
-    corpus size."""
+    corpus size.
+
+    ``lm`` selects the TRAINING corpus: by default the model is the
+    scored corpus's own counts (every doc bigram is seen); pass a
+    separate curated corpus — the actual CCNet deployment, LM trained
+    on Wikipedia-grade text, incoming docs scored against it — and
+    unseen grams smooth to ``(0+1)/(C(w1)+V)`` (unseen ``w1`` → 1/V).
+    In that mode the reference unigram table is vocabulary-scale, so it
+    broadcasts under a measured-cardinality guard
+    (:data:`MAX_BROADCAST_VOCAB`, same bounded probe as
+    :func:`decontaminate`)."""
     if hot_threshold < 1:
         raise ValueError(f"hot_threshold must be >= 1, got {hot_threshold}")
+    src = lm if lm is not None else df
     lowered = F.lower(F.col(text_col))
     # per-(doc, gram) occurrence counts FIRST: every downstream branch
     # (bigram totals, hot probe, cold probe) hangs off this one
@@ -402,9 +420,16 @@ def with_lm_score(
         .groupBy(id_col, "_g")
         .agg(F.count(F.lit(1)).alias("_n"))
     )
-    bi_counts = pairs.groupBy("_g").agg(F.sum("_n").alias("_cbi"))
+    if lm is None:
+        bi_counts = pairs.groupBy("_g").agg(F.sum("_n").alias("_cbi"))
+    else:
+        bi_counts = (
+            src.select(F.explode(word_grams(lowered, 2)).alias("_g"))
+            .groupBy("_g")
+            .agg(F.count(F.lit(1)).alias("_cbi"))
+        )
     uni_counts = (
-        df.select(F.explode(tokens(text_col, lowercase=True)).alias("_w"))
+        src.select(F.explode(tokens(text_col, lowercase=True)).alias("_w"))
         .groupBy("_w")
         .agg(F.count(F.lit(1)).alias("_cw"))
     )
@@ -432,11 +457,37 @@ def with_lm_score(
         (F.col("_n") * logp).alias("_nlp"),
     ]
     hot_scored = pairs.join(F.broadcast(hot), "_g").select(scored_cols)
-    cold_scored = (
-        pairs.join(F.broadcast(hot.select("_g")), "_g", "left_anti")
-        .join(stats, "_g")
-        .select(scored_cols)
-    )
+    cold_base = pairs.join(F.broadcast(hot.select("_g")), "_g", "left_anti")
+    if lm is None:
+        # self-scoring: every doc bigram is in stats — inner join
+        cold_scored = cold_base.join(stats, "_g").select(scored_cols)
+    else:
+        # reference-LM scoring: doc bigrams may be unseen — LEFT joins
+        # with add-one floors. The reference unigram table is
+        # vocabulary-scale; broadcast it under a measured guard.
+        fits = (
+            uni_counts.limit(MAX_BROADCAST_VOCAB + 1).count()
+            <= MAX_BROADCAST_VOCAB
+        )
+        uni_side = F.broadcast(uni_counts) if fits else uni_counts
+        smoothed = F.log(
+            (F.coalesce(F.col("_cbi"), F.lit(0)) + 1.0)
+            / (F.coalesce(F.col("_cw"), F.lit(0)) + F.col("_v"))
+        )
+        cold_scored = (
+            cold_base.withColumn(
+                "_w", F.split_part(F.col("_g"), F.lit(" "), F.lit(1))
+            )
+            .join(bi_counts, "_g", "left")
+            .join(uni_side, "_w", "left")
+            .withColumn("_k", F.pmod(F.xxhash64("_g"), F.lit(1)))
+            .join(F.broadcast(vsize), "_k")
+            .select(
+                F.col(id_col),
+                F.col("_n"),
+                (F.col("_n") * smoothed).alias("_nlp"),
+            )
+        )
     agg = (
         hot_scored.unionByName(cold_scored)
         .groupBy(id_col)

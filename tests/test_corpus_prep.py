@@ -737,3 +737,33 @@ def test_stratified_quantiles_histogram_before_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan and "HashAggregate" in plan
     assert out.count() == 1
+
+
+def test_lm_score_against_reference_corpus(spark):
+    """Reference-LM mode: counts train on `lm`, scored docs may carry
+    unseen grams — smoothing floors apply. lm corpus: 'a b a b' →
+    uni a:2 b:2 (V=2), bigrams 'a b':2 'b a':1. Scored doc 'a b c':
+    'a b' seen → ln(3/4); 'b c' unseen, w1=b seen → ln(1/4).
+    Doc 'x y': both words unseen → ln(1/2) (1/(0+V))."""
+    import math
+
+    lm = _docs(spark, [(100, "a b a b")])
+    docs = _docs(spark, [(1, "a b c"), (2, "x y")])
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_logp)
+        for r in CP.with_lm_score(docs, lm=lm).collect()
+    }
+    d1 = round((math.log(3 / 4) + math.log(1 / 4)) / 2, 6)
+    d2 = round(math.log(1 / 2), 6)
+    assert got == {1: (2, d1), 2: (1, d2)}
+
+
+def test_lm_score_self_equals_lm_of_itself(spark):
+    """Passing the corpus as its own reference LM must reproduce the
+    self-scoring path exactly (the left joins all hit)."""
+    docs = _docs(spark, [(1, "a b a b c"), (2, "c a b d"), (3, "q")])
+    a = {(r.doc_id, r.n_bigrams, r.avg_logp)
+         for r in CP.with_lm_score(docs).collect()}
+    b = {(r.doc_id, r.n_bigrams, r.avg_logp)
+         for r in CP.with_lm_score(docs, lm=docs).collect()}
+    assert a == b
