@@ -367,6 +367,8 @@ def corpus_prep_stream(
     max_oov_ratio: float = 0.5,
     dedup_ref: DataFrame | None = None,
     dedup_threshold: float = 0.8,
+    lm_ref: DataFrame | None = None,
+    min_avg_logp: float = -10.0,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
@@ -383,9 +385,13 @@ def corpus_prep_stream(
     :func:`~scraping_etl_spark.operators.dedup.cross_corpus_neardup_pairs`
     against the STATIC reference corpus, dropping incoming docs whose
     shingle Jaccard against any lake document reaches
-    ``dedup_threshold`` ("have we seen this before?" at the door) —
-    and lands only the documents that pass every gate, with the
-    scrubbed text and the quality signals.
+    ``dedup_threshold`` ("have we seen this before?" at the door) →
+    (when ``lm_ref`` is given)
+    :func:`~...corpus_prep.with_lm_score` against the STATIC curated
+    LM corpus, dropping docs whose mean bigram log-prob falls below
+    ``min_avg_logp`` (the CCNet perplexity filter at ingest) — and
+    lands only the documents that pass every gate, with the scrubbed
+    text and the quality signals.
 
     Semantics: every gate is per-document (scrub and repetition are
     row-local projections; contamination and OOV test each doc against
@@ -444,6 +450,16 @@ def corpus_prep_stream(
                 .distinct()
             )
             kept = kept.join(seen, "doc_id", "left_anti")
+        if lm_ref is not None:
+            fluent = (
+                CP.with_lm_score(kept, lm=lm_ref)
+                .filter(
+                    (F.col("n_bigrams") == 0)
+                    | (F.col("avg_logp") >= min_avg_logp)
+                )
+                .select("doc_id")
+            )
+            kept = kept.join(fluent, "doc_id", "left_semi")
         (
             kept.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")

@@ -531,3 +531,40 @@ def test_corpus_prep_stream_neardup_screen_drops_seen_docs(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got == {102}
+
+
+def test_corpus_prep_stream_lm_gate_drops_improbable_docs(spark, tmp_path):
+    """The static-LM fluency gate: a doc made of grams the curated LM
+    has never seen scores at the smoothing floor ln(1/V) ≈ -1.61,
+    below an in-distribution doc's ≈ -0.95, and is dropped at
+    ingest."""
+    import os
+
+    from scraping_etl_spark.streaming.pipeline import corpus_prep_stream
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    lm = spark.createDataFrame(
+        [(100, "the cat sat on the mat the cat sat on the mat")],
+        "doc_id long, text string",
+    )
+    rows = [
+        (1, "the cat sat on the mat", "en"),          # in-distribution
+        (2, "zorp glarb fnord wibble quux blat", "en"),  # all-unseen grams
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(f"{src}/f1")
+    import pyspark.sql.types as T2
+    schema = T2.StructType([
+        T2.StructField("doc_id", T2.LongType()),
+        T2.StructField("text", T2.StringType()),
+        T2.StructField("lang", T2.StringType()),
+    ])
+    q = corpus_prep_stream(
+        spark, f"{src}/*", out, ckpt, schema=schema,
+        lm_ref=lm, min_avg_logp=-1.3,
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1}
