@@ -248,13 +248,21 @@ def chunk_dedup_stats(
     only the residual keys — none hotter than ``hot_threshold`` — take
     the shuffle join. ``docs_per_chunk`` itself is skew-immune (Spark's
     partial aggregation collapses the hot key to one row per map task
-    before the shuffle)."""
+    before the shuffle).
+
+    The ``pairs`` relation is consumed THREE times (docs-per-chunk agg,
+    hot-flag join, cold left_anti), so it is ``localCheckpoint``-ed:
+    without it every consumer re-runs the explode + distinct over the
+    full corpus — at 100 TB that recompute, not the joins, is the
+    operator's cost. Same pattern as ``dedup.dedup_clusters``; on a
+    dynamic-allocation cluster swap for reliable ``checkpoint()``."""
     if hot_threshold < 1:
         raise ValueError(f"hot_threshold must be >= 1, got {hot_threshold}")
     pairs = (
         df.select(F.col(id_col), F.explode(token_chunks(text_col, chunk_len)).alias("_c"))
         .select(id_col, F.md5("_c").alias("_h"))
         .distinct()
+        .localCheckpoint()
     )
     docs_per_chunk = pairs.groupBy("_h").agg(F.count(F.lit(1)).alias("_docs"))
     hot = docs_per_chunk.filter(F.col("_docs") > hot_threshold).select("_h")
@@ -365,6 +373,15 @@ HOT_GRAM_OCCS = 1_000_000
 #: :data:`MAX_BROADCAST_GRAMS`).
 MAX_BROADCAST_VOCAB = 2_000_000
 
+#: Cap on the broadcast hot-gram set. The hot set is bounded by
+#: construction at ≤ total_occurrences / hot_threshold distinct grams,
+#: but at 10^13 bigram occurrences with the default threshold that is
+#: still ~10^7 rows — past this cap only the HOTTEST ``n`` grams keep
+#: the broadcast path and the overflow (still ``> hot_threshold`` but
+#: not top-n) rides the cold shuffle join. Correctness never depends on
+#: which side a gram scores on; the cap only bounds broadcast memory.
+MAX_BROADCAST_HOT_GRAMS = 2_000_000
+
 
 def with_lm_score(
     df: DataFrame,
@@ -372,6 +389,7 @@ def with_lm_score(
     text_col: str = "text",
     hot_threshold: int = HOT_GRAM_OCCS,
     lm: DataFrame | None = None,
+    max_broadcast_hot: int = MAX_BROADCAST_HOT_GRAMS,
 ) -> DataFrame:
     """Per-document corpus-LM score — the real form of the quality
     filter :func:`with_oov_ratio` proxies (CCNet, Wenzek et al. 2019,
@@ -393,7 +411,13 @@ def with_lm_score(
     under join), so it reuses the hot/cold decomposition: grams with
     more than ``hot_threshold`` occurrences score through a broadcast
     join map-side; only sub-threshold grams ride the shuffle join. The
-    stats ⋈ unigram join runs at DISTINCT-gram scale (one row per
+    hot set's broadcast is guarded by a MEASURED bounded probe
+    (``limit(n+1).count()``, the :func:`decontaminate` pattern): past
+    ``max_broadcast_hot`` distinct hot grams, only the top-n by
+    occurrence count stay broadcast and the overflow spills to the
+    cold shuffle join (where AQE's skew split still applies — the
+    overflow keys are colder than the broadcast ones by construction).
+    The stats ⋈ unigram join runs at DISTINCT-gram scale (one row per
     bigram type), where per-key fan-out is vocabulary branching, not
     corpus size.
 
@@ -450,7 +474,19 @@ def with_lm_score(
         .select("_g", "_cbi", "_cw", "_v")
     )
     logp = F.log((F.col("_cbi") + 1.0) / (F.col("_cw") + F.col("_v")))
+    # stats is consumed three ways (hot-set build, hot-cardinality
+    # probe, cold scored join) — checkpoint it ONCE at distinct-gram
+    # scale so the probe and every join read materialized rows instead
+    # of re-running the count aggregations per consumer.
+    stats = stats.localCheckpoint()
     hot = stats.filter(F.col("_cbi") > hot_threshold)
+    if max_broadcast_hot > 0:
+        if hot.limit(max_broadcast_hot + 1).count() > max_broadcast_hot:
+            # keep the hottest n on the broadcast path; the overflow
+            # (cooler by construction) spills to the cold shuffle join
+            hot = hot.orderBy(F.col("_cbi").desc(), "_g").limit(max_broadcast_hot)
+    else:
+        hot = hot.limit(0)  # caller forced the all-shuffle path
     scored_cols = [
         F.col(id_col),
         F.col("_n"),
@@ -465,11 +501,18 @@ def with_lm_score(
         # reference-LM scoring: doc bigrams may be unseen — LEFT joins
         # with add-one floors. The reference unigram table is
         # vocabulary-scale; broadcast it under a measured guard.
-        fits = (
-            uni_counts.limit(MAX_BROADCAST_VOCAB + 1).count()
-            <= MAX_BROADCAST_VOCAB
+        n_vocab = uni_counts.limit(MAX_BROADCAST_VOCAB + 1).count()
+        if n_vocab == 0:
+            # V = 0 would send every smoothed logp to ln(1/0) = +inf
+            # and trivially pass any fluency gate — fail loudly instead.
+            raise ValueError(
+                "with_lm_score: reference LM corpus produced an empty "
+                "unigram table (no tokens) — cannot smooth against V=0"
+            )
+        uni_side = (
+            F.broadcast(uni_counts) if n_vocab <= MAX_BROADCAST_VOCAB
+            else uni_counts
         )
-        uni_side = F.broadcast(uni_counts) if fits else uni_counts
         smoothed = F.log(
             (F.coalesce(F.col("_cbi"), F.lit(0)) + 1.0)
             / (F.coalesce(F.col("_cw"), F.lit(0)) + F.col("_v"))
@@ -658,7 +701,15 @@ def stratified_sample_n(
     if n_salts < 1:
         raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     h = F.md5(F.col(key_col).cast("string"))
-    salt = md5_bucket(F.col(key_col), n_salts)  # independent 60-bit slice
+    # salt from the TRAILING 15 md5 hex chars — disjoint from the
+    # leading 15 that dominate the ``_h`` sort order, so bucket
+    # assignment and ranking order come from independent bits.
+    # (Exactness never depends on this — any global bottom-N row wins
+    # its own bucket regardless — it only evens out bucket sizes.)
+    salt = F.pmod(
+        F.conv(F.substring(F.col("_h"), 18, 15), 16, 10).cast("long"),
+        F.lit(n_salts),
+    )
     w1 = Window.partitionBy(strata_col, "_salt").orderBy("_h", key_col)
     w2 = Window.partitionBy(strata_col).orderBy("_h", key_col)
     return (
@@ -692,9 +743,14 @@ def stratified_quantiles(
     the CDF walk then runs over DISTINCT-VALUE rows per stratum —
     bounded by the value domain (e.g. token lengths: ~10^4 distinct),
     not the corpus — so the per-stratum window sort is always
-    task-sized. One quantile row per (stratum, q). Exact, no
-    interpolation (values keep their column type), deterministic, and
-    the oracle reproduces the same histogram-CDF construction."""
+    task-sized. ALL quantiles are then picked in ONE conditional
+    aggregation over the CDF (``min(when(cum >= ceil(q·n), value))``
+    per q) and unpivoted with ``stack`` — one window pass + one
+    groupBy total, not a filtered window per quantile (an earlier
+    formulation paid 4 extra exchanges at sf1 for exactly the same
+    rows). One quantile row per (stratum, q). Exact, no interpolation
+    (values keep their column type), deterministic, and the oracle
+    reproduces the same histogram-CDF construction."""
     for q in quantiles:
         if not 0 < q <= 1:
             raise ValueError(f"quantiles must be in (0, 1], got {q}")
@@ -709,24 +765,26 @@ def stratified_quantiles(
     cdf = hist.withColumn("_cum", F.sum("_f").over(w)).withColumn(
         "_n", F.sum("_f").over(Window.partitionBy(strata_col))
     )
-    out = None
-    for q in quantiles:
-        # smallest value with cum >= ceil(q*n): rank-1 ascending among
-        # qualifying rows
-        wq = Window.partitionBy(strata_col).orderBy(value_col)
-        picked = (
-            cdf.filter(F.col("_cum") >= F.ceil(F.lit(q) * F.col("_n")))
-            .withColumn("_rq", F.row_number().over(wq))
-            .filter(F.col("_rq") == 1)
-            .select(
-                strata_col,
-                F.lit(q).alias("quantile"),
-                F.col(value_col).alias("value"),
-                F.col("_n").alias("n_rows"),
+    picks = [
+        F.min(
+            F.when(
+                F.col("_cum") >= F.ceil(F.lit(q) * F.col("_n")), F.col(value_col)
             )
-        )
-        out = picked if out is None else out.unionByName(picked)
-    return out
+        ).alias(f"_q{i}")
+        for i, q in enumerate(quantiles)
+    ]
+    wide = cdf.groupBy(strata_col).agg(F.min("_n").alias("_n"), *picks)
+    # unpivot (stratum, _q0.._qk, _n) → one row per (stratum, quantile)
+    stack = ", ".join(
+        f"CAST({q!r} AS DOUBLE), _q{i}" for i, q in enumerate(quantiles)
+    )
+    return wide.select(
+        strata_col,
+        F.expr(
+            f"stack({len(quantiles)}, {stack}) AS (quantile, value)"
+        ),
+        F.col("_n").alias("n_rows"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -781,6 +781,9 @@ SELECT cdf.lang,
        CAST(qs.q AS DOUBLE) AS quantile,
        CAST(min(cdf.v) AS BIGINT) AS value,
        CAST(min(cdf.n) AS BIGINT) AS n_rows
-FROM cdf JOIN qs ON cdf.cum >= ceil(qs.q * cdf.n)
+-- q cast to DOUBLE in the JOIN too: Spark computes ceil(double(q)·n),
+-- and DuckDB DECIMAL literals would otherwise use exact arithmetic —
+-- an arbitrary caller q could cross an integer boundary differently.
+FROM cdf JOIN qs ON cdf.cum >= ceil(CAST(qs.q AS DOUBLE) * cdf.n)
 GROUP BY 1, 2
 """

@@ -767,3 +767,70 @@ def test_lm_score_self_equals_lm_of_itself(spark):
     b = {(r.doc_id, r.n_bigrams, r.avg_logp)
          for r in CP.with_lm_score(docs, lm=docs).collect()}
     assert a == b
+
+
+def test_lm_score_hot_cap_spills_overflow_to_cold(spark):
+    """Broadcast-hot guard: with hot_threshold=1 several grams qualify
+    as hot, but max_broadcast_hot=1 keeps only the hottest on the
+    broadcast path — scores must be identical to the uncapped run
+    (which side a gram scores on is a plan choice, not semantics)."""
+    docs = _docs(
+        spark, [(1, "a b a b a b c d c d"), (2, "a b c d e f"), (3, "q r")]
+    )
+    ref = {(r.doc_id, r.n_bigrams, r.avg_logp)
+           for r in CP.with_lm_score(docs, hot_threshold=1).collect()}
+    capped = {(r.doc_id, r.n_bigrams, r.avg_logp)
+              for r in CP.with_lm_score(
+                  docs, hot_threshold=1, max_broadcast_hot=1
+              ).collect()}
+    assert capped == ref
+
+
+def test_lm_score_zero_cap_forces_all_cold(spark):
+    """max_broadcast_hot=0 is the explicit all-shuffle escape hatch
+    (the decontaminate convention): same scores, empty hot side."""
+    docs = _docs(spark, [(1, "a b a b a b"), (2, "a b c")])
+    ref = {(r.doc_id, r.n_bigrams, r.avg_logp)
+           for r in CP.with_lm_score(docs, hot_threshold=1).collect()}
+    cold = {(r.doc_id, r.n_bigrams, r.avg_logp)
+            for r in CP.with_lm_score(
+                docs, hot_threshold=1, max_broadcast_hot=0
+            ).collect()}
+    assert cold == ref
+
+
+def test_lm_score_raises_on_empty_reference_lm(spark):
+    """A degenerate reference LM (no tokens → V=0) must fail loudly:
+    smoothing against V=0 would send every logp to +inf and trivially
+    pass any fluency gate."""
+    docs = _docs(spark, [(1, "a b c")])
+    empty_lm = _docs(spark, [(100, "   ")])
+    with pytest.raises(ValueError, match="empty unigram table"):
+        CP.with_lm_score(docs, lm=empty_lm)
+
+
+def test_chunk_dedup_pairs_materialized_once(spark):
+    """The pairs relation feeds three consumers (docs-per-chunk agg,
+    hot join, cold anti join) — it must be checkpointed so the
+    explode+distinct runs once: the executed plan scans the
+    materialized RDD instead of re-deriving from the parquet scan."""
+    docs = _docs(spark, [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j")])
+    out = CP.chunk_dedup_stats(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan
+    got = {(r.doc_id, r.n_shared) for r in out.collect()}
+    assert got == {(1, 1), (2, 1)}
+
+
+def test_stratified_quantiles_single_pass_no_union(spark):
+    """Plan contract for the conditional-agg rewrite: all quantiles
+    come out of ONE aggregation over the CDF — no per-quantile Union
+    branches, and only the two CDF window specs."""
+    df = spark.createDataFrame(
+        [(i, "en", i % 7) for i in range(50)], "doc_id long, lang string, v int"
+    )
+    out = CP.stratified_quantiles(df, "v", (0.25, 0.5, 0.75, 0.95))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    assert plan.count("Window") <= 2
+    assert out.count() == 4
