@@ -20,9 +20,13 @@ hash-comparable.
 
 from __future__ import annotations
 
+import functools
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from scraping_etl_spark.operators import bpe as BPE
 from scraping_etl_spark.operators import corpus_prep as CP
 from scraping_etl_spark.operators.interval import interval_join
 from scraping_etl_spark.operators.textstats import tokens, vocab_topk
@@ -709,6 +713,255 @@ agg AS (
 SELECT d.doc_id,
        CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
        coalesce(avg_logp, 0.0) AS avg_logp
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Reference-LM score (corpus_prep.with_lm_score(lm=...) gate)
+# ---------------------------------------------------------------------------
+
+#: SQL fragments shared by the reference-LM oracles: the curated LM
+#: corpus is the doc_id ≡ 0 (mod 7) slice of ``documents`` and the
+#: scored/incoming set is everything else — deterministic, non-empty,
+#: and guaranteed to leave some incoming bigrams unseen by the LM (the
+#: smoothing-floor branch is the thing under test).
+_LM_REF_FILTER = "doc_id % 7 = 0"
+_LM_INC_FILTER = "doc_id % 7 <> 0"
+
+#: Bigram expansion over a token-array column ``t`` (DuckDB lambda).
+_BI_SQL = (
+    "CASE WHEN len(t) >= 2 "
+    "THEN list_transform(generate_series(1, len(t) - 1), "
+    "i -> t[i] || ' ' || t[i+1]) ELSE [] END"
+)
+
+#: The reference-LM count tables + smoothed per-occurrence log-prob,
+#: shared by ORACLE_DOC_LM_SCORE_REF and ORACLE_DOC_STREAM_GATES.
+_LM_REF_CTES = f"""
+lmtok AS (SELECT {_LTOKS} AS t FROM documents WHERE {_LM_REF_FILTER}),
+bc AS (
+  SELECT g, count(*) AS cbi
+  FROM (SELECT unnest({_BI_SQL}) AS g FROM lmtok) GROUP BY 1
+),
+uc AS (
+  SELECT w, count(*) AS cw
+  FROM (SELECT unnest(t) AS w FROM lmtok) GROUP BY 1
+),
+v AS (SELECT count(*) AS v FROM uc),
+inc AS (SELECT doc_id, {_LTOKS} AS t FROM documents WHERE {_LM_INC_FILTER}),
+bi AS (SELECT doc_id, unnest({_BI_SQL}) AS g FROM inc),
+lm_agg AS (
+  SELECT bi.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(ln((coalesce(bc.cbi, 0) + 1.0)
+                      / (coalesce(uc.cw, 0) + v.v))), 6) AS avg_logp
+  FROM bi
+  LEFT JOIN bc USING (g)
+  LEFT JOIN uc ON uc.w = split_part(bi.g, ' ', 1)
+  CROSS JOIN v
+  GROUP BY 1
+)
+"""
+
+
+def q_doc_lm_score_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-LM scoring gate — the actual CCNet deployment shape:
+    the bigram LM trains on a CURATED corpus (the deterministic
+    doc_id ≡ 0 mod 7 slice) and every other document is scored against
+    it, so incoming bigrams can be UNSEEN and the add-one smoothing
+    floors ``(0+1)/(C(w1)+V)`` / unseen-``w1`` → ``1/V`` fire (the
+    branch the self-scoring ``doc_lm_score`` gate cannot reach: LEFT
+    joins + coalesce floors + the measured vocab-broadcast guard,
+    corpus_prep.py ``with_lm_score(lm=...)``)."""
+    d = load_table(spark, sf_dir, "documents")
+    lm = d.filter(F.col("doc_id") % 7 == 0)
+    scored = d.filter(F.col("doc_id") % 7 != 0)
+    return CP.with_lm_score(scored, lm=lm).select(
+        "doc_id", "n_bigrams", "avg_logp"
+    )
+
+
+ORACLE_DOC_LM_SCORE_REF = f"""
+WITH {_LM_REF_CTES}
+SELECT d.doc_id,
+       CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       coalesce(avg_logp, 0.0) AS avg_logp
+FROM (SELECT doc_id FROM documents WHERE {_LM_INC_FILTER}) d
+LEFT JOIN lm_agg USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest-gate chain, batch twin (streaming/pipeline.py
+# corpus_prep_stream's OOV + static-LM fluency gates)
+# ---------------------------------------------------------------------------
+
+#: Thresholds sized from the sf0.01 distributions so BOTH gates
+#: genuinely drop and keep documents (median oov_ratio ≈ 0.67 against
+#: the top-10 reference vocab; avg_logp p25 ≈ −3.55 under the
+#: reference LM).
+_STREAM_MAX_OOV = 0.67
+_STREAM_MIN_LOGP = -3.55
+_STREAM_VOCAB_K = 10
+
+
+def q_doc_stream_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``corpus_prep_stream``'s reference-vocabulary OOV
+    gate + static-LM fluency gate (streaming/pipeline.py): the STATIC
+    reference corpus is the doc_id ≡ 0 (mod 7) lake slice, incoming
+    docs are everything else, and a doc lands iff its OOV ratio against
+    the lake's top-10 vocab stays ≤ 0.67 AND its mean bigram log-prob
+    under the lake-trained LM reaches −3.55 (or it has no bigrams —
+    the streaming gate's pass-through rule). Both gate signals are
+    emitted for the survivors. Because every gate is per-document
+    against static side inputs, this batch computation IS the
+    micro-batch computation — which is exactly the twin claim the
+    streaming tests assert."""
+    d = load_table(spark, sf_dir, "documents")
+    ref = d.filter(F.col("doc_id") % 7 == 0)
+    inc = d.filter(F.col("doc_id") % 7 != 0)
+    vocab = vocab_topk(ref, k=_STREAM_VOCAB_K)
+    oov = CP.with_oov_ratio(inc, vocab).filter(
+        F.col("oov_ratio") <= _STREAM_MAX_OOV
+    )
+    fluent = CP.with_lm_score(inc, lm=ref).filter(
+        (F.col("n_bigrams") == 0) | (F.col("avg_logp") >= _STREAM_MIN_LOGP)
+    )
+    return (
+        inc.select("doc_id", "lang")
+        .join(oov.select("doc_id", "oov_ratio"), "doc_id")
+        .join(fluent.select("doc_id", "avg_logp"), "doc_id")
+    )
+
+
+ORACLE_DOC_STREAM_GATES = f"""
+WITH {_LM_REF_CTES},
+reftok AS (
+  SELECT doc_id, unnest({_LTOKS}) AS w FROM documents WHERE {_LM_REF_FILTER}
+),
+vocab AS (
+  SELECT w AS token FROM reftok GROUP BY w
+  ORDER BY count(*) DESC, w LIMIT {_STREAM_VOCAB_K}
+),
+inctok AS (SELECT doc_id, unnest(t) AS w FROM inc),
+oov AS (
+  SELECT inctok.doc_id,
+         round(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+               / greatest(count(*), 1), 6) AS oov_ratio
+  FROM inctok LEFT JOIN vocab v ON inctok.w = v.token
+  GROUP BY 1
+)
+SELECT d.doc_id, d.lang,
+       coalesce(oov.oov_ratio, 0.0) AS oov_ratio,
+       coalesce(lm_agg.avg_logp, 0.0) AS avg_logp
+FROM documents d
+LEFT JOIN oov ON d.doc_id = oov.doc_id
+LEFT JOIN lm_agg ON d.doc_id = lm_agg.doc_id
+WHERE {_LM_INC_FILTER.replace('doc_id', 'd.doc_id')}
+  AND coalesce(oov.oov_ratio, 0.0) <= {_STREAM_MAX_OOV}
+  AND (coalesce(lm_agg.n_bigrams, 0) = 0
+       OR coalesce(lm_agg.avg_logp, 0.0) >= {_STREAM_MIN_LOGP})
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer (operators/bpe.py gate)
+# ---------------------------------------------------------------------------
+
+#: Merge budget for the gate — the synthetic ~31-word vocabulary
+#: saturates fast; 16 merges leave a real mix of multi-symbol and
+#: fully-merged words, so subword counts genuinely vary per doc.
+_BPE_MERGES = 16
+
+#: Default training scale for the ZERO-ARG lazy oracle (the driver runs
+#: correctness at sf0.01) — same convention as ``_IVF_ORACLE_SF_DIR``.
+_BPE_ORACLE_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
+
+#: sf_dirs the BPE query ran at in this process — the oracle-pairing
+#: guard (see ``oracle_emb_ivf_topk`` for the hazard this closes).
+_bpe_query_dirs: set[str] = set()
+
+
+@functools.lru_cache(maxsize=4)
+def _bpe_artifacts(sf_dir: str) -> tuple:
+    """Train-once BPE artifacts per scale dir: the ordered merge table
+    AND the collected word→n_sub segmentation (vocabulary-scale — ~31
+    rows on the synthetic corpus — the only collect, and it is of the
+    model, not the data; the ``ivf_train`` plan-constants convention)."""
+    from scraping_etl_spark.session import get_spark
+
+    spark = SparkSession.getActiveSession() or get_spark()
+    d = load_table(spark, sf_dir, "documents")
+    merges = BPE.bpe_train(d, n_merges=_BPE_MERGES)
+    seg = BPE.word_segment_table(d, merges)
+    table = tuple(
+        (r["word"], int(r["n_sub"])) for r in seg.select("word", "n_sub").collect()
+    )
+    return tuple(merges), table
+
+
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-BPE tokenization gate: learn the merge table over the
+    corpus (once per sf_dir, cached), segment the distinct-word
+    vocabulary with it, then tokenize every document through the
+    broadcast word→segmentation join (operators/bpe.py). Emits
+    whitespace vs learned-subword counts per doc — the real token
+    budget ``pack_sequences`` and ``doc_token_counts`` want."""
+    _bpe_query_dirs.add(sf_dir)
+    merges, _ = _bpe_artifacts(sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    seg = BPE.word_segment_table(d, list(merges))
+    return BPE.bpe_token_counts(d, seg).select(
+        "doc_id", "n_tokens", "n_bpe_tokens"
+    )
+
+
+def oracle_doc_bpe_tokens(sf_dir: str | None = None) -> str:
+    """Lazy DuckDB twin of :func:`q_doc_bpe_tokens`: the learned
+    word→subword-count table is embedded as VALUES plan constants
+    (training is deterministic — lexicographic tie-breaks — so both
+    engines share one model); tokenization is then an exact relational
+    mirror: explode lowercased tokens, left join the table, char-count
+    fallback, per-doc sum. Zero-arg resolves the training dir the same
+    way the IVF oracle does (env override → the dir the query ran at →
+    the driver default) and fails fast on a pairing mismatch."""
+    if sf_dir is None:
+        if "SPARK_GRAFT_ORACLE_SF_DIR" in os.environ:
+            sf_dir = os.environ["SPARK_GRAFT_ORACLE_SF_DIR"]
+        elif len(_bpe_query_dirs) == 1:
+            sf_dir = next(iter(_bpe_query_dirs))
+        else:
+            sf_dir = _BPE_ORACLE_SF_DIR
+        if _bpe_query_dirs and sf_dir not in _bpe_query_dirs:
+            raise RuntimeError(
+                f"doc_bpe_tokens oracle: would train at {sf_dir!r} but the "
+                f"query ran at {sorted(_bpe_query_dirs)!r} — pass sf_dir or "
+                f"set SPARK_GRAFT_ORACLE_SF_DIR to pair them."
+            )
+    _, table = _bpe_artifacts(sf_dir)
+    values = ",\n    ".join(
+        "('{}', {})".format(w.replace("'", "''"), n) for w, n in table
+    )
+    return f"""
+WITH seg(word, n_sub) AS (VALUES
+    {values}
+),
+tok AS (
+  SELECT doc_id, unnest({_LTOKS}) AS w FROM documents
+),
+agg AS (
+  SELECT tok.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(coalesce(seg.n_sub, len(tok.w))) AS BIGINT) AS n_bpe_tokens
+  FROM tok LEFT JOIN seg ON tok.w = seg.word
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
 FROM documents d LEFT JOIN agg USING (doc_id)
 """
 

@@ -1192,20 +1192,61 @@ GROUP BY lang
 """
 
 
+#: Relative-error budget for the HLL tier's tolerance gate: the
+#: documented rsd of ``approx_count_distinct`` (default 0.05) with a
+#: 3× margin (≈3 standard deviations of the estimator) and an absolute
+#: floor of 1 for tiny cardinalities (where HLL++ is exact anyway —
+#: sparse-mode linear counting).
+_HLL_RSD = 0.05
+
+
 def q_doc_corpus_profile_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The sketch tier of the corpus profile: ``approx_count_distinct``
-    (HyperLogLog++) — the mergeable single-pass estimate that makes
-    cardinality profiling feasible at 100 TB, where the exact variant
-    (:func:`q_doc_corpus_profile`) means a full shuffle of every key.
-    HLL register layouts and estimates are engine-specific, so there is
-    deliberately no DuckDB value-oracle — the driver records a
-    rows-only check for this query alone; every deterministic column of
-    the profile is hash-gated through its exact twin."""
+    """The sketch tier of the corpus profile as a BOUNDED-TOLERANCE
+    gate: ``approx_count_distinct`` (HyperLogLog++) is the mergeable
+    single-pass estimate that makes cardinality profiling feasible at
+    100 TB, where an exact distinct means a full shuffle of every key.
+    HLL register layouts are engine-specific, so instead of comparing
+    the raw estimates (un-oracle-able) the query emits the EXACT counts
+    plus a within-tolerance verdict for each sketch — ``|approx −
+    exact| ≤ max(ceil(3·rsd·exact), 1)`` — and the DuckDB oracle
+    asserts the exact counts AND that every verdict is true. That makes
+    this a full value-checked row: the sketch must land within its own
+    documented error bound at every scale, not merely return 5 rows.
+    (The exact columns here are the verification harness; the
+    production query is the approx-only projection.)"""
     d = load_table(spark, sf_dir, "documents")
-    return d.groupBy("lang").agg(
-        F.approx_count_distinct("source").alias("approx_sources"),
-        F.approx_count_distinct(F.md5("text")).alias("approx_distinct_texts"),
+    tol = lambda exact: F.greatest(  # noqa: E731 — local alias
+        F.ceil(3 * _HLL_RSD * F.col(exact)), F.lit(1)
     )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+            F.approx_count_distinct("source", _HLL_RSD).alias("_as"),
+            F.approx_count_distinct(F.md5("text"), _HLL_RSD).alias("_at"),
+        )
+        .select(
+            "lang",
+            "n_sources",
+            "n_distinct_texts",
+            (F.abs(F.col("_as") - F.col("n_sources")) <= tol("n_sources"))
+            .alias("sources_within_tol"),
+            (F.abs(F.col("_at") - F.col("n_distinct_texts")) <= tol("n_distinct_texts"))
+            .alias("texts_within_tol"),
+        )
+    )
+
+
+ORACLE_DOC_CORPUS_PROFILE_HLL = """
+SELECT lang,
+       count(DISTINCT source) AS n_sources,
+       count(DISTINCT md5(text)) AS n_distinct_texts,
+       true AS sources_within_tol,
+       true AS texts_within_tol
+FROM documents
+GROUP BY lang
+"""
 
 
 def q_doc_zip_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:

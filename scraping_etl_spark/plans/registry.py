@@ -13,17 +13,22 @@ entries to the tail. Tail entries stay covered every round by the local
 DuckDB-oracle suite (``tests/test_relational_queries.py`` parametrizes
 over the WHOLE registry) and re-earn a driver seat on a later rotation.
 
-Round-7 rotation: ``doc_repetition_stats`` … ``doc_corpus_pipeline``
-(driver-unseen since round 5, two with round-6 oracle changes) plus the
-newly registered ``doc_cross_corpus_dups`` / ``doc_lm_score`` /
-``doc_split_corpus`` / ``doc_oov_ratio`` / ``doc_stratified_sample`` /
-``doc_length_quantiles`` enter the window; ``orders_by_month``,
-``hourly_event_rollup``, ``event_type_pivot``, ``union_counterparties``,
-``doc_text_stats``, ``doc_lang_id``, ``doc_fingerprint``,
-``doc_quality``, ``string_functions``, ``json_props``,
-``event_lag_delta``, ``event_moving_avg``, ``doc_zip_bigrams``,
-``order_date_roundtrip`` (all driver-green every round since they
-landed, code untouched) rotate to the tail.
+Round-8 rotation (completes the r7 cycle — every registry query now has
+a driver-green row within the trailing two rounds): the 15 entries that
+sat in the r7 tail (``hourly_event_rollup`` … ``orderkeys_except_open``,
+all last driver-checked in r6) re-enter the window, joined by the three
+new gates (``doc_lm_score_ref``, ``doc_stream_gates``,
+``doc_bpe_tokens``) and the five entries whose query or operator changed
+this round (``doc_chunk_dedup`` pairs checkpoint, ``doc_lm_score``
+hot-set guard, ``doc_length_quantiles`` single-pass rewrite,
+``doc_stratified_sample`` salt slice, ``doc_corpus_profile_hll`` now a
+bounded-tolerance VALUE gate instead of rows-only). Paying for the
+seats, the 18 most senior continuously-green unchanged entries rotate
+to the tail: ``pricing_summary`` … ``revenue_grouping_sets`` (the ten
+round-1 relational gates), ``doc_exact_dups``, ``doc_simhash``,
+``doc_ngram_jaccard``, ``emb_cosine_topk``, ``doc_token_dim``,
+``doc_token_bridge``, ``doc_clean_filters``, ``events_props_struct``
+(all r7-green, code untouched).
 """
 
 from __future__ import annotations
@@ -53,241 +58,7 @@ class QuerySpec:
 
 
 QUERIES: list[QuerySpec] = [
-    QuerySpec(
-        "pricing_summary", R.q_pricing_summary, R.ORACLE_PRICING_SUMMARY,
-        "TPC-H Q1-shape grouped aggregation over lineitem",
-    ),
-    QuerySpec(
-        "revenue_by_nation", R.q_revenue_by_nation, R.ORACLE_REVENUE_BY_NATION,
-        "4-way join with broadcast dims (TPC-H Q5 shape)",
-    ),
-    QuerySpec(
-        "top_customers", R.q_top_customers, R.ORACLE_TOP_CUSTOMERS,
-        "join + agg + deterministic windowed top-k",
-    ),
-    QuerySpec(
-        "order_priority_semi", R.q_order_priority_semi, R.ORACLE_ORDER_PRIORITY_SEMI,
-        "EXISTS via left-semi join",
-    ),
-    QuerySpec(
-        "customers_without_orders", R.q_customers_without_orders,
-        R.ORACLE_CUSTOMERS_WITHOUT_ORDERS, "NOT EXISTS via left-anti join",
-    ),
-    QuerySpec(
-        "top_acctbal_per_nation", R.q_top_acctbal_per_nation,
-        R.ORACLE_TOP_ACCTBAL_PER_NATION, "window top-k per group",
-    ),
-    QuerySpec(
-        "rollup_revenue", R.q_rollup_revenue, R.ORACLE_ROLLUP_REVENUE,
-        "ROLLUP grouping sets with grouping_id",
-    ),
-    QuerySpec(
-        "sessionize", R.q_sessionize, R.ORACLE_SESSIONIZE,
-        "gap-based sessionization (lag + running sum)",
-    ),
-    QuerySpec(
-        "asof_purchase_click", P.q_asof_purchase_click, P.ORACLE_ASOF_PURCHASE_CLICK,
-        "as-of join (SURVEY J4): latest prior click per purchase",
-    ),
-    QuerySpec(
-        "revenue_grouping_sets", R.q_revenue_grouping_sets,
-        R.ORACLE_REVENUE_GROUPING_SETS,
-        "GROUPING SETS multi-granularity agg in one pass",
-    ),
-    QuerySpec(
-        "doc_exact_dups", M.q_doc_exact_dups, M.ORACLE_DOC_EXACT_DUPS,
-        "exact-duplicate groups via content-hash groupBy",
-    ),
-    QuerySpec(
-        "doc_minhash_pairs", M.q_doc_minhash_pairs, M.ORACLE_DOC_MINHASH_PAIRS,
-        "MinHash + banded-LSH near-dup pairs, Jaccard-verified",
-    ),
-    QuerySpec(
-        "doc_cross_corpus_dups", M.q_doc_cross_corpus_dups,
-        M.ORACLE_DOC_CROSS_CORPUS_DUPS,
-        "incremental dedup screen: incoming batch vs existing corpus "
-        "via cross-corpus banded LSH, Jaccard-verified",
-    ),
-    QuerySpec(
-        "doc_neardup_clusters", M.q_doc_neardup_clusters, M.ORACLE_DOC_NEARDUP_CLUSTERS,
-        "LSH pairs collapsed to clusters via distributed connected components",
-    ),
-    QuerySpec(
-        "doc_neardup_survivors", M.q_doc_neardup_survivors, M.ORACLE_DOC_NEARDUP_SURVIVORS,
-        "near-dup clusters -> min-id survivor -> per-language deduped-corpus rollup",
-    ),
-    QuerySpec(
-        "doc_simhash", M.q_doc_simhash, M.ORACLE_DOC_SIMHASH,
-        "16-bit SimHash document fingerprint",
-    ),
-    QuerySpec(
-        "doc_ngram_jaccard", M.q_doc_ngram_jaccard, M.ORACLE_DOC_NGRAM_JACCARD,
-        "trigram-shingle Jaccard on adjacent doc pairs",
-    ),
-    QuerySpec(
-        "emb_cosine_topk", M.q_emb_cosine_topk, M.ORACLE_EMB_COSINE_TOPK,
-        "exact brute-force cosine top-k over embeddings",
-    ),
-    QuerySpec(
-        "emb_ann_topk", M.q_emb_ann_topk, M.ORACLE_EMB_ANN_TOPK,
-        "approximate top-k via sign-random-projection LSH buckets; the "
-        "pipeline is deterministic arithmetic so the DuckDB oracle "
-        "mirrors it bit-for-bit (full hash gate)",
-    ),
-    QuerySpec(
-        "emb_ivf_topk", M.q_emb_ivf_topk, M.oracle_emb_ivf_topk,
-        "IVF cluster-pruned approximate top-k; centroids are trained "
-        "once and embedded in the lazily-built DuckDB oracle as plan "
-        "constants (full hash gate)",
-    ),
-    QuerySpec(
-        "emb_cluster_assign", M.q_emb_cluster_assign, M.oracle_emb_cluster_assign,
-        "semantic clustering: nearest trained IVF centroid per vector, "
-        "map-side over centroid plan constants (lazy oracle embeds the "
-        "trained centroids; full hash gate)",
-    ),
-    QuerySpec(
-        "emb_quantized_topk", M.q_emb_quantized_topk, M.ORACLE_EMB_QUANTIZED_TOPK,
-        "exact top-k over the int8-quantized corpus (4x bandwidth tier; "
-        "deterministic integer quantization keeps the full hash gate)",
-    ),
-    QuerySpec(
-        "emb_cosine_dups", M.q_emb_cosine_dups, M.ORACLE_EMB_COSINE_DUPS,
-        "embedding-cosine near-dup pairs via sign-signature blocking",
-    ),
-    QuerySpec(
-        "doc_media_features", M.q_doc_media_features, M.ORACLE_DOC_MEDIA_FEATURES,
-        "binary-payload feature extraction via Arrow mapInPandas",
-    ),
-    QuerySpec(
-        "doc_token_dim", M.q_doc_token_dim, M.ORACLE_DOC_TOKEN_DIM,
-        "explode → distinct dim with deterministic surrogate key (A2/A3)",
-    ),
-    QuerySpec(
-        "doc_token_bridge", M.q_doc_token_bridge, M.ORACLE_DOC_TOKEN_BRIDGE,
-        "explode + broadcast dim join bridge build (J2/J3)",
-    ),
-    QuerySpec(
-        "doc_clean_filters", M.q_doc_clean_filters, M.ORACLE_DOC_CLEAN_FILTERS,
-        "na.drop + multi-clause + exists/rlike filter stack (P4/P6/P8)",
-    ),
-    QuerySpec(
-        "events_props_struct", M.q_events_props_struct, M.ORACLE_EVENTS_PROPS_STRUCT,
-        "from_json struct parse + agg (F14)",
-    ),
-    QuerySpec(
-        "doc_regex_extract", M.q_doc_regex_extract, M.ORACLE_DOC_REGEX_EXTRACT,
-        "regexp_extract_all + element_at (F2)",
-    ),
-    QuerySpec(
-        "doc_token_counts", M.q_doc_token_counts, M.ORACLE_DOC_TOKEN_COUNTS,
-        "whitespace vs BPE-ish regex token counting",
-    ),
-    QuerySpec(
-        "doc_rolling_hash", M.q_doc_rolling_hash, M.ORACLE_DOC_ROLLING_HASH,
-        "order-sensitive Rabin-Karp rolling-hash fingerprint",
-    ),
-    QuerySpec(
-        "doc_dedup_survivors", M.q_doc_dedup_survivors, M.ORACLE_DOC_DEDUP_SURVIVORS,
-        "quality-filter + normalize + dedup + canonical-survivor rollup",
-    ),
-    QuerySpec(
-        "parts_brand_stats", M.q_parts_brand_stats, M.ORACLE_PARTS_BRAND_STATS,
-        "pure-SQL entry path (spark.sql over temp views) on part",
-    ),
-    QuerySpec(
-        "supplier_balance_by_nation", M.q_supplier_balance_by_nation,
-        M.ORACLE_SUPPLIER_BALANCE,
-        "supplier x broadcast nation rollup",
-    ),
-    QuerySpec(
-        "doc_corpus_profile", M.q_doc_corpus_profile, M.ORACLE_DOC_CORPUS_PROFILE,
-        "per-lang corpus profile with exact distinct counts (hash-gated "
-        "twin of the HLL tier)",
-    ),
-    QuerySpec(
-        "doc_corpus_profile_hll", M.q_doc_corpus_profile_hll, None,
-        "per-lang approx_count_distinct profile (HLL sketches are "
-        "engine-specific → rows-only check, by design)",
-    ),
-    QuerySpec(
-        "doc_pii_scrub", C.q_doc_pii_scrub, C.ORACLE_DOC_PII_SCRUB,
-        "ordered regexp_replace PII redaction + per-category counts "
-        "(corpus_prep.scrub_pii)",
-    ),
-    QuerySpec(
-        "doc_repetition_stats", C.q_doc_repetition_stats,
-        C.ORACLE_DOC_REPETITION_STATS,
-        "Gopher-style dup-token/trigram + modal-bigram repetition "
-        "signals (corpus_prep.with_repetition_stats)",
-    ),
-    QuerySpec(
-        "doc_chunk_dedup", C.q_doc_chunk_dedup, C.ORACLE_DOC_CHUNK_DEDUP,
-        "cross-document chunk-sharing stats, CCNet-style "
-        "(corpus_prep.chunk_dedup_stats)",
-    ),
-    QuerySpec(
-        "doc_decontaminate", C.q_doc_decontaminate, C.ORACLE_DOC_DECONTAMINATE,
-        "GPT-3-style 5-gram benchmark decontamination "
-        "(corpus_prep.decontaminate)",
-    ),
-    QuerySpec(
-        "doc_domain_mix", C.q_doc_domain_mix, C.ORACLE_DOC_DOMAIN_MIX,
-        "deterministic md5-bucket stratified sampling to a target mix "
-        "(corpus_prep.domain_mix_sample)",
-    ),
-    QuerySpec(
-        "doc_pack_sequences", C.q_doc_pack_sequences,
-        C.ORACLE_DOC_PACK_SEQUENCES,
-        "concat-and-chunk sequence packing per (stratum, md5 shard) "
-        "(corpus_prep.pack_sequences)",
-    ),
-    QuerySpec(
-        "event_interval_join", C.q_event_interval_join,
-        C.ORACLE_EVENT_INTERVAL_JOIN,
-        "bucketed point-in-interval join — hash equi-join, never BNLJ "
-        "(operators/interval.interval_join)",
-    ),
-    QuerySpec(
-        "doc_vocab_topk", C.q_doc_vocab_topk, C.ORACLE_DOC_VOCAB_TOPK,
-        "tokenizer vocab build: top-k tokens via TakeOrderedAndProject "
-        "(textstats.vocab_topk)",
-    ),
-    QuerySpec(
-        "doc_corpus_pipeline", C.q_doc_corpus_pipeline,
-        C.ORACLE_DOC_CORPUS_PIPELINE,
-        "full prep composition: scrub -> repetition + decontamination "
-        "gates -> domain-mix sample -> sequence packing, one query",
-    ),
-    QuerySpec(
-        "doc_lm_score", C.q_doc_lm_score, C.ORACLE_DOC_LM_SCORE,
-        "corpus-bigram-LM mean log-prob per doc (CCNet-style quality "
-        "filter, add-one smoothing; corpus_prep.with_lm_score)",
-    ),
-    QuerySpec(
-        "doc_split_corpus", C.q_doc_split_corpus, C.ORACLE_DOC_SPLIT_CORPUS,
-        "deterministic md5-bucket train/val/test assignment, zero "
-        "shuffle (corpus_prep.split_corpus)",
-    ),
-    QuerySpec(
-        "doc_oov_ratio", C.q_doc_oov_ratio, C.ORACLE_DOC_OOV_RATIO,
-        "per-doc out-of-vocabulary ratio vs the top-k corpus vocab — "
-        "explode + broadcast vocab join (corpus_prep.with_oov_ratio)",
-    ),
-    QuerySpec(
-        "doc_stratified_sample", C.q_doc_stratified_sample,
-        C.ORACLE_DOC_STRATIFIED_SAMPLE,
-        "deterministic bottom-N-by-hash eval sample per stratum via "
-        "two-stage salt tournament (corpus_prep.stratified_sample_n)",
-    ),
-    QuerySpec(
-        "doc_length_quantiles", C.q_doc_length_quantiles,
-        C.ORACLE_DOC_LENGTH_QUANTILES,
-        "exact per-stratum token-length quantiles via value-histogram "
-        "CDF (corpus_prep.stratified_quantiles)",
-    ),
-    # ---- tail: rotated out of the driver window this round (still ----
-    # ---- verified every round by the local DuckDB-oracle suite)   ----
+    # ---- re-seated from the r7 tail (last driver row: r6) ----
     QuerySpec(
         "hourly_event_rollup", R.q_hourly_event_rollup, R.ORACLE_HOURLY_EVENT_ROLLUP,
         "tumbling-window rollup in batch form",
@@ -347,6 +118,265 @@ QUERIES: list[QuerySpec] = [
     QuerySpec(
         "orderkeys_except_open", R.q_orderkeys_except_open,
         R.ORACLE_ORDERKEYS_EXCEPT_OPEN, "EXCEPT / subtract (SURVEY U2)",
+    ),
+    # ---- new this round ----
+    QuerySpec(
+        "doc_lm_score_ref", C.q_doc_lm_score_ref, C.ORACLE_DOC_LM_SCORE_REF,
+        "reference-LM scoring (CCNet deployment shape): LM trained on a "
+        "curated slice, the rest scored against it with unseen-gram "
+        "smoothing floors (corpus_prep.with_lm_score(lm=...))",
+    ),
+    QuerySpec(
+        "doc_stream_gates", C.q_doc_stream_gates, C.ORACLE_DOC_STREAM_GATES,
+        "batch twin of the streaming ingest OOV + static-LM fluency "
+        "gate chain (streaming/pipeline.corpus_prep_stream)",
+    ),
+    QuerySpec(
+        "doc_bpe_tokens", C.q_doc_bpe_tokens, C.oracle_doc_bpe_tokens,
+        "trained-BPE tokenization: learned merge table (deterministic "
+        "pair-merge training, operators/bpe.py) -> broadcast "
+        "word-segmentation join -> per-doc subword counts (lazy oracle "
+        "embeds the learned table as plan constants)",
+    ),
+    # ---- changed this round (operator or oracle touched) ----
+    QuerySpec(
+        "doc_chunk_dedup", C.q_doc_chunk_dedup, C.ORACLE_DOC_CHUNK_DEDUP,
+        "cross-document chunk-sharing stats, CCNet-style "
+        "(corpus_prep.chunk_dedup_stats)",
+    ),
+    QuerySpec(
+        "doc_lm_score", C.q_doc_lm_score, C.ORACLE_DOC_LM_SCORE,
+        "corpus-bigram-LM mean log-prob per doc (CCNet-style quality "
+        "filter, add-one smoothing; corpus_prep.with_lm_score)",
+    ),
+    QuerySpec(
+        "doc_length_quantiles", C.q_doc_length_quantiles,
+        C.ORACLE_DOC_LENGTH_QUANTILES,
+        "exact per-stratum token-length quantiles via value-histogram "
+        "CDF, all quantiles in one conditional-agg pass "
+        "(corpus_prep.stratified_quantiles)",
+    ),
+    QuerySpec(
+        "doc_stratified_sample", C.q_doc_stratified_sample,
+        C.ORACLE_DOC_STRATIFIED_SAMPLE,
+        "deterministic bottom-N-by-hash eval sample per stratum via "
+        "two-stage salt tournament (corpus_prep.stratified_sample_n)",
+    ),
+    QuerySpec(
+        "doc_corpus_profile_hll", M.q_doc_corpus_profile_hll,
+        M.ORACLE_DOC_CORPUS_PROFILE_HLL,
+        "HLL sketch tier of the corpus profile as a bounded-tolerance "
+        "gate: exact counts hash-checked, sketch estimates asserted "
+        "within 3x their documented rsd",
+    ),
+    # ---- stable window entries ----
+    QuerySpec(
+        "doc_minhash_pairs", M.q_doc_minhash_pairs, M.ORACLE_DOC_MINHASH_PAIRS,
+        "MinHash + banded-LSH near-dup pairs, Jaccard-verified",
+    ),
+    QuerySpec(
+        "doc_cross_corpus_dups", M.q_doc_cross_corpus_dups,
+        M.ORACLE_DOC_CROSS_CORPUS_DUPS,
+        "incremental dedup screen: incoming batch vs existing corpus "
+        "via cross-corpus banded LSH, Jaccard-verified",
+    ),
+    QuerySpec(
+        "doc_neardup_clusters", M.q_doc_neardup_clusters, M.ORACLE_DOC_NEARDUP_CLUSTERS,
+        "LSH pairs collapsed to clusters via distributed connected components",
+    ),
+    QuerySpec(
+        "doc_neardup_survivors", M.q_doc_neardup_survivors, M.ORACLE_DOC_NEARDUP_SURVIVORS,
+        "near-dup clusters -> min-id survivor -> per-language deduped-corpus rollup",
+    ),
+    QuerySpec(
+        "emb_ann_topk", M.q_emb_ann_topk, M.ORACLE_EMB_ANN_TOPK,
+        "approximate top-k via sign-random-projection LSH buckets; the "
+        "pipeline is deterministic arithmetic so the DuckDB oracle "
+        "mirrors it bit-for-bit (full hash gate)",
+    ),
+    QuerySpec(
+        "emb_ivf_topk", M.q_emb_ivf_topk, M.oracle_emb_ivf_topk,
+        "IVF cluster-pruned approximate top-k; centroids are trained "
+        "once and embedded in the lazily-built DuckDB oracle as plan "
+        "constants (full hash gate)",
+    ),
+    QuerySpec(
+        "emb_cluster_assign", M.q_emb_cluster_assign, M.oracle_emb_cluster_assign,
+        "semantic clustering: nearest trained IVF centroid per vector, "
+        "map-side over centroid plan constants (lazy oracle embeds the "
+        "trained centroids; full hash gate)",
+    ),
+    QuerySpec(
+        "emb_quantized_topk", M.q_emb_quantized_topk, M.ORACLE_EMB_QUANTIZED_TOPK,
+        "exact top-k over the int8-quantized corpus (4x bandwidth tier; "
+        "deterministic integer quantization keeps the full hash gate)",
+    ),
+    QuerySpec(
+        "emb_cosine_dups", M.q_emb_cosine_dups, M.ORACLE_EMB_COSINE_DUPS,
+        "embedding-cosine near-dup pairs via sign-signature blocking",
+    ),
+    QuerySpec(
+        "doc_media_features", M.q_doc_media_features, M.ORACLE_DOC_MEDIA_FEATURES,
+        "binary-payload feature extraction via Arrow mapInPandas",
+    ),
+    QuerySpec(
+        "doc_regex_extract", M.q_doc_regex_extract, M.ORACLE_DOC_REGEX_EXTRACT,
+        "regexp_extract_all + element_at (F2)",
+    ),
+    QuerySpec(
+        "doc_token_counts", M.q_doc_token_counts, M.ORACLE_DOC_TOKEN_COUNTS,
+        "whitespace vs BPE-ish regex token counting",
+    ),
+    QuerySpec(
+        "doc_rolling_hash", M.q_doc_rolling_hash, M.ORACLE_DOC_ROLLING_HASH,
+        "order-sensitive Rabin-Karp rolling-hash fingerprint",
+    ),
+    QuerySpec(
+        "doc_dedup_survivors", M.q_doc_dedup_survivors, M.ORACLE_DOC_DEDUP_SURVIVORS,
+        "quality-filter + normalize + dedup + canonical-survivor rollup",
+    ),
+    QuerySpec(
+        "parts_brand_stats", M.q_parts_brand_stats, M.ORACLE_PARTS_BRAND_STATS,
+        "pure-SQL entry path (spark.sql over temp views) on part",
+    ),
+    QuerySpec(
+        "supplier_balance_by_nation", M.q_supplier_balance_by_nation,
+        M.ORACLE_SUPPLIER_BALANCE,
+        "supplier x broadcast nation rollup",
+    ),
+    QuerySpec(
+        "doc_corpus_profile", M.q_doc_corpus_profile, M.ORACLE_DOC_CORPUS_PROFILE,
+        "per-lang corpus profile with exact distinct counts (hash-gated "
+        "twin of the HLL tier)",
+    ),
+    QuerySpec(
+        "doc_pii_scrub", C.q_doc_pii_scrub, C.ORACLE_DOC_PII_SCRUB,
+        "ordered regexp_replace PII redaction + per-category counts "
+        "(corpus_prep.scrub_pii)",
+    ),
+    QuerySpec(
+        "doc_repetition_stats", C.q_doc_repetition_stats,
+        C.ORACLE_DOC_REPETITION_STATS,
+        "Gopher-style dup-token/trigram + modal-bigram repetition "
+        "signals (corpus_prep.with_repetition_stats)",
+    ),
+    QuerySpec(
+        "doc_decontaminate", C.q_doc_decontaminate, C.ORACLE_DOC_DECONTAMINATE,
+        "GPT-3-style 5-gram benchmark decontamination "
+        "(corpus_prep.decontaminate)",
+    ),
+    QuerySpec(
+        "doc_domain_mix", C.q_doc_domain_mix, C.ORACLE_DOC_DOMAIN_MIX,
+        "deterministic md5-bucket stratified sampling to a target mix "
+        "(corpus_prep.domain_mix_sample)",
+    ),
+    QuerySpec(
+        "doc_pack_sequences", C.q_doc_pack_sequences,
+        C.ORACLE_DOC_PACK_SEQUENCES,
+        "concat-and-chunk sequence packing per (stratum, md5 shard) "
+        "(corpus_prep.pack_sequences)",
+    ),
+    QuerySpec(
+        "event_interval_join", C.q_event_interval_join,
+        C.ORACLE_EVENT_INTERVAL_JOIN,
+        "bucketed point-in-interval join — hash equi-join, never BNLJ "
+        "(operators/interval.interval_join)",
+    ),
+    QuerySpec(
+        "doc_vocab_topk", C.q_doc_vocab_topk, C.ORACLE_DOC_VOCAB_TOPK,
+        "tokenizer vocab build: top-k tokens via TakeOrderedAndProject "
+        "(textstats.vocab_topk)",
+    ),
+    QuerySpec(
+        "doc_corpus_pipeline", C.q_doc_corpus_pipeline,
+        C.ORACLE_DOC_CORPUS_PIPELINE,
+        "full prep composition: scrub -> repetition + decontamination "
+        "gates -> domain-mix sample -> sequence packing, one query",
+    ),
+    QuerySpec(
+        "doc_split_corpus", C.q_doc_split_corpus, C.ORACLE_DOC_SPLIT_CORPUS,
+        "deterministic md5-bucket train/val/test assignment, zero "
+        "shuffle (corpus_prep.split_corpus)",
+    ),
+    QuerySpec(
+        "doc_oov_ratio", C.q_doc_oov_ratio, C.ORACLE_DOC_OOV_RATIO,
+        "per-doc out-of-vocabulary ratio vs the top-k corpus vocab — "
+        "explode + broadcast vocab join (corpus_prep.with_oov_ratio)",
+    ),
+    # ---- tail: rotated out of the driver window this round (still ----
+    # ---- verified every round by the local DuckDB-oracle suite)   ----
+    QuerySpec(
+        "pricing_summary", R.q_pricing_summary, R.ORACLE_PRICING_SUMMARY,
+        "TPC-H Q1-shape grouped aggregation over lineitem",
+    ),
+    QuerySpec(
+        "revenue_by_nation", R.q_revenue_by_nation, R.ORACLE_REVENUE_BY_NATION,
+        "4-way join with broadcast dims (TPC-H Q5 shape)",
+    ),
+    QuerySpec(
+        "top_customers", R.q_top_customers, R.ORACLE_TOP_CUSTOMERS,
+        "join + agg + deterministic windowed top-k",
+    ),
+    QuerySpec(
+        "order_priority_semi", R.q_order_priority_semi, R.ORACLE_ORDER_PRIORITY_SEMI,
+        "EXISTS via left-semi join",
+    ),
+    QuerySpec(
+        "customers_without_orders", R.q_customers_without_orders,
+        R.ORACLE_CUSTOMERS_WITHOUT_ORDERS, "NOT EXISTS via left-anti join",
+    ),
+    QuerySpec(
+        "top_acctbal_per_nation", R.q_top_acctbal_per_nation,
+        R.ORACLE_TOP_ACCTBAL_PER_NATION, "window top-k per group",
+    ),
+    QuerySpec(
+        "rollup_revenue", R.q_rollup_revenue, R.ORACLE_ROLLUP_REVENUE,
+        "ROLLUP grouping sets with grouping_id",
+    ),
+    QuerySpec(
+        "sessionize", R.q_sessionize, R.ORACLE_SESSIONIZE,
+        "gap-based sessionization (lag + running sum)",
+    ),
+    QuerySpec(
+        "asof_purchase_click", P.q_asof_purchase_click, P.ORACLE_ASOF_PURCHASE_CLICK,
+        "as-of join (SURVEY J4): latest prior click per purchase",
+    ),
+    QuerySpec(
+        "revenue_grouping_sets", R.q_revenue_grouping_sets,
+        R.ORACLE_REVENUE_GROUPING_SETS,
+        "GROUPING SETS multi-granularity agg in one pass",
+    ),
+    QuerySpec(
+        "doc_exact_dups", M.q_doc_exact_dups, M.ORACLE_DOC_EXACT_DUPS,
+        "exact-duplicate groups via content-hash groupBy",
+    ),
+    QuerySpec(
+        "doc_simhash", M.q_doc_simhash, M.ORACLE_DOC_SIMHASH,
+        "16-bit SimHash document fingerprint",
+    ),
+    QuerySpec(
+        "doc_ngram_jaccard", M.q_doc_ngram_jaccard, M.ORACLE_DOC_NGRAM_JACCARD,
+        "trigram-shingle Jaccard on adjacent doc pairs",
+    ),
+    QuerySpec(
+        "emb_cosine_topk", M.q_emb_cosine_topk, M.ORACLE_EMB_COSINE_TOPK,
+        "exact brute-force cosine top-k over embeddings",
+    ),
+    QuerySpec(
+        "doc_token_dim", M.q_doc_token_dim, M.ORACLE_DOC_TOKEN_DIM,
+        "explode → distinct dim with deterministic surrogate key (A2/A3)",
+    ),
+    QuerySpec(
+        "doc_token_bridge", M.q_doc_token_bridge, M.ORACLE_DOC_TOKEN_BRIDGE,
+        "explode + broadcast dim join bridge build (J2/J3)",
+    ),
+    QuerySpec(
+        "doc_clean_filters", M.q_doc_clean_filters, M.ORACLE_DOC_CLEAN_FILTERS,
+        "na.drop + multi-clause + exists/rlike filter stack (P4/P6/P8)",
+    ),
+    QuerySpec(
+        "events_props_struct", M.q_events_props_struct, M.ORACLE_EVENTS_PROPS_STRUCT,
+        "from_json struct parse + agg (F14)",
     ),
 ]
 

@@ -568,3 +568,61 @@ def test_corpus_prep_stream_lm_gate_drops_improbable_docs(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got == {1}
+
+
+def test_corpus_prep_stream_oov_lm_chain_matches_batch_twin(spark, tmp_path):
+    """The OOV + static-LM gate CHAIN (both side inputs at once, the
+    shape the registry's ``doc_stream_gates`` batch twin mirrors):
+    streaming over two micro-batches lands exactly the docs the batch
+    composition keeps — scrub → repetition gate → OOV vs the static
+    lake vocab → fluency vs the lake-trained LM."""
+    import os
+
+    from scraping_etl_spark.operators.corpus_prep import (
+        scrub_pii,
+        with_lm_score,
+        with_oov_ratio,
+        with_repetition_stats,
+    )
+    from scraping_etl_spark.operators.textstats import vocab_topk
+    from scraping_etl_spark.streaming.pipeline import corpus_prep_stream
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ref = docs.filter("doc_id % 7 = 0")
+    inc = docs.filter("doc_id % 7 <> 0")
+    # two source files -> two micro-batches
+    inc.filter("doc_id % 2 = 0").write.parquet(f"{src}/f1")
+    inc.filter("doc_id % 2 = 1").write.parquet(f"{src}/f2")
+    vocab = vocab_topk(ref, k=10)
+    max_oov, min_logp = 0.67, -3.55
+
+    q = corpus_prep_stream(
+        spark, f"{src}/*", out, ckpt,
+        vocab=vocab, max_oov_ratio=max_oov,
+        lm_ref=ref, min_avg_logp=min_logp,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    got_ids = {r.doc_id for r in spark.read.parquet(out).collect()}
+
+    # batch composition with the same operators and side inputs
+    keep_cols = [c for c in inc.columns if c != "text"]
+    scrubbed = scrub_pii(inc, with_counts=False).select(
+        *keep_cols, F.col("text_scrubbed").alias("text")
+    )
+    rep = with_repetition_stats(scrubbed).select("doc_id", "repeated_flag")
+    kept = scrubbed.join(rep, "doc_id").filter(~F.col("repeated_flag"))
+    oov_ok = with_oov_ratio(kept, vocab).filter(
+        F.col("oov_ratio") <= max_oov
+    ).select("doc_id")
+    kept = kept.join(oov_ok, "doc_id", "left_semi")
+    lm_ok = with_lm_score(kept, lm=ref).filter(
+        (F.col("n_bigrams") == 0) | (F.col("avg_logp") >= min_logp)
+    ).select("doc_id")
+    want_ids = {r.doc_id for r in kept.join(lm_ok, "doc_id", "left_semi").collect()}
+
+    assert got_ids == want_ids
+    # both gates genuinely bit, and survivors exist
+    assert 0 < len(want_ids) < inc.count()
