@@ -43,7 +43,7 @@ id). Nothing collects to the driver; nothing cross-joins.
 
 from __future__ import annotations
 
-from typing import Mapping
+from typing import Mapping, NamedTuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -306,13 +306,38 @@ def chunk_dedup_stats(
 MAX_BROADCAST_GRAMS = 2_000_000
 
 
+def prepare_bench_grams(
+    bench: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    max_broadcast_grams: int = MAX_BROADCAST_GRAMS,
+) -> DataFrame:
+    """Precompute the deduped benchmark gram relation for
+    :func:`decontaminate` — MATERIALIZED (``localCheckpoint``) with the
+    measured broadcast decision already applied, so a caller screening
+    many training sets (or a streaming gate screening every
+    micro-batch) derives the grams and runs the cardinality probe
+    ONCE. Pass the result as ``bench_prepared=``."""
+    grams = (
+        bench.select(F.explode(word_shingles(F.col(text_col), k)).alias("_g"))
+        .distinct()
+        .localCheckpoint()
+    )
+    fits = (
+        max_broadcast_grams > 0
+        and grams.limit(max_broadcast_grams + 1).count() <= max_broadcast_grams
+    )
+    return F.broadcast(grams) if fits else grams
+
+
 def decontaminate(
     train: DataFrame,
-    bench: DataFrame,
+    bench: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
     max_broadcast_grams: int = MAX_BROADCAST_GRAMS,
+    bench_prepared: DataFrame | None = None,
 ) -> DataFrame:
     """Flag training docs that share ≥1 word ``k``-gram with the
     benchmark corpus (GPT-3-style n-gram decontamination). Returns
@@ -329,15 +354,30 @@ def decontaminate(
     scales to arbitrarily large benchmark sets instead of OOMing the
     broadcast build. ``max_broadcast_grams=0`` forces the shuffle
     path. The probe scans only the (small) benchmark side — the
-    training corpus is untouched until the real join."""
-    bench_grams = bench.select(
-        F.explode(word_shingles(F.col(text_col), k)).alias("_g")
-    ).distinct()
-    fits_broadcast = (
-        max_broadcast_grams > 0
-        and bench_grams.limit(max_broadcast_grams + 1).count() <= max_broadcast_grams
-    )
-    bench_side = F.broadcast(bench_grams) if fits_broadcast else bench_grams
+    training corpus is untouched until the real join.
+
+    Pass ``bench_prepared=`` (:func:`prepare_bench_grams`) to reuse a
+    materialized gram relation across many calls (the streaming-gate
+    shape); exactly one of ``bench`` / ``bench_prepared`` must be
+    given. NOTE: the non-prepared path derives the grams lazily per
+    call (no materialization) — single-shot callers pay no checkpoint
+    they don't need."""
+    if (bench is None) == (bench_prepared is None):
+        raise ValueError(
+            "decontaminate: pass exactly one of bench / bench_prepared"
+        )
+    if bench_prepared is not None:
+        bench_side = bench_prepared
+    else:
+        bench_grams = bench.select(
+            F.explode(word_shingles(F.col(text_col), k)).alias("_g")
+        ).distinct()
+        fits_broadcast = (
+            max_broadcast_grams > 0
+            and bench_grams.limit(max_broadcast_grams + 1).count()
+            <= max_broadcast_grams
+        )
+        bench_side = F.broadcast(bench_grams) if fits_broadcast else bench_grams
     train_grams = train.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("_g")
     )
@@ -383,6 +423,76 @@ MAX_BROADCAST_VOCAB = 2_000_000
 MAX_BROADCAST_HOT_GRAMS = 2_000_000
 
 
+class PreparedLM(NamedTuple):
+    """Materialized reference-LM side inputs for
+    :func:`with_lm_score` — build once with :func:`prepare_lm`, score
+    many corpora (or micro-batches) against it."""
+
+    bi_counts: DataFrame      #: (_g, _cbi) bigram counts, checkpointed
+    uni_counts: DataFrame     #: (_w, _cw) unigram counts, checkpointed
+    uni_broadcast_ok: bool    #: measured: uni table fits the broadcast
+    vsize: DataFrame          #: 1-row (_v, _k) vocabulary size
+    hot: DataFrame            #: capped hot grams (_g, _cbi, _cw, _v)
+
+
+def prepare_lm(
+    lm: DataFrame,
+    text_col: str = "text",
+    hot_threshold: int = HOT_GRAM_OCCS,
+    max_broadcast_hot: int = MAX_BROADCAST_HOT_GRAMS,
+) -> PreparedLM:
+    """Train the reference bigram LM once: count tables are
+    ``localCheckpoint``-ed, the vocabulary-broadcast and hot-set-cap
+    probes run here (not per scoring call), and an empty LM fails
+    loudly. This is the deployment shape for repeated scoring — the
+    streaming fluency gate scores every micro-batch against ONE
+    prepared model instead of re-counting the curated corpus per
+    trigger."""
+    if hot_threshold < 1:
+        raise ValueError(f"hot_threshold must be >= 1, got {hot_threshold}")
+    lowered = F.lower(F.col(text_col))
+    bi_counts = (
+        lm.select(F.explode(word_grams(lowered, 2)).alias("_g"))
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_cbi"))
+        .localCheckpoint()
+    )
+    uni_counts = (
+        lm.select(F.explode(tokens(text_col, lowercase=True)).alias("_w"))
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_cw"))
+        .localCheckpoint()
+    )
+    n_vocab = uni_counts.limit(MAX_BROADCAST_VOCAB + 1).count()
+    if n_vocab == 0:
+        # V = 0 would send every smoothed logp to ln(1/0) = +inf and
+        # trivially pass any fluency gate — fail loudly instead.
+        raise ValueError(
+            "with_lm_score: reference LM corpus produced an empty "
+            "unigram table (no tokens) — cannot smooth against V=0"
+        )
+    vsize = uni_counts.agg(F.count(F.lit(1)).alias("_v")).withColumn(
+        "_k", F.pmod(F.xxhash64(F.col("_v")), F.lit(1))
+    )
+    stats = (
+        bi_counts.withColumn("_w", F.split_part(F.col("_g"), F.lit(" "), F.lit(1)))
+        .join(uni_counts, "_w")
+        .withColumn("_k", F.pmod(F.xxhash64("_g"), F.lit(1)))
+        .join(F.broadcast(vsize), "_k")
+        .select("_g", "_cbi", "_cw", "_v")
+        .localCheckpoint()
+    )
+    hot = stats.filter(F.col("_cbi") > hot_threshold)
+    if max_broadcast_hot > 0:
+        if hot.limit(max_broadcast_hot + 1).count() > max_broadcast_hot:
+            hot = hot.orderBy(F.col("_cbi").desc(), "_g").limit(max_broadcast_hot)
+    else:
+        hot = hot.limit(0)  # caller forced the all-shuffle path
+    return PreparedLM(
+        bi_counts, uni_counts, n_vocab <= MAX_BROADCAST_VOCAB, vsize, hot
+    )
+
+
 def with_lm_score(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -390,6 +500,7 @@ def with_lm_score(
     hot_threshold: int = HOT_GRAM_OCCS,
     lm: DataFrame | None = None,
     max_broadcast_hot: int = MAX_BROADCAST_HOT_GRAMS,
+    lm_prepared: PreparedLM | None = None,
 ) -> DataFrame:
     """Per-document corpus-LM score — the real form of the quality
     filter :func:`with_oov_ratio` proxies (CCNet, Wenzek et al. 2019,
@@ -429,10 +540,16 @@ def with_lm_score(
     In that mode the reference unigram table is vocabulary-scale, so it
     broadcasts under a measured-cardinality guard
     (:data:`MAX_BROADCAST_VOCAB`, same bounded probe as
-    :func:`decontaminate`)."""
+    :func:`decontaminate`). For REPEATED reference-mode scoring (the
+    streaming fluency gate), pass ``lm_prepared=`` from
+    :func:`prepare_lm` — the model trains once and every call skips
+    the count jobs and probes entirely."""
+    if lm is not None and lm_prepared is not None:
+        raise ValueError("with_lm_score: pass at most one of lm / lm_prepared")
     if hot_threshold < 1:
         raise ValueError(f"hot_threshold must be >= 1, got {hot_threshold}")
-    src = lm if lm is not None else df
+    if lm is not None:
+        lm_prepared = prepare_lm(lm, text_col, hot_threshold, max_broadcast_hot)
     lowered = F.lower(F.col(text_col))
     # per-(doc, gram) occurrence counts FIRST: every downstream branch
     # (bigram totals, hot probe, cold probe) hangs off this one
@@ -444,75 +561,65 @@ def with_lm_score(
         .groupBy(id_col, "_g")
         .agg(F.count(F.lit(1)).alias("_n"))
     )
-    if lm is None:
-        bi_counts = pairs.groupBy("_g").agg(F.sum("_n").alias("_cbi"))
-    else:
-        bi_counts = (
-            src.select(F.explode(word_grams(lowered, 2)).alias("_g"))
-            .groupBy("_g")
-            .agg(F.count(F.lit(1)).alias("_cbi"))
-        )
-    uni_counts = (
-        src.select(F.explode(tokens(text_col, lowercase=True)).alias("_w"))
-        .groupBy("_w")
-        .agg(F.count(F.lit(1)).alias("_cw"))
-    )
-    # 1-row vocabulary size: joined on a NON-FOLDABLE always-zero key
-    # on BOTH sides — with a literal key, FoldablePropagation rewrites
-    # the equi-condition into a one-sided filter and the join degrades
-    # to a BroadcastNestedLoopJoin; pmod(<attribute-derived hash>, 1)
-    # is always 0 but opaque to constant folding, so the planner keeps
-    # a BroadcastHashJoin (same 1-row build, clean plan discipline).
-    vsize = uni_counts.agg(F.count(F.lit(1)).alias("_v")).withColumn(
-        "_k", F.pmod(F.xxhash64(F.col("_v")), F.lit(1))
-    )
-    stats = (
-        bi_counts.withColumn("_w", F.split_part(F.col("_g"), F.lit(" "), F.lit(1)))
-        .join(uni_counts, "_w")
-        .withColumn("_k", F.pmod(F.xxhash64("_g"), F.lit(1)))
-        .join(F.broadcast(vsize), "_k")
-        .select("_g", "_cbi", "_cw", "_v")
-    )
     logp = F.log((F.col("_cbi") + 1.0) / (F.col("_cw") + F.col("_v")))
-    # stats is consumed three ways (hot-set build, hot-cardinality
-    # probe, cold scored join) — checkpoint it ONCE at distinct-gram
-    # scale so the probe and every join read materialized rows instead
-    # of re-running the count aggregations per consumer.
-    stats = stats.localCheckpoint()
-    hot = stats.filter(F.col("_cbi") > hot_threshold)
-    if max_broadcast_hot > 0:
-        if hot.limit(max_broadcast_hot + 1).count() > max_broadcast_hot:
-            # keep the hottest n on the broadcast path; the overflow
-            # (cooler by construction) spills to the cold shuffle join
-            hot = hot.orderBy(F.col("_cbi").desc(), "_g").limit(max_broadcast_hot)
-    else:
-        hot = hot.limit(0)  # caller forced the all-shuffle path
     scored_cols = [
         F.col(id_col),
         F.col("_n"),
         (F.col("_n") * logp).alias("_nlp"),
     ]
-    hot_scored = pairs.join(F.broadcast(hot), "_g").select(scored_cols)
-    cold_base = pairs.join(F.broadcast(hot.select("_g")), "_g", "left_anti")
-    if lm is None:
-        # self-scoring: every doc bigram is in stats — inner join
+    if lm_prepared is None:
+        # self-scoring: the model is the scored corpus's own counts.
+        bi_counts = pairs.groupBy("_g").agg(F.sum("_n").alias("_cbi"))
+        uni_counts = (
+            df.select(F.explode(tokens(text_col, lowercase=True)).alias("_w"))
+            .groupBy("_w")
+            .agg(F.count(F.lit(1)).alias("_cw"))
+        )
+        # 1-row vocabulary size: joined on a NON-FOLDABLE always-zero
+        # key on BOTH sides — with a literal key, FoldablePropagation
+        # rewrites the equi-condition into a one-sided filter and the
+        # join degrades to a BroadcastNestedLoopJoin;
+        # pmod(<attribute-derived hash>, 1) is always 0 but opaque to
+        # constant folding, so the planner keeps a BroadcastHashJoin
+        # (same 1-row build, clean plan discipline).
+        vsize = uni_counts.agg(F.count(F.lit(1)).alias("_v")).withColumn(
+            "_k", F.pmod(F.xxhash64(F.col("_v")), F.lit(1))
+        )
+        stats = (
+            bi_counts.withColumn(
+                "_w", F.split_part(F.col("_g"), F.lit(" "), F.lit(1))
+            )
+            .join(uni_counts, "_w")
+            .withColumn("_k", F.pmod(F.xxhash64("_g"), F.lit(1)))
+            .join(F.broadcast(vsize), "_k")
+            .select("_g", "_cbi", "_cw", "_v")
+            # stats is consumed three ways (hot-set build, hot probe,
+            # cold scored join) — checkpoint ONCE at distinct-gram
+            # scale so every consumer reads materialized rows.
+            .localCheckpoint()
+        )
+        hot = stats.filter(F.col("_cbi") > hot_threshold)
+        if max_broadcast_hot > 0:
+            if hot.limit(max_broadcast_hot + 1).count() > max_broadcast_hot:
+                # keep the hottest n on the broadcast path; the
+                # overflow (cooler by construction) rides the cold join
+                hot = hot.orderBy(
+                    F.col("_cbi").desc(), "_g"
+                ).limit(max_broadcast_hot)
+        else:
+            hot = hot.limit(0)  # caller forced the all-shuffle path
+        hot_scored = pairs.join(F.broadcast(hot), "_g").select(scored_cols)
+        cold_base = pairs.join(F.broadcast(hot.select("_g")), "_g", "left_anti")
+        # every doc bigram is in stats — inner join
         cold_scored = cold_base.join(stats, "_g").select(scored_cols)
     else:
         # reference-LM scoring: doc bigrams may be unseen — LEFT joins
-        # with add-one floors. The reference unigram table is
-        # vocabulary-scale; broadcast it under a measured guard.
-        n_vocab = uni_counts.limit(MAX_BROADCAST_VOCAB + 1).count()
-        if n_vocab == 0:
-            # V = 0 would send every smoothed logp to ln(1/0) = +inf
-            # and trivially pass any fluency gate — fail loudly instead.
-            raise ValueError(
-                "with_lm_score: reference LM corpus produced an empty "
-                "unigram table (no tokens) — cannot smooth against V=0"
-            )
-        uni_side = (
-            F.broadcast(uni_counts) if n_vocab <= MAX_BROADCAST_VOCAB
-            else uni_counts
-        )
+        # with add-one floors. Counts, probes and the capped hot set
+        # come from the prepared model (trained once).
+        bi_counts, uni_counts, uni_ok, vsize, hot = lm_prepared
+        hot_scored = pairs.join(F.broadcast(hot), "_g").select(scored_cols)
+        cold_base = pairs.join(F.broadcast(hot.select("_g")), "_g", "left_anti")
+        uni_side = F.broadcast(uni_counts) if uni_ok else uni_counts
         smoothed = F.log(
             (F.coalesce(F.col("_cbi"), F.lit(0)) + 1.0)
             / (F.coalesce(F.col("_cw"), F.lit(0)) + F.col("_v"))

@@ -278,15 +278,39 @@ def minhash_lsh_pairs(
     )
 
 
-def cross_corpus_neardup_pairs(
-    new: DataFrame,
+def prepare_neardup_ref(
     ref: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Precompute and MATERIALIZE the reference side of
+    :func:`cross_corpus_neardup_pairs` — ``(ref_docs, ref_banded)``
+    shingle sets and banded signatures, ``localCheckpoint``-ed. This is
+    the documented continuous-ingest deployment step made first-class:
+    a streaming gate screening every micro-batch against the lake must
+    not re-shingle and re-band the lake per batch (that recompute, not
+    the screen join, would dominate). Pass the result as
+    ``ref_prepared=``; the banding params at prepare time are the ones
+    that apply (they are baked into the signatures)."""
+    ref_docs, ref_banded = minhash_banded(
+        ref, id_col, text_col, k, num_hashes, bands
+    )
+    return ref_docs.localCheckpoint(), ref_banded.localCheckpoint()
+
+
+def cross_corpus_neardup_pairs(
+    new: DataFrame,
+    ref: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
     threshold: float = 0.5,
+    ref_prepared: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Near-duplicates of ``new`` documents AGAINST a reference corpus
     — the incremental form of :func:`minhash_lsh_pairs` ("have we seen
@@ -300,17 +324,29 @@ def cross_corpus_neardup_pairs(
     Scale: the banded relations are |corpus|·bands rows keyed by band
     hash (high-cardinality); the join shuffles only band rows, and at
     production presets (:data:`MINHASH_PRESET_PRODUCTION`) the sharper
-    s-curve keeps false candidates rare. In continuous ingest the ref
-    side's signatures are computed once and persisted — re-banding the
-    lake per batch would dominate; the operator takes the raw ref
-    corpus for self-containment and the signature reuse is the
-    documented deployment step."""
+    s-curve keeps false candidates rare. In continuous ingest pass
+    ``ref_prepared=`` (:func:`prepare_neardup_ref`) so the lake's
+    signatures are computed ONCE and every batch's screen reuses the
+    materialized banding — re-banding the lake per micro-batch would
+    dominate. Exactly one of ``ref`` / ``ref_prepared`` must be given;
+    with ``ref_prepared`` the banding params were fixed at prepare
+    time and this call's ``k``/``num_hashes``/``bands`` apply to the
+    NEW side only (pass the same values — mismatched banding never
+    collides and the screen silently finds nothing)."""
+    if (ref is None) == (ref_prepared is None):
+        raise ValueError(
+            "cross_corpus_neardup_pairs: pass exactly one of "
+            "ref / ref_prepared"
+        )
     new_docs, new_banded = minhash_banded(
         new, id_col, text_col, k, num_hashes, bands
     )
-    ref_docs, ref_banded = minhash_banded(
-        ref, id_col, text_col, k, num_hashes, bands
-    )
+    if ref_prepared is not None:
+        ref_docs, ref_banded = ref_prepared
+    else:
+        ref_docs, ref_banded = minhash_banded(
+            ref, id_col, text_col, k, num_hashes, bands
+        )
     cand = (
         new_banded.alias("a")
         .join(

@@ -407,16 +407,45 @@ def corpus_prep_stream(
     Idempotency: each micro-batch dynamic-overwrites its own
     ``batch_id`` partition (the fact-path convention of
     :func:`incremental_star_stream`), so checkpoint replays rewrite
-    their partitions instead of appending duplicates. At 100 TB this is
-    the dedup-on-write shape: the corpus lake only ever contains
-    already-scrubbed, already-gated documents, and every downstream
-    consumer shares one prep pass."""
+    their partitions instead of appending duplicates — PROVIDED the
+    replay keeps the same trigger/slicing config: replaying with a
+    different ``maxFilesPerTrigger`` re-buckets rows into different
+    batch_ids, and a replayed batch that now gates down to zero rows
+    leaves the earlier run's partition in place. When resetting a
+    checkpoint, either keep the slicing identical or clear ``out_dir``
+    with it. At 100 TB this is the dedup-on-write shape: the corpus
+    lake only ever contains already-scrubbed, already-gated documents,
+    and every downstream consumer shares one prep pass.
+
+    Static side inputs are prepared ONCE here, not per micro-batch:
+    the benchmark gram set + its broadcast probe
+    (:func:`~scraping_etl_spark.operators.corpus_prep.prepare_bench_grams`),
+    the reference LM's count tables + probes
+    (:func:`~scraping_etl_spark.operators.corpus_prep.prepare_lm`),
+    the lake's banded MinHash signatures
+    (:func:`~scraping_etl_spark.operators.dedup.prepare_neardup_ref`)
+    and the materialized vocabulary — per-trigger cost is the batch's
+    own work plus joins against materialized side inputs, no repeated
+    side-input jobs."""
     from scraping_etl_spark.operators import corpus_prep as CP
+    from scraping_etl_spark.operators.dedup import (
+        cross_corpus_neardup_pairs,
+        prepare_neardup_ref,
+    )
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
+
+    bench_prepared = (
+        CP.prepare_bench_grams(bench) if bench is not None else None
+    )
+    vocab_static = vocab.localCheckpoint() if vocab is not None else None
+    ref_prepared = (
+        prepare_neardup_ref(dedup_ref) if dedup_ref is not None else None
+    )
+    lm_prepared = CP.prepare_lm(lm_ref) if lm_ref is not None else None
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         keep_cols = [c for c in batch_df.columns if c != "text"]
@@ -427,32 +456,28 @@ def corpus_prep_stream(
             "doc_id", "dup_trigram_frac", "top_bigram_frac", "repeated_flag"
         )
         kept = scrubbed.join(rep, "doc_id").filter(~F.col("repeated_flag"))
-        if bench is not None:
-            clean = CP.decontaminate(kept, bench).filter(
-                ~F.col("contaminated")
-            ).select("doc_id")
+        if bench_prepared is not None:
+            clean = CP.decontaminate(
+                kept, bench_prepared=bench_prepared
+            ).filter(~F.col("contaminated")).select("doc_id")
             kept = kept.join(clean, "doc_id", "left_semi")
-        if vocab is not None:
-            in_vocab = CP.with_oov_ratio(kept, vocab).filter(
+        if vocab_static is not None:
+            in_vocab = CP.with_oov_ratio(kept, vocab_static).filter(
                 F.col("oov_ratio") <= max_oov_ratio
             ).select("doc_id")
             kept = kept.join(in_vocab, "doc_id", "left_semi")
-        if dedup_ref is not None:
-            from scraping_etl_spark.operators.dedup import (
-                cross_corpus_neardup_pairs,
-            )
-
+        if ref_prepared is not None:
             seen = (
                 cross_corpus_neardup_pairs(
-                    kept, dedup_ref, threshold=dedup_threshold
+                    kept, ref_prepared=ref_prepared, threshold=dedup_threshold
                 )
                 .select(F.col("new_id").alias("doc_id"))
                 .distinct()
             )
             kept = kept.join(seen, "doc_id", "left_anti")
-        if lm_ref is not None:
+        if lm_prepared is not None:
             fluent = (
-                CP.with_lm_score(kept, lm=lm_ref)
+                CP.with_lm_score(kept, lm_prepared=lm_prepared)
                 .filter(
                     (F.col("n_bigrams") == 0)
                     | (F.col("avg_logp") >= min_avg_logp)

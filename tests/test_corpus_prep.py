@@ -799,6 +799,38 @@ def test_lm_score_zero_cap_forces_all_cold(spark):
     assert cold == ref
 
 
+def test_lm_score_prepared_model_matches_inline_lm(spark):
+    """prepare_lm + lm_prepared= must score identically to lm= (the
+    streaming gate's train-once path is pure reuse, not new math)."""
+    lm = _docs(spark, [(100, "a b a b c d")])
+    docs = _docs(spark, [(1, "a b c x"), (2, "q r")])
+    inline = {(r.doc_id, r.n_bigrams, r.avg_logp)
+              for r in CP.with_lm_score(docs, lm=lm).collect()}
+    prepared = CP.prepare_lm(lm)
+    reused = {(r.doc_id, r.n_bigrams, r.avg_logp)
+              for r in CP.with_lm_score(docs, lm_prepared=prepared).collect()}
+    assert reused == inline
+    with pytest.raises(ValueError, match="at most one"):
+        CP.with_lm_score(docs, lm=lm, lm_prepared=prepared)
+
+
+def test_decontaminate_prepared_grams_match_inline_bench(spark):
+    """prepare_bench_grams + bench_prepared= must flag identically to
+    bench=; passing both (or neither) raises."""
+    bench = _docs(spark, [(100, "one two three four five six")])
+    docs = _docs(spark, [(1, "zero one two three four five end"), (2, "a b c d e f")])
+    inline = {(r.doc_id, r.n_hits, r.contaminated)
+              for r in CP.decontaminate(docs, bench).collect()}
+    prepared = CP.prepare_bench_grams(bench)
+    reused = {(r.doc_id, r.n_hits, r.contaminated)
+              for r in CP.decontaminate(docs, bench_prepared=prepared).collect()}
+    assert reused == inline and any(c for _, _, c in inline)
+    with pytest.raises(ValueError, match="exactly one"):
+        CP.decontaminate(docs, bench, bench_prepared=prepared)
+    with pytest.raises(ValueError, match="exactly one"):
+        CP.decontaminate(docs)
+
+
 def test_lm_score_raises_on_empty_reference_lm(spark):
     """A degenerate reference LM (no tokens → V=0) must fail loudly:
     smoothing against V=0 would send every logp to +inf and trivially

@@ -368,6 +368,39 @@ def test_cross_corpus_neardup_pairs_finds_only_cross_matches(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_cross_corpus_prepared_ref_matches_inline(spark):
+    """prepare_neardup_ref + ref_prepared= must find the same pairs as
+    the self-contained path (the streaming screen's band-once reuse);
+    the materialized plan scans the checkpointed RDD instead of
+    re-banding the lake. Passing both or neither ref forms raises."""
+    import pytest as _pytest
+
+    from scraping_etl_spark.operators.dedup import (
+        cross_corpus_neardup_pairs,
+        prepare_neardup_ref,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ref = spark.createDataFrame(
+        [(1, base), (2, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(101, base + " tail"), (102, "unrelated incoming words only here")],
+        "doc_id long, text string",
+    )
+    inline = {(r.new_id, r.ref_id, r.jaccard)
+              for r in cross_corpus_neardup_pairs(new, ref, threshold=0.5).collect()}
+    prepared = prepare_neardup_ref(ref)
+    out = cross_corpus_neardup_pairs(new, ref_prepared=prepared, threshold=0.5)
+    assert {(r.new_id, r.ref_id, r.jaccard) for r in out.collect()} == inline
+    assert "ExistingRDD" in out._jdf.queryExecution().executedPlan().toString()
+    with _pytest.raises(ValueError, match="exactly one"):
+        cross_corpus_neardup_pairs(new, ref, ref_prepared=prepared)
+    with _pytest.raises(ValueError, match="exactly one"):
+        cross_corpus_neardup_pairs(new)
+
+
 def test_cluster_assign_picks_nearest_centroid(spark):
     """Hand-checkable assignment: vectors near [0,0] vs [10,10] land in
     their own clusters with the exact squared distance; ties break to
