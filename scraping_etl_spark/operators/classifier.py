@@ -1,0 +1,136 @@
+"""Trainable linear quality classifier over text features.
+
+The GPT-3 / CCNet corpus builds filter raw text with a lightweight
+linear classifier trained to separate curated from raw documents
+(GPT-3 appendix A: logistic regression over tf-idf-ish features;
+CCNet: a fastText linear model). This module is that shape on Spark:
+
+- :func:`quality_features` — per-document feature vector from pure
+  built-ins (zero shuffle, zero UDFs).
+- :func:`train_logreg` — full-batch gradient-descent logistic
+  regression as DataFrame aggregations: each iteration is ONE job
+  computing the d+1 gradient sums map-side (d is the feature count, a
+  handful — the per-iteration collect is O(d) scalars of the MODEL,
+  not data; the ``ivf_train`` convention). Train on a curated+bounded
+  labeled set — classifier training data is small by construction; at
+  100 TB you train on a sample and SCORE the lake.
+- :func:`score_logreg` — sigmoid(w·x) with the learned weights as
+  plan constants: pure map, zero shuffle at any scale, and exactly
+  mirrorable in the DuckDB oracle (same left-to-right dot fold).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from scraping_etl_spark.operators.textstats import (
+    stopword_ratio,
+    tokens,
+)
+
+#: Feature names, in vector order (index 0 is the bias term).
+FEATURE_NAMES = (
+    "bias",
+    "log_tokens",
+    "distinct_ratio",
+    "stopword_ratio",
+    "mean_token_len",
+    "nonalpha_ratio",
+)
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", out_col: str = "features"
+) -> DataFrame:
+    """Append ``out_col`` (array<double>, :data:`FEATURE_NAMES` order):
+    bias 1.0, ln(1+tokens), distinct-token ratio, English stopword
+    ratio, mean token length, non-[a-z0-9 ] character ratio — each a
+    bounded built-in expression (no UDF, no shuffle)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n1 = F.greatest(n, F.lit(1))
+    text = F.col(text_col)
+    nonalpha = F.length(F.regexp_replace(F.lower(text), "[a-z0-9 ]", ""))
+    feats = F.array(
+        F.lit(1.0),
+        F.log(F.lit(1.0) + n),
+        (F.size(F.array_distinct(toks)) / n1).cast("double"),
+        stopword_ratio(text_col).cast("double"),
+        (
+            F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+            / n1
+        ).cast("double"),
+        (nonalpha / F.greatest(F.length(text), F.lit(1))).cast("double"),
+    )
+    return df.withColumn(out_col, feats)
+
+
+def _dot_const(weights: list[float], vec: Column) -> Column:
+    """w·x with the weights as literals, associated left-to-right —
+    the same fold order the SQL oracle writes out explicitly."""
+    acc = F.lit(0.0)
+    for i, w in enumerate(weights):
+        acc = acc + F.lit(float(w)) * F.element_at(vec, i + 1)
+    return acc
+
+
+def train_logreg(
+    labeled: DataFrame,
+    dim: int,
+    features_col: str = "features",
+    label_col: str = "label",
+    lr: float = 0.5,
+    iters: int = 40,
+    l2: float = 0.0,
+) -> list[float]:
+    """Batch-GD logistic regression; returns the learned weights.
+
+    Each iteration computes ``grad_j = avg((sigmoid(w·x) - y)·x_j)``
+    for all j in ONE aggregation (d static sum columns + a count —
+    map-side partial agg, no explode, no shuffle beyond the final
+    1-row combine) and updates driver-side: the per-iteration driver
+    traffic is d+1 scalars of model state. ``iters`` is bounded; the
+    labeled set should be the bounded curated sample, not the lake."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    base = labeled.select(
+        F.col(features_col).alias("_x"),
+        F.col(label_col).cast("double").alias("_y"),
+    ).localCheckpoint()
+    w = [0.0] * dim
+    for _ in range(iters):
+        z = _dot_const(w, F.col("_x"))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = p - F.col("_y")
+        sums = base.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum(err * F.element_at(F.col("_x"), j + 1)).alias(f"_g{j}")
+                for j in range(dim)
+            ],
+        ).first()
+        n = float(sums["_n"])
+        if n == 0:
+            raise ValueError("train_logreg: empty labeled set")
+        w = [
+            w[j] - lr * (float(sums[f"_g{j}"]) / n + l2 * w[j])
+            for j in range(dim)
+        ]
+    return w
+
+
+def score_logreg(
+    df: DataFrame,
+    weights: list[float],
+    features_col: str = "features",
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """Append ``sigmoid(w·x)`` (rounded 6) with ``weights`` as plan
+    constants — pure map-side scoring, the deployment path."""
+    z = _dot_const(weights, F.col(features_col))
+    return df.withColumn(
+        out_col, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    )

@@ -1,0 +1,166 @@
+"""Full-text keyword search: BM25 ranking over the documents table.
+
+The reference repo's query surface is scrape -> clean -> relational
+queries; a corpus engine at 100 TB additionally needs *retrieval over
+the corpus itself* (inspecting a training corpus is mostly keyword
+search: "show me the docs about X", decontamination forensics, quality
+triage). This module implements Okapi BM25 (Robertson & Zaragoza 2009,
+the public textbook formulation with the Lucene non-negative idf
+variant) as pure DataFrame algebra — no UDFs, no driver-side loops.
+
+Plan shape, and why it survives 100 TB:
+
+- The posting table ``(doc, term) -> tf`` is ONE explode + partial agg;
+  the (doc, term) key is skew-free by construction (a hot term is
+  spread across its documents). Document length rides the grouping key
+  (functionally dependent on doc), so no separate doclen join.
+- Corpus constants (N, avgdl) attach as a 1-row broadcast on a
+  non-foldable key (the ``pmod(xxhash64, 1)`` discipline from
+  corpus_prep.with_lm_score — a literal key would fold the equi-join
+  into a BroadcastNestedLoopJoin).
+- Document frequency is a partial agg at distinct-(term, doc) scale;
+  idf is then attached to the QUERY terms first (query side is tiny),
+  so the vocabulary-scale df table is reduced by a broadcast semi
+  shape before it ever meets the postings — the postings join sees
+  ``(term, idf)`` for query terms only, broadcast.
+- Per-(query, doc) scores fold contributions in sorted-term order
+  (collect_list bounded by |query terms|, then a sequential
+  ``F.aggregate``) — deterministic float summation, mirrored
+  bit-for-bit by the DuckDB oracle's ``list_reduce`` over
+  ``list(... ORDER BY term)``.
+- Top-k per query is a rank window partitioned by query — never a
+  global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from scraping_etl_spark.operators.textstats import tokens
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25.
+
+    ``queries`` is a small DataFrame ``(query_id, terms array<string>)``
+    — terms are matched lowercased. Scoring:
+
+        idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))        [>= 0]
+        s(q, d) = sum_t idf(t) * tf * (k1+1)
+                               / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    Returns ``(query_id, rank, doc id, score)``; ties broken by doc id.
+    """
+    toks = tokens(text_col, lowercase=True)
+    # corpus constants (N docs, average doc length) come from a pure
+    # map-side doc-level projection — never from re-aggregating the
+    # posting table (an earlier formulation paid a full postings
+    # recompute plus a count_distinct for the same two scalars).
+    consts = (
+        docs.select(F.size(toks).alias("_dl"))
+        .filter(F.col("_dl") > 0)
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("_n_docs"),
+            (F.sum("_dl") / F.count(F.lit(1))).alias("_avgdl"),
+        )
+        .withColumn("_k", F.pmod(F.xxhash64(F.col("_n_docs")), F.lit(1)))
+    )
+
+    base = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(toks).alias("_t"),
+        F.size(toks).alias("_dl"),
+    )
+    postings = base.groupBy("_doc", "_t", "_dl").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+
+    qterm_set = queries.select(
+        F.explode(F.transform(F.col(terms_col), F.lower)).alias("_t")
+    ).distinct()
+    # the inverted-index lookup: reduce the posting table to the query
+    # terms' posting lists FIRST (broadcast semi-filter — at lake scale
+    # this is "read k posting lists", the IR access path), and
+    # checkpoint that small relation once for its two consumers
+    # (df counts and scoring) instead of recomputing the full
+    # explode+agg per branch.
+    matched = postings.join(F.broadcast(qterm_set), "_t").localCheckpoint()
+
+    # document frequency of the query terms (matched rows are unique
+    # per (doc, term), so a plain count is the distinct-doc count)
+    dfreq = matched.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+
+    qterms = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.explode(F.transform(F.col(terms_col), F.lower)).alias("_t"),
+    ).distinct()
+    q_idf = (
+        dfreq.join(F.broadcast(qterms), "_t")
+        .withColumn("_kk", F.pmod(F.xxhash64("_t"), F.lit(1)))
+        .join(
+            F.broadcast(consts.withColumnRenamed("_k", "_kk")), "_kk"
+        )
+        .select(
+            "_qid", "_t",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+            ).alias("_idf"),
+            "_avgdl",
+        )
+    )
+
+    contrib = (
+        matched.join(F.broadcast(q_idf), "_t")
+        .select(
+            "_qid",
+            "_doc",
+            "_t",
+            (
+                F.col("_idf")
+                * (F.col("_tf") * (k1 + 1.0))
+                / (
+                    F.col("_tf")
+                    + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+                )
+            ).alias("_c"),
+        )
+    )
+    # deterministic sum: fold contributions in sorted-term order
+    scores = (
+        contrib.groupBy("_qid", "_doc")
+        .agg(F.sort_array(F.collect_list(F.struct("_t", "_c"))).alias("_cs"))
+        .select(
+            "_qid",
+            "_doc",
+            F.round(
+                F.aggregate(
+                    F.col("_cs"), F.lit(0.0), lambda acc, s: acc + s["_c"]
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("score"), F.asc("_doc"))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("_doc").alias(id_col),
+            "score",
+        )
+    )

@@ -314,6 +314,135 @@ def cluster_assign(
     )
 
 
+def normalize_embedding(vec: Column) -> Column:
+    """Unit-normalize (x / ||x||; the zero vector passes through) —
+    deterministic: the norm is the same left-fold ``sqrt(dot)`` the
+    oracles mirror, and each element division is a single IEEE op.
+    On the unit sphere squared-L2 ranking ≡ cosine ranking, which is
+    what lets :func:`semantic_dedup_pairs` use L2 centroids for a
+    cosine criterion."""
+    from scraping_etl_spark.operators.dedup import _bind
+
+    def _n(v: Column) -> Column:
+        nrm = l2_norm(v)
+        return F.when(
+            nrm > 0, F.transform(v, lambda x: x.cast("double") / nrm)
+        ).otherwise(F.transform(v, lambda x: x.cast("double")))
+
+    return _bind(vec, _n)
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication" — cluster the embedding space, then threshold
+    pairwise cosine *within* clusters only): assign every vector to its
+    nearest trained centroid (map-side, centroids are plan constants —
+    :func:`cluster_assign`), self-join on the cluster id, keep pairs
+    with cosine ≥ ``threshold``.
+
+    This is the published algorithm's scale contract: pairwise cost is
+    sum of squared *cluster* sizes, not corpus², and the cluster count
+    is chosen so each cluster's pairwise block is task-sized (the
+    paper runs 50k clusters over 5B embeddings for the same reason).
+    The join is a hash equi-join on cluster id; cross-cluster near-dups
+    are missed by design (the recall/cost trade the paper measures).
+
+    Assignment runs on UNIT-NORMALIZED vectors (the paper's setting:
+    on the unit sphere L2-nearest ≡ cosine-nearest, so same-direction
+    vectors always share a cluster regardless of magnitude) — pass
+    ``centroids`` trained on normalized vectors. The cosine itself is
+    computed on the original arrays (scale cancels).
+
+    Returns ``(id_a, id_b, cluster, cos_sim)`` with ``id_a < id_b``;
+    cosine rounded to 6 before the threshold compare so engines agree
+    at the boundary."""
+    side = _sem_side(corpus, centroids, id_col, vec_col)
+    return _sem_pairs_from_side(side, threshold, id_col)
+
+
+def _sem_side(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Materialized SemDeDup working set ``(id, vec, cluster, ‖v‖)``.
+
+    Two deliberate eager choices: the per-vector norm is hoisted
+    BEFORE the pair join (inside a cluster of size m each vector sits
+    in m-1 pairs; recomputing ‖v‖ per pair wastes m-2 norm folds per
+    vector — at cluster sizes in the thousands that was the dominant
+    cost), and the whole projection is ``localCheckpoint``-ed so the
+    k-centroid assignment expression — O(k·dim) literals per row,
+    large enough to defeat whole-stage codegen at production cluster
+    counts — is evaluated ONCE per vector instead of once per join
+    side per consumer. The hoisted norm is the identical sqrt(dot)
+    fold, so pair cosines stay bit-identical to the oracle."""
+    unit = normalize_embedding(F.col(vec_col))
+    cl = F.element_at(nearest_centroids(unit, centroids, 1), 1)
+    return corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        cl.alias("cluster"),
+        l2_norm(F.col(vec_col)).alias("_nrm"),
+    ).localCheckpoint()
+
+
+def _sem_pairs_from_side(
+    side: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
+    vec_col = side.columns[1]
+    a = side.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+        "cluster", F.col("_nrm").alias("_na"),
+    )
+    b = side.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+        "cluster", F.col("_nrm").alias("_nb"),
+    )
+    den = F.col("_na") * F.col("_nb")
+    cos = F.when(den > 0, dot(F.col("_va"), F.col("_vb")) / den).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cos, 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", F.col("cluster").cast("int").alias("cluster"), "cos_sim")
+    )
+
+
+def semantic_dedup_survivors(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy SemDeDup keep-set: within each cluster, drop any vector
+    that has a near-duplicate (cosine ≥ ``threshold``) with a SMALLER
+    id — the deterministic analogue of the paper's keep-one-per-
+    ε-neighborhood sweep (greedy by id order; no transitive closure,
+    exactly like the published method). One left-anti join of the
+    corpus against the pair list's ``id_b`` side. Returns the
+    surviving ``(id, cluster)`` rows."""
+    side = _sem_side(corpus, centroids, id_col, vec_col)
+    pairs = _sem_pairs_from_side(side, threshold, id_col)
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    assigned = side.select(F.col(id_col), F.col("cluster").cast("int").alias("cluster"))
+    return assigned.join(dropped, id_col, "left_anti").select(
+        F.col(id_col), "cluster"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,

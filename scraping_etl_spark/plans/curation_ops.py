@@ -1,0 +1,604 @@
+"""Driver-gate faces for the round-8 curation & retrieval operators.
+
+Registry faces + exact DuckDB oracles for ``operators/search.py``
+(BM25), ``operators/curation.py`` (per-host cap, duplicate passages,
+DSIR weights), ``operators/classifier.py`` (trainable quality
+classifier) and the SemDeDup pair/survivor operators in
+``operators/similarity.py``. Conventions follow ``plans/corpus_ops.py``
+(shared token-SQL fragments, deterministic corpus construction for
+operators that need planted structure) and ``plans/ml_ops.py`` (lazy
+oracles embedding run-time-trained model constants, with the
+query/oracle sf-dir pairing guard).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scraping_etl_spark.operators import classifier as CLF
+from scraping_etl_spark.operators import corpus_prep as CP
+from scraping_etl_spark.operators import curation as CU
+from scraping_etl_spark.operators import similarity as SIM
+from scraping_etl_spark.operators.search import bm25_topk
+from scraping_etl_spark.operators.textstats import STOPWORDS
+from scraping_etl_spark.sources.readers import load_table
+
+_TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+_LTOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search (operators/search.bm25_topk gate)
+# ---------------------------------------------------------------------------
+
+#: Fixed query workload: common terms, rare terms, a term absent from
+#: the corpus (zero postings — contributes nothing), and the two
+#: highest-df near-stopwords (lowest idf) — every branch of the
+#: scoring function fires.
+_BM25_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (0, ("spark", "hash", "join")),
+    (1, ("window", "sort", "stream")),
+    (2, ("slow", "scan")),
+    (3, ("vector", "quantum")),
+    (4, ("the", "a")),
+)
+_BM25_K = 5
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 documents for 5 fixed keyword queries
+    (operators/search.bm25_topk): postings from one explode+agg,
+    idf attached to the tiny query side first, per-(query, doc)
+    scores folded in sorted-term order so the float sum is
+    deterministic and fully hash-gated."""
+    d = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(qid, list(terms)) for qid, terms in _BM25_QUERIES],
+        "query_id INT, terms ARRAY<STRING>",
+    )
+    return bm25_topk(d, queries, k=_BM25_K, k1=_BM25_K1, b=_BM25_B)
+
+
+def _bm25_oracle() -> str:
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    k1p1 = repr(_BM25_K1 + 1.0)
+    one_minus_b = repr(1.0 - _BM25_B)
+    return f"""
+WITH qs(query_id, term) AS (VALUES {qvals}),
+tok AS (
+  SELECT doc_id, unnest(t) AS t, len(t) AS dl
+  FROM (SELECT doc_id, {_LTOKS} AS t FROM documents)
+),
+postings AS (
+  SELECT doc_id, t, dl, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2, 3
+),
+consts AS (
+  SELECT count(*) AS n_docs, sum(dl) / count(*) AS avgdl
+  FROM (SELECT len({_LTOKS}) AS dl FROM documents) WHERE dl > 0
+),
+dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY t),
+qidf AS (
+  SELECT DISTINCT q.query_id, d.t,
+         ln(1.0 + ((c.n_docs - d.df) + 0.5) / (d.df + 0.5)) AS idf,
+         c.avgdl
+  FROM qs q JOIN dfreq d ON d.t = lower(q.term) CROSS JOIN consts c
+),
+contrib AS (
+  SELECT qi.query_id, p.doc_id, qi.t,
+         (qi.idf * (p.tf * {k1p1}))
+         / (p.tf + {_BM25_K1!r} * ({one_minus_b} + ({_BM25_B!r} * p.dl) / qi.avgdl))
+           AS c
+  FROM postings p JOIN qidf qi ON p.t = qi.t
+),
+scores AS (
+  SELECT query_id, doc_id,
+         round(list_reduce(list_prepend(0.0, list(c ORDER BY t)),
+                           (x, y) -> x + y), 6) AS score
+  FROM contrib GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rk
+  FROM scores
+)
+SELECT query_id, CAST(rk AS INTEGER) AS rank, doc_id, score
+FROM ranked WHERE rk <= {_BM25_K}
+"""
+
+
+ORACLE_DOC_BM25 = _bm25_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Per-source cap (operators/curation.per_key_cap gate)
+# ---------------------------------------------------------------------------
+
+_CAP_N = 10
+
+
+def q_doc_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level down-sampling gate: keep the 10 longest documents
+    per source (n_chars DESC, doc_id tiebreak) via the two-stage salt
+    tournament — every source is capped below its sf0.01 size (25), so
+    the cap genuinely drops rows."""
+    d = load_table(spark, sf_dir, "documents")
+    return CU.per_key_cap(
+        d, _CAP_N, key_col="source", order_col="n_chars", descending=True
+    ).select("doc_id", "source", "n_chars", "cap_rank")
+
+
+ORACLE_DOC_SOURCE_CAP = f"""
+SELECT doc_id, source, n_chars, CAST(rk AS INTEGER) AS cap_rank
+FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+)
+WHERE rk <= {_CAP_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (operators/similarity.semantic_dedup_survivors gate)
+# ---------------------------------------------------------------------------
+
+#: Same planted-duplicate construction as ``q_emb_cosine_dups``
+#: (plans/ml_ops.py): power-of-two-scaled copies are bit-exact in
+#: direction, so the copy's normalized vector — and therefore its
+#: cluster and cosine 1.0 — reproduce in both engines.
+_SEM_N_COPIES = 25
+_SEM_ID_SHIFT = 10_000
+_SEM_THRESHOLD = 0.99
+_SEM_CLUSTERS = 8
+
+_sem_query_dirs: set[str] = set()
+_sem_zero_arg_oracle_dir: str | None = None
+_sem_explicit_oracle_dirs: set[str] = set()
+
+_SEM_ORACLE_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
+
+
+@functools.lru_cache(maxsize=4)
+def _sem_centroids(sf_dir: str) -> tuple:
+    """Train-once SemDeDup centroids per scale dir: k-means over the
+    UNIT-NORMALIZED base embeddings (the paper clusters the sphere)."""
+    from scraping_etl_spark.session import get_spark
+
+    spark = SparkSession.getActiveSession() or get_spark()
+    e = load_table(spark, sf_dir, "embeddings")
+    unit = e.select(
+        SIM.normalize_embedding(F.col("embedding")).alias("embedding")
+    )
+    return tuple(
+        tuple(c) for c in SIM.ivf_train(unit, n_clusters=_SEM_CLUSTERS)
+    )
+
+
+def _sem_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = (
+        e.filter(F.col("vec_id") < _SEM_N_COPIES)
+        .select(
+            (F.col("vec_id") + _SEM_ID_SHIFT).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x.cast("double") * 2.0).cast("float")
+            ).alias("embedding"),
+        )
+    )
+    return e.unionByName(copies)
+
+
+def q_emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup gate: embeddings ∪ 25 two-x-scaled copies → cluster the
+    sphere with train-once centroids → within-cluster cosine ≥ 0.99 →
+    greedy min-id survivors. The 25 copies (cosine exactly 1.0 with
+    their originals, same cluster by the normalization contract) are
+    dropped; the random base vectors survive."""
+    if (
+        _sem_zero_arg_oracle_dir is not None
+        and _sem_zero_arg_oracle_dir != sf_dir
+        and sf_dir not in _sem_explicit_oracle_dirs
+    ):
+        raise RuntimeError(
+            f"emb_semantic_dedup: zero-arg oracle trained at "
+            f"{_sem_zero_arg_oracle_dir!r} but the query runs at {sf_dir!r} "
+            f"— pass sf_dir to oracle_emb_semantic_dedup or set "
+            f"SPARK_GRAFT_ORACLE_SF_DIR."
+        )
+    _sem_query_dirs.add(sf_dir)
+    centroids = [list(c) for c in _sem_centroids(sf_dir)]
+    return SIM.semantic_dedup_survivors(
+        _sem_corpus(spark, sf_dir), centroids, threshold=_SEM_THRESHOLD
+    )
+
+
+def oracle_emb_semantic_dedup(sf_dir: str | None = None) -> str:
+    """Lazy DuckDB twin: centroids embedded as DOUBLE plan constants
+    (``oracle_emb_ivf_topk`` convention, same pairing guard); the SQL
+    reproduces the union corpus, unit normalization, L2 assignment
+    over the sphere, within-cluster pairs at cosine ≥ threshold
+    (rounded 6 before the compare, as the operator does) and the
+    greedy id_b drop."""
+    global _sem_zero_arg_oracle_dir
+    if sf_dir is None:
+        if "SPARK_GRAFT_ORACLE_SF_DIR" in os.environ:
+            resolved = os.environ["SPARK_GRAFT_ORACLE_SF_DIR"]
+        elif len(_sem_query_dirs) == 1:
+            resolved = next(iter(_sem_query_dirs))
+        else:
+            resolved = _SEM_ORACLE_SF_DIR
+        if _sem_query_dirs and resolved not in _sem_query_dirs:
+            raise RuntimeError(
+                f"emb_semantic_dedup oracle: would train at {resolved!r} but "
+                f"the query ran at {sorted(_sem_query_dirs)!r}."
+            )
+        _sem_zero_arg_oracle_dir = resolved
+        sf_dir = resolved
+    else:
+        _sem_explicit_oracle_dirs.add(sf_dir)
+    centroids = _sem_centroids(sf_dir)
+    cent_rows = ",\n         ".join(
+        "({i}, [{xs}])".format(
+            i=i, xs=", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in c)
+        )
+        for i, c in enumerate(centroids)
+    )
+    dim = len(centroids[0])
+    dot_self = (
+        "list_reduce(list_transform(generate_series(1, {d}), "
+        "i -> {v}[i]::DOUBLE * {v}[i]::DOUBLE), (x, y) -> x + y)"
+    )
+    sq_dist = (
+        "list_reduce(list_transform(generate_series(1, {d}), "
+        "i -> (u.unit[i] - cent.c[i]) * (u.unit[i] - cent.c[i])), "
+        "(x, y) -> x + y)"
+    ).format(d=dim)
+    dot_ab = (
+        f"list_reduce(list_transform(generate_series(1, {dim}), "
+        "i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), "
+        "(x, y) -> x + y)"
+    )
+    norm_a = dot_self.format(d=dim, v="a.embedding")
+    norm_b = dot_self.format(d=dim, v="b.embedding")
+    return f"""
+WITH cent(cid, c) AS (
+  VALUES {cent_rows}
+), corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_SEM_ID_SHIFT},
+         list_transform(embedding, x -> CAST(x::DOUBLE * 2.0 AS FLOAT))
+  FROM embeddings WHERE vec_id < {_SEM_N_COPIES}
+), unitized AS (
+  SELECT vec_id, embedding,
+         CASE WHEN sqrt({dot_self.format(d=dim, v='embedding')}) > 0
+              THEN list_transform(embedding,
+                     x -> x::DOUBLE / sqrt({dot_self.format(d=dim, v='embedding')}))
+              ELSE list_transform(embedding, x -> x::DOUBLE) END AS unit
+  FROM corpus
+), dist AS (
+  SELECT u.vec_id, u.embedding, cent.cid, {sq_dist} AS d
+  FROM unitized u CROSS JOIN cent
+), assign AS (
+  SELECT vec_id, embedding, cid AS cluster,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+  FROM dist
+), side AS (
+  SELECT vec_id, embedding, cluster FROM assign WHERE rk = 1
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(CASE WHEN sqrt({norm_a}) * sqrt({norm_b}) > 0
+                    THEN {dot_ab} / (sqrt({norm_a}) * sqrt({norm_b}))
+                    ELSE 0.0 END, 6) AS cos_sim
+  FROM side a JOIN side b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+), dropped AS (
+  SELECT DISTINCT id_b FROM pairs WHERE cos_sim >= {_SEM_THRESHOLD}
+)
+SELECT s.vec_id, CAST(s.cluster AS INTEGER) AS cluster
+FROM side s LEFT JOIN dropped d ON s.vec_id = d.id_b
+WHERE d.id_b IS NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# Duplicate passages (operators/curation.duplicate_passage_stats gate)
+# ---------------------------------------------------------------------------
+
+#: Corpus construction mirrors the chunk-dedup gate: a re-keyed copy
+#: of the first 50 docs guarantees long verbatim cross-document
+#: passages (whole-document runs) on top of whatever k-grams the
+#: synthetic vocabulary repeats naturally.
+_PASS_N_COPIES = 50
+_PASS_ID_SHIFT = 100_000
+_PASS_K = 5
+
+
+def q_doc_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-passage profile over documents ∪ re-keyed copies:
+    per-doc k-gram positions, cross-document duplicated positions,
+    duplicated fraction and the longest duplicated run."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") < _PASS_N_COPIES).select(
+        (F.col("doc_id") + _PASS_ID_SHIFT).alias("doc_id"), "text"
+    )
+    return CU.duplicate_passage_stats(d.unionByName(copies), k=_PASS_K)
+
+
+ORACLE_DOC_DUP_PASSAGES = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_PASS_ID_SHIFT}, text FROM documents
+  WHERE doc_id < {_PASS_N_COPIES}
+),
+tok AS (SELECT doc_id, {_LTOKS} AS t FROM corpus),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {_PASS_K}
+              THEN list_transform(generate_series(1, len(t) - {_PASS_K} + 1),
+                     i -> array_to_string(list_slice(t, i, i + {_PASS_K} - 1), ' '))
+              ELSE [] END AS gs
+  FROM tok
+),
+occ AS (
+  SELECT doc_id, unnest(generate_series(1, len(gs))) AS pos, unnest(gs) AS g
+  FROM grams
+),
+dupg AS (
+  SELECT g FROM (SELECT g, doc_id FROM occ GROUP BY 1, 2)
+  GROUP BY g HAVING count(*) >= 2
+),
+marked AS (
+  SELECT o.doc_id, o.pos, (d.g IS NOT NULL) AS is_dup
+  FROM occ o LEFT JOIN dupg d USING (g)
+),
+islands AS (
+  SELECT doc_id,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM marked WHERE is_dup
+),
+runs AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS run
+  FROM islands GROUP BY doc_id, grp
+),
+per_doc_runs AS (
+  SELECT doc_id, sum(run) AS n_dup, max(run) AS max_run
+  FROM runs GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM occ GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CAST(coalesce(t.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(r.n_dup, 0) AS BIGINT) AS n_dup_grams,
+       round(coalesce(r.n_dup, 0) / greatest(coalesce(t.n_grams, 0), 1), 6)
+         AS dup_frac,
+       CAST(coalesce(r.max_run, 0) AS BIGINT) AS max_dup_run
+FROM corpus c
+LEFT JOIN totals t USING (doc_id)
+LEFT JOIN per_doc_runs r USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Trainable quality classifier (operators/classifier.py gate)
+# ---------------------------------------------------------------------------
+
+#: Negatives: every token replaced by an 8-hex-char md5 fragment of
+#: (token, doc_id) — no stopwords, near-1 distinct ratio, uniform
+#: token length — the deterministic stand-in for "raw web noise"
+#: against the documents as the curated positives (GPT-3 appendix A
+#: trains exactly this shape: curated-vs-raw logistic regression).
+_CLF_ITERS = 40
+_CLF_LR = 0.5
+
+_clf_query_dirs: set[str] = set()
+_clf_zero_arg_oracle_dir: str | None = None
+_clf_explicit_oracle_dirs: set[str] = set()
+
+_CLF_ORACLE_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
+
+
+def _corrupted_negatives(d: DataFrame) -> DataFrame:
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    noise = F.array_join(
+        F.transform(
+            toks,
+            lambda t: F.substring(
+                F.md5(F.concat(t, F.col("doc_id").cast("string"))), 1, 8
+            ),
+        ),
+        " ",
+    )
+    return d.select(F.col("doc_id"), noise.alias("text"))
+
+
+@functools.lru_cache(maxsize=4)
+def _clf_weights(sf_dir: str) -> tuple:
+    """Train-once logistic weights per scale dir (documents as
+    positives vs md5-corrupted copies as negatives)."""
+    from scraping_etl_spark.session import get_spark
+
+    spark = SparkSession.getActiveSession() or get_spark()
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pos = d.withColumn("label", F.lit(1))
+    neg = _corrupted_negatives(d).withColumn("label", F.lit(0))
+    labeled = CLF.quality_features(pos.unionByName(neg))
+    w = CLF.train_logreg(
+        labeled, dim=len(CLF.FEATURE_NAMES), lr=_CLF_LR, iters=_CLF_ITERS
+    )
+    return tuple(w)
+
+
+def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier gate: score every document with the
+    train-once logistic model (weights as plan constants — map-side
+    scoring, the deployment path)."""
+    if (
+        _clf_zero_arg_oracle_dir is not None
+        and _clf_zero_arg_oracle_dir != sf_dir
+        and sf_dir not in _clf_explicit_oracle_dirs
+    ):
+        raise RuntimeError(
+            f"doc_quality_classifier: zero-arg oracle trained at "
+            f"{_clf_zero_arg_oracle_dir!r} but the query runs at {sf_dir!r}."
+        )
+    _clf_query_dirs.add(sf_dir)
+    w = list(_clf_weights(sf_dir))
+    d = load_table(spark, sf_dir, "documents")
+    return CLF.score_logreg(CLF.quality_features(d), w).select(
+        "doc_id", "quality_prob"
+    )
+
+
+def oracle_doc_quality_classifier(sf_dir: str | None = None) -> str:
+    """Lazy DuckDB twin: the learned weights are plan constants; the
+    feature pipeline (ln(1+tokens), distinct ratio, stopword ratio
+    rounded 6, mean token length, non-alnum ratio) and the
+    left-to-right sigmoid dot fold are written out explicitly."""
+    global _clf_zero_arg_oracle_dir
+    if sf_dir is None:
+        if "SPARK_GRAFT_ORACLE_SF_DIR" in os.environ:
+            resolved = os.environ["SPARK_GRAFT_ORACLE_SF_DIR"]
+        elif len(_clf_query_dirs) == 1:
+            resolved = next(iter(_clf_query_dirs))
+        else:
+            resolved = _CLF_ORACLE_SF_DIR
+        if _clf_query_dirs and resolved not in _clf_query_dirs:
+            raise RuntimeError(
+                f"doc_quality_classifier oracle: would train at {resolved!r} "
+                f"but the query ran at {sorted(_clf_query_dirs)!r}."
+            )
+        _clf_zero_arg_oracle_dir = resolved
+        sf_dir = resolved
+    else:
+        _clf_explicit_oracle_dirs.add(sf_dir)
+    w = _clf_weights(sf_dir)
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS["en"])
+    feats = [
+        "1.0",
+        "ln(1.0 + len(toks))",
+        "CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1)",
+        (
+            "round(CAST(len(list_filter(ltoks, x -> x IN ({sl}))) AS DOUBLE)"
+            " / greatest(len(ltoks), 1), 6)"
+        ).format(sl=stop_list),
+        (
+            "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(toks, x -> CAST(len(x) AS BIGINT))), "
+            "(a, b) -> a + b) AS DOUBLE) / greatest(len(toks), 1)"
+        ),
+        (
+            "CAST(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) "
+            "AS DOUBLE) / greatest(len(text), 1)"
+        ),
+    ]
+    z = "0.0"
+    for wj, fj in zip(w, feats):
+        z = f"({z} + CAST({float(wj)!r} AS DOUBLE) * ({fj}))"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKS} AS toks, {_LTOKS} AS ltoks FROM documents
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-({z}))), 6) AS quality_prob
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (operators/curation.dsir_weights gate)
+# ---------------------------------------------------------------------------
+
+#: Same deterministic slice convention as the reference-LM gate in
+#: plans/corpus_ops.py: target LM = doc_id ≡ 0 (mod 7) slice, raw
+#: pool = everything else; the raw LM is the pool's own counts.
+_DSIR_REF_FILTER = "doc_id % 7 = 0"
+_DSIR_POOL_FILTER = "doc_id % 7 <> 0"
+
+_BI_SQL = (
+    "CASE WHEN len(t) >= 2 "
+    "THEN list_transform(generate_series(1, len(t) - 1), "
+    "i -> t[i] || ' ' || t[i+1]) ELSE [] END"
+)
+
+
+def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR gate: importance log-weights for the raw pool — target LM
+    trained on the curated mod-7 slice (reference mode, smoothing
+    floors), raw LM = the pool's own counts (self mode), weight =
+    difference of the per-bigram-normalized log-likelihoods."""
+    d = load_table(spark, sf_dir, "documents")
+    target = d.filter(F.col("doc_id") % 7 == 0)
+    pool = d.filter(F.col("doc_id") % 7 != 0)
+    t_scored = CP.with_lm_score(pool, lm=target)
+    r_scored = CP.with_lm_score(pool)
+    return CU.dsir_weights(pool, t_scored, r_scored)
+
+
+ORACLE_DOC_DSIR_WEIGHTS = f"""
+WITH lmtok AS (
+  SELECT {_LTOKS} AS t FROM documents WHERE {_DSIR_REF_FILTER}
+),
+tbc AS (
+  SELECT g, count(*) AS cbi
+  FROM (SELECT unnest({_BI_SQL}) AS g FROM lmtok) GROUP BY 1
+),
+tuc AS (
+  SELECT w, count(*) AS cw
+  FROM (SELECT unnest(t) AS w FROM lmtok) GROUP BY 1
+),
+tv AS (SELECT count(*) AS v FROM tuc),
+pool AS (SELECT doc_id, {_LTOKS} AS t FROM documents WHERE {_DSIR_POOL_FILTER}),
+pbi AS (SELECT doc_id, unnest({_BI_SQL}) AS g FROM pool),
+t_agg AS (
+  SELECT pbi.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(ln((coalesce(tbc.cbi, 0) + 1.0)
+                      / (coalesce(tuc.cw, 0) + tv.v))), 6) AS logp_t
+  FROM pbi
+  LEFT JOIN tbc USING (g)
+  LEFT JOIN tuc ON tuc.w = split_part(pbi.g, ' ', 1)
+  CROSS JOIN tv
+  GROUP BY 1
+),
+rbc AS (SELECT g, count(*) AS cbi FROM pbi GROUP BY 1),
+ruc AS (
+  SELECT w, count(*) AS cw
+  FROM (SELECT unnest(t) AS w FROM pool) GROUP BY 1
+),
+rv AS (SELECT count(*) AS v FROM ruc),
+r_agg AS (
+  SELECT pbi.doc_id,
+         round(avg(ln((rbc.cbi + 1.0) / (ruc.cw + rv.v))), 6) AS logp_r
+  FROM pbi
+  JOIN rbc USING (g)
+  JOIN ruc ON ruc.w = split_part(pbi.g, ' ', 1)
+  CROSS JOIN rv
+  GROUP BY 1
+)
+SELECT p.doc_id,
+       CAST(coalesce(t_agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       coalesce(t_agg.logp_t, 0.0) AS logp_target,
+       coalesce(r_agg.logp_r, 0.0) AS logp_raw,
+       round(coalesce(t_agg.logp_t, 0.0) - coalesce(r_agg.logp_r, 0.0), 6)
+         AS log_weight
+FROM (SELECT doc_id FROM documents WHERE {_DSIR_POOL_FILTER}) p
+LEFT JOIN t_agg USING (doc_id)
+LEFT JOIN r_agg USING (doc_id)
+"""

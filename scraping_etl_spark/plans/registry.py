@@ -29,6 +29,15 @@ round-1 relational gates), ``doc_exact_dups``, ``doc_simhash``,
 ``doc_ngram_jaccard``, ``emb_cosine_topk``, ``doc_token_dim``,
 ``doc_token_bridge``, ``doc_clean_filters``, ``events_props_struct``
 (all r7-green, code untouched).
+
+Round-8 mid-round amendment: six NEW curation/retrieval gates
+(``doc_bm25``, ``doc_source_cap``, ``emb_semantic_dedup``,
+``doc_dup_passages``, ``doc_quality_classifier``,
+``doc_dsir_weights`` — plans/curation_ops.py) take window seats, paid
+for by rotating six more r7-green unchanged entries to the tail
+(``doc_regex_extract``, ``doc_token_counts``, ``doc_rolling_hash``,
+``doc_dedup_survivors``, ``parts_brand_stats``,
+``supplier_balance_by_nation``).
 """
 
 from __future__ import annotations
@@ -39,6 +48,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from scraping_etl_spark.plans import corpus_ops as C
+from scraping_etl_spark.plans import curation_ops as CR
 from scraping_etl_spark.plans import ml_ops as M
 from scraping_etl_spark.plans import pipeline_ops as P
 from scraping_etl_spark.plans import relational as R
@@ -138,6 +148,44 @@ QUERIES: list[QuerySpec] = [
         "word-segmentation join -> per-doc subword counts (lazy oracle "
         "embeds the learned table as plan constants)",
     ),
+    QuerySpec(
+        "doc_bm25", CR.q_doc_bm25, CR.ORACLE_DOC_BM25,
+        "BM25 keyword retrieval: top-5 docs for 5 fixed queries — "
+        "postings explode+agg, idf on the broadcast query side, "
+        "sorted-term deterministic score fold (operators/search.py)",
+    ),
+    QuerySpec(
+        "doc_source_cap", CR.q_doc_source_cap, CR.ORACLE_DOC_SOURCE_CAP,
+        "per-host document cap: keep the 10 longest docs per source "
+        "via the two-stage salt tournament (curation.per_key_cap)",
+    ),
+    QuerySpec(
+        "emb_semantic_dedup", CR.q_emb_semantic_dedup,
+        CR.oracle_emb_semantic_dedup,
+        "SemDeDup: cluster the unit sphere with train-once centroids, "
+        "within-cluster cosine threshold, greedy min-id survivors "
+        "(similarity.semantic_dedup_survivors; lazy oracle embeds the "
+        "trained centroids)",
+    ),
+    QuerySpec(
+        "doc_dup_passages", CR.q_doc_dup_passages, CR.ORACLE_DOC_DUP_PASSAGES,
+        "sub-document duplicate-passage profile: cross-doc repeated "
+        "token 5-grams, duplicated fraction + longest duplicated run "
+        "(curation.duplicate_passage_stats)",
+    ),
+    QuerySpec(
+        "doc_quality_classifier", CR.q_doc_quality_classifier,
+        CR.oracle_doc_quality_classifier,
+        "trainable logistic quality classifier: batch-GD training as "
+        "DataFrame aggs, map-side sigmoid scoring with learned weights "
+        "as plan constants (operators/classifier.py; lazy oracle)",
+    ),
+    QuerySpec(
+        "doc_dsir_weights", CR.q_doc_dsir_weights, CR.ORACLE_DOC_DSIR_WEIGHTS,
+        "DSIR importance log-weights: target-LM (curated slice, "
+        "smoothing floors) minus raw-LM (pool self-score) per-bigram "
+        "log-likelihood (curation.dsir_weights)",
+    ),
     # ---- changed this round (operator or oracle touched) ----
     QuerySpec(
         "doc_chunk_dedup", C.q_doc_chunk_dedup, C.ORACLE_DOC_CHUNK_DEDUP,
@@ -220,31 +268,6 @@ QUERIES: list[QuerySpec] = [
         "binary-payload feature extraction via Arrow mapInPandas",
     ),
     QuerySpec(
-        "doc_regex_extract", M.q_doc_regex_extract, M.ORACLE_DOC_REGEX_EXTRACT,
-        "regexp_extract_all + element_at (F2)",
-    ),
-    QuerySpec(
-        "doc_token_counts", M.q_doc_token_counts, M.ORACLE_DOC_TOKEN_COUNTS,
-        "whitespace vs BPE-ish regex token counting",
-    ),
-    QuerySpec(
-        "doc_rolling_hash", M.q_doc_rolling_hash, M.ORACLE_DOC_ROLLING_HASH,
-        "order-sensitive Rabin-Karp rolling-hash fingerprint",
-    ),
-    QuerySpec(
-        "doc_dedup_survivors", M.q_doc_dedup_survivors, M.ORACLE_DOC_DEDUP_SURVIVORS,
-        "quality-filter + normalize + dedup + canonical-survivor rollup",
-    ),
-    QuerySpec(
-        "parts_brand_stats", M.q_parts_brand_stats, M.ORACLE_PARTS_BRAND_STATS,
-        "pure-SQL entry path (spark.sql over temp views) on part",
-    ),
-    QuerySpec(
-        "supplier_balance_by_nation", M.q_supplier_balance_by_nation,
-        M.ORACLE_SUPPLIER_BALANCE,
-        "supplier x broadcast nation rollup",
-    ),
-    QuerySpec(
         "doc_corpus_profile", M.q_doc_corpus_profile, M.ORACLE_DOC_CORPUS_PROFILE,
         "per-lang corpus profile with exact distinct counts (hash-gated "
         "twin of the HLL tier)",
@@ -305,6 +328,31 @@ QUERIES: list[QuerySpec] = [
     ),
     # ---- tail: rotated out of the driver window this round (still ----
     # ---- verified every round by the local DuckDB-oracle suite)   ----
+    QuerySpec(
+        "doc_regex_extract", M.q_doc_regex_extract, M.ORACLE_DOC_REGEX_EXTRACT,
+        "regexp_extract_all + element_at (F2)",
+    ),
+    QuerySpec(
+        "doc_token_counts", M.q_doc_token_counts, M.ORACLE_DOC_TOKEN_COUNTS,
+        "whitespace vs BPE-ish regex token counting",
+    ),
+    QuerySpec(
+        "doc_rolling_hash", M.q_doc_rolling_hash, M.ORACLE_DOC_ROLLING_HASH,
+        "order-sensitive Rabin-Karp rolling-hash fingerprint",
+    ),
+    QuerySpec(
+        "doc_dedup_survivors", M.q_doc_dedup_survivors, M.ORACLE_DOC_DEDUP_SURVIVORS,
+        "quality-filter + normalize + dedup + canonical-survivor rollup",
+    ),
+    QuerySpec(
+        "parts_brand_stats", M.q_parts_brand_stats, M.ORACLE_PARTS_BRAND_STATS,
+        "pure-SQL entry path (spark.sql over temp views) on part",
+    ),
+    QuerySpec(
+        "supplier_balance_by_nation", M.q_supplier_balance_by_nation,
+        M.ORACLE_SUPPLIER_BALANCE,
+        "supplier x broadcast nation rollup",
+    ),
     QuerySpec(
         "pricing_summary", R.q_pricing_summary, R.ORACLE_PRICING_SUMMARY,
         "TPC-H Q1-shape grouped aggregation over lineitem",

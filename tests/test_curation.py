@@ -1,0 +1,314 @@
+"""Unit tests for the round-8 curation & retrieval operators:
+BM25 search, per-key caps, duplicate-passage detection, SemDeDup,
+the trainable quality classifier, and DSIR weights.
+
+(The registry gates for these are additionally hash-checked against
+their DuckDB oracles by tests/test_relational_queries.py.)
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from scraping_etl_spark.operators import classifier as CLF
+from scraping_etl_spark.operators import curation as CU
+from scraping_etl_spark.operators import similarity as SIM
+from scraping_etl_spark.operators.search import bm25_topk
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+def _bm25_expected(docs, queries, k1=1.2, b=0.75):
+    """Loop-oracle BM25 over token lists."""
+    toks = {i: t.lower().split() for i, t in docs}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {}
+    for t in toks.values():
+        for w in set(t):
+            df[w] = df.get(w, 0) + 1
+    out = {}
+    for qid, terms in queries:
+        scores = {}
+        for d, t in toks.items():
+            s = 0.0
+            for w in sorted(set(x.lower() for x in terms)):
+                tf = t.count(w)
+                if tf == 0 or w not in df:
+                    continue
+                idf = math.log(1.0 + (n - df[w] + 0.5) / (df[w] + 0.5))
+                s += idf * (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * len(t) / avgdl)
+                )
+            if s != 0.0:
+                scores[d] = round(s, 6)
+        out[qid] = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return out
+
+
+def test_bm25_matches_loop_oracle(spark):
+    docs = [
+        (0, "spark hash join join join"),
+        (1, "spark table scan"),
+        (2, "window sort window"),
+        (3, "the the the a"),
+    ]
+    queries = [(0, ["join", "spark"]), (1, ["window"]), (2, ["absent"])]
+    got = bm25_topk(
+        spark.createDataFrame(docs, "doc_id LONG, text STRING"),
+        spark.createDataFrame(
+            [(q, ts) for q, ts in queries], "query_id INT, terms ARRAY<STRING>"
+        ),
+        k=3,
+    ).collect()
+    expected = _bm25_expected(docs, queries)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    # query 2 has no postings: absent entirely
+    assert 2 not in by_q
+    for qid in (0, 1):
+        exp = expected[qid][:3]
+        assert [(i + 1, d, s) for i, (d, s) in enumerate(exp)] == sorted(by_q[qid])
+
+
+def test_bm25_rewards_tf_and_rarity(spark):
+    d = spark.createDataFrame(
+        [(0, "hash hash hash filler"), (1, "hash filler filler filler"),
+         (2, "filler filler filler filler")],
+        "doc_id LONG, text STRING",
+    )
+    q = spark.createDataFrame([(0, ["hash"])], "query_id INT, terms ARRAY<STRING>")
+    rows = {r.doc_id: r.rank for r in bm25_topk(d, q, k=3).collect()}
+    assert rows[0] == 1 and rows[1] == 2 and 2 not in rows
+
+
+def test_bm25_no_cartesian(spark):
+    d = spark.createDataFrame([(0, "a b"), (1, "b c")], "doc_id LONG, text STRING")
+    q = spark.createDataFrame([(0, ["b"])], "query_id INT, terms ARRAY<STRING>")
+    plan = bm25_topk(d, q)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# per_key_cap
+# ---------------------------------------------------------------------------
+
+def _cap_fixture(spark):
+    rows = [(i, f"s{i % 3}", float(1000 - i)) for i in range(90)]
+    return spark.createDataFrame(rows, "id LONG, host STRING, q DOUBLE")
+
+
+def test_per_key_cap_matches_single_window(spark):
+    df = _cap_fixture(spark)
+    got = CU.per_key_cap(
+        df, 7, key_col="host", order_col="q", descending=True, id_col="id"
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("q"), F.asc("id"))
+    exp = (
+        df.withColumn("cap_rank", F.row_number().over(w))
+        .filter(F.col("cap_rank") <= 7)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_per_key_cap_salt_count_invariant(spark):
+    df = _cap_fixture(spark)
+    a = CU.per_key_cap(df, 5, key_col="host", order_col="q", id_col="id", n_salts=1)
+    b = CU.per_key_cap(df, 5, key_col="host", order_col="q", id_col="id", n_salts=64)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_per_key_cap_hash_order_and_small_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 0.0), (2, "x", 0.0), (3, "y", 0.0)], "id LONG, host STRING, q DOUBLE"
+    )
+    got = CU.per_key_cap(df, 10, key_col="host", order_col=None, id_col="id")
+    # groups smaller than n survive whole
+    assert got.count() == 3
+    with pytest.raises(ValueError):
+        CU.per_key_cap(df, 0, key_col="host")
+
+
+# ---------------------------------------------------------------------------
+# duplicate_passage_stats
+# ---------------------------------------------------------------------------
+
+def test_duplicate_passages_known_shared_span(spark):
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens -> 4 trigram positions
+    docs = [
+        (0, shared + " unique0 tail0"),
+        (1, "head1 " + shared),
+        (2, "nothing shared here at all friends"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in CU.duplicate_passage_stats(df, k=3).collect()}
+    # doc 0: 8 tokens -> 6 gram positions; grams 0..3 are the shared span
+    assert out[0].n_grams == 6
+    assert out[0].n_dup_grams == 4
+    assert out[0].max_dup_run == 4
+    assert out[0].dup_frac == round(4 / 6, 6)
+    # doc 1: shared span sits at the end (positions 1..4 of 5)
+    assert out[1].n_grams == 5
+    assert out[1].n_dup_grams == 4
+    assert out[1].max_dup_run == 4
+    # doc 2: clean
+    assert out[2].n_dup_grams == 0 and out[2].max_dup_run == 0
+    assert out[2].dup_frac == 0.0
+
+
+def test_duplicate_passages_split_runs(spark):
+    # two disjoint shared trigrams -> two islands of length 1 each
+    docs = [
+        (0, "a b c xxx0 d e f yyy0"),
+        (1, "a b c zzz1 d e f www1"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in CU.duplicate_passage_stats(df, k=3).collect()}
+    assert out[0].n_dup_grams == 2
+    assert out[0].max_dup_run == 1
+
+
+def test_duplicate_passages_short_doc_and_validation(spark):
+    df = spark.createDataFrame([(0, "one two")], "doc_id LONG, text STRING")
+    r = CU.duplicate_passage_stats(df, k=5).collect()[0]
+    assert r.n_grams == 0 and r.dup_frac == 0.0
+    with pytest.raises(ValueError):
+        CU.duplicate_passage_stats(df, k=0)
+    with pytest.raises(ValueError):
+        CU.duplicate_passage_stats(df, min_docs=1)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+def _planted_embeddings(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(40):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(8)]))
+    # 2x-scaled copies of the first 5: cosine exactly 1 with originals
+    for i in range(5):
+        rows.append((100 + i, [2.0 * x for x in rows[i][1]]))
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+
+def test_semantic_dedup_drops_planted_copies(spark):
+    e = _planted_embeddings(spark)
+    unit = e.select(SIM.normalize_embedding(F.col("embedding")).alias("embedding"))
+    cents = SIM.ivf_train(unit, n_clusters=4)
+    pairs = SIM.semantic_dedup_pairs(e, cents, threshold=0.99).collect()
+    planted = {(a, b) for a, b, _, _ in [tuple(r) for r in pairs]}
+    for i in range(5):
+        assert (i, 100 + i) in planted
+    surv = SIM.semantic_dedup_survivors(e, cents, threshold=0.99)
+    ids = {r.vec_id for r in surv.collect()}
+    assert all(100 + i not in ids for i in range(5))  # copies dropped
+    assert all(i in ids for i in range(5))            # originals kept
+
+
+def test_semantic_dedup_scale_invariant_assignment(spark):
+    """A 2x-scaled vector must land in the same cluster as its
+    original (the normalization contract)."""
+    e = _planted_embeddings(spark)
+    unit = e.select(SIM.normalize_embedding(F.col("embedding")).alias("embedding"))
+    cents = SIM.ivf_train(unit, n_clusters=4)
+    surv = SIM.semantic_dedup_survivors(e, cents, threshold=2.0)  # no drops
+    cl = {r.vec_id: r.cluster for r in surv.collect()}
+    for i in range(5):
+        assert cl[i] == cl[100 + i]
+
+
+def test_semantic_dedup_no_cartesian(spark):
+    e = _planted_embeddings(spark)
+    cents = [[0.1] * 8, [-0.1] * 8]
+    plan = (
+        SIM.semantic_dedup_pairs(e, cents, 0.99)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Quality classifier
+# ---------------------------------------------------------------------------
+
+def _labeled_quality(spark):
+    real = [
+        (i, "the quick brown fox jumps over a lazy dog in the sunny park", 1)
+        for i in range(20)
+    ]
+    noise = [
+        (100 + i, f"q7x{i}z 9ffa{i}b 77cc{i}d e1b2c{i} aa8d{i}f 4e5f{i}a", 0)
+        for i in range(20)
+    ]
+    return spark.createDataFrame(real + noise, "doc_id LONG, text STRING, label INT")
+
+
+def test_classifier_separates_real_from_noise(spark):
+    labeled = CLF.quality_features(_labeled_quality(spark))
+    w = CLF.train_logreg(labeled, dim=len(CLF.FEATURE_NAMES), iters=30)
+    scored = CLF.score_logreg(labeled, w).collect()
+    real = [r.quality_prob for r in scored if r.label == 1]
+    fake = [r.quality_prob for r in scored if r.label == 0]
+    assert min(real) > 0.5 > max(fake)
+
+
+def test_classifier_score_matches_manual_sigmoid(spark):
+    df = CLF.quality_features(
+        spark.createDataFrame([(0, "hello world foo")], "doc_id LONG, text STRING")
+    )
+    feats = df.collect()[0].features
+    w = [0.3, -0.2, 0.5, 1.0, -0.1, 2.0]
+    got = CLF.score_logreg(df, w).collect()[0].quality_prob
+    z = 0.0
+    for wi, xi in zip(w, feats):
+        z = z + wi * xi
+    assert got == round(1.0 / (1.0 + math.exp(-z)), 6)
+
+
+def test_classifier_validation(spark):
+    df = CLF.quality_features(
+        spark.createDataFrame([(0, "a", 1)], "doc_id LONG, text STRING, label INT")
+    )
+    with pytest.raises(ValueError):
+        CLF.train_logreg(df, dim=0)
+    with pytest.raises(ValueError):
+        CLF.train_logreg(df.filter("label = 9"), dim=6, iters=1)
+
+
+# ---------------------------------------------------------------------------
+# DSIR weights
+# ---------------------------------------------------------------------------
+
+def test_dsir_weight_is_logp_difference(spark):
+    from scraping_etl_spark.operators import corpus_prep as CP
+
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "xq zr pw lk jh gf"),
+         (2, "the dog sat on the rug")],
+        "doc_id LONG, text STRING",
+    )
+    target = spark.createDataFrame(
+        [(10, "the cat sat on the mat again and again")],
+        "doc_id LONG, text STRING",
+    )
+    t = CP.with_lm_score(docs, lm=target)
+    r = CP.with_lm_score(docs)
+    out = {x.doc_id: x for x in CU.dsir_weights(docs, t, r).collect()}
+    tt = {x.doc_id: x.avg_logp for x in t.collect()}
+    rr = {x.doc_id: x.avg_logp for x in r.collect()}
+    for d in (0, 1, 2):
+        assert out[d].log_weight == round(tt[d] - rr[d], 6)
+    # the target-like doc must outrank the gibberish doc
+    assert out[0].log_weight > out[1].log_weight

@@ -40,6 +40,7 @@ def _footer() -> str:
 
 def main() -> None:
     from scraping_etl_spark.plans import corpus_ops as C
+    from scraping_etl_spark.plans import curation_ops as CR
     from scraping_etl_spark.plans import ml_ops as M
     from scraping_etl_spark.plans import pipeline_ops as P
     from scraping_etl_spark.plans import relational as R
@@ -111,6 +112,25 @@ def main() -> None:
         ("emb_cluster_assign", M.q_emb_cluster_assign,
          "semantic clustering: centroid literals in-plan, per-row "
          "argmin, ZERO exchanges"),
+        ("doc_bm25", CR.q_doc_bm25,
+         "BM25 retrieval: postings explode+agg (the one posting "
+         "exchange is shared by df/consts/score branches), idf joined "
+         "to the broadcast query side, sorted-term score fold, "
+         "per-query rank window — no BNLJ"),
+        ("doc_dup_passages", CR.q_doc_dup_passages,
+         "duplicate passages: positional gram explode, distinct "
+         "(gram, doc) partial agg, checkpointed dup-gram mark join, "
+         "per-document islands window (doc-length bounded)"),
+        ("emb_semantic_dedup", CR.q_emb_semantic_dedup,
+         "SemDeDup: unit-normalized centroid assignment map-side, "
+         "within-cluster equi-join pairs, greedy anti-join survivors "
+         "— pairwise cost bounded by cluster size, never corpus-wide"),
+        ("doc_quality_classifier", CR.q_doc_quality_classifier,
+         "quality classifier scoring: learned weights as plan "
+         "constants, sigmoid projection — ZERO exchanges"),
+        ("doc_dsir_weights", CR.q_doc_dsir_weights,
+         "DSIR: two LM scorings (target reference-mode, raw self-mode) "
+         "joined at document cardinality"),
     ]
 
     spark = get_spark()
