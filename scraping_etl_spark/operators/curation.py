@@ -224,3 +224,49 @@ def dsir_weights(
             ),
         )
     )
+
+
+def weighted_sample_gumbel(
+    df: DataFrame,
+    n: int,
+    weight_col: str = "log_weight",
+    id_col: str = "doc_id",
+    seed: str = "gumbel",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement via the
+    Gumbel-top-k trick (public result: Vieira 2014 / Kool et al. 2019 —
+    ``argtop_k(log w_i + G_i)`` with i.i.d. Gumbel noise draws k items
+    with probability proportional to their weights, the exponential-
+    clocks construction): the ``n`` largest ``weight + g(id)`` rows,
+    where ``g`` is Gumbel noise derived from ``md5(seed, id)`` instead
+    of an RNG — so the sample is a pure function of (corpus, seed),
+    reproducible across engines, retries and partitionings, which is
+    what a training-data pipeline needs from its samplers. This is the
+    weighted companion of ``corpus_prep.stratified_sample_n``
+    (uniform bottom-N-by-hash) and the consumer DSIR's
+    ``log_weight`` column was built for.
+
+    ``u = (h60 + 0.5) / 2^60`` maps the 60-bit md5 prefix into (0, 1)
+    (never exactly 0 or 1, so ``g = -ln(-ln u)`` is finite);
+    both engines reproduce the arithmetic bit-for-bit.
+
+    Plan: one map-side projection + global top-``n``
+    (TakeOrderedAndProject — no global sort materializes; for
+    per-stratum budgets compose with :func:`per_key_cap` on the
+    ``gumbel_key`` instead). Ties break by id."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    u = (h.cast("double") + 0.5) / F.lit(float(1 << 60))
+    g = -F.log(-F.log(u))
+    return (
+        df.withColumn("gumbel_key", F.round(F.col(weight_col) + g, 6))
+        .orderBy(F.desc("gumbel_key"), F.asc(id_col))
+        .limit(n)
+    )

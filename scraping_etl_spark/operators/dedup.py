@@ -530,3 +530,104 @@ def simhash_column(text_col: Column | str, bits: int = 16) -> Column:
         ),
         _votes,
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS local document-fingerprinting algorithm): hash
+    every token ``k``-gram, slide a window of ``w`` consecutive hashes,
+    select each window's minimum, and keep the distinct selected
+    hashes. The published guarantee carries over: any shared substring
+    of at least ``w + k - 1`` tokens contributes at least one SHARED
+    fingerprint, while only ~``2/(w+1)`` of the grams are kept — a
+    density-bounded sketch that catches long verbatim overlaps
+    :func:`minhash_banded` (whole-document similarity) and
+    ``duplicate_passage_stats`` (exhaustive gram join) bracket from
+    either side.
+
+    Entirely per-row array expressions (explode only at the end):
+    gram hashes are the md5-prefix 60-bit integers both engines
+    reproduce; a doc shorter than ``w`` grams keeps its single global
+    minimum (the standard degenerate case). Zero shuffle up to the
+    final explode. Returns exploded ``(id, fingerprint)`` rows,
+    distinct per document."""
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    from scraping_etl_spark.operators.corpus_prep import word_grams
+
+    grams = word_grams(F.lower(F.col(text_col)), k)
+
+    def _fps(hs: Column) -> Column:
+        n = F.size(hs)
+        wins = (
+            F.when(n >= w, F.transform(
+                F.sequence(F.lit(1), n - w + 1),
+                lambda i: F.array_min(F.slice(hs, i, w)),
+            ))
+            .when(n > 0, F.array(F.array_min(hs)))
+            .otherwise(F.array().cast("array<long>"))
+        )
+        return F.array_distinct(wins)
+
+    hashes = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")
+    )
+    return df.select(
+        F.col(id_col), F.explode(_bind(hashes, _fps)).alias("fingerprint")
+    )
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_docs_per_fp: int = 64,
+) -> DataFrame:
+    """Cross-document overlap candidates from shared winnowing
+    fingerprints — MOSS's candidate pass: join documents on equal
+    fingerprints, count shared prints per pair, keep pairs with at
+    least ``min_shared``.
+
+    Fingerprints appearing in more than ``max_docs_per_fp`` documents
+    are dropped FIRST (the paper's too-common filter: boilerplate
+    phrases carry no plagiarism signal) — which is simultaneously the
+    skew guard: the pair join fans out quadratically per fingerprint,
+    so bounding docs-per-print bounds every join key's fan-out by
+    construction, the same reasoning as the banded-LSH pair cap. The
+    filtered fingerprint table is checkpointed once for its reuse
+    across the two join sides."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    common = (
+        fps.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("_n_docs"))
+        .filter(F.col("_n_docs") > max_docs_per_fp)
+        .select("fingerprint")
+    )
+    # no forced broadcast: the too-common set is usually tiny (each
+    # member needs > max_docs_per_fp distinct docs) but is corpus-
+    # dependent — AQE picks the strategy from its measured size.
+    kept = fps.join(common, "fingerprint", "left_anti").localCheckpoint()
+    a = kept.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = kept.select(F.col(id_col).alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

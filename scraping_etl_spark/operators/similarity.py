@@ -332,12 +332,74 @@ def normalize_embedding(vec: Column) -> Column:
     return _bind(vec, _n)
 
 
+def cluster_assign_arrow(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vec: bool = False,
+    normalize: bool = True,
+) -> DataFrame:
+    """Large-k nearest-centroid assignment via an Arrow-batched
+    ``mapInPandas`` (numpy matrix product per batch) — the scale path
+    when the cluster count makes the plan-constant expression of
+    :func:`cluster_assign` impractical: that expression is O(k·dim)
+    literals per row and falls out of whole-stage codegen around
+    k ≈ 50-100 (measured: at 20k vectors, dim 64, the k=64 expression
+    assignment is SLOWER than k=8 despite 8× fewer downstream pairs —
+    PLANS.md round-8 audit), whereas SemDeDup at web scale wants
+    thousands of clusters. Here each Arrow batch computes all
+    distances as one BLAS ``X @ C.T`` — per-row cost O(k·dim) flops at
+    matrix-multiply throughput, still zero shuffle.
+
+    Ties break to the lowest centroid id (numpy argmin = first
+    minimum), matching the expression path's (d, cid) order; float
+    summation order differs from the sequential fold, so assignments
+    can differ on exact-tie boundaries — measure-zero for real
+    embeddings (the equivalence test asserts full agreement on the
+    driver corpus). This is the documented Python-on-the-hot-path
+    exception: vectorized Arrow batches, never per-row Python."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    cn = (C * C).sum(axis=1)
+    out_schema = f"{id_col} long, cluster int"
+    if keep_vec:
+        out_schema = f"{id_col} long, {vec_col} array<float>, cluster int, _nrm double"
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            nrm = np.sqrt((X * X).sum(axis=1))
+            if normalize:
+                safe = np.where(nrm > 0, nrm, 1.0)
+                U = X / safe[:, None]
+            else:
+                U = X
+            # argmin_k ||u - c_k||² = argmin_k (||c_k||² - 2 u·c_k)
+            d = cn[None, :] - 2.0 * (U @ C.T)
+            cl = np.argmin(d, axis=1).astype("int32")
+            cols = {id_col: pdf[id_col].to_numpy(), "cluster": cl}
+            if keep_vec:
+                cols[vec_col] = pdf[vec_col]
+                cols["_nrm"] = nrm
+            yield pd.DataFrame(cols)
+
+    return corpus.select(id_col, vec_col).mapInPandas(_assign, out_schema)
+
+
 def semantic_dedup_pairs(
     corpus: DataFrame,
     centroids: list[list[float]],
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow_assign: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -362,8 +424,12 @@ def semantic_dedup_pairs(
 
     Returns ``(id_a, id_b, cluster, cos_sim)`` with ``id_a < id_b``;
     cosine rounded to 6 before the threshold compare so engines agree
-    at the boundary."""
-    side = _sem_side(corpus, centroids, id_col, vec_col)
+    at the boundary. ``arrow_assign=True`` swaps the plan-constant
+    assignment expression for :func:`cluster_assign_arrow` — use it
+    when the cluster count is production-sized (see that function's
+    codegen-ceiling note); the exact-oracle gate keeps the expression
+    path."""
+    side = _sem_side(corpus, centroids, id_col, vec_col, arrow_assign)
     return _sem_pairs_from_side(side, threshold, id_col)
 
 
@@ -372,6 +438,7 @@ def _sem_side(
     centroids: list[list[float]],
     id_col: str,
     vec_col: str,
+    arrow_assign: bool = False,
 ) -> DataFrame:
     """Materialized SemDeDup working set ``(id, vec, cluster, ‖v‖)``.
 
@@ -385,6 +452,10 @@ def _sem_side(
     counts — is evaluated ONCE per vector instead of once per join
     side per consumer. The hoisted norm is the identical sqrt(dot)
     fold, so pair cosines stay bit-identical to the oracle."""
+    if arrow_assign:
+        return cluster_assign_arrow(
+            corpus, centroids, id_col=id_col, vec_col=vec_col, keep_vec=True
+        ).localCheckpoint()
     unit = normalize_embedding(F.col(vec_col))
     cl = F.element_at(nearest_centroids(unit, centroids, 1), 1)
     return corpus.select(
@@ -426,6 +497,7 @@ def semantic_dedup_survivors(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    arrow_assign: bool = False,
 ) -> DataFrame:
     """Greedy SemDeDup keep-set: within each cluster, drop any vector
     that has a near-duplicate (cosine ≥ ``threshold``) with a SMALLER
@@ -434,7 +506,7 @@ def semantic_dedup_survivors(
     exactly like the published method). One left-anti join of the
     corpus against the pair list's ``id_b`` side. Returns the
     surviving ``(id, cluster)`` rows."""
-    side = _sem_side(corpus, centroids, id_col, vec_col)
+    side = _sem_side(corpus, centroids, id_col, vec_col, arrow_assign)
     pairs = _sem_pairs_from_side(side, threshold, id_col)
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     assigned = side.select(F.col(id_col), F.col("cluster").cast("int").alias("cluster"))

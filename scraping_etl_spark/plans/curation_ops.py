@@ -602,3 +602,173 @@ FROM (SELECT doc_id FROM documents WHERE {_DSIR_POOL_FILTER}) p
 LEFT JOIN t_agg USING (doc_id)
 LEFT JOIN r_agg USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint candidates (operators/dedup.winnow_candidate_pairs)
+# ---------------------------------------------------------------------------
+
+#: Planted-overlap construction (re-keyed copies, the chunk-dedup
+#: convention) so the candidate pass has guaranteed long shared
+#: substrings; winnowing parameters small enough that the tiny
+#: synthetic vocabulary still yields several prints per doc.
+_WIN_N_COPIES = 50
+_WIN_ID_SHIFT = 200_000
+_WIN_K, _WIN_W = 4, 4
+_WIN_MIN_SHARED = 2
+_WIN_MAX_DOCS = 64
+
+
+def q_doc_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing candidate pairs over documents ∪ re-keyed
+    copies: per-row k-gram hash windows → distinct selected prints →
+    too-common filter → shared-print pair counts ≥ 2."""
+    from scraping_etl_spark.operators.dedup import winnow_candidate_pairs
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") < _WIN_N_COPIES).select(
+        (F.col("doc_id") + _WIN_ID_SHIFT).alias("doc_id"), "text"
+    )
+    return winnow_candidate_pairs(
+        d.unionByName(copies),
+        k=_WIN_K, w=_WIN_W,
+        min_shared=_WIN_MIN_SHARED, max_docs_per_fp=_WIN_MAX_DOCS,
+    )
+
+
+ORACLE_DOC_WINNOW_PAIRS = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_WIN_ID_SHIFT}, text FROM documents
+  WHERE doc_id < {_WIN_N_COPIES}
+),
+tok AS (SELECT doc_id, {_LTOKS} AS t FROM corpus),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= {_WIN_K}
+              THEN list_transform(generate_series(1, len(t) - {_WIN_K} + 1),
+                     i -> array_to_string(list_slice(t, i, i + {_WIN_K} - 1), ' '))
+              ELSE [] END AS gs
+  FROM tok
+),
+hashed AS (
+  SELECT doc_id,
+         list_transform(gs, g -> (('0x' || substr(md5(g), 1, 15))::BIGINT)) AS hs
+  FROM grams
+),
+selected AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE
+             WHEN len(hs) >= {_WIN_W} THEN
+               list_transform(generate_series(1, len(hs) - {_WIN_W} + 1),
+                 i -> list_reduce(list_slice(hs, i, i + {_WIN_W} - 1),
+                                  (x, y) -> least(x, y)))
+             WHEN len(hs) > 0 THEN
+               [list_reduce(hs, (x, y) -> least(x, y))]
+             ELSE []
+           END) AS fps
+  FROM hashed
+),
+fp AS (SELECT doc_id, unnest(fps) AS fingerprint FROM selected),
+common AS (
+  SELECT fingerprint FROM fp GROUP BY 1 HAVING count(*) > {_WIN_MAX_DOCS}
+),
+kept AS (
+  SELECT f.doc_id, f.fingerprint
+  FROM fp f LEFT JOIN common c USING (fingerprint)
+  WHERE c.fingerprint IS NULL
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b
+  ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {_WIN_MIN_SHARED}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gumbel-top-k weighted sample (operators/curation.weighted_sample_gumbel)
+# ---------------------------------------------------------------------------
+
+_GUM_N = 100
+_GUM_SEED = "r8"
+
+
+def q_doc_gumbel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample: 100 documents drawn with
+    probability ∝ (1 + n_chars) via Gumbel-top-k over md5-derived
+    noise — reproducible across engines and reruns."""
+    d = load_table(spark, sf_dir, "documents")
+    weighted = d.withColumn("log_weight", F.log(F.lit(1.0) + F.col("n_chars")))
+    return CU.weighted_sample_gumbel(
+        weighted, _GUM_N, weight_col="log_weight", seed=_GUM_SEED
+    ).select("doc_id", "lang", "n_chars", "gumbel_key")
+
+
+ORACLE_DOC_GUMBEL_SAMPLE = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         round(
+           ln(1.0 + n_chars)
+           + (- ln(- ln(
+               ((('0x' || substr(md5('{_GUM_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 ::DOUBLE + 0.5) / {float(1 << 60)!r}))),
+           6) AS gumbel_key
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, gumbel_key
+FROM keyed
+ORDER BY gumbel_key DESC, doc_id
+LIMIT {_GUM_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semantic cluster profile (cluster_assign + per-cluster rollup)
+# ---------------------------------------------------------------------------
+
+def q_emb_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster corpus profile over the trained IVF index (the
+    domain-discovery face of `emb_cluster_assign`): vector count,
+    distinct labels, label range and mean centroid distance per
+    cluster — a groupBy over the zero-shuffle assignment."""
+    from scraping_etl_spark.plans.ml_ops import _ivf_index, _ivf_query_dirs
+    from scraping_etl_spark.operators.similarity import cluster_assign
+
+    _ivf_query_dirs.add(sf_dir)  # oracle-pairing guard (ml_ops convention)
+    e = load_table(spark, sf_dir, "embeddings")
+    centroids = [list(c) for c in _ivf_index(sf_dir)]
+    assigned = cluster_assign(e, centroids).join(
+        e.select("vec_id", "label"), "vec_id"
+    )
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.count_distinct("label").cast("long").alias("n_labels"),
+        F.min("label").alias("min_label"),
+        F.max("label").alias("max_label"),
+        F.round(F.avg("sq_dist"), 6).alias("avg_sq_dist"),
+    )
+
+
+def oracle_emb_cluster_profile(sf_dir: str | None = None) -> str:
+    """Lazy DuckDB twin sharing ``oracle_emb_cluster_assign``'s
+    centroid plan constants and assignment SQL, plus the rollup."""
+    from scraping_etl_spark.plans.ml_ops import oracle_emb_cluster_assign
+
+    assign_sql = oracle_emb_cluster_assign(sf_dir)
+    return f"""
+WITH assign AS (
+{assign_sql}
+)
+SELECT a.cluster,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(count(DISTINCT e.label) AS BIGINT) AS n_labels,
+       min(e.label) AS min_label,
+       max(e.label) AS max_label,
+       round(avg(a.sq_dist), 6) AS avg_sq_dist
+FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id
+GROUP BY 1
+"""

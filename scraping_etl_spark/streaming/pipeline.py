@@ -369,6 +369,8 @@ def corpus_prep_stream(
     dedup_threshold: float = 0.8,
     lm_ref: DataFrame | None = None,
     min_avg_logp: float = -10.0,
+    clf_weights: list[float] | None = None,
+    min_quality_prob: float = 0.5,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
@@ -389,9 +391,12 @@ def corpus_prep_stream(
     (when ``lm_ref`` is given)
     :func:`~...corpus_prep.with_lm_score` against the STATIC curated
     LM corpus, dropping docs whose mean bigram log-prob falls below
-    ``min_avg_logp`` (the CCNet perplexity filter at ingest) — and
-    lands only the documents that pass every gate, with the scrubbed
-    text and the quality signals.
+    ``min_avg_logp`` (the CCNet perplexity filter at ingest) → (when
+    ``clf_weights`` is given) the trained logistic quality classifier
+    (:mod:`~scraping_etl_spark.operators.classifier`), dropping docs
+    scoring under ``min_quality_prob`` — and lands only the documents
+    that pass every gate, with the scrubbed text and the quality
+    signals.
 
     Semantics: every gate is per-document (scrub and repetition are
     row-local projections; contamination and OOV test each doc against
@@ -427,6 +432,7 @@ def corpus_prep_stream(
     and the materialized vocabulary — per-trigger cost is the batch's
     own work plus joins against materialized side inputs, no repeated
     side-input jobs."""
+    from scraping_etl_spark.operators import classifier as CLF
     from scraping_etl_spark.operators import corpus_prep as CP
     from scraping_etl_spark.operators.dedup import (
         cross_corpus_neardup_pairs,
@@ -485,6 +491,17 @@ def corpus_prep_stream(
                 .select("doc_id")
             )
             kept = kept.join(fluent, "doc_id", "left_semi")
+        if clf_weights is not None:
+            # trained-classifier quality gate (weights are plan
+            # constants — pure map-side scoring, zero side-input jobs
+            # per trigger; the model trains once, offline, via
+            # classifier.train_logreg)
+            good = (
+                CLF.score_logreg(CLF.quality_features(kept), clf_weights)
+                .filter(F.col("quality_prob") >= min_quality_prob)
+                .select("doc_id")
+            )
+            kept = kept.join(good, "doc_id", "left_semi")
         (
             kept.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
