@@ -1,0 +1,132 @@
+"""Slowly-changing-dimension maintenance (SCD type 2).
+
+The reference's star schema rebuilds its dims from scratch on every ETL
+run (``DB/ETL.ipynb`` — dims are distinct-projections of the day's
+scrape), which silently loses history: an author whose university
+changes, a journal whose quartile moves, just overwrite. The warehouse-
+standard fix is an SCD2 merge — every change CLOSES the current version
+(stamps ``effective_to``) and APPENDS a new current one — and it is the
+batch face of the incremental star maintenance the streaming layer
+already does (streaming/pipeline.py dim upserts keep only latest state;
+this operator keeps the full version history).
+
+Plan shape at 100 TB: one equi-join dim×updates on the natural key —
+update batches are small relative to the dimension (a day's changes vs
+years of history), so the update side BROADCASTS behind the same
+measured ``limit(n+1).count()`` guard as the other small-side joins in
+this repo; past the cap the hint drops and the same plan is a shuffle
+hash join on the key. Unchanged rows never move: the merge is a
+left join + map-side column selection, not a rewrite of history rows
+(closed versions pass through untouched). No windows, no global order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Broadcast the update batch only below this many rows — measured with
+#: a bounded probe, never assumed (same pattern as
+#: corpus_prep.MAX_BROADCAST_GRAMS).
+MAX_BROADCAST_UPDATES = 2_000_000
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    compare_cols: list[str],
+    effective_date,
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+    current_col: str = "is_current",
+    max_broadcast_updates: int = MAX_BROADCAST_UPDATES,
+) -> DataFrame:
+    """Merge an update batch into an SCD2 dimension.
+
+    ``dim`` holds the versioned history: attribute columns +
+    ``effective_from`` / ``effective_to`` (null = open) / ``is_current``.
+    ``updates`` holds one row per natural key with the new attribute
+    values. Semantics per key:
+
+    - key absent from updates → all versions pass through unchanged;
+    - update row identical on every ``compare_cols`` → no new version
+      (idempotent re-delivery of the same snapshot is a no-op);
+    - changed → the OPEN version is closed (``effective_to =
+      effective_date``, ``is_current = false``) and a new open version
+      with the update's attributes and ``effective_from =
+      effective_date`` is appended;
+    - key new (no open version in ``dim``) → inserted as a fresh open
+      version.
+
+    Output schema = ``dim``'s. Change detection is null-safe
+    (``eqNullSafe`` per compare column), so NULL→value and value→NULL
+    transitions version correctly."""
+    attr_cols = [c for c in dim.columns if c not in (from_col, to_col, current_col)]
+    for c in attr_cols:
+        if c != key_col and c not in compare_cols and c not in updates.columns:
+            raise ValueError(
+                f"scd2_merge: dim attribute {c!r} is neither compared nor "
+                "present in the update batch"
+            )
+    u = updates.select(
+        [F.col(key_col).alias("_u_key")]
+        + [F.col(c).alias(f"_u_{c}") for c in attr_cols if c != key_col]
+    )
+    fits = (
+        max_broadcast_updates > 0
+        and u.limit(max_broadcast_updates + 1).count() <= max_broadcast_updates
+    )
+    u_side = F.broadcast(u) if fits else u
+
+    eff = F.lit(effective_date).cast("date")
+
+    # closed versions pass through untouched; only OPEN rows join the batch
+    closed = dim.filter(~F.col(current_col))
+    open_rows = dim.filter(F.col(current_col))
+    j = open_rows.join(u_side, open_rows[key_col] == F.col("_u_key"), "left")
+
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(c).eqNullSafe(F.col(f"_u_{c}"))
+    has_upd = F.col("_u_key").isNotNull()
+    is_change = has_upd & ~same
+
+    # branch 1: open rows — kept open (no update / identical) or closed
+    kept_or_closed = j.select(
+        *[F.col(c) for c in attr_cols],
+        F.col(from_col),
+        F.when(is_change, eff).otherwise(F.col(to_col)).alias(to_col),
+        F.when(is_change, F.lit(False)).otherwise(F.col(current_col)).alias(current_col),
+    )
+    # branch 2: new versions for changed keys
+    new_versions = j.filter(is_change).select(
+        F.col(key_col),
+        *[F.col(f"_u_{c}").alias(c) for c in attr_cols if c != key_col],
+        eff.alias(from_col),
+        F.lit(None).cast("date").alias(to_col),
+        F.lit(True).alias(current_col),
+    ).select(*attr_cols, from_col, to_col, current_col)
+    # branch 3: brand-new keys (in updates, no open version)
+    inserts = (
+        u.join(
+            open_rows.select(F.col(key_col).alias("_d_key")),
+            F.col("_u_key") == F.col("_d_key"),
+            "left_anti",
+        )
+        .select(
+            F.col("_u_key").alias(key_col),
+            *[F.col(f"_u_{c}").alias(c) for c in attr_cols if c != key_col],
+            eff.alias(from_col),
+            F.lit(None).cast("date").alias(to_col),
+            F.lit(True).alias(current_col),
+        )
+        .select(*attr_cols, from_col, to_col, current_col)
+    )
+    out_cols = attr_cols + [from_col, to_col, current_col]
+    return (
+        closed.select(*out_cols)
+        .unionByName(kept_or_closed.select(*out_cols))
+        .unionByName(new_versions)
+        .unionByName(inserts)
+    )

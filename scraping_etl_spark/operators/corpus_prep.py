@@ -964,3 +964,149 @@ def pack_sequences(
         )
         .withColumnRenamed("_shard", "shard")
     )
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    alpha: float = 0.5,
+    budget: float = 0.5,
+    strata_col: str = "source",
+) -> DataFrame:
+    """Per-stratum sampling rates for a TEMPERATURE-scaled corpus mix
+    (the mT5/PaLM alpha-smoothing knob): the target share of stratum
+    ``s`` is ``count_s^alpha / sum_t count_t^alpha`` — alpha = 1 keeps
+    the natural mix, alpha -> 0 flattens it, 0 < alpha < 1 upweights
+    rare domains — and the total kept volume is ``budget`` of the
+    corpus. Returns one small row per stratum: ``(stratum, n_docs,
+    rate)`` with ``rate = min(1, budget·N·share_s / count_s)``.
+
+    Determinism (the oracle contract): the denominator
+    ``sum_t count_t^alpha`` is a SEQUENTIAL fold over the strata sorted
+    by name (``sort_array(collect_list(struct(...)))`` + ``aggregate``)
+    — never a parallel ``sum`` of doubles, whose combine order varies
+    run to run — so every engine computes bit-identical rates. With the
+    default ``alpha = 0.5`` the weight is ``sqrt`` (correctly rounded
+    IEEE, exactly portable); other alphas use ``pow`` and inherit its
+    libm portability.
+
+    Scale: two jobs over a by-construction tiny relation (one partial-
+    agg count per stratum — domains number 10^2..10^6, not 10^12), and
+    the result broadcasts into :func:`temperature_mix_sample`'s
+    map-side filter."""
+    cnt = F.col("n_docs").cast("double")
+    w = F.sqrt(cnt) if alpha == 0.5 else F.pow(cnt, F.lit(float(alpha)))
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    stats = counts.agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(strata_col).alias("s"), w.alias("w")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["w"],
+        ).alias("_denom"),
+        F.sum("n_docs").alias("_n_total"),
+    )
+    return counts.join(F.broadcast(stats)).select(
+        strata_col,
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            ((F.lit(float(budget)) * F.col("_n_total")) * w / F.col("_denom")) / cnt,
+        ).alias("rate"),
+    )
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    budget: float = 0.5,
+    key_col: str = "doc_id",
+    strata_col: str = "source",
+    rates: DataFrame | None = None,
+) -> DataFrame:
+    """Temperature-scaled deterministic downsampling: compute (or take
+    precomputed) :func:`temperature_mix_rates`, broadcast-join them on
+    the stratum and keep a row iff ``mix_bucket(key) < rate ·
+    MIX_BUCKETS`` — the same rerun-stable md5 rule as
+    :func:`domain_mix_sample`, but with the rates DERIVED from the
+    corpus itself instead of hand-specified. One tiny agg + one
+    map-side filtered scan; nothing shuffles at corpus cardinality."""
+    if rates is None:
+        rates = temperature_mix_rates(df, alpha, budget, strata_col)
+    r = rates.select(strata_col, "rate")
+    return df.join(F.broadcast(r), strata_col).filter(
+        mix_bucket(F.col(key_col)) < F.col("rate") * MIX_BUCKETS
+    )
+
+
+def token_divergence(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    strata_col: str = "lang",
+    scale: float = 1e9,
+) -> DataFrame:
+    """Jensen-Shannon divergence between the unigram distributions of
+    two corpora, per stratum — the drift/mixture monitor a training
+    pipeline runs between snapshots (did this month's crawl shift the
+    token distribution?), between a split's halves (is the val split
+    representative?), or between pool and target (the DSIR feature-space
+    distance, aggregated).
+
+    Both distributions are add-one smoothed over the UNION vocabulary of
+    the stratum, so unseen-on-one-side tokens contribute finite mass.
+    Output: ``(stratum, v, n_a, n_b, js_div)`` with vocab size, token
+    totals and the divergence in nats (0 = identical, ln 2 = disjoint).
+
+    Determinism at scale — the FIXED-POINT trick: a float sum over an
+    unbounded vocab cannot be folded in a guaranteed order without
+    serializing each stratum through one task, so each token's term is
+    rounded to an integer grid (``round(term · scale)`` → BIGINT) and
+    the integers are summed — integer addition is associative, so any
+    partial-aggregation order gives the bit-same total on every engine.
+    Resolution is 1/scale per token (1e-9 nats at the default), far
+    below anything a drift monitor acts on; bigint overflow needs
+    |term|·scale·vocab > 2^63 ≈ vocab beyond 10^9 — not a unigram vocab.
+
+    Plan shape: one explode+agg per side at (stratum, token) grain, a
+    full-outer equi-join of the two count relations, a tiny per-stratum
+    totals agg broadcast back, then one partial-agg sum. No windows, no
+    collects, nothing single-task."""
+    def _counts(df: DataFrame, out: str) -> DataFrame:
+        return (
+            df.select(F.col(strata_col), F.explode(tokens(text_col)).alias("token"))
+            .groupBy(strata_col, "token")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    j = (
+        _counts(a, "ca")
+        .join(_counts(b, "cb"), [strata_col, "token"], "full_outer")
+        .select(
+            strata_col,
+            "token",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    totals = j.groupBy(strata_col).agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    t = j.join(F.broadcast(totals), strata_col)
+    p = (F.col("ca") + F.lit(1.0)) / (F.col("n_a") + F.col("v"))
+    q = (F.col("cb") + F.lit(1.0)) / (F.col("n_b") + F.col("v"))
+    m = (p + q) / F.lit(2.0)
+    term = F.lit(0.5) * (p * F.log(p / m) + q * F.log(q / m))
+    fx = F.round(term * F.lit(scale), 0).cast("long")
+    return (
+        t.withColumn("_fx", fx)
+        .groupBy(strata_col)
+        .agg(
+            F.max("v").cast("long").alias("v"),
+            F.max("n_a").cast("long").alias("n_a"),
+            F.max("n_b").cast("long").alias("n_b"),
+            F.round(F.sum("_fx") / F.lit(scale), 6).alias("js_div"),
+        )
+    )

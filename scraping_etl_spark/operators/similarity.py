@@ -580,3 +580,70 @@ def ivf_topk(
             F.round("_cos", 6).alias("cos_sim"),
         )
     )
+
+#: Broadcast the benchmark embedding set only below this many vectors —
+#: same measured-guard pattern as corpus_prep.MAX_BROADCAST_GRAMS.
+#: Benchmark suites are small by construction (10^4-10^6 items even for
+#: a large eval battery), so the broadcast path is the expected one;
+#: past the cap the hint is dropped and Spark falls back to a
+#: shuffle-backed nested-loop — still correct, just no longer the
+#: map-side screen.
+MAX_BROADCAST_BENCH_VECS = 500_000
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+    bench_vec_col: str = "embedding",
+    max_broadcast_vecs: int = MAX_BROADCAST_BENCH_VECS,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic sibling
+    of the k-gram ``corpus_prep.decontaminate`` screen: flag corpus
+    vectors whose cosine similarity to ANY benchmark vector reaches
+    ``threshold`` (paraphrased eval items that share no exact n-gram
+    still sit next to the benchmark in embedding space).
+
+    Output: one row per contaminated corpus vector —
+    ``(id, bench_id, cos_sim, n_bench_hits)`` where ``bench_id`` is the
+    closest benchmark item (ties → smallest id) and ``n_bench_hits``
+    counts benchmark items at/above the threshold.
+
+    Plan shape at 100 TB: the benchmark side is SMALL by definition, so
+    it broadcasts (measured, not assumed — a bounded ``limit(n+1)
+    .count()`` probe, the same guard as the k-gram screen) and the scan
+    over the 100 TB corpus is one map-side pass: cosine against the
+    broadcast set, filter, then a rank window over the FLAGGED rows
+    only (contamination rates are ~1e-3, so the window input is tiny).
+    The threshold compares against the ROUNDED cosine (6 dp, house
+    convention) so the boundary is engine-portable."""
+    b = bench.select(
+        F.col(bench_id_col).alias("_bid"), F.col(bench_vec_col).alias("_bvec")
+    )
+    fits = (
+        max_broadcast_vecs > 0
+        and b.limit(max_broadcast_vecs + 1).count() <= max_broadcast_vecs
+    )
+    b_side = F.broadcast(b) if fits else b
+    c = corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
+    flagged = (
+        c.join(b_side, F.col("_cid") != F.col("_bid"))
+        .withColumn("_cos", F.round(cosine(F.col("_cvec"), F.col("_bvec")), 6))
+        .filter(F.col("_cos") >= threshold)
+    )
+    w = Window.partitionBy("_cid").orderBy(F.desc("_cos"), F.asc("_bid"))
+    wn = Window.partitionBy("_cid")
+    return (
+        flagged.withColumn("_rk", F.row_number().over(w))
+        .withColumn("n_bench_hits", F.count(F.lit(1)).over(wn))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("_cid").alias(id_col),
+            F.col("_bid").alias("bench_id"),
+            F.col("_cos").alias("cos_sim"),
+            F.col("n_bench_hits").cast("long").alias("n_bench_hits"),
+        )
+    )

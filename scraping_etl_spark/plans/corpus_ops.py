@@ -1040,3 +1040,129 @@ SELECT cdf.lang,
 FROM cdf JOIN qs ON cdf.cum >= ceil(CAST(qs.q AS DOUBLE) * cdf.n)
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled corpus mix
+# ---------------------------------------------------------------------------
+
+#: Gate knobs: alpha = 0.5 (sqrt weighting — correctly-rounded IEEE,
+#: exactly portable to the oracle) at a 50% volume budget over the
+#: 20-source documents table.
+_TEMP_ALPHA = 0.5
+_TEMP_BUDGET = 0.5
+
+
+def q_doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-mix gate (corpus_prep.temperature_mix_rates/_sample):
+    alpha-smoothed per-source sampling to half the corpus volume. The
+    output is the per-source audit a mixture run actually reports —
+    input count, derived rate, surviving count — and every number is
+    deterministic: the rate denominator is a sorted sequential fold,
+    the keep rule is the md5-bucket threshold."""
+    d = load_table(spark, sf_dir, "documents")
+    rates = CP.temperature_mix_rates(d, _TEMP_ALPHA, _TEMP_BUDGET)
+    kept = (
+        CP.temperature_mix_sample(d, rates=rates)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round("rate", 6).alias("rate"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+ORACLE_DOC_TEMPERATURE_MIX = f"""
+WITH counts AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+), stats AS (
+  -- sequential fold over strata sorted by name — mirrors Spark's
+  -- sort_array(collect_list(struct)) + aggregate bit-for-bit
+  SELECT list_reduce(list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source),
+                     (x, y) -> x + y) AS denom,
+         sum(n_docs) AS n_total
+  FROM counts
+), rates AS (
+  SELECT c.source, c.n_docs,
+         least(1.0,
+               (({_TEMP_BUDGET} * CAST(s.n_total AS DOUBLE))
+                * sqrt(CAST(c.n_docs AS DOUBLE)) / s.denom)
+               / CAST(c.n_docs AS DOUBLE)) AS rate
+  FROM counts c, stats s
+), kept AS (
+  SELECT d.source, count(*) AS n_kept
+  FROM documents d JOIN rates r USING (source)
+  WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % {CP.MIX_BUCKETS})
+        < r.rate * {CP.MIX_BUCKETS}
+  GROUP BY d.source
+)
+SELECT r.source,
+       CAST(r.n_docs AS BIGINT) AS n_docs,
+       round(r.rate, 6) AS rate,
+       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM rates r LEFT JOIN kept k USING (source)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution divergence (drift monitor)
+# ---------------------------------------------------------------------------
+
+def q_doc_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JS-divergence gate (corpus_prep.token_divergence): the corpus is
+    md5-split 50/50 (the same rule as corpus_prep.split_corpus) and the
+    halves' per-language unigram distributions are compared — the "is
+    the split representative?" check. Fixed-point integer summation
+    keeps the float total order-free and engine-portable."""
+    d = load_table(spark, sf_dir, "documents")
+    s = CP.split_corpus(d, {"a": 0.5, "b": 0.5})
+    return CP.token_divergence(
+        s.filter(F.col("split") == "a"), s.filter(F.col("split") == "b")
+    )
+
+
+_DIV_BUCKET = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    f" % {CP.MIX_BUCKETS})"
+)
+
+ORACLE_DOC_TOKEN_DIVERGENCE = f"""
+WITH ta AS (
+  SELECT lang, unnest({_TOKS}) AS token FROM documents
+  WHERE {_DIV_BUCKET} < {CP.MIX_BUCKETS // 2}
+), tb AS (
+  SELECT lang, unnest({_TOKS}) AS token FROM documents
+  WHERE {_DIV_BUCKET} >= {CP.MIX_BUCKETS // 2}
+), ca AS (
+  SELECT lang, token, count(*) AS ca FROM ta GROUP BY 1, 2
+), cb AS (
+  SELECT lang, token, count(*) AS cb FROM tb GROUP BY 1, 2
+), j AS (
+  SELECT coalesce(ca.lang, cb.lang) AS lang,
+         coalesce(ca.token, cb.token) AS token,
+         coalesce(ca.ca, 0) AS ca, coalesce(cb.cb, 0) AS cb
+  FROM ca FULL JOIN cb ON ca.lang = cb.lang AND ca.token = cb.token
+), tot AS (
+  SELECT lang, sum(ca) AS n_a, sum(cb) AS n_b, count(*) AS v
+  FROM j GROUP BY 1
+), pq AS (
+  SELECT j.lang, t.v, t.n_a, t.n_b,
+         (j.ca + 1.0) / (t.n_a + t.v) AS p,
+         (j.cb + 1.0) / (t.n_b + t.v) AS q
+  FROM j JOIN tot t ON j.lang = t.lang
+), terms AS (
+  SELECT lang, v, n_a, n_b,
+         CAST(round((0.5 * (p * ln(p / ((p + q) / 2.0))
+                            + q * ln(q / ((p + q) / 2.0)))) * 1e9)
+              AS BIGINT) AS fx
+  FROM pq
+)
+SELECT lang, CAST(v AS BIGINT) AS v, CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       round(sum(fx) / 1e9, 6) AS js_div
+FROM terms GROUP BY lang, v, n_a, n_b
+"""

@@ -1390,3 +1390,59 @@ WITH cent(cid, c) AS (
 SELECT vec_id, CAST(cid AS INTEGER) AS cluster, round(d, 6) AS sq_dist
 FROM assign WHERE rk = 1
 """
+
+
+#: emb_decontaminate gate knobs: the benchmark is every 20th vector
+#: (the held-out "eval suite"), the corpus is the rest, and the
+#: threshold sits where the scale tables actually produce hits (the
+#: testdata embeddings are near-uniform, so cross-split cosines top out
+#: ~0.49 at sf0.01 / ~0.51 at sf0.1 — 0.42 yields a small non-trivial
+#: flagged set at every sf).
+_DECON_MOD = 20
+_DECON_TAU = 0.42
+
+
+def q_emb_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination (operators/similarity.
+    embedding_decontaminate): corpus vectors within cosine ``_DECON_TAU``
+    of any benchmark vector (vec_id % 20 == 0 plays the eval suite),
+    with the closest benchmark item and the hit count. The benchmark
+    side broadcasts behind the measured-count guard; the corpus is
+    scanned once map-side."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") % _DECON_MOD == 0).select("vec_id", "embedding")
+    corpus = e.filter(F.col("vec_id") % _DECON_MOD != 0).select("vec_id", "embedding")
+    return SIM.embedding_decontaminate(corpus, bench, threshold=_DECON_TAU)
+
+
+def _emb_decontaminate_oracle() -> str:
+    dot_cb = _DOT.format(a="c.embedding", b="b.embedding")
+    n_c = _DOT.format(a="c.embedding", b="c.embedding")
+    n_b = _DOT.format(a="b.embedding", b="b.embedding")
+    return f"""
+WITH bench AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % {_DECON_MOD} = 0
+), corp AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % {_DECON_MOD} <> 0
+), flagged AS (
+  SELECT c.vec_id, b.vec_id AS bench_id,
+         round(CASE WHEN sqrt({n_c}) * sqrt({n_b}) > 0
+                    THEN {dot_cb} / (sqrt({n_c}) * sqrt({n_b}))
+                    ELSE 0.0 END, 6) AS cos_sim
+  FROM corp c JOIN bench b ON c.vec_id <> b.vec_id
+  WHERE round(CASE WHEN sqrt({n_c}) * sqrt({n_b}) > 0
+                   THEN {dot_cb} / (sqrt({n_c}) * sqrt({n_b}))
+                   ELSE 0.0 END, 6) >= {_DECON_TAU}
+), ranked AS (
+  SELECT vec_id, bench_id, cos_sim,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY cos_sim DESC, bench_id) AS rk,
+         count(*) OVER (PARTITION BY vec_id) AS n_bench_hits
+  FROM flagged
+)
+SELECT vec_id, bench_id, cos_sim, CAST(n_bench_hits AS BIGINT) AS n_bench_hits
+FROM ranked WHERE rk = 1
+"""
+
+
+ORACLE_EMB_DECONTAMINATE = _emb_decontaminate_oracle()

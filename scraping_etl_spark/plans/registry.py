@@ -38,6 +38,16 @@ for by rotating six more r7-green unchanged entries to the tail
 (``doc_regex_extract``, ``doc_token_counts``, ``doc_rolling_hash``,
 ``doc_dedup_survivors``, ``parts_brand_stats``,
 ``supplier_balance_by_nation``).
+
+Round-8 second amendment: four more NEW gates take window seats —
+``emb_decontaminate`` (embedding-space benchmark decontamination,
+plans/ml_ops.py), ``doc_temperature_mix`` (alpha-smoothed corpus mix,
+plans/corpus_ops.py), ``dim_scd2`` (SCD type-2 dimension merge,
+plans/relational.py + etl/scd.py), ``doc_token_divergence``
+(fixed-point JS drift monitor, plans/corpus_ops.py) — paid for by
+rotating four r7-green unchanged entries to the tail
+(``doc_minhash_pairs``, ``doc_neardup_clusters``,
+``doc_neardup_survivors``, ``emb_ann_topk``).
 """
 
 from __future__ import annotations
@@ -186,6 +196,33 @@ QUERIES: list[QuerySpec] = [
         "smoothing floors) minus raw-LM (pool self-score) per-bigram "
         "log-likelihood (curation.dsir_weights)",
     ),
+    QuerySpec(
+        "emb_decontaminate", M.q_emb_decontaminate, M.ORACLE_EMB_DECONTAMINATE,
+        "embedding-space benchmark decontamination: corpus vectors "
+        "within cosine tau of any benchmark vector, benchmark side "
+        "broadcast behind the measured-count guard "
+        "(similarity.embedding_decontaminate)",
+    ),
+    QuerySpec(
+        "doc_temperature_mix", C.q_doc_temperature_mix,
+        C.ORACLE_DOC_TEMPERATURE_MIX,
+        "temperature-scaled (alpha-smoothed) per-source sampling rates "
+        "+ deterministic md5-bucket downsample; rate denominator is a "
+        "sorted sequential fold (corpus_prep.temperature_mix_sample)",
+    ),
+    QuerySpec(
+        "dim_scd2", R.q_dim_scd2, R.ORACLE_DIM_SCD2,
+        "SCD type-2 dimension merge: closed history passes through, "
+        "identical re-deliveries no-op, changes close + append, new "
+        "keys insert (etl/scd.scd2_merge)",
+    ),
+    QuerySpec(
+        "doc_token_divergence", C.q_doc_token_divergence,
+        C.ORACLE_DOC_TOKEN_DIVERGENCE,
+        "per-language JS divergence between the md5-split halves' "
+        "unigram distributions — fixed-point integer summation keeps "
+        "the float total order-free (corpus_prep.token_divergence)",
+    ),
     # ---- changed this round (operator or oracle touched) ----
     QuerySpec(
         "doc_chunk_dedup", C.q_doc_chunk_dedup, C.ORACLE_DOC_CHUNK_DEDUP,
@@ -219,28 +256,10 @@ QUERIES: list[QuerySpec] = [
     ),
     # ---- stable window entries ----
     QuerySpec(
-        "doc_minhash_pairs", M.q_doc_minhash_pairs, M.ORACLE_DOC_MINHASH_PAIRS,
-        "MinHash + banded-LSH near-dup pairs, Jaccard-verified",
-    ),
-    QuerySpec(
         "doc_cross_corpus_dups", M.q_doc_cross_corpus_dups,
         M.ORACLE_DOC_CROSS_CORPUS_DUPS,
         "incremental dedup screen: incoming batch vs existing corpus "
         "via cross-corpus banded LSH, Jaccard-verified",
-    ),
-    QuerySpec(
-        "doc_neardup_clusters", M.q_doc_neardup_clusters, M.ORACLE_DOC_NEARDUP_CLUSTERS,
-        "LSH pairs collapsed to clusters via distributed connected components",
-    ),
-    QuerySpec(
-        "doc_neardup_survivors", M.q_doc_neardup_survivors, M.ORACLE_DOC_NEARDUP_SURVIVORS,
-        "near-dup clusters -> min-id survivor -> per-language deduped-corpus rollup",
-    ),
-    QuerySpec(
-        "emb_ann_topk", M.q_emb_ann_topk, M.ORACLE_EMB_ANN_TOPK,
-        "approximate top-k via sign-random-projection LSH buckets; the "
-        "pipeline is deterministic arithmetic so the DuckDB oracle "
-        "mirrors it bit-for-bit (full hash gate)",
     ),
     QuerySpec(
         "emb_ivf_topk", M.q_emb_ivf_topk, M.oracle_emb_ivf_topk,
@@ -328,6 +347,24 @@ QUERIES: list[QuerySpec] = [
     ),
     # ---- tail: rotated out of the driver window this round (still ----
     # ---- verified every round by the local DuckDB-oracle suite)   ----
+    QuerySpec(
+        "doc_minhash_pairs", M.q_doc_minhash_pairs, M.ORACLE_DOC_MINHASH_PAIRS,
+        "MinHash + banded-LSH near-dup pairs, Jaccard-verified",
+    ),
+    QuerySpec(
+        "doc_neardup_clusters", M.q_doc_neardup_clusters, M.ORACLE_DOC_NEARDUP_CLUSTERS,
+        "LSH pairs collapsed to clusters via distributed connected components",
+    ),
+    QuerySpec(
+        "doc_neardup_survivors", M.q_doc_neardup_survivors, M.ORACLE_DOC_NEARDUP_SURVIVORS,
+        "near-dup clusters -> min-id survivor -> per-language deduped-corpus rollup",
+    ),
+    QuerySpec(
+        "emb_ann_topk", M.q_emb_ann_topk, M.ORACLE_EMB_ANN_TOPK,
+        "approximate top-k via sign-random-projection LSH buckets; the "
+        "pipeline is deterministic arithmetic so the DuckDB oracle "
+        "mirrors it bit-for-bit (full hash gate)",
+    ),
     QuerySpec(
         "doc_regex_extract", M.q_doc_regex_extract, M.ORACLE_DOC_REGEX_EXTRACT,
         "regexp_extract_all + element_at (F2)",

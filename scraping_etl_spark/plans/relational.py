@@ -594,3 +594,131 @@ FROM (
 )
 GROUP BY GROUPING SETS ((r_name), (o_orderpriority), ())
 """
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension merge (etl/scd.py)
+# ---------------------------------------------------------------------------
+
+_SCD_EFF = "1996-06-01"
+_SCD_COMPARE = ["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+
+
+def _scd_base(spark: SparkSession, sf_dir: str):
+    """Shared gate inputs: a versioned customer dim (every customer
+    open since 1995; customers divisible by 13 additionally carry a
+    CLOSED 1994 version, exercising history pass-through) and an update
+    batch with all three merge cases — changed rows (custkey % 7: +100
+    balance), idempotent identical re-deliveries (custkey % 5), and
+    brand-new keys (custkey % 11, shifted by 10M)."""
+    from scraping_etl_spark.etl.scd import scd2_merge  # noqa: F401 (re-export)
+
+    c = load_table(spark, sf_dir, "customer")
+    attrs = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    open_rows = c.select(
+        *attrs,
+        F.lit("1995-01-01").cast("date").alias("effective_from"),
+        F.lit(None).cast("date").alias("effective_to"),
+        F.lit(True).alias("is_current"),
+    )
+    closed_rows = c.filter(F.col("c_custkey") % 13 == 0).select(
+        *attrs,
+        F.lit("1994-01-01").cast("date").alias("effective_from"),
+        F.lit("1995-01-01").cast("date").alias("effective_to"),
+        F.lit(False).alias("is_current"),
+    )
+    dim = open_rows.unionByName(closed_rows)
+    changed = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", "c_name", "c_nationkey",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"), "c_mktsegment",
+    )
+    identical = c.filter(
+        (F.col("c_custkey") % 5 == 0) & (F.col("c_custkey") % 7 != 0)
+    ).select(*["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"])
+    inserts = c.filter(F.col("c_custkey") % 11 == 0).select(
+        (F.col("c_custkey") + F.lit(10_000_000)).alias("c_custkey"),
+        F.concat(F.lit("NEW-"), F.col("c_custkey").cast("string")).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("FRESH").alias("c_mktsegment"),
+    )
+    updates = changed.unionByName(identical).unionByName(inserts)
+    return dim, updates
+
+
+def q_dim_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 merge gate (etl/scd.scd2_merge): apply an update
+    batch to a versioned customer dimension — closed history passes
+    through, identical re-deliveries are no-ops, changed keys close the
+    open version and append a new one, new keys insert. The update side
+    broadcasts behind the measured-count guard."""
+    from scraping_etl_spark.etl.scd import scd2_merge
+
+    dim, updates = _scd_base(spark, sf_dir)
+    return scd2_merge(
+        dim, updates, key_col="c_custkey",
+        compare_cols=_SCD_COMPARE, effective_date=_SCD_EFF,
+    )
+
+
+ORACLE_DIM_SCD2 = f"""
+WITH dim AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         DATE '1995-01-01' AS effective_from,
+         CAST(NULL AS DATE) AS effective_to,
+         true AS is_current
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         DATE '1994-01-01', DATE '1995-01-01', false
+  FROM customer WHERE c_custkey % 13 = 0
+), upd AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0 AS c_acctbal,
+         c_mktsegment
+  FROM customer WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 7 <> 0
+  UNION ALL
+  SELECT c_custkey + 10000000, 'NEW-' || CAST(c_custkey AS VARCHAR),
+         c_nationkey, 0.0, 'FRESH'
+  FROM customer WHERE c_custkey % 11 = 0
+), open_joined AS (
+  SELECT d.c_custkey, d.c_name, d.c_nationkey, d.c_acctbal, d.c_mktsegment,
+         d.effective_from, d.effective_to, d.is_current,
+         u.c_name AS u_name, u.c_nationkey AS u_nk,
+         u.c_acctbal AS u_ab, u.c_mktsegment AS u_ms,
+         (u.c_custkey IS NOT NULL) AND NOT (
+              d.c_name       IS NOT DISTINCT FROM u.c_name
+          AND d.c_nationkey  IS NOT DISTINCT FROM u.c_nationkey
+          AND d.c_acctbal    IS NOT DISTINCT FROM u.c_acctbal
+          AND d.c_mktsegment IS NOT DISTINCT FROM u.c_mktsegment
+         ) AS is_change
+  FROM dim d LEFT JOIN upd u ON d.c_custkey = u.c_custkey
+  WHERE d.is_current
+)
+-- closed history passes through untouched
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       effective_from, effective_to, is_current
+FROM dim WHERE NOT is_current
+UNION ALL
+-- open rows: kept open, or closed when changed
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+       effective_from,
+       CASE WHEN is_change THEN DATE '{_SCD_EFF}' ELSE effective_to END,
+       CASE WHEN is_change THEN false ELSE is_current END
+FROM open_joined
+UNION ALL
+-- new versions for changed keys
+SELECT c_custkey, u_name, u_nk, u_ab, u_ms,
+       DATE '{_SCD_EFF}', CAST(NULL AS DATE), true
+FROM open_joined WHERE is_change
+UNION ALL
+-- brand-new keys insert as fresh open versions
+SELECT u.c_custkey, u.c_name, u.c_nationkey, u.c_acctbal, u.c_mktsegment,
+       DATE '{_SCD_EFF}', CAST(NULL AS DATE), true
+FROM upd u
+WHERE NOT EXISTS (
+  SELECT 1 FROM dim d WHERE d.is_current AND d.c_custkey = u.c_custkey
+)
+"""

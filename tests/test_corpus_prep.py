@@ -866,3 +866,115 @@ def test_stratified_quantiles_single_pass_no_union(spark):
     assert "Union" not in plan
     assert plan.count("Window") <= 2
     assert out.count() == 4
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mix
+# ---------------------------------------------------------------------------
+
+def _src_docs(spark, counts):
+    """counts: {source: n} -> documents with sequential global ids."""
+    rows, i = [], 0
+    for s in sorted(counts):
+        for _ in range(counts[s]):
+            rows.append((i, s))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_temperature_alpha1_keeps_natural_mix(spark):
+    """alpha = 1: every stratum gets the same rate (= budget)."""
+    df = _src_docs(spark, {"a": 400, "b": 100})
+    rates = {r.source: r.rate for r in
+             CP.temperature_mix_rates(df, alpha=1.0, budget=0.5).collect()}
+    assert rates["a"] == pytest.approx(0.5)
+    assert rates["b"] == pytest.approx(0.5)
+
+
+def test_temperature_alpha_half_upweights_rare(spark):
+    """alpha < 1 shifts mass toward rare strata: the rare stratum's
+    rate exceeds the common one's, and expected volume == budget."""
+    df = _src_docs(spark, {"a": 400, "b": 100})
+    out = CP.temperature_mix_rates(df, alpha=0.5, budget=0.5).collect()
+    rates = {r.source: r.rate for r in out}
+    assert rates["b"] > rates["a"]
+    # sqrt weights: shares 2/3 vs 1/3 -> rates (250*2/3)/400, (250/3)/100
+    assert rates["a"] == pytest.approx(250 * (2 / 3) / 400)
+    assert rates["b"] == pytest.approx(250 * (1 / 3) / 100)
+    # expected kept volume = budget * N
+    assert sum(rates[r.source] * r.n_docs for r in out) == pytest.approx(250)
+
+
+def test_temperature_rate_caps_at_one(spark):
+    """A tiny stratum whose alpha-share exceeds its size caps at rate 1
+    (never oversamples); the cap costs volume, not correctness."""
+    df = _src_docs(spark, {"big": 1000, "tiny": 4})
+    rates = {r.source: r.rate for r in
+             CP.temperature_mix_rates(df, alpha=0.1, budget=0.9).collect()}
+    assert rates["tiny"] == 1.0
+    assert 0 < rates["big"] < 1
+
+
+def test_temperature_sample_is_subset_and_deterministic(spark):
+    df = _src_docs(spark, {"a": 300, "b": 60})
+    kept1 = sorted(r.doc_id for r in CP.temperature_mix_sample(df).collect())
+    kept2 = sorted(r.doc_id for r in CP.temperature_mix_sample(df).collect())
+    assert kept1 == kept2
+    assert 0 < len(kept1) < 360
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution divergence
+# ---------------------------------------------------------------------------
+
+def _lang_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_divergence_identical_corpora_is_zero(spark):
+    a = _lang_docs(spark, [(1, "en", "x y z"), (2, "en", "x x y")])
+    out = CP.token_divergence(a, a).collect()
+    assert len(out) == 1
+    assert out[0].js_div == 0.0
+    assert out[0].v == 3 and out[0].n_a == 6 and out[0].n_b == 6
+
+
+def test_divergence_is_symmetric(spark):
+    a = _lang_docs(spark, [(1, "en", "x y z z")])
+    b = _lang_docs(spark, [(2, "en", "x q q r")])
+    ab = CP.token_divergence(a, b).collect()[0].js_div
+    ba = CP.token_divergence(b, a).collect()[0].js_div
+    assert ab == ba > 0
+
+
+def test_divergence_bounded_by_ln2(spark):
+    """Disjoint vocabularies approach (never exceed) ln 2 once counts
+    dominate the add-one smoothing mass."""
+    import math
+    a = _lang_docs(spark, [(1, "en", " ".join(f"a{i}" for i in range(50)) * 100)])
+    b = _lang_docs(spark, [(2, "en", " ".join(f"b{i}" for i in range(50)) * 100)])
+    d = CP.token_divergence(a, b).collect()[0].js_div
+    assert 0.5 < d < math.log(2.0)
+
+
+def test_divergence_smoothing_shrinks_small_counts(spark):
+    """Add-one smoothing pulls tiny corpora toward uniform: the same
+    disjoint-vocab pair measures FAR lower divergence at count 1 than
+    at count 100 — the Laplace-prior contract, asserted explicitly."""
+    small_a = _lang_docs(spark, [(1, "en", " ".join(f"a{i}" for i in range(50)))])
+    small_b = _lang_docs(spark, [(2, "en", " ".join(f"b{i}" for i in range(50)))])
+    big_a = _lang_docs(spark, [(1, "en", " ".join(f"a{i}" for i in range(50)) * 100)])
+    big_b = _lang_docs(spark, [(2, "en", " ".join(f"b{i}" for i in range(50)) * 100)])
+    d_small = CP.token_divergence(small_a, small_b).collect()[0].js_div
+    d_big = CP.token_divergence(big_a, big_b).collect()[0].js_div
+    assert d_small < 0.1 < 0.5 < d_big
+
+
+def test_divergence_strata_are_independent(spark):
+    """A divergent 'de' stratum must not leak into the identical 'en'
+    stratum."""
+    a = _lang_docs(spark, [(1, "en", "x y"), (2, "de", "p p q " * 100)])
+    b = _lang_docs(spark, [(3, "en", "x y"), (4, "de", "r r s " * 100)])
+    out = {r.lang: r.js_div for r in CP.token_divergence(a, b).collect()}
+    assert out["en"] == 0.0
+    assert out["de"] > 0.3

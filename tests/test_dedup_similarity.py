@@ -431,3 +431,58 @@ def test_cluster_assign_plan_is_map_side(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space decontamination
+# ---------------------------------------------------------------------------
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_emb_decontaminate_flags_only_above_threshold(spark):
+    bench = _vecs(spark, [(100, [1.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0])])
+    corpus = _vecs(spark, [
+        (1, [1.0, 0.0, 0.0]),     # exact copy of bench 100
+        (2, [0.9, 0.1, 0.0]),     # close to bench 100
+        (3, [0.0, 0.0, 1.0]),     # orthogonal to both
+    ])
+    out = {r.vec_id: r for r in
+           SIM.embedding_decontaminate(corpus, bench, threshold=0.9).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].bench_id == 100 and out[1].cos_sim == 1.0
+    assert out[2].bench_id == 100
+    assert out[1].n_bench_hits == 1
+
+
+def test_emb_decontaminate_picks_closest_bench_and_counts_hits(spark):
+    bench = _vecs(spark, [(200, [1.0, 0.0]), (201, [0.8, 0.6])])
+    corpus = _vecs(spark, [(1, [0.95, 0.3])])
+    out = SIM.embedding_decontaminate(corpus, bench, threshold=0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_bench_hits == 2       # both bench vecs above 0.5
+    # argmax: cos(v,200)=0.95/|v| ~ .953; cos(v,201)=(.76+.18)/|v| = .94/.996 ~ .944
+    assert r.bench_id == 200
+
+
+def test_emb_decontaminate_tie_breaks_on_smaller_bench_id(spark):
+    bench = _vecs(spark, [(301, [1.0, 0.0]), (300, [2.0, 0.0])])  # same direction
+    corpus = _vecs(spark, [(1, [1.0, 0.0])])
+    out = SIM.embedding_decontaminate(corpus, bench, threshold=0.9).collect()
+    assert out[0].bench_id == 300 and out[0].n_bench_hits == 2
+
+
+def test_emb_decontaminate_broadcast_guard_falls_back(spark):
+    """Above the measured cap the broadcast hint is dropped — the plan
+    still returns identical rows (correctness never depends on the
+    join strategy)."""
+    bench = _vecs(spark, [(100 + i, [1.0, float(i)]) for i in range(10)])
+    corpus = _vecs(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0])])
+    fast = SIM.embedding_decontaminate(corpus, bench, threshold=0.9)
+    slow = SIM.embedding_decontaminate(corpus, bench, threshold=0.9,
+                                       max_broadcast_vecs=3)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
