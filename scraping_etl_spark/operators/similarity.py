@@ -64,13 +64,26 @@ def cosine_topk(
     are excluded. Scale: probes broadcast; corpus streamed once; the
     rank window is partitioned by probe, so per-partition state is k.
     """
+    # norms hoisted to the per-row projections: every probe pairs with
+    # every corpus row, so the per-pair work must be the dot fold alone
+    # (identical sqrt(dot) arithmetic — oracle-exact; see _sem_side)
     p = probes.select(
-        F.col(probe_id_col).alias("_pid"), F.col(probe_vec_col).alias("_pvec")
+        F.col(probe_id_col).alias("_pid"),
+        F.col(probe_vec_col).alias("_pvec"),
+        l2_norm(F.col(probe_vec_col)).alias("_pnrm"),
     )
-    c = corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cnrm"),
+    )
+    den = F.col("_pnrm") * F.col("_cnrm")
+    cos = F.when(den > 0, dot(F.col("_pvec"), F.col("_cvec")) / den).otherwise(
+        F.lit(0.0)
+    )
     scored = (
         c.join(F.broadcast(p), F.col("_pid") != F.col("_cid"))
-        .withColumn("_cos", cosine(F.col("_pvec"), F.col("_cvec")))
+        .withColumn("_cos", cos)
     )
     w = Window.partitionBy("_pid").orderBy(F.desc("_cos"), F.asc("_cid"))
     return (
@@ -166,11 +179,13 @@ def ann_hyperplane_topk(
         F.col(id_col).alias("_cid"),
         F.col(vec_col).alias("_cvec"),
         hyperplane_bucket(F.col(vec_col), dim, planes).alias("_bucket"),
+        l2_norm(F.col(vec_col)).alias("_cnrm"),
     )
     p = probes.select(
         F.col(probe_id_col).alias("_pid"),
         F.col(probe_vec_col).alias("_pvec"),
         hyperplane_bucket(F.col(probe_vec_col), dim, planes).alias("_home"),
+        l2_norm(F.col(probe_vec_col)).alias("_pnrm"),
     )
     if multiprobe >= 1:
         # home bucket + each single-bit flip (Hamming radius 1)
@@ -182,14 +197,20 @@ def ann_hyperplane_topk(
             ],
         )
         p = p.select(
-            "_pid", "_pvec", F.explode(variants).alias("_bucket")
+            "_pid", "_pvec", F.explode(variants).alias("_bucket"), "_pnrm"
         )
     else:
         p = p.withColumnRenamed("_home", "_bucket")
+    # norm folds hoisted out of the bucket pair loop (same arithmetic,
+    # oracle-exact — see _sem_side)
+    den = F.col("_pnrm") * F.col("_cnrm")
+    cos = F.when(den > 0, dot(F.col("_pvec"), F.col("_cvec")) / den).otherwise(
+        F.lit(0.0)
+    )
     scored = (
         c.join(p, "_bucket")
         .filter(F.col("_pid") != F.col("_cid"))
-        .withColumn("_cos", cosine(F.col("_pvec"), F.col("_cvec")))
+        .withColumn("_cos", cos)
     )
     w = Window.partitionBy("_pid").orderBy(F.desc("_cos"), F.asc("_cid"))
     return (
@@ -228,15 +249,23 @@ def embedding_dup_pairs(
     sets (the text-side analogue is MinHash banding)."""
     sig = hyperplane_bucket(F.col(vec_col), dim, planes)
     a = emb.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"), sig.alias("_sig")
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+        sig.alias("_sig"), l2_norm(F.col(vec_col)).alias("_na"),
     )
     b = emb.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"), sig.alias("_sig")
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+        sig.alias("_sig"), l2_norm(F.col(vec_col)).alias("_nb"),
+    )
+    # norm folds hoisted out of the block pair loop (same arithmetic,
+    # oracle-exact — see _sem_side)
+    den = F.col("_na") * F.col("_nb")
+    cos = F.when(den > 0, dot(F.col("_va"), F.col("_vb")) / den).otherwise(
+        F.lit(0.0)
     )
     return (
         a.join(b, "_sig")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .withColumn("cos_sim", F.round(cos, 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
@@ -558,16 +587,24 @@ def ivf_topk(
         F.col(id_col).alias("_cid"),
         F.col(vec_col).alias("_cvec"),
         F.element_at(_nearest(F.col(vec_col), 1), 1).alias("_cluster"),
+        l2_norm(F.col(vec_col)).alias("_cnrm"),
     )
     p = probes.select(
         F.col(probe_id_col).alias("_pid"),
         F.col(probe_vec_col).alias("_pvec"),
         F.explode(_nearest(F.col(probe_vec_col), n_probe)).alias("_cluster"),
+        l2_norm(F.col(probe_vec_col)).alias("_pnrm"),
+    )
+    # norm folds hoisted out of the candidate loop (same arithmetic,
+    # oracle-exact — see _sem_side)
+    den = F.col("_pnrm") * F.col("_cnrm")
+    cos = F.when(den > 0, dot(F.col("_pvec"), F.col("_cvec")) / den).otherwise(
+        F.lit(0.0)
     )
     scored = (
         c.join(p, "_cluster")
         .filter(F.col("_pid") != F.col("_cid"))
-        .withColumn("_cos", cosine(F.col("_pvec"), F.col("_cvec")))
+        .withColumn("_cos", cos)
     )
     w = Window.partitionBy("_pid").orderBy(F.desc("_cos"), F.asc("_cid"))
     return (
@@ -621,17 +658,31 @@ def embedding_decontaminate(
     The threshold compares against the ROUNDED cosine (6 dp, house
     convention) so the boundary is engine-portable."""
     b = bench.select(
-        F.col(bench_id_col).alias("_bid"), F.col(bench_vec_col).alias("_bvec")
+        F.col(bench_id_col).alias("_bid"),
+        F.col(bench_vec_col).alias("_bvec"),
+        l2_norm(F.col(bench_vec_col)).alias("_bnrm"),
     )
     fits = (
         max_broadcast_vecs > 0
         and b.limit(max_broadcast_vecs + 1).count() <= max_broadcast_vecs
     )
     b_side = F.broadcast(b) if fits else b
-    c = corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cvec"))
+    # norms hoisted to the per-row projections (the SemDeDup lesson —
+    # _sem_side): each corpus vector sits in |bench| pairs, so the
+    # per-pair work must be the dot fold alone. Identical sqrt(dot)
+    # arithmetic, so pair cosines stay bit-identical to the oracle.
+    c = corpus.select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cnrm"),
+    )
+    den = F.col("_cnrm") * F.col("_bnrm")
+    cos = F.when(den > 0, dot(F.col("_cvec"), F.col("_bvec")) / den).otherwise(
+        F.lit(0.0)
+    )
     flagged = (
         c.join(b_side, F.col("_cid") != F.col("_bid"))
-        .withColumn("_cos", F.round(cosine(F.col("_cvec"), F.col("_bvec")), 6))
+        .withColumn("_cos", F.round(cos, 6))
         .filter(F.col("_cos") >= threshold)
     )
     w = Window.partitionBy("_cid").orderBy(F.desc("_cos"), F.asc("_bid"))
