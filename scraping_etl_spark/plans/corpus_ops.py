@@ -1166,3 +1166,56 @@ SELECT lang, CAST(v AS BIGINT) AS v, CAST(n_a AS BIGINT) AS n_a,
        round(sum(fx) / 1e9, 6) AS js_div
 FROM terms GROUP BY lang, v, n_a, n_b
 """
+
+
+#: Rank-error budget for the KLL tier's tolerance gate: ~3x the
+#: documented normalized rank error of a k=200 KLL sketch (~1.65%).
+_KLL_EPS = 0.05
+
+
+def q_doc_length_quantiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL-sketch tier of the length-quantile profile as a BOUNDED-
+    TOLERANCE gate (same construction as ``doc_corpus_profile_hll``):
+    sketch internals are engine-specific, so instead of comparing the
+    estimates the query emits the EXACT quantiles (hash-checked, the
+    verification harness) plus a verdict that each sketch estimate's
+    exact rank lands within the sketch's error budget —
+    ``count(x <= v)/n >= q - eps`` and ``count(x < v)/n <= q + eps``.
+    The oracle asserts the exact values AND all-true verdicts, making
+    this a full value-checked row at every scale. (The production
+    query is the sketch-only projection —
+    corpus_prep.stratified_quantiles_sketch.)"""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(tokens("text"))
+    )
+    est = CP.stratified_quantiles_sketch(d, "n_tokens", _QUANTILES).select(
+        "lang", "quantile", F.col("value").alias("_v"),
+    )
+    lens = d.select("lang", F.col("n_tokens").cast("long").alias("_x"))
+    ranks = (
+        lens.join(F.broadcast(est), "lang")
+        .groupBy("lang", "quantile", "_v")
+        .agg(
+            F.sum(F.when(F.col("_x") <= F.col("_v"), 1).otherwise(0)).alias("_le"),
+            F.sum(F.when(F.col("_x") < F.col("_v"), 1).otherwise(0)).alias("_lt"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .select(
+            "lang",
+            "quantile",
+            (
+                ((F.col("_le") / F.col("_n")) >= F.col("quantile") - _KLL_EPS)
+                & ((F.col("_lt") / F.col("_n")) <= F.col("quantile") + _KLL_EPS)
+            ).alias("sketch_within_tol"),
+        )
+    )
+    exact = q_doc_length_quantiles(spark, sf_dir)
+    return exact.join(ranks, ["lang", "quantile"]).select(
+        "lang", "quantile", "value", "n_rows", "sketch_within_tol"
+    )
+
+
+ORACLE_DOC_LENGTH_QUANTILES_KLL = ORACLE_DOC_LENGTH_QUANTILES.replace(
+    "CAST(min(cdf.n) AS BIGINT) AS n_rows",
+    "CAST(min(cdf.n) AS BIGINT) AS n_rows,\n       true AS sketch_within_tol",
+)

@@ -169,3 +169,48 @@ SELECT doc_id,
              6) AS quality_score
 FROM toks
 """
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + dedup (operators/urls.py)
+# ---------------------------------------------------------------------------
+
+def q_doc_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalize + dedup gate: deterministic messy URLs are
+    derived from the documents table (case-shifted host, default port,
+    duplicated slashes, tracking params, fragment — one alias family
+    per (source, doc_id mod 40)), canonicalized JVM-side and deduped.
+    The oracle derives the canonical form INDEPENDENTLY from the
+    construction arithmetic rather than mirroring the normalizer —
+    a stronger check than expression parity."""
+    from scraping_etl_spark.operators.urls import url_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("HTTPS://WwW."), F.col("source"), F.lit(".Example.COM:443/Articles//"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit("/?utm_campaign=x&fbclid="), F.col("doc_id").cast("string"),
+        F.lit("&q="), (F.col("doc_id") % 20).cast("string"), F.lit("#sec"),
+    )
+    df = d.select("doc_id", "source", raw.alias("url"))
+    return url_dedup(df, "url", "doc_id", keep_cols=("source",)).select(
+        "canonical_url", "source",
+        F.col("n_urls").cast("long").alias("n_urls"),
+        F.col("survivor_id").cast("long").alias("survivor_id"),
+    )
+
+
+ORACLE_DOC_URL_CANONICAL = """
+-- canonical form derived independently from the construction: the
+-- messy url is a pure function of (source, doc_id), so its canonical
+-- form is 'https://www.' || source || '.example.com/Articles/' || m40
+-- || '?q=' || m20 — asserting the normalizer's OUTPUT, not its steps
+SELECT 'https://www.' || source || '.example.com/Articles/'
+         || CAST(doc_id % 40 AS VARCHAR)
+         || '?q=' || CAST(doc_id % 20 AS VARCHAR) AS canonical_url,
+       source,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(min(doc_id) AS BIGINT) AS survivor_id
+FROM documents
+GROUP BY 1, 2
+"""

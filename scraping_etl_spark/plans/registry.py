@@ -48,6 +48,14 @@ plans/relational.py + etl/scd.py), ``doc_token_divergence``
 rotating four r7-green unchanged entries to the tail
 (``doc_minhash_pairs``, ``doc_neardup_clusters``,
 ``doc_neardup_survivors``, ``emb_ann_topk``).
+
+Round-8 third amendment: ``doc_length_quantiles_kll`` (KLL sketch
+tolerance gate) and ``doc_url_canonical`` (URL canonicalizer) seat as
+new gates; ``emb_cosine_topk`` and ``emb_ann_topk`` RE-seat because the
+norm-hoist touched their operators after their last driver row. Paid
+for by rotating ``doc_cross_corpus_dups``, ``emb_cluster_assign``,
+``doc_media_features`` and ``doc_corpus_profile`` (r7-green,
+untouched) to the tail.
 """
 
 from __future__ import annotations
@@ -223,6 +231,31 @@ QUERIES: list[QuerySpec] = [
         "unigram distributions — fixed-point integer summation keeps "
         "the float total order-free (corpus_prep.token_divergence)",
     ),
+    QuerySpec(
+        "doc_length_quantiles_kll", C.q_doc_length_quantiles_kll,
+        C.ORACLE_DOC_LENGTH_QUANTILES_KLL,
+        "KLL-sketch quantile tier as a bounded-tolerance gate: exact "
+        "quantiles hash-checked, sketch estimates' exact ranks "
+        "asserted within 3x the documented rank error "
+        "(corpus_prep.stratified_quantiles_sketch)",
+    ),
+    QuerySpec(
+        "doc_url_canonical", P.q_doc_url_canonical, P.ORACLE_DOC_URL_CANONICAL,
+        "URL canonicalization + crawl dedup: tracking params / default "
+        "ports / fragments / case aliasing normalized JVM-side; the "
+        "oracle derives canonical forms independently "
+        "(operators/urls.py)",
+    ),
+    QuerySpec(
+        "emb_cosine_topk", M.q_emb_cosine_topk, M.ORACLE_EMB_COSINE_TOPK,
+        "exact brute-force cosine top-k over embeddings (re-seated: "
+        "norm-hoist change this round)",
+    ),
+    QuerySpec(
+        "emb_ann_topk", M.q_emb_ann_topk, M.ORACLE_EMB_ANN_TOPK,
+        "approximate top-k via sign-random-projection LSH buckets "
+        "(re-seated: norm-hoist change this round)",
+    ),
     # ---- changed this round (operator or oracle touched) ----
     QuerySpec(
         "doc_chunk_dedup", C.q_doc_chunk_dedup, C.ORACLE_DOC_CHUNK_DEDUP,
@@ -256,22 +289,10 @@ QUERIES: list[QuerySpec] = [
     ),
     # ---- stable window entries ----
     QuerySpec(
-        "doc_cross_corpus_dups", M.q_doc_cross_corpus_dups,
-        M.ORACLE_DOC_CROSS_CORPUS_DUPS,
-        "incremental dedup screen: incoming batch vs existing corpus "
-        "via cross-corpus banded LSH, Jaccard-verified",
-    ),
-    QuerySpec(
         "emb_ivf_topk", M.q_emb_ivf_topk, M.oracle_emb_ivf_topk,
         "IVF cluster-pruned approximate top-k; centroids are trained "
         "once and embedded in the lazily-built DuckDB oracle as plan "
         "constants (full hash gate)",
-    ),
-    QuerySpec(
-        "emb_cluster_assign", M.q_emb_cluster_assign, M.oracle_emb_cluster_assign,
-        "semantic clustering: nearest trained IVF centroid per vector, "
-        "map-side over centroid plan constants (lazy oracle embeds the "
-        "trained centroids; full hash gate)",
     ),
     QuerySpec(
         "emb_quantized_topk", M.q_emb_quantized_topk, M.ORACLE_EMB_QUANTIZED_TOPK,
@@ -281,15 +302,6 @@ QUERIES: list[QuerySpec] = [
     QuerySpec(
         "emb_cosine_dups", M.q_emb_cosine_dups, M.ORACLE_EMB_COSINE_DUPS,
         "embedding-cosine near-dup pairs via sign-signature blocking",
-    ),
-    QuerySpec(
-        "doc_media_features", M.q_doc_media_features, M.ORACLE_DOC_MEDIA_FEATURES,
-        "binary-payload feature extraction via Arrow mapInPandas",
-    ),
-    QuerySpec(
-        "doc_corpus_profile", M.q_doc_corpus_profile, M.ORACLE_DOC_CORPUS_PROFILE,
-        "per-lang corpus profile with exact distinct counts (hash-gated "
-        "twin of the HLL tier)",
     ),
     QuerySpec(
         "doc_pii_scrub", C.q_doc_pii_scrub, C.ORACLE_DOC_PII_SCRUB,
@@ -348,6 +360,27 @@ QUERIES: list[QuerySpec] = [
     # ---- tail: rotated out of the driver window this round (still ----
     # ---- verified every round by the local DuckDB-oracle suite)   ----
     QuerySpec(
+        "doc_cross_corpus_dups", M.q_doc_cross_corpus_dups,
+        M.ORACLE_DOC_CROSS_CORPUS_DUPS,
+        "incremental dedup screen: incoming batch vs existing corpus "
+        "via cross-corpus banded LSH, Jaccard-verified",
+    ),
+    QuerySpec(
+        "emb_cluster_assign", M.q_emb_cluster_assign, M.oracle_emb_cluster_assign,
+        "semantic clustering: nearest trained IVF centroid per vector, "
+        "map-side over centroid plan constants (lazy oracle embeds the "
+        "trained centroids; full hash gate)",
+    ),
+    QuerySpec(
+        "doc_media_features", M.q_doc_media_features, M.ORACLE_DOC_MEDIA_FEATURES,
+        "binary-payload feature extraction via Arrow mapInPandas",
+    ),
+    QuerySpec(
+        "doc_corpus_profile", M.q_doc_corpus_profile, M.ORACLE_DOC_CORPUS_PROFILE,
+        "per-lang corpus profile with exact distinct counts (hash-gated "
+        "twin of the HLL tier)",
+    ),
+    QuerySpec(
         "doc_minhash_pairs", M.q_doc_minhash_pairs, M.ORACLE_DOC_MINHASH_PAIRS,
         "MinHash + banded-LSH near-dup pairs, Jaccard-verified",
     ),
@@ -358,12 +391,6 @@ QUERIES: list[QuerySpec] = [
     QuerySpec(
         "doc_neardup_survivors", M.q_doc_neardup_survivors, M.ORACLE_DOC_NEARDUP_SURVIVORS,
         "near-dup clusters -> min-id survivor -> per-language deduped-corpus rollup",
-    ),
-    QuerySpec(
-        "emb_ann_topk", M.q_emb_ann_topk, M.ORACLE_EMB_ANN_TOPK,
-        "approximate top-k via sign-random-projection LSH buckets; the "
-        "pipeline is deterministic arithmetic so the DuckDB oracle "
-        "mirrors it bit-for-bit (full hash gate)",
     ),
     QuerySpec(
         "doc_regex_extract", M.q_doc_regex_extract, M.ORACLE_DOC_REGEX_EXTRACT,
@@ -442,10 +469,6 @@ QUERIES: list[QuerySpec] = [
     QuerySpec(
         "doc_ngram_jaccard", M.q_doc_ngram_jaccard, M.ORACLE_DOC_NGRAM_JACCARD,
         "trigram-shingle Jaccard on adjacent doc pairs",
-    ),
-    QuerySpec(
-        "emb_cosine_topk", M.q_emb_cosine_topk, M.ORACLE_EMB_COSINE_TOPK,
-        "exact brute-force cosine top-k over embeddings",
     ),
     QuerySpec(
         "doc_token_dim", M.q_doc_token_dim, M.ORACLE_DOC_TOKEN_DIM,

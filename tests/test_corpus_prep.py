@@ -978,3 +978,40 @@ def test_divergence_strata_are_independent(spark):
     out = {r.lang: r.js_div for r in CP.token_divergence(a, b).collect()}
     assert out["en"] == 0.0
     assert out["de"] > 0.3
+
+
+# ---------------------------------------------------------------------------
+# KLL sketch quantile tier
+# ---------------------------------------------------------------------------
+
+def test_sketch_quantiles_within_rank_bound_on_skewed_data(spark):
+    """Adversarial shape (99% of mass on one value + a long tail,
+    spread over many partitions so sketch merge order varies): every
+    estimate's exact rank must sit within the documented bound."""
+    rows = [(i, "s", 7) for i in range(990)] + [
+        (1000 + i, "s", 100 + i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "id long, lang string, v long").repartition(16)
+    est = {(r.lang, r.quantile): r.value
+           for r in CP.stratified_quantiles_sketch(df, "v").collect()}
+    vals = sorted([7] * 990 + [100 + i for i in range(10)])
+    n = len(vals)
+    for (lang, q), v in est.items():
+        le = sum(1 for x in vals if x <= v) / n
+        lt = sum(1 for x in vals if x < v) / n
+        assert le >= q - 0.05 and lt <= q + 0.05, (q, v, le, lt)
+
+
+def test_sketch_quantiles_rejects_bad_quantile(spark):
+    df = spark.createDataFrame([(1, "s", 1)], "id long, lang string, v long")
+    with pytest.raises(ValueError, match="quantiles"):
+        CP.stratified_quantiles_sketch(df, "v", quantiles=(0.0,))
+
+
+def test_sketch_quantiles_schema_matches_exact_tier(spark):
+    df = spark.createDataFrame(
+        [(i, "s", i) for i in range(100)], "id long, lang string, v long"
+    )
+    exact = CP.stratified_quantiles(df, "v")
+    sk = CP.stratified_quantiles_sketch(df, "v")
+    assert exact.columns == sk.columns
