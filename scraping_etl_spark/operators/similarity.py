@@ -698,3 +698,89 @@ def embedding_decontaminate(
             F.col("n_bench_hits").cast("long").alias("n_bench_hits"),
         )
     )
+
+
+def embedding_decontaminate_arrow(
+    corpus: DataFrame,
+    bench_matrix: "list[tuple[int, list[float]]]",
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow/BLAS tier of :func:`embedding_decontaminate` — the same
+    production-scale escape hatch as :func:`cluster_assign_arrow`: the
+    expression tier pays an interpreted dot-fold per (corpus, bench)
+    pair (measured 12 s for 19k x 1k at dim 64 — PLANS.md round-8
+    audit), where one BLAS ``X @ B.T`` per Arrow batch does the same
+    flops at matmul throughput. Use when the benchmark set is
+    thousands+ of vectors; the expression tier remains the
+    oracle-exact gate.
+
+    ``bench_matrix`` is the collected benchmark as ``[(bench_id,
+    vector), ...]`` — benchmarks are small by definition (the same
+    rationale as the broadcast in the expression tier); collect once
+    via ``prepare_bench_matrix`` and reuse across corpora/batches.
+
+    Output schema matches the expression tier: ``(id, bench_id,
+    cos_sim, n_bench_hits)`` for flagged rows, cos rounded to 6,
+    threshold applied to the rounded value, argmax ties to the
+    smallest bench id. BLAS summation order differs from the
+    sequential fold by ulps, so rows at the exact rounding boundary
+    can differ — the documented Arrow-tier trade (equivalence asserted
+    on the driver corpus by the unit suite)."""
+    import numpy as np
+    import pandas as pd
+
+    ids = np.asarray([i for i, _ in bench_matrix], dtype=np.int64)
+    B = np.asarray([v for _, v in bench_matrix], dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, B = ids[order], B[order]  # argmax ties -> smallest bench id
+    bn = np.sqrt((B * B).sum(axis=1))
+    out_schema = f"{id_col} long, bench_id long, cos_sim double, n_bench_hits long"
+
+    def _screen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            xn = np.sqrt((X * X).sum(axis=1))
+            den = xn[:, None] * bn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(den > 0, (X @ B.T) / den, 0.0)
+            # self-pairs excluded like the expression tier
+            cid = pdf[id_col].to_numpy()
+            cos[cid[:, None] == ids[None, :]] = -np.inf
+            cos = np.round(cos, 6)
+            hits = cos >= threshold
+            n_hits = hits.sum(axis=1)
+            flagged = n_hits > 0
+            if not flagged.any():
+                continue
+            best = np.argmax(cos[flagged], axis=1)
+            yield pd.DataFrame({
+                id_col: cid[flagged],
+                "bench_id": ids[best],
+                "cos_sim": cos[flagged, best],
+                "n_bench_hits": n_hits[flagged].astype(np.int64),
+            })
+
+    return corpus.select(id_col, vec_col).mapInPandas(_screen, out_schema)
+
+
+def prepare_bench_matrix(
+    bench: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_vecs: int = MAX_BROADCAST_BENCH_VECS,
+) -> "list[tuple[int, list[float]]]":
+    """Collect the benchmark side once for
+    :func:`embedding_decontaminate_arrow` — bounded by the same cap as
+    the expression tier's broadcast (raises past it: a benchmark that
+    large should ride the shuffle path of the expression tier)."""
+    rows = bench.select(id_col, vec_col).limit(max_vecs + 1).collect()
+    if len(rows) > max_vecs:
+        raise ValueError(
+            f"benchmark exceeds {max_vecs} vectors; use the expression "
+            "tier's shuffle fallback instead"
+        )
+    return [(r[0], list(r[1])) for r in rows]

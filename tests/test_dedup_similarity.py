@@ -486,3 +486,33 @@ def test_emb_decontaminate_broadcast_guard_falls_back(spark):
     assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
     plan = fast._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_emb_decontaminate_arrow_matches_expression_tier(spark):
+    """The BLAS tier must reproduce the expression tier row-for-row on
+    the driver corpus (ulp-boundary divergence is measure-zero here)."""
+    from scraping_etl_spark.sources.readers import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    bench = e.filter(F.col("vec_id") % 20 == 0).select("vec_id", "embedding")
+    corp = e.filter(F.col("vec_id") % 20 != 0).select("vec_id", "embedding")
+    expr = SIM.embedding_decontaminate(corp, bench, threshold=0.42)
+    bm = SIM.prepare_bench_matrix(bench)
+    arrow = SIM.embedding_decontaminate_arrow(corp, bm, threshold=0.42)
+    assert sorted(map(tuple, expr.collect())) == sorted(map(tuple, arrow.collect()))
+
+
+def test_emb_decontaminate_arrow_excludes_self_and_counts(spark):
+    bench = [(100, [1.0, 0.0]), (1, [0.0, 1.0])]   # id 1 collides with corpus
+    corp = _vecs(spark, [(1, [0.0, 1.0]), (2, [1.0, 0.0])])
+    out = {r.vec_id: r for r in
+           SIM.embedding_decontaminate_arrow(corp, bench, threshold=0.9).collect()}
+    # corpus vec 1 == bench vec 1 (self) -> its only hit is excluded
+    assert 1 not in out
+    assert out[2].bench_id == 100 and out[2].n_bench_hits == 1
+
+
+def test_prepare_bench_matrix_cap_raises(spark):
+    bench = _vecs(spark, [(i, [1.0, 0.0]) for i in range(5)])
+    with pytest.raises(ValueError, match="exceeds"):
+        SIM.prepare_bench_matrix(bench, max_vecs=3)
