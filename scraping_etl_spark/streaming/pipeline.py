@@ -56,24 +56,8 @@ def _merge_overwrite_by_key(batch_df: DataFrame, out_dir: str, keys: list[str]) 
     on a format with no row-level ops; keep it for dims and per-key
     totals (small relative to facts), never for fact appends.
     """
-    import os
-    import shutil
-
-    tmp = out_dir.rstrip("/") + ".tmp"
-    old = out_dir.rstrip("/") + ".old"
-
-    # crash recovery: roll a half-finished previous swap back (or
-    # forward) so the sink is consistent before this batch merges
-    if os.path.exists(old):
-        if os.path.exists(out_dir):
-            shutil.rmtree(old)  # crash after swap, before cleanup
-        else:
-            os.rename(old, out_dir)  # crash mid-swap: restore pre-batch sink
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)  # incomplete previous write
-
+    sink_exists = _restore_consistent_sink(out_dir)
     spark = batch_df.sparkSession
-    sink_exists = os.path.exists(out_dir)
     if sink_exists:
         current = spark.read.parquet(out_dir)
         merged = current.join(
@@ -81,6 +65,37 @@ def _merge_overwrite_by_key(batch_df: DataFrame, out_dir: str, keys: list[str]) 
         ).unionByName(batch_df)
     else:  # first batch — sink doesn't exist yet
         merged = batch_df
+    _swap_write(merged, out_dir, sink_exists)
+
+
+def _restore_consistent_sink(out_dir: str) -> bool:
+    """Crash recovery prologue for the rename-aside swap: roll a
+    half-finished previous swap back (or forward) so the sink is
+    consistent before this batch merges. Returns whether a sink exists."""
+    import os
+    import shutil
+
+    tmp = out_dir.rstrip("/") + ".tmp"
+    old = out_dir.rstrip("/") + ".old"
+    if os.path.exists(old):
+        if os.path.exists(out_dir):
+            shutil.rmtree(old)  # crash after swap, before cleanup
+        else:
+            os.rename(old, out_dir)  # crash mid-swap: restore pre-batch sink
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # incomplete previous write
+    return os.path.exists(out_dir)
+
+
+def _swap_write(merged: DataFrame, out_dir: str, sink_exists: bool) -> None:
+    """Write ``merged`` to a sibling temp dir and swap it in via the
+    crash-recoverable rename-aside (see :func:`_merge_overwrite_by_key`
+    for why delete-then-rename is not safe)."""
+    import os
+    import shutil
+
+    tmp = out_dir.rstrip("/") + ".tmp"
+    old = out_dir.rstrip("/") + ".old"
     merged.write.mode("overwrite").parquet(tmp)
     if sink_exists:
         os.rename(out_dir, old)
@@ -636,6 +651,84 @@ def incremental_star_stream(
                 batch_id,
                 kw_bridge_dir,
             )
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def scd2_dim_stream(
+    spark: SparkSession,
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    compare_cols: list[str],
+    date_col: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming SCD2 dimension maintenance — the history-keeping twin
+    of :func:`incremental_star_stream`'s latest-state dim merges: each
+    micro-batch of attribute updates is folded into a VERSIONED
+    dimension with :func:`~scraping_etl_spark.etl.scd.scd2_merge`
+    (closed versions keep their history; changes close-and-append).
+
+    Per batch (``foreachBatch``):
+    - the batch collapses to its LATEST row per key (``row_number``
+      over ``date_col`` desc, ties to the lexicographically larger
+      compare tuple for determinism) — micro-batch granularity is the
+      versioning granularity, the same collapse every CDC consumer
+      applies per transaction batch;
+    - the effective date is the batch's ``max(date_col)`` — derived
+      from DATA, never wall clock, so a checkpoint replay of the same
+      batch produces the byte-same dim;
+    - merge + crash-recoverable rename-aside swap (the
+      :func:`_merge_overwrite_by_key` write discipline).
+
+    Replays CONVERGE: re-delivering an already-merged batch finds every
+    key's current version equal to the update and no-ops —
+    ``scd2_merge``'s identical-re-delivery contract. Dims are orders
+    smaller than facts, so the full-history rewrite per micro-batch is
+    the same cost class as the latest-state merge; on Delta/Iceberg it
+    becomes a MERGE over the ``is_current`` slice only."""
+    from pyspark.sql.window import Window
+
+    from scraping_etl_spark.etl.scd import scd2_merge
+
+    attr_cols = [key_col] + [c for c in compare_cols if c != key_col]
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        order = [F.desc(date_col)] + [F.desc(c) for c in compare_cols]
+        w = Window.partitionBy(key_col).orderBy(*order)
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(*attr_cols)
+        )
+        eff = batch_df.agg(F.max(date_col)).collect()[0][0]
+        sink_exists = _restore_consistent_sink(out_dir)
+        sess = batch_df.sparkSession
+        if sink_exists:
+            dim = sess.read.parquet(out_dir)
+            merged = scd2_merge(
+                dim, latest, key_col=key_col, compare_cols=compare_cols,
+                effective_date=eff,
+            )
+        else:  # first batch: every key inserts as a fresh open version
+            merged = latest.select(
+                *attr_cols,
+                F.lit(eff).cast("date").alias("effective_from"),
+                F.lit(None).cast("date").alias("effective_to"),
+                F.lit(True).alias("is_current"),
+            )
+        _swap_write(merged, out_dir, sink_exists)
 
     writer = (
         stream.writeStream.outputMode("append")

@@ -927,12 +927,12 @@ def test_temperature_sample_is_subset_and_deterministic(spark):
 # Token-distribution divergence
 # ---------------------------------------------------------------------------
 
-def _lang_docs(spark, rows):
+def _div_docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, lang string, text string")
 
 
 def test_divergence_identical_corpora_is_zero(spark):
-    a = _lang_docs(spark, [(1, "en", "x y z"), (2, "en", "x x y")])
+    a = _div_docs(spark, [(1, "en", "x y z"), (2, "en", "x x y")])
     out = CP.token_divergence(a, a).collect()
     assert len(out) == 1
     assert out[0].js_div == 0.0
@@ -940,8 +940,8 @@ def test_divergence_identical_corpora_is_zero(spark):
 
 
 def test_divergence_is_symmetric(spark):
-    a = _lang_docs(spark, [(1, "en", "x y z z")])
-    b = _lang_docs(spark, [(2, "en", "x q q r")])
+    a = _div_docs(spark, [(1, "en", "x y z z")])
+    b = _div_docs(spark, [(2, "en", "x q q r")])
     ab = CP.token_divergence(a, b).collect()[0].js_div
     ba = CP.token_divergence(b, a).collect()[0].js_div
     assert ab == ba > 0
@@ -951,8 +951,8 @@ def test_divergence_bounded_by_ln2(spark):
     """Disjoint vocabularies approach (never exceed) ln 2 once counts
     dominate the add-one smoothing mass."""
     import math
-    a = _lang_docs(spark, [(1, "en", " ".join(f"a{i}" for i in range(50)) * 100)])
-    b = _lang_docs(spark, [(2, "en", " ".join(f"b{i}" for i in range(50)) * 100)])
+    a = _div_docs(spark, [(1, "en", " ".join(f"a{i}" for i in range(50)) * 100)])
+    b = _div_docs(spark, [(2, "en", " ".join(f"b{i}" for i in range(50)) * 100)])
     d = CP.token_divergence(a, b).collect()[0].js_div
     assert 0.5 < d < math.log(2.0)
 
@@ -961,10 +961,10 @@ def test_divergence_smoothing_shrinks_small_counts(spark):
     """Add-one smoothing pulls tiny corpora toward uniform: the same
     disjoint-vocab pair measures FAR lower divergence at count 1 than
     at count 100 — the Laplace-prior contract, asserted explicitly."""
-    small_a = _lang_docs(spark, [(1, "en", " ".join(f"a{i}" for i in range(50)))])
-    small_b = _lang_docs(spark, [(2, "en", " ".join(f"b{i}" for i in range(50)))])
-    big_a = _lang_docs(spark, [(1, "en", " ".join(f"a{i}" for i in range(50)) * 100)])
-    big_b = _lang_docs(spark, [(2, "en", " ".join(f"b{i}" for i in range(50)) * 100)])
+    small_a = _div_docs(spark, [(1, "en", " ".join(f"a{i}" for i in range(50)))])
+    small_b = _div_docs(spark, [(2, "en", " ".join(f"b{i}" for i in range(50)))])
+    big_a = _div_docs(spark, [(1, "en", " ".join(f"a{i}" for i in range(50)) * 100)])
+    big_b = _div_docs(spark, [(2, "en", " ".join(f"b{i}" for i in range(50)) * 100)])
     d_small = CP.token_divergence(small_a, small_b).collect()[0].js_div
     d_big = CP.token_divergence(big_a, big_b).collect()[0].js_div
     assert d_small < 0.1 < 0.5 < d_big
@@ -973,8 +973,8 @@ def test_divergence_smoothing_shrinks_small_counts(spark):
 def test_divergence_strata_are_independent(spark):
     """A divergent 'de' stratum must not leak into the identical 'en'
     stratum."""
-    a = _lang_docs(spark, [(1, "en", "x y"), (2, "de", "p p q " * 100)])
-    b = _lang_docs(spark, [(3, "en", "x y"), (4, "de", "r r s " * 100)])
+    a = _div_docs(spark, [(1, "en", "x y"), (2, "de", "p p q " * 100)])
+    b = _div_docs(spark, [(3, "en", "x y"), (4, "de", "r r s " * 100)])
     out = {r.lang: r.js_div for r in CP.token_divergence(a, b).collect()}
     assert out["en"] == 0.0
     assert out["de"] > 0.3
