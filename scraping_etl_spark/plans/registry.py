@@ -56,6 +56,11 @@ norm-hoist touched their operators after their last driver row. Paid
 for by rotating ``doc_cross_corpus_dups``, ``emb_cluster_assign``,
 ``doc_media_features`` and ``doc_corpus_profile`` (r7-green,
 untouched) to the tail.
+
+Round-8 fourth amendment: ``snapshot_diff`` and ``doc_dq_profile``
+(operators/snapshot.py — incremental lake diff + ingest DQ gate) seat
+as new gates, paid for by rotating ``doc_split_corpus`` and
+``doc_oov_ratio`` (r7-green, untouched) to the tail — 82 entries.
 """
 
 from __future__ import annotations
@@ -348,6 +353,21 @@ QUERIES: list[QuerySpec] = [
         "gates -> domain-mix sample -> sequence packing, one query",
     ),
     QuerySpec(
+        "snapshot_diff", R.q_snapshot_diff, R.ORACLE_SNAPSHOT_DIFF,
+        "keyed snapshot diff (added/removed/changed) via fixed-width "
+        "null-flagged fingerprints — only (key, hash) crosses the "
+        "shuffle; independent construction-derived oracle "
+        "(operators/snapshot.snapshot_diff)",
+    ),
+    QuerySpec(
+        "doc_dq_profile", R.q_doc_dq_profile, R.ORACLE_DOC_DQ_PROFILE,
+        "data-quality rule profile in one map-side partial-agg pass; "
+        "null rule results count as violations "
+        "(operators/snapshot.dq_profile)",
+    ),
+    # ---- tail: rotated out of the driver window this round (still ----
+    # ---- verified every round by the local DuckDB-oracle suite)   ----
+    QuerySpec(
         "doc_split_corpus", C.q_doc_split_corpus, C.ORACLE_DOC_SPLIT_CORPUS,
         "deterministic md5-bucket train/val/test assignment, zero "
         "shuffle (corpus_prep.split_corpus)",
@@ -357,8 +377,6 @@ QUERIES: list[QuerySpec] = [
         "per-doc out-of-vocabulary ratio vs the top-k corpus vocab — "
         "explode + broadcast vocab join (corpus_prep.with_oov_ratio)",
     ),
-    # ---- tail: rotated out of the driver window this round (still ----
-    # ---- verified every round by the local DuckDB-oracle suite)   ----
     QuerySpec(
         "doc_cross_corpus_dups", M.q_doc_cross_corpus_dups,
         M.ORACLE_DOC_CROSS_CORPUS_DUPS,

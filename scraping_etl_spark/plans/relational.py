@@ -722,3 +722,95 @@ WHERE NOT EXISTS (
   SELECT 1 FROM dim d WHERE d.is_current AND d.c_custkey = u.c_custkey
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff + data-quality profile (operators/snapshot.py)
+# ---------------------------------------------------------------------------
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff gate (snapshot.snapshot_diff): yesterday =
+    customer as-is; today = customers sans every 13th (removed), with
+    every 7th rebalanced (changed) and every 11th re-keyed +10M
+    (added). The oracle derives the statuses INDEPENDENTLY from the
+    construction arithmetic — it never computes a fingerprint — so a
+    fingerprint bug (e.g. null-collation collisions) fails the gate."""
+    from scraping_etl_spark.operators.snapshot import snapshot_diff
+
+    c = load_table(spark, sf_dir, "customer")
+    attrs = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    old = c.select(*attrs)
+    survivors = c.filter(F.col("c_custkey") % 13 != 0).select(
+        "c_custkey", "c_name", "c_nationkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + F.lit(100.0))
+        .otherwise(F.col("c_acctbal")).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    added = c.filter(F.col("c_custkey") % 11 == 0).select(
+        (F.col("c_custkey") + F.lit(10_000_000)).alias("c_custkey"),
+        "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+    )
+    new = survivors.unionByName(added)
+    return snapshot_diff(
+        old, new, key_col="c_custkey",
+        compare_cols=["c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = """
+SELECT c_custkey, 'removed' AS status FROM customer WHERE c_custkey % 13 = 0
+UNION ALL
+SELECT c_custkey, 'changed' FROM customer
+WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0
+UNION ALL
+SELECT c_custkey + 10000000, 'added' FROM customer WHERE c_custkey % 11 = 0
+"""
+
+
+def q_doc_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate profile (snapshot.dq_profile): four ingest
+    rules over documents evaluated in one map-side partial-agg pass —
+    two structurally-true rules (exercising the zero-violation path)
+    and two with real violation mass at every sf."""
+    from scraping_etl_spark.operators.snapshot import dq_profile
+    from scraping_etl_spark.operators.textstats import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    return dq_profile(d, {
+        "chars_match": F.length("text") == F.col("n_chars"),
+        "lang_known": F.col("lang").isin("en", "de", "fr", "es", "zh"),
+        "max_chars_400": F.col("n_chars") <= 400,
+        "min_tokens_20": F.size(tokens("text")) >= 20,
+    })
+
+
+ORACLE_DOC_DQ_PROFILE = """
+WITH t AS (
+  SELECT len(text) = n_chars AS chars_match,
+         lang IN ('en', 'de', 'fr', 'es', 'zh') AS lang_known,
+         n_chars <= 400 AS max_chars_400,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+           >= 20 AS min_tokens_20,
+         1 AS one
+  FROM documents
+)
+SELECT r.rule,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN NOT coalesce(
+         CASE r.rule
+           WHEN 'chars_match' THEN t.chars_match
+           WHEN 'lang_known' THEN t.lang_known
+           WHEN 'max_chars_400' THEN t.max_chars_400
+           WHEN 'min_tokens_20' THEN t.min_tokens_20
+         END, false) THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       round(sum(CASE WHEN NOT coalesce(
+         CASE r.rule
+           WHEN 'chars_match' THEN t.chars_match
+           WHEN 'lang_known' THEN t.lang_known
+           WHEN 'max_chars_400' THEN t.max_chars_400
+           WHEN 'min_tokens_20' THEN t.min_tokens_20
+         END, false) THEN 1 ELSE 0 END) / count(*), 6) AS violation_frac
+FROM t, (VALUES ('chars_match'), ('lang_known'),
+                ('max_chars_400'), ('min_tokens_20')) AS r(rule)
+GROUP BY r.rule
+"""
