@@ -257,3 +257,125 @@ def test_lm_score_matches_python_reference(spark, docs):
         lps = [math.log((big[b] + 1.0) / (uni[b[0]] + v)) for b in bis]
         assert got[i][0] == len(bis)
         assert abs(got[i][1] - round(sum(lps) / len(lps), 6)) < 1e-9, (i, toks)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization: idempotence + dedup-key soundness
+# ---------------------------------------------------------------------------
+
+_url_host = st.from_regex(r"[A-Za-z][A-Za-z0-9\-]{0,8}(\.[A-Za-z]{2,4}){1,2}", fullmatch=True)
+_url_path = st.from_regex(r"(/[A-Za-z0-9._~%\-]{0,6}){0,4}/?", fullmatch=True)
+_url_query = st.lists(
+    st.from_regex(r"[a-z_]{1,8}=[A-Za-z0-9]{0,6}", fullmatch=True),
+    min_size=0, max_size=4,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.sampled_from(["http", "https", "HTTP", "HtTpS"]),
+    _url_host,
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    _url_path,
+    _url_query,
+    st.sampled_from(["", "#frag", "#a/b?c=d"]),
+)
+def test_canonical_url_is_idempotent(spark, scheme, host, port, path, params, frag):
+    """canon(canon(u)) == canon(u) for generated URL-shaped inputs —
+    the property that makes the canonical form a stable dedup key
+    (a second normalization pass over an already-normalized frontier
+    must be a no-op)."""
+    from scraping_etl_spark.operators.urls import canonical_url
+
+    u = f"{scheme}://{host}{port}{path}"
+    if params:
+        u += "?" + "&".join(params)
+    u += frag
+    df = spark.createDataFrame([(u,)], "u string")
+    once = df.select(canonical_url("u").alias("c"))
+    row = once.select(
+        "c", canonical_url("c").alias("c2")
+    ).collect()[0]
+    assert row.c2 == row.c, (u, row.c, row.c2)
+
+
+# ---------------------------------------------------------------------------
+# SCD2: random update sequences vs a Python reference
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(  # batches of (key, value) updates
+        st.lists(
+            st.tuples(st.integers(1, 4), st.sampled_from(["a", "b", "c", None])),
+            min_size=1, max_size=4, unique_by=lambda kv: kv[0],
+        ),
+        min_size=1, max_size=4,
+    )
+)
+def test_scd2_matches_python_reference(spark, batches):
+    """Fold random update batches through scd2_merge and through an
+    independent per-key Python state machine; the version histories
+    must agree exactly (dates are the batch index)."""
+    import datetime
+
+    from scraping_etl_spark.etl.scd import scd2_merge
+
+    dim = spark.createDataFrame(
+        [], "k long, attr string, effective_from date, effective_to date, is_current boolean"
+    )
+    # python reference: per key, list of [attr, from, to, current]
+    ref: dict[int, list] = {}
+    for bi, batch in enumerate(batches):
+        eff = datetime.date(2000, 1, 1) + datetime.timedelta(days=bi)
+        upd = spark.createDataFrame(batch, "k long, attr string")
+        dim = scd2_merge(dim, upd, key_col="k", compare_cols=["attr"],
+                         effective_date=eff.isoformat())
+        dim = spark.createDataFrame(dim.collect(), dim.schema)  # pin state
+        for k, v in batch:
+            hist = ref.setdefault(k, [])
+            cur = next((h for h in hist if h[3]), None)
+            if cur is None:
+                hist.append([v, eff, None, True])
+            elif cur[0] != v:
+                cur[2], cur[3] = eff, False
+                hist.append([v, eff, None, True])
+    none_safe = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    got = sorted(map(tuple, dim.collect()), key=none_safe)
+    want = sorted(
+        ((k, h[0], h[1], h[2], h[3]) for k, hist in ref.items() for h in hist),
+        key=none_safe,
+    )
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Token divergence: metric properties
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=6),
+             min_size=1, max_size=5),
+    st.lists(st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=6),
+             min_size=1, max_size=5),
+)
+def test_token_divergence_properties(spark, da, db):
+    """JS divergence is symmetric, non-negative, bounded by ln 2, and
+    zero iff the smoothed distributions coincide (equal corpora)."""
+    import math
+
+    from scraping_etl_spark.operators.corpus_prep import token_divergence
+
+    a = spark.createDataFrame(
+        [(i, "en", " ".join(t)) for i, t in enumerate(da)],
+        "doc_id long, lang string, text string")
+    b = spark.createDataFrame(
+        [(i, "en", " ".join(t)) for i, t in enumerate(db)],
+        "doc_id long, lang string, text string")
+    ab = token_divergence(a, b).collect()[0].js_div
+    ba = token_divergence(b, a).collect()[0].js_div
+    aa = token_divergence(a, a).collect()[0].js_div
+    assert ab == ba
+    assert 0.0 <= ab <= math.log(2.0)
+    assert aa == 0.0
