@@ -241,6 +241,18 @@ EMBEDDINGS = T.StructType(
     ]
 )
 
+#: Discovered-URL records feeding the streaming crawl frontier
+#: (streaming/pipeline.frontier_stream). ``discovered_at`` is the
+#: event time (watermark column when the caller bounds state).
+FRONTIER = T.StructType(
+    [
+        T.StructField("url_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("discovered_at", T.TimestampType()),
+        T.StructField("depth", T.IntegerType()),
+    ]
+)
+
 TESTDATA_TABLES: dict[str, T.StructType] = {
     "region": REGION,
     "nation": NATION,

@@ -738,3 +738,61 @@ def scd2_dim_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def frontier_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType = schemas.FRONTIER,
+    url_col: str = "url",
+    event_time_col: str | None = None,
+    watermark: str | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming crawl-frontier dedup — the streaming twin of
+    ``operators/urls.url_dedup`` and the online form of the reference
+    scraper's visited-set check (ScienceDirect.py visited URLs;
+    re-expressed at sources/extraction.py:287). Each micro-batch of
+    discovered URLs is canonicalized
+    (:func:`~scraping_etl_spark.operators.urls.canonical_url` — case,
+    default ports, fragments, slash runs, tracking params) and deduped
+    against ALL previously emitted canonical forms, so an aliased
+    re-discovery (``?utm_source=...``, trailing ``#fragment``, ``:443``
+    on https) never re-enters the crawl queue.
+
+    The emitted row keeps the FIRST-arrival original URL alongside its
+    ``canonical_url`` — crawlers fetch the concrete URL they saw, the
+    canonical form is only the identity key. State is one entry per
+    distinct canonical URL: unbounded by default (exact frontier — the
+    visited set a crawler genuinely needs), or watermark-bounded via
+    ``event_time_col`` + ``watermark`` when re-crawling after a horizon
+    is acceptable (periodic refresh crawls WANT expiry: a URL older
+    than the horizon becomes eligible again by construction).
+    """
+    from scraping_etl_spark.operators.urls import canonical_url
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    canon = stream.withColumn("canonical_url", canonical_url(url_col))
+    if watermark is not None:
+        if event_time_col is None:
+            raise ValueError("watermark requires event_time_col")
+        deduped = canon.withWatermark(
+            event_time_col, watermark
+        ).dropDuplicatesWithinWatermark(["canonical_url"])
+    else:
+        deduped = canon.dropDuplicates(["canonical_url"])
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -721,3 +721,72 @@ def test_scd2_dim_stream_intrabatch_collapse_keeps_latest(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].attr == "new" and rows[0].is_current
     assert rows[0].effective_from == datetime.date(2000, 1, 5)
+
+
+def test_frontier_stream_dedups_url_aliases_across_batches(spark, tmp_path):
+    """Streaming crawl-frontier dedup: aliased re-discoveries (tracking
+    params, fragments, default ports, case-shifted hosts) are
+    suppressed across micro-batches by the canonical-URL state; genuine
+    new URLs pass; the emitted row keeps the first-arrival original."""
+    import datetime
+    import os
+
+    from scraping_etl_spark.operators.urls import url_dedup
+    from scraping_etl_spark.streaming.pipeline import frontier_stream
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def rows(spec):
+        return spark.createDataFrame(
+            [
+                (i, u, t0 + datetime.timedelta(minutes=i), 0)
+                for i, u in spec
+            ],
+            "url_id long, url string, discovered_at timestamp, depth int",
+        )
+
+    batch1 = [
+        (1, "HTTP://Example.com:80/a//b/?utm_source=x&q=1#frag"),
+        (2, "https://example.com/landing"),
+    ]
+    rows(batch1).write.parquet(f"{src}/f1")
+
+    def run_once():
+        q = frontier_stream(spark, f"{src}/*", out, ckpt)
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(out)
+    assert first.count() == 2
+    canon = {r.url_id: r.canonical_url for r in first.collect()}
+    assert canon[1] == "http://example.com/a/b?q=1"
+    assert canon[2] == "https://example.com/landing"
+
+    # later batch: two aliases of url 1, one alias of url 2, one fresh
+    batch2 = [
+        (3, "http://example.com/a/b?q=1"),
+        (4, "http://EXAMPLE.com/a/b?q=1&gclid=zzz"),
+        (5, "https://example.com:443/landing#top"),
+        (6, "https://example.com/fresh?b=2&a=1"),
+    ]
+    rows(batch2).write.parquet(f"{src}/f2")
+    run_once()
+    final = spark.read.parquet(out)
+    assert final.count() == 3  # aliases 3/4/5 suppressed, 6 passes
+    got_ids = sorted(r.url_id for r in final.collect())
+    assert got_ids == [1, 2, 6]
+    # sorted-params canonical form for the fresh URL
+    fresh = final.filter(F.col("url_id") == 6).collect()[0]
+    assert fresh.canonical_url == "https://example.com/fresh?a=1&b=2"
+
+    # batch twin agrees on the GROUPS: one survivor per canonical url,
+    # and streaming's first-arrival survivor == batch min-id survivor
+    # (ids are assigned in arrival order above)
+    all_urls = rows(batch1).unionByName(rows(batch2))
+    twin = url_dedup(all_urls, url_col="url", id_col="url_id")
+    twin_map = {r.canonical_url: r.survivor_id for r in twin.collect()}
+    assert len(twin_map) == 3
+    for r in final.collect():
+        assert twin_map[r.canonical_url] == r.url_id
