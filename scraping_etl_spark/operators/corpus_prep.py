@@ -1154,3 +1154,96 @@ def stratified_quantiles_sketch(
         F.expr(f"stack({len(quantiles)}, {stack}) AS (quantile, value)"),
         F.col("_n").alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Consecutive-repeat collapse (normalization counterpart of the Gopher
+# repetition STATS above — with_repetition_stats measures, this repairs)
+# ---------------------------------------------------------------------------
+
+
+def collapse_repeat_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_collapsed",
+) -> DataFrame:
+    """Collapse runs of consecutively repeated tokens to a single
+    occurrence ("the the the cat" -> "the cat") and report how many
+    tokens the collapse removed.
+
+    Scraped text is full of stutter artifacts (menu items rendered
+    twice, OCR line doubling, template echo); Gopher-style filters
+    MEASURE the duplication (:func:`with_repetition_stats`) and drop
+    the worst docs, but mid-range docs are worth keeping after
+    normalization. This is the repair half.
+
+    Scale: ZERO shuffle — a higher-order ``filter`` with the index
+    lambda (keep token i iff it differs from token i-1) and an
+    ``array_join``, all inside whole-stage codegen. No explode, no
+    window, no Python; the doc never leaves its partition. The
+    predecessor lookup uses 0-based ``get`` (null out-of-bounds, so
+    the first token compares null-safely against NULL and is kept —
+    no ANSI index error, unlike ``element_at(…, 0)``). The oracle
+    mirrors it with DuckDB's index lambda
+    (``list_filter((x, i) -> ...)``, 1-based i).
+    """
+    toks = tokens(text_col)
+    kept = F.filter(
+        toks,
+        lambda x, i: ~x.eqNullSafe(F.get(toks, i - F.lit(1))),
+    )
+    return (
+        df.withColumn("_toks_n", F.size(toks))
+        .withColumn(out_col, F.array_join(kept, " "))
+        .withColumn(
+            "n_collapsed", (F.col("_toks_n") - F.size(kept)).cast("long")
+        )
+        .drop("_toks_n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Adaptive per-stratum quality gate (composition: quality score x exact
+# stratified quantiles -> data-driven keep threshold)
+# ---------------------------------------------------------------------------
+
+
+def adaptive_quality_gate(
+    df: DataFrame,
+    keep_frac: float = 0.5,
+    strata_col: str = "lang",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of each stratum by ``score_col``,
+    with the cutoff LEARNED from the data instead of hand-tuned: the
+    threshold is the exact per-stratum ``percentile_disc(1 -
+    keep_frac)`` of the score (via :func:`stratified_quantiles`), and
+    a doc survives iff ``score >= threshold``.
+
+    Fixed global thresholds misbehave across strata — a cutoff tuned
+    on English deletes most of a lower-scoring language wholesale
+    (the known failure mode of quality filtering multilingual
+    corpora). A per-stratum rank cutoff keeps the same FRACTION
+    everywhere. Ties at the threshold are kept (>=), so the realized
+    fraction is >= keep_frac by at most the tie mass — deterministic,
+    not a coin flip.
+
+    Scale: the quantile side collapses to a value histogram first
+    (score is rounded to 6dp upstream, so the domain is bounded at
+    10^6 regardless of corpus size); the threshold relation is one
+    row per stratum and broadcast back; the gate itself is a map-side
+    filter. No corpus-sized shuffle beyond the histogram partial agg.
+    """
+    if not 0 < keep_frac <= 1:
+        raise ValueError(f"keep_frac must be in (0, 1], got {keep_frac}")
+    q = 1.0 - keep_frac
+    if q <= 0:
+        # keep everything: threshold below any score
+        return df.withColumn("threshold", F.lit(0.0))
+    thr = (
+        stratified_quantiles(df, score_col, (q,), strata_col)
+        .select(strata_col, F.col("value").alias("threshold"))
+    )
+    return df.join(F.broadcast(thr), strata_col).filter(
+        F.col(score_col) >= F.col("threshold")
+    )

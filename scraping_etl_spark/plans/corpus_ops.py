@@ -1219,3 +1219,143 @@ ORACLE_DOC_LENGTH_QUANTILES_KLL = ORACLE_DOC_LENGTH_QUANTILES.replace(
     "CAST(min(cdf.n) AS BIGINT) AS n_rows",
     "CAST(min(cdf.n) AS BIGINT) AS n_rows,\n       true AS sketch_within_tol",
 )
+
+
+# ---------------------------------------------------------------------------
+# Consecutive-repeat collapse (corpus_prep.collapse_repeat_tokens gate)
+# ---------------------------------------------------------------------------
+
+def q_doc_collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stutter-repair gate: collapse runs of consecutively repeated
+    tokens and report the collapsed text plus how many tokens were
+    removed. Zero-shuffle (HOF index-lambda filter + array_join);
+    hash-checked against DuckDB's 1-based index lambda."""
+    d = load_table(spark, sf_dir, "documents")
+    return CP.collapse_repeat_tokens(d).select(
+        "doc_id", "text_collapsed", "n_collapsed"
+    )
+
+
+#: keep iff first occurrence in its run — DuckDB lambda is 1-based.
+_COLLAPSED = f"list_filter({_TOKS}, (x, i) -> i = 1 OR ({_TOKS})[i - 1] <> x)"
+
+ORACLE_DOC_COLLAPSE_REPEATS = f"""
+SELECT doc_id,
+       array_to_string({_COLLAPSED}, ' ') AS text_collapsed,
+       CAST(len({_TOKS}) - len({_COLLAPSED}) AS BIGINT) AS n_collapsed
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Adaptive per-language quality gate (corpus_prep.adaptive_quality_gate)
+# ---------------------------------------------------------------------------
+
+#: Gate knob: keep the top half of every language.
+_AQ_KEEP = 0.5
+
+
+def q_doc_adaptive_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality gate: per-language percentile-disc(0.5) cutoff
+    learned from the data (exact histogram-CDF quantile), docs kept iff
+    score >= their language's threshold. Output is every surviving doc
+    with its score and the threshold that admitted it."""
+    from scraping_etl_spark.operators.textstats import with_quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return CP.adaptive_quality_gate(
+        with_quality_score(d), keep_frac=_AQ_KEEP
+    ).select("doc_id", "lang", "quality_score", "threshold")
+
+
+ORACLE_DOC_ADAPTIVE_QUALITY = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         round(0.4 * least(len({_TOKS}) / 200.0, 1.0)
+             + 0.4 * (len(list_distinct({_TOKS}))
+                      / greatest(len({_TOKS}), 1))
+             + 0.2 * least((len(list_filter({_LTOKS},
+                                 x -> x IN ('the','a','of','and','to',
+                                            'in','is','for','on','with')))
+                            / greatest(len({_TOKS}), 1)) / 0.08, 1.0),
+               6) AS quality_score
+  FROM documents
+),
+hist AS (
+  SELECT lang, quality_score AS v, count(*) AS f FROM scored GROUP BY 1, 2
+),
+cdf AS (
+  SELECT lang, v,
+         sum(f) OVER (PARTITION BY lang ORDER BY v) AS cum,
+         sum(f) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+thr AS (
+  SELECT lang, min(v) AS threshold
+  FROM cdf
+  WHERE cum >= ceil(CAST({1.0 - _AQ_KEEP} AS DOUBLE) * n)
+  GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.quality_score, t.threshold
+FROM scored s JOIN thr t ON s.lang = t.lang
+WHERE s.quality_score >= t.threshold
+"""
+
+
+# ---------------------------------------------------------------------------
+# Count-min heavy hitters (operators/sketches.py gate)
+# ---------------------------------------------------------------------------
+
+_HH_K = 20
+
+
+def q_doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch tier of the token-frequency profile as a
+    BOUNDED-TOLERANCE gate (same construction as
+    ``doc_length_quantiles_kll`` / ``doc_corpus_profile_hll``): sketch
+    internals are engine-specific (xxhash64 counters), so the query
+    emits the EXACT top-k counts (hash-checked) plus verdicts that
+    every CMS point estimate obeys the sketch's two-sided contract —
+    never an undercount, and overcount <= ceil(eps*N) with
+    eps = e/width (Cormode & Muthukrishnan 2005, Thm 1). N is read
+    off the sketch itself (sum of one hash row) and joined via the
+    non-foldable 1-row key that keeps the join a BHJ. The production
+    query is the sketch pair (sketches.cms_build / cms_estimate)."""
+    import math
+
+    from scraping_etl_spark.operators import sketches as SK
+
+    d = load_table(spark, sf_dir, "documents")
+    exact = vocab_topk(d, k=_HH_K)
+    sketch = SK.cms_build(d).localCheckpoint()
+    est = SK.cms_estimate(exact, sketch)
+    n_total = (
+        sketch.filter(F.col("seed") == 0)
+        .agg(F.sum("cnt").alias("_n"))
+        .withColumn("_k", F.pmod(F.xxhash64(F.col("_n")), F.lit(1)))
+    )
+    eps = math.e / SK.CMS_WIDTH
+    return (
+        est.withColumn("_k", F.pmod(F.xxhash64("token"), F.lit(1)))
+        .join(F.broadcast(n_total), "_k")
+        .select(
+            "token",
+            "n_occ",
+            "n_docs",
+            "rank",
+            (F.col("cms_est") >= F.col("n_occ")).alias("cms_ge_exact"),
+            (
+                F.col("cms_est")
+                <= F.col("n_occ") + F.ceil(F.lit(eps) * F.col("_n"))
+            ).alias("cms_within_tol"),
+        )
+    )
+
+
+ORACLE_DOC_HEAVY_HITTERS = ORACLE_DOC_VOCAB_TOPK.replace(
+    f"LIMIT {_VOCAB_K}", f"LIMIT {_HH_K}"
+).replace(
+    "AS INTEGER) AS rank",
+    "AS INTEGER) AS rank,\n       true AS cms_ge_exact,\n"
+    "       true AS cms_within_tol",
+)

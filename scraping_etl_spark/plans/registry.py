@@ -61,6 +61,16 @@ Round-8 fourth amendment: ``snapshot_diff`` and ``doc_dq_profile``
 (operators/snapshot.py — incremental lake diff + ingest DQ gate) seat
 as new gates, paid for by rotating ``doc_split_corpus`` and
 ``doc_oov_ratio`` (r7-green, untouched) to the tail — 82 entries.
+
+Round-8 fifth amendment: ``doc_collapse_repeats`` (zero-shuffle
+stutter repair, corpus_prep.collapse_repeat_tokens),
+``doc_adaptive_quality`` (per-language percentile-learned quality
+cutoff, corpus_prep.adaptive_quality_gate) and ``doc_heavy_hitters``
+(count-min-sketch frequency tier with a bounded-tolerance verdict,
+operators/sketches.py) seat as new gates, paid for by rotating
+``doc_pii_scrub``, ``doc_repetition_stats`` and ``doc_domain_mix``
+(r7-green, operators untouched since their last driver row) to the
+tail — 85 entries.
 """
 
 from __future__ import annotations
@@ -309,15 +319,16 @@ QUERIES: list[QuerySpec] = [
         "embedding-cosine near-dup pairs via sign-signature blocking",
     ),
     QuerySpec(
-        "doc_pii_scrub", C.q_doc_pii_scrub, C.ORACLE_DOC_PII_SCRUB,
-        "ordered regexp_replace PII redaction + per-category counts "
-        "(corpus_prep.scrub_pii)",
+        "doc_collapse_repeats", C.q_doc_collapse_repeats,
+        C.ORACLE_DOC_COLLAPSE_REPEATS,
+        "zero-shuffle consecutive-repeat-token collapse "
+        "(corpus_prep.collapse_repeat_tokens)",
     ),
     QuerySpec(
-        "doc_repetition_stats", C.q_doc_repetition_stats,
-        C.ORACLE_DOC_REPETITION_STATS,
-        "Gopher-style dup-token/trigram + modal-bigram repetition "
-        "signals (corpus_prep.with_repetition_stats)",
+        "doc_adaptive_quality", C.q_doc_adaptive_quality,
+        C.ORACLE_DOC_ADAPTIVE_QUALITY,
+        "per-language percentile-learned quality cutoff gate "
+        "(corpus_prep.adaptive_quality_gate)",
     ),
     QuerySpec(
         "doc_decontaminate", C.q_doc_decontaminate, C.ORACLE_DOC_DECONTAMINATE,
@@ -325,9 +336,10 @@ QUERIES: list[QuerySpec] = [
         "(corpus_prep.decontaminate)",
     ),
     QuerySpec(
-        "doc_domain_mix", C.q_doc_domain_mix, C.ORACLE_DOC_DOMAIN_MIX,
-        "deterministic md5-bucket stratified sampling to a target mix "
-        "(corpus_prep.domain_mix_sample)",
+        "doc_heavy_hitters", C.q_doc_heavy_hitters,
+        C.ORACLE_DOC_HEAVY_HITTERS,
+        "count-min-sketch token-frequency tier, bounded-tolerance gate "
+        "(operators/sketches.py)",
     ),
     QuerySpec(
         "doc_pack_sequences", C.q_doc_pack_sequences,
@@ -503,6 +515,22 @@ QUERIES: list[QuerySpec] = [
     QuerySpec(
         "events_props_struct", M.q_events_props_struct, M.ORACLE_EVENTS_PROPS_STRUCT,
         "from_json struct parse + agg (F14)",
+    ),
+    QuerySpec(
+        "doc_pii_scrub", C.q_doc_pii_scrub, C.ORACLE_DOC_PII_SCRUB,
+        "ordered regexp_replace PII redaction + per-category counts "
+        "(corpus_prep.scrub_pii)",
+    ),
+    QuerySpec(
+        "doc_repetition_stats", C.q_doc_repetition_stats,
+        C.ORACLE_DOC_REPETITION_STATS,
+        "Gopher-style dup-token/trigram + modal-bigram repetition "
+        "signals (corpus_prep.with_repetition_stats)",
+    ),
+    QuerySpec(
+        "doc_domain_mix", C.q_doc_domain_mix, C.ORACLE_DOC_DOMAIN_MIX,
+        "deterministic md5-bucket stratified sampling to a target mix "
+        "(corpus_prep.domain_mix_sample)",
     ),
 ]
 

@@ -1,0 +1,192 @@
+"""Units for the round-8 additions: count-min sketch
+(operators/sketches.py), consecutive-repeat collapse and the adaptive
+per-stratum quality gate (operators/corpus_prep.py) — the edge cases
+the DuckDB hash gates can't distinguish (empty inputs, degenerate
+geometry, tie handling, the CMS error contract under forced
+collisions)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from scraping_etl_spark.operators import corpus_prep as CP
+from scraping_etl_spark.operators import sketches as SK
+from scraping_etl_spark.operators.textstats import with_quality_score
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# collapse_repeat_tokens
+# ---------------------------------------------------------------------------
+
+def test_collapse_basic_run(spark):
+    df = _docs(spark, [(1, "the the the cat sat sat on the mat")])
+    row = CP.collapse_repeat_tokens(df).collect()[0]
+    assert row.text_collapsed == "the cat sat on the mat"
+    assert row.n_collapsed == 3
+
+
+def test_collapse_preserves_nonadjacent_repeats(spark):
+    """Only CONSECUTIVE repeats collapse — a token reappearing later
+    stays (that's content, not stutter)."""
+    df = _docs(spark, [(1, "a b a b a")])
+    row = CP.collapse_repeat_tokens(df).collect()[0]
+    assert row.text_collapsed == "a b a b a"
+    assert row.n_collapsed == 0
+
+
+def test_collapse_single_token_and_empty(spark):
+    df = _docs(spark, [(1, "word"), (2, ""), (3, "   ")])
+    rows = {r.doc_id: r for r in CP.collapse_repeat_tokens(df).collect()}
+    assert rows[1].text_collapsed == "word"
+    assert rows[1].n_collapsed == 0
+    assert rows[2].text_collapsed == ""
+    assert rows[2].n_collapsed == 0
+    assert rows[3].text_collapsed == ""
+    assert rows[3].n_collapsed == 0
+
+
+def test_collapse_whole_doc_one_run(spark):
+    df = _docs(spark, [(1, "x x x x x")])
+    row = CP.collapse_repeat_tokens(df).collect()[0]
+    assert row.text_collapsed == "x"
+    assert row.n_collapsed == 4
+
+
+def test_collapse_is_zero_shuffle(spark):
+    """Plan contract: no Exchange anywhere — the collapse is a pure
+    projection."""
+    df = _docs(spark, [(1, "a a b")])
+    plan = CP.collapse_repeat_tokens(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_collapse_idempotent(spark):
+    """Collapsing twice is the same as once (fixpoint after one pass:
+    no adjacent equal pair survives)."""
+    df = _docs(spark, [(1, "a a a b b c a a")])
+    once = CP.collapse_repeat_tokens(df).select(
+        "doc_id", F.col("text_collapsed").alias("text")
+    )
+    twice = CP.collapse_repeat_tokens(once).collect()[0]
+    assert twice.text_collapsed == "a b c a"
+    assert twice.n_collapsed == 0
+
+
+# ---------------------------------------------------------------------------
+# adaptive_quality_gate
+# ---------------------------------------------------------------------------
+
+def _scored(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    return with_quality_score(df)
+
+
+def test_adaptive_gate_per_stratum_cutoff(spark):
+    """Each language gets its OWN cutoff: a stratum of low scorers
+    still keeps ~half its docs rather than being wiped by the other
+    stratum's threshold."""
+    rich = [(i, "en", "the quick brown fox jumps over lazy dog number %d" % i)
+            for i in range(10)]
+    poor = [(100 + i, "xx", "blah blah") for i in range(10)]
+    out = CP.adaptive_quality_gate(_scored(spark, rich + poor), keep_frac=0.5)
+    by_lang = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    # ties can push kept count above half, never below
+    assert by_lang.get("en", 0) >= 5
+    assert by_lang.get("xx", 0) >= 5  # identical scores → all tie at threshold
+
+
+def test_adaptive_gate_keep_all(spark):
+    out = CP.adaptive_quality_gate(
+        _scored(spark, [(1, "en", "one two"), (2, "en", "three four")]),
+        keep_frac=1.0,
+    )
+    assert out.count() == 2
+
+
+def test_adaptive_gate_threshold_is_observed_score(spark):
+    """percentile_disc contract: the threshold is an actual score from
+    the stratum (no interpolation), and every survivor clears it."""
+    rows = [(i, "en", " ".join(f"w{j}" for j in range(i + 1))) for i in range(8)]
+    out = CP.adaptive_quality_gate(_scored(spark, rows), keep_frac=0.25)
+    got = out.collect()
+    assert got, "gate must keep at least the top quartile"
+    scores = {r.quality_score for r in _scored(spark, rows).collect()}
+    for r in got:
+        assert r.threshold in scores
+        assert r.quality_score >= r.threshold
+
+
+def test_adaptive_gate_rejects_bad_frac(spark):
+    df = _scored(spark, [(1, "en", "a b")])
+    with pytest.raises(ValueError):
+        CP.adaptive_quality_gate(df, keep_frac=0.0)
+    with pytest.raises(ValueError):
+        CP.adaptive_quality_gate(df, keep_frac=1.5)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+def test_cms_never_undercounts_and_respects_eps(spark):
+    """The two-sided CMS contract on a corpus with known counts, using
+    a DELIBERATELY tiny width so collisions actually occur."""
+    rows = [(i, ("alpha " * 50 + "beta " * 20 + f"tail{i % 37}").strip())
+            for i in range(40)]
+    df = _docs(spark, rows)
+    width, depth = 16, 4
+    sk = SK.cms_build(df, width=width, depth=depth)
+    exact = (
+        df.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    est = SK.cms_estimate(exact, sk, width=width, depth=depth).collect()
+    n_total = sum(r.n_occ for r in est)  # exact covers every token
+    eps_n = math.e / width * n_total
+    for r in est:
+        assert r.cms_est >= r.n_occ, r
+        assert r.cms_est <= r.n_occ + eps_n, (r, eps_n)
+
+
+def test_cms_sketch_size_bounded(spark):
+    """The sketch relation never exceeds depth x width rows no matter
+    the vocabulary."""
+    rows = [(i, " ".join(f"tok{i}_{j}" for j in range(30))) for i in range(50)]
+    sk = SK.cms_build(_docs(spark, rows), width=32, depth=3)
+    assert sk.count() <= 32 * 3
+
+
+def test_cms_unseen_token_estimates_present(spark):
+    """A candidate never seen in the corpus gets a (possibly colliding,
+    never-null) estimate after the left join + coalesce."""
+    df = _docs(spark, [(1, "a a b")])
+    sk = SK.cms_build(df, width=8, depth=2)
+    cands = spark.createDataFrame([("zzz-not-there",)], "token string")
+    row = SK.cms_estimate(cands, sk, width=8, depth=2).collect()[0]
+    assert row.cms_est is not None and row.cms_est >= 0
+
+
+def test_cms_rejects_bad_geometry(spark):
+    df = _docs(spark, [(1, "a")])
+    with pytest.raises(ValueError):
+        SK.cms_build(df, width=1)
+    with pytest.raises(ValueError):
+        SK.cms_build(df, depth=0)
+
+
+def test_cms_deterministic_across_repartition(spark):
+    """Plan-constant hashes: the sketch is identical no matter the
+    input partitioning."""
+    rows = [(i, f"w{i % 7} w{i % 5} common") for i in range(60)]
+    a = SK.cms_build(_docs(spark, rows).repartition(1), width=64, depth=3)
+    b = SK.cms_build(_docs(spark, rows).repartition(13), width=64, depth=3)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
