@@ -1,0 +1,125 @@
+"""Host-graph PageRank for crawl prioritization.
+
+The reference engine is a scraper (ScienceDirect/IEEE Selenium
+drivers); the operational question it never answers is WHICH hosts
+deserve crawl budget. PageRank over the host link graph is the
+classic answer (Page et al. 1999; Cho & Garcia-Molina 1998 use it
+directly for crawl ordering). This module implements power iteration
+as pure DataFrame algebra:
+
+- each iteration is ONE hash equi-join (ranks x edges on ``src``)
+  plus ONE partial-aggregated ``groupBy(dst)`` — the same
+  per-round shape as the connected-components operator
+  (``dedup.dedup_clusters``), with ``localCheckpoint`` truncating
+  lineage so N rounds never stack into one mega-plan;
+- dangling mass (nodes with no out-edges) is folded back uniformly
+  through a 1-row scalar relation joined via the non-foldable
+  ``pmod(xxhash64(...), 1)`` key (the ``with_lm_score`` convention —
+  keeps the join a BHJ, never a cross join);
+- ALL rank arithmetic is integer fixed-point: ranks live in 1e-12
+  units (BIGINT), per-edge contributions are integer division by
+  out-degree, damping is the rational 17/20 applied as integer
+  multiply-then-divide. Integer sums are associative-commutative —
+  the result is bit-identical across partitionings, executors and
+  engines, which is what lets a DuckDB oracle reproduce the fixpoint
+  EXACTLY (the ``token_divergence`` fixed-point trick, applied to an
+  iterative algorithm). The quantization error is <= out_deg ulps of
+  1e-12 per node per round — deterministic, documented, and ~1e-9
+  relative at web-graph degrees.
+
+Scale: state per iteration is one row per node and one shuffle each
+for the join and the agg, both keyed on node id — hash-partitioned,
+skew handled by AQE (a mega-host's in-links split like any hot key).
+Nothing is collected to the driver; the dangling term is an O(1)-row
+scalar aggregate, same cost class as the clusters fixpoint probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Fixed-point scale: ranks are BIGINT multiples of 1e-12.
+PR_SCALE = 1_000_000_000_000
+
+#: Damping 0.85 as a rational — integer multiply/divide, no doubles.
+PR_DAMP_NUM = 17
+PR_DAMP_DEN = 20
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """``n_iter`` rounds of damped power iteration over ``edges``
+    (duplicate edges count as parallel links — a host linking twice
+    sends twice the mass; pre-``distinct`` the input for simple-graph
+    semantics).
+
+    Returns ``(node, rank_fx)`` — the fixed-point rank in 1e-12 units
+    (``rank_fx / 1e12`` sums to ~1 over all nodes, minus the
+    documented floor-division dust). Deterministic: same edges in any
+    partitioning/order → bit-identical ranks.
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()  # O(1)-row scalar, driver-safe
+    out_deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+
+    init_fx = PR_SCALE // n_nodes
+    teleport_fx = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (
+        PR_DAMP_DEN * n_nodes
+    )
+
+    ranks = nodes.withColumn("rank_fx", F.lit(init_fx).cast("long"))
+    for _ in range(n_iter):
+        with_deg = ranks.join(
+            out_deg, ranks["node"] == out_deg["_src"], "left"
+        ).select("node", "rank_fx", "_deg")
+        # per-edge contribution: EXACT integer division by out-degree
+        # (`div`, not `/` — the latter routes through double and can
+        # round up across an integer boundary the oracle floors)
+        contrib = (
+            with_deg.filter(F.col("_deg").isNotNull())
+            .join(e, F.col("node") == F.col("_src"))
+            .select(
+                F.col("_dst").alias("node"),
+                F.expr("rank_fx div _deg").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_inflow"))
+        )
+        # dangling mass -> uniform redistribution (1-row scalar, BHJ
+        # via the non-foldable always-0 key)
+        dangling = (
+            with_deg.filter(F.col("_deg").isNull())
+            .agg(F.coalesce(F.sum("rank_fx"), F.lit(0)).alias("_dm"))
+            .withColumn("_k", F.pmod(F.xxhash64(F.col("_dm")), F.lit(1)))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .withColumn("_k", F.pmod(F.xxhash64("node"), F.lit(1)))
+            .join(F.broadcast(dangling), "_k")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({teleport_fx} AS BIGINT) + "
+                    f"({PR_DAMP_NUM} * (coalesce(_inflow, 0) + "
+                    f"(_dm div {n_nodes}))) div {PR_DAMP_DEN}"
+                ).alias("rank_fx"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -772,3 +772,115 @@ SELECT a.cluster,
 FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Host-graph PageRank (operators/graph.py gate) — crawl prioritization
+# ---------------------------------------------------------------------------
+
+_PR_ITER = 5
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-prioritization gate: PageRank over a deterministic host
+    link graph derived from the documents table (one out-link per doc,
+    from its source host to the host at index ``doc_id % n_hosts`` —
+    except every third doc links to host 0, making it a genuine hub so
+    the fixpoint is non-uniform and the hash gate has teeth; a pure
+    function of the data either way, so the oracle reproduces the same
+    multigraph). Integer fixed-point power iteration
+    (operators/graph.py) makes the 5-round fixpoint bit-identical on
+    both engines; ``rank`` is the readable double, ``rank_fx`` the
+    exact gate value."""
+    from scraping_etl_spark.operators.graph import PR_SCALE, pagerank
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    hosts = (
+        d.select("source").distinct()
+        .withColumn(
+            "idx",
+            F.row_number().over(Window.orderBy("source")) - 1,
+        )
+    )
+    n_hosts = hosts.count()
+    edges = d.select(
+        F.col("source").alias("src"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(0))
+        .otherwise(F.col("doc_id") % n_hosts)
+        .cast("int")
+        .alias("_i"),
+    ).join(
+        F.broadcast(hosts), F.col("_i") == F.col("idx")
+    ).select("src", F.col("source").alias("dst"))
+    ranks = pagerank(edges, n_iter=_PR_ITER)
+    return ranks.select(
+        F.col("node").alias("host"),
+        "rank_fx",
+        F.round(F.col("rank_fx") / F.lit(float(PR_SCALE)), 8).alias("rank"),
+    )
+
+
+def _pagerank_oracle_sql(n_iter: int) -> str:
+    """Unrolled-CTE DuckDB twin of q_host_pagerank: identical integer
+    fixed-point algebra (BIGINT ranks in 1e-12 units, floor division
+    by out-degree, damping 17/20 as integer multiply-then-divide), one
+    CTE layer per power-iteration round."""
+    from scraping_etl_spark.operators.graph import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_SCALE,
+    )
+
+    parts = [f"""
+WITH hosts AS (
+  SELECT source AS node,
+         row_number() OVER (ORDER BY source) - 1 AS idx
+  FROM (SELECT DISTINCT source FROM documents)
+),
+nn AS (SELECT count(*) AS n FROM hosts),
+edges AS (
+  SELECT d.source AS src, h.node AS dst
+  FROM documents d
+  JOIN hosts h
+    ON h.idx = CASE WHEN d.doc_id % 3 = 0 THEN 0
+                    ELSE d.doc_id % (SELECT n FROM nn) END
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+r0 AS (
+  SELECT node,
+         CAST({PR_SCALE} // (SELECT n FROM nn) AS BIGINT) AS rank_fx
+  FROM hosts
+)"""]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(f""",
+c{i} AS (
+  SELECT e.dst AS node, sum(r.rank_fx // d.deg) AS inflow
+  FROM r{p} r JOIN deg d ON r.node = d.src
+  JOIN edges e ON e.src = r.node
+  GROUP BY 1
+),
+d{i} AS (
+  SELECT coalesce(sum(rank_fx), 0) AS dm
+  FROM r{p} WHERE node NOT IN (SELECT src FROM deg)
+),
+r{i} AS (
+  SELECT h.node,
+         CAST(({PR_SCALE} * {PR_DAMP_DEN - PR_DAMP_NUM})
+                // ({PR_DAMP_DEN} * (SELECT n FROM nn))
+              + ({PR_DAMP_NUM} * (coalesce(c.inflow, 0)
+                                  + (SELECT dm FROM d{i})
+                                    // (SELECT n FROM nn)))
+                // {PR_DAMP_DEN} AS BIGINT) AS rank_fx
+  FROM hosts h LEFT JOIN c{i} c ON h.node = c.node
+)""")
+    parts.append(f"""
+SELECT node AS host, rank_fx,
+       round(rank_fx / {float(PR_SCALE)!r}, 8) AS rank
+FROM r{n_iter}
+""")
+    return "".join(parts)
+
+
+ORACLE_HOST_PAGERANK = _pagerank_oracle_sql(_PR_ITER)

@@ -71,6 +71,12 @@ operators/sketches.py) seat as new gates, paid for by rotating
 ``doc_pii_scrub``, ``doc_repetition_stats`` and ``doc_domain_mix``
 (r7-green, operators untouched since their last driver row) to the
 tail — 85 entries.
+
+Round-8 sixth amendment: ``host_pagerank`` (crawl-prioritization
+PageRank over a deterministic host graph; integer fixed-point power
+iteration, operators/graph.py) seats as a new gate, paid for by
+rotating ``doc_decontaminate`` (r7-green, operator untouched since
+its r7 driver row) to the tail — 86 entries.
 """
 
 from __future__ import annotations
@@ -331,9 +337,9 @@ QUERIES: list[QuerySpec] = [
         "(corpus_prep.adaptive_quality_gate)",
     ),
     QuerySpec(
-        "doc_decontaminate", C.q_doc_decontaminate, C.ORACLE_DOC_DECONTAMINATE,
-        "GPT-3-style 5-gram benchmark decontamination "
-        "(corpus_prep.decontaminate)",
+        "host_pagerank", CR.q_host_pagerank, CR.ORACLE_HOST_PAGERANK,
+        "crawl-prioritization PageRank, integer fixed-point power "
+        "iteration (operators/graph.py)",
     ),
     QuerySpec(
         "doc_heavy_hitters", C.q_doc_heavy_hitters,
@@ -531,6 +537,11 @@ QUERIES: list[QuerySpec] = [
         "doc_domain_mix", C.q_doc_domain_mix, C.ORACLE_DOC_DOMAIN_MIX,
         "deterministic md5-bucket stratified sampling to a target mix "
         "(corpus_prep.domain_mix_sample)",
+    ),
+    QuerySpec(
+        "doc_decontaminate", C.q_doc_decontaminate, C.ORACLE_DOC_DECONTAMINATE,
+        "GPT-3-style 5-gram benchmark decontamination "
+        "(corpus_prep.decontaminate)",
     ),
 ]
 

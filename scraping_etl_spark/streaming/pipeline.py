@@ -796,3 +796,76 @@ def frontier_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def heavy_hitters_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType = schemas.DOCUMENTS,
+    text_col: str = "text",
+    width: int | None = None,
+    depth: int | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming token-frequency monitor — the streaming twin of the
+    count-min tier (``operators/sketches.py``), exploiting the CMS's
+    defining algebraic property: sketches over disjoint corpora MERGE
+    by cell-wise addition, exactly (no approximation is introduced by
+    the split — Cormode & Muthukrishnan 2005 §4.1). That makes the
+    sketch the right frequency state for an unbounded stream: the
+    exact running token counts would grow with the vocabulary, the
+    sketch stays depth x width forever.
+
+    Each micro-batch builds its own sketch (one bounded groupBy over
+    the batch) and lands it under a ``batch_id=N`` partition with
+    dynamic partition overwrite — the fact-path replay convention
+    (:func:`corpus_prep_stream`): a replayed batch overwrites its own
+    partition with identical cells, so failure/replay never double
+    counts. The merged view is :func:`read_cms_sketch`, a sum over
+    cells at read time — bounded by depth x width x n_batches rows in,
+    depth x width out. (A compaction job can fold old partitions into
+    one at any time; addition is associative.)
+
+    Because the per-batch hashes are plan constants, per-batch build +
+    cell addition equals the batch operator over the union corpus
+    BIT-FOR-BIT — the equivalence the twin test asserts.
+    """
+    from scraping_etl_spark.operators import sketches as SK
+
+    w = width if width is not None else SK.CMS_WIDTH
+    d = depth if depth is not None else SK.CMS_DEPTH
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        sk = SK.cms_build(batch_df, text_col=text_col, width=w, depth=d)
+        (
+            sk.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sketch_dir)
+        )
+
+    writer = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_cms_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
+    """Merge the per-batch CMS partitions into the current sketch —
+    cell-wise addition over (seed, bucket)."""
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy("seed", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

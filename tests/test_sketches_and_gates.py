@@ -190,3 +190,60 @@ def test_cms_deterministic_across_repartition(spark):
     a = SK.cms_build(_docs(spark, rows).repartition(1), width=64, depth=3)
     b = SK.cms_build(_docs(spark, rows).repartition(13), width=64, depth=3)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# ---------------------------------------------------------------------------
+# pagerank (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_pagerank_mass_conserved_and_hub_wins(spark):
+    from scraping_etl_spark.operators.graph import PR_SCALE, pagerank
+
+    e = _edges(spark, [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a")])
+    r = {x["node"]: x["rank_fx"] for x in pagerank(e, n_iter=40).collect()}
+    # mass conserved up to floor-division dust (<= n_nodes ulps/round)
+    assert abs(sum(r.values()) - PR_SCALE) <= 40 * 4
+    # converged ordering: hub > a > b = c (analytic fixpoint
+    # hub ~ 0.4794, a ~ 0.4456, b = c = teleport 0.0375)
+    assert r["hub"] > r["a"] > r["b"] == r["c"]
+
+
+def test_pagerank_dangling_mass_redistributes(spark):
+    from scraping_etl_spark.operators.graph import PR_SCALE, pagerank
+
+    e = _edges(spark, [("a", "d"), ("b", "d")])  # d has no out-edges
+    r = {x["node"]: x["rank_fx"] for x in pagerank(e, n_iter=5).collect()}
+    assert abs(sum(r.values()) - PR_SCALE) <= 5 * 3
+    assert r["d"] > r["a"] == r["b"]
+
+
+def test_pagerank_deterministic_across_partitioning(spark):
+    from scraping_etl_spark.operators.graph import pagerank
+
+    pairs = [(f"h{i % 7}", f"h{(i * 3) % 7}") for i in range(100)]
+    a = {x["node"]: x["rank_fx"]
+         for x in pagerank(_edges(spark, pairs), n_iter=8).collect()}
+    b = {x["node"]: x["rank_fx"]
+         for x in pagerank(_edges(spark, pairs).repartition(11), n_iter=8).collect()}
+    assert a == b
+
+
+def test_pagerank_parallel_edges_weigh_double(spark):
+    """Duplicate edges are parallel links: two a->b links send twice
+    the per-link mass a->c gets from one."""
+    from scraping_etl_spark.operators.graph import pagerank
+
+    e = _edges(spark, [("a", "b"), ("a", "b"), ("a", "c"), ("b", "a"), ("c", "a")])
+    r = {x["node"]: x["rank_fx"] for x in pagerank(e, n_iter=30).collect()}
+    assert r["b"] > r["c"]
+
+
+def test_pagerank_rejects_bad_iter(spark):
+    from scraping_etl_spark.operators.graph import pagerank
+
+    with pytest.raises(ValueError):
+        pagerank(_edges(spark, [("a", "b")]), n_iter=0)

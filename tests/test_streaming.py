@@ -790,3 +790,60 @@ def test_frontier_stream_dedups_url_aliases_across_batches(spark, tmp_path):
     assert len(twin_map) == 3
     for r in final.collect():
         assert twin_map[r.canonical_url] == r.url_id
+
+
+def test_heavy_hitters_stream_merges_to_batch_sketch(spark, tmp_path):
+    """CMS mergeability twin: per-micro-batch sketches summed at read
+    time equal the batch operator's sketch over the union corpus
+    BIT-FOR-BIT (plan-constant hashes), and a forced full replay
+    (checkpoint wiped, sketch dir kept) converges to the same cells —
+    each batch overwrites its own batch_id partition, never double
+    counting."""
+    import os
+    import shutil
+
+    from scraping_etl_spark.operators import sketches as SK
+    from scraping_etl_spark.streaming.pipeline import (
+        heavy_hitters_stream,
+        read_cms_sketch,
+    )
+
+    src, skdir, ckpt = (str(tmp_path / d) for d in ("src", "sk", "ckpt"))
+    os.makedirs(src)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    docs.filter("doc_id % 2 = 0").write.parquet(f"{src}/f1")
+    docs.filter("doc_id % 2 = 1").write.parquet(f"{src}/f2")
+
+    def run_once():
+        q = heavy_hitters_stream(
+            spark, f"{src}/*", skdir, ckpt,
+            width=64, depth=3, max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # two micro-batches landed as separate partitions
+    batches = {
+        r.batch_id
+        for r in spark.read.parquet(skdir).select("batch_id").distinct().collect()
+    }
+    assert len(batches) == 2
+
+    merged = {
+        (r.seed, r.bucket): r.cnt
+        for r in read_cms_sketch(spark, skdir).collect()
+    }
+    batch = {
+        (r.seed, r.bucket): r.cnt
+        for r in SK.cms_build(docs, width=64, depth=3).collect()
+    }
+    assert merged == batch
+
+    # replay: wipe the checkpoint, keep the sketch dir -> same cells
+    shutil.rmtree(ckpt)
+    run_once()
+    replayed = {
+        (r.seed, r.bucket): r.cnt
+        for r in read_cms_sketch(spark, skdir).collect()
+    }
+    assert replayed == batch
