@@ -111,19 +111,28 @@ def quantize_embedding(vec: Column, bits: int = 8) -> Column:
     deterministic arithmetic (half-away-from-zero rounding in both
     Spark and DuckDB), so the quantized search path is fully
     hash-gateable — no float-fuzz exemptions. The input array is bound
-    once (single-evaluation hazard, see the dedup module)."""
+    once, and the scale is double-bound as a struct field (the
+    ``normalize_embedding`` hazard: a raw ``array_max`` EXPRESSION
+    referenced inside the per-element lambda would re-run the O(dim)
+    scan per element — O(dim²) per row)."""
     from scraping_etl_spark.operators.dedup import _bind
 
     qmax = float(2 ** (bits - 1) - 1)
 
-    def _q(v: Column) -> Column:
+    def _with_scale(v: Column) -> Column:
         mx = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
-        scale = F.when(mx > 0, F.lit(qmax) / mx).otherwise(F.lit(0.0))
-        return F.transform(
-            v, lambda x: F.round(x.cast("double") * scale, 0).cast("int")
+        return F.struct(
+            v.alias("v"),
+            F.when(mx > 0, F.lit(qmax) / mx).otherwise(F.lit(0.0)).alias("s"),
         )
 
-    return _bind(vec, _q)
+    def _quantize(s: Column) -> Column:
+        return F.transform(
+            s["v"],
+            lambda x: F.round(x.cast("double") * s["s"], 0).cast("int"),
+        )
+
+    return _bind(_bind(vec, _with_scale), _quantize)
 
 
 def _hyperplane(dim: int, plane: int) -> list[int]:
@@ -349,16 +358,25 @@ def normalize_embedding(vec: Column) -> Column:
     oracles mirror, and each element division is a single IEEE op.
     On the unit sphere squared-L2 ranking ≡ cosine ranking, which is
     what lets :func:`semantic_dedup_pairs` use L2 centroids for a
-    cosine criterion."""
+    cosine criterion.
+
+    The norm is bound as a struct FIELD alongside the vector, and the
+    struct itself is DOUBLE-bound so every reference to it is a
+    lambda-variable field access: referencing the raw ``l2_norm``
+    EXPRESSION inside ``transform`` would re-run the O(dim) fold per
+    element — O(dim²) per row, measured 12x slower at 20k × dim-64."""
     from scraping_etl_spark.operators.dedup import _bind
 
-    def _n(v: Column) -> Column:
-        nrm = l2_norm(v)
-        return F.when(
-            nrm > 0, F.transform(v, lambda x: x.cast("double") / nrm)
-        ).otherwise(F.transform(v, lambda x: x.cast("double")))
+    def _with_norm(v: Column) -> Column:
+        return F.struct(v.alias("v"), l2_norm(v).alias("n"))
 
-    return _bind(vec, _n)
+    def _divide(s: Column) -> Column:
+        return F.when(
+            s["n"] > 0,
+            F.transform(s["v"], lambda x: x.cast("double") / s["n"]),
+        ).otherwise(F.transform(s["v"], lambda x: x.cast("double")))
+
+    return _bind(_bind(vec, _with_norm), _divide)
 
 
 def cluster_assign_arrow(

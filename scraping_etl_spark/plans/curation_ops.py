@@ -715,7 +715,7 @@ WITH keyed AS (
            ln(1.0 + n_chars)
            + (- ln(- ln(
                ((('0x' || substr(md5('{_GUM_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-                 ::DOUBLE + 0.5) / {float(1 << 60)!r}))),
+                 ::DOUBLE + 0.5) / {float(1 << 60)!r})))),
            6) AS gumbel_key
   FROM documents
 )

@@ -77,6 +77,19 @@ PageRank over a deterministic host graph; integer fixed-point power
 iteration, operators/graph.py) seats as a new gate, paid for by
 rotating ``doc_decontaminate`` (r7-green, operator untouched since
 its r7 driver row) to the tail — 86 entries.
+
+Round-8 seventh amendment: ``doc_winnow_pairs`` (MOSS winnowing
+candidates, dedup.winnow_fingerprints), ``doc_gumbel_sample``
+(deterministic Gumbel-top-k weighted sampling, curation) and
+``emb_cluster_profile`` (per-cluster rollup over the trained IVF
+index) seat as new gates, paid for by rotating
+``doc_pack_sequences``, ``event_interval_join`` and
+``doc_vocab_topk`` (r7-green, operators untouched) to the tail —
+89 entries. The window also retains ``emb_quantized_topk``,
+``emb_cosine_topk``, ``emb_ann_topk``, ``emb_semantic_dedup`` and
+``emb_ivf_topk`` because the similarity-module single-evaluation
+fixes (normalize/quantize double-bind) touched their operators after
+their last driver row.
 """
 
 from __future__ import annotations
@@ -348,21 +361,22 @@ QUERIES: list[QuerySpec] = [
         "(operators/sketches.py)",
     ),
     QuerySpec(
-        "doc_pack_sequences", C.q_doc_pack_sequences,
-        C.ORACLE_DOC_PACK_SEQUENCES,
-        "concat-and-chunk sequence packing per (stratum, md5 shard) "
-        "(corpus_prep.pack_sequences)",
+        "doc_winnow_pairs", CR.q_doc_winnow_pairs,
+        CR.ORACLE_DOC_WINNOW_PAIRS,
+        "MOSS winnowing fingerprint candidate pairs "
+        "(dedup.winnow_fingerprints/winnow_candidate_pairs)",
     ),
     QuerySpec(
-        "event_interval_join", C.q_event_interval_join,
-        C.ORACLE_EVENT_INTERVAL_JOIN,
-        "bucketed point-in-interval join — hash equi-join, never BNLJ "
-        "(operators/interval.interval_join)",
+        "doc_gumbel_sample", CR.q_doc_gumbel_sample,
+        CR.ORACLE_DOC_GUMBEL_SAMPLE,
+        "deterministic Gumbel-top-k weighted sample "
+        "(curation.weighted_sample_gumbel)",
     ),
     QuerySpec(
-        "doc_vocab_topk", C.q_doc_vocab_topk, C.ORACLE_DOC_VOCAB_TOPK,
-        "tokenizer vocab build: top-k tokens via TakeOrderedAndProject "
-        "(textstats.vocab_topk)",
+        "emb_cluster_profile", CR.q_emb_cluster_profile,
+        CR.oracle_emb_cluster_profile,
+        "per-cluster corpus profile over the trained IVF index "
+        "(similarity.cluster_assign + rollup)",
     ),
     QuerySpec(
         "doc_corpus_pipeline", C.q_doc_corpus_pipeline,
@@ -542,6 +556,23 @@ QUERIES: list[QuerySpec] = [
         "doc_decontaminate", C.q_doc_decontaminate, C.ORACLE_DOC_DECONTAMINATE,
         "GPT-3-style 5-gram benchmark decontamination "
         "(corpus_prep.decontaminate)",
+    ),
+    QuerySpec(
+        "doc_pack_sequences", C.q_doc_pack_sequences,
+        C.ORACLE_DOC_PACK_SEQUENCES,
+        "concat-and-chunk sequence packing per (stratum, md5 shard) "
+        "(corpus_prep.pack_sequences)",
+    ),
+    QuerySpec(
+        "event_interval_join", C.q_event_interval_join,
+        C.ORACLE_EVENT_INTERVAL_JOIN,
+        "bucketed point-in-interval join — hash equi-join, never BNLJ "
+        "(operators/interval.interval_join)",
+    ),
+    QuerySpec(
+        "doc_vocab_topk", C.q_doc_vocab_topk, C.ORACLE_DOC_VOCAB_TOPK,
+        "tokenizer vocab build: top-k tokens via TakeOrderedAndProject "
+        "(textstats.vocab_topk)",
     ),
 ]
 

@@ -353,3 +353,82 @@ def test_arrow_assign_zero_vector_and_norms(spark):
     assert rows[1].cluster == 0
     assert abs(rows[1]._nrm - math.sqrt(8)) < 1e-12
     assert rows[0]._nrm == 0.0  # zero vector passes through un-normalized
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (operators/dedup.py — registered r8)
+# ---------------------------------------------------------------------------
+
+def test_winnow_guarantee_shared_substring_shares_fingerprint(spark):
+    """The published winnowing guarantee: two docs sharing a substring
+    of >= w + k - 1 tokens share at least one selected fingerprint."""
+    from scraping_etl_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 >= 4+4-1
+    df = spark.createDataFrame(
+        [(1, f"one two {shared} three"), (2, f"{shared} nine ten eleven")],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, k=4, w=4)
+    a = {r.fingerprint for r in fps.filter("doc_id = 1").collect()}
+    b = {r.fingerprint for r in fps.filter("doc_id = 2").collect()}
+    assert a & b
+
+
+def test_winnow_short_doc_single_minimum(spark):
+    """A doc with fewer than w grams keeps exactly its global-min hash."""
+    from scraping_etl_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    got = winnow_fingerprints(df, k=4, w=4).collect()  # 2 grams < w
+    assert len(got) == 1
+
+
+def test_winnow_candidate_pairs_require_min_shared(spark):
+    from scraping_etl_spark.operators.dedup import winnow_candidate_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j"), (3, "z y x w v u t s")],
+        "doc_id long, text string",
+    )
+    pairs = winnow_candidate_pairs(df, k=4, w=4, min_shared=2).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+
+
+# ---------------------------------------------------------------------------
+# Gumbel-top-k weighted sample (operators/curation.py — registered r8)
+# ---------------------------------------------------------------------------
+
+def test_gumbel_sample_deterministic_and_seed_sensitive(spark):
+    from scraping_etl_spark.operators.curation import weighted_sample_gumbel
+
+    df = spark.createDataFrame(
+        [(i, float(i % 13)) for i in range(200)], "doc_id long, log_weight double"
+    )
+    a = {r.doc_id for r in weighted_sample_gumbel(df, 20, seed="s1").collect()}
+    b = {r.doc_id for r in weighted_sample_gumbel(df.repartition(7), 20, seed="s1").collect()}
+    c = {r.doc_id for r in weighted_sample_gumbel(df, 20, seed="s2").collect()}
+    assert a == b          # partitioning-invariant
+    assert a != c          # seed actually matters
+    assert len(a) == 20
+
+
+def test_gumbel_key_monotone_in_weight(spark):
+    """Same id, larger weight -> strictly larger key (the noise is a
+    pure function of the id, so weight shifts are order-preserving)."""
+    from scraping_etl_spark.operators.curation import weighted_sample_gumbel
+
+    lo = spark.createDataFrame([(1, 0.0)], "doc_id long, log_weight double")
+    hi = spark.createDataFrame([(1, 5.0)], "doc_id long, log_weight double")
+    k_lo = weighted_sample_gumbel(lo, 1).collect()[0].gumbel_key
+    k_hi = weighted_sample_gumbel(hi, 1).collect()[0].gumbel_key
+    assert k_hi > k_lo
+
+
+def test_gumbel_rejects_bad_n(spark):
+    import pytest
+    from scraping_etl_spark.operators.curation import weighted_sample_gumbel
+
+    df = spark.createDataFrame([(1, 0.0)], "doc_id long, log_weight double")
+    with pytest.raises(ValueError):
+        weighted_sample_gumbel(df, 0)
