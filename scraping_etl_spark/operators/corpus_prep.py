@@ -1251,3 +1251,71 @@ def adaptive_quality_gate(
     return df.join(F.broadcast(thr), strata_col).filter(
         F.col(score_col) >= F.col("threshold")
     )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping sliding-window chunking (RAG / context-window preparation)
+# ---------------------------------------------------------------------------
+
+
+def sliding_chunks(
+    df: DataFrame,
+    size: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunks — the retrieval-pipeline
+    counterpart of :func:`token_chunks` (which cuts NON-overlapping
+    windows for dedup): each chunk starts ``stride`` tokens after the
+    previous one and spans ``size`` tokens, so consecutive chunks
+    share ``size - stride`` tokens of context (the standard RAG
+    chunking shape; a sentence falling on a cut boundary appears whole
+    in the next chunk). The final window is the last start position
+    <= n - size + 1 plus one tail window when a remainder exists —
+    every token appears in at least one chunk, no empty tail chunk.
+
+    Scale: ZERO shuffle — per-row ``sequence`` of start positions +
+    ``slice`` over the bound token array, then one explode. Chunk
+    count per doc is ceil(max(n - size, 0) / stride) + 1; output
+    volume is the deliberate ~size/stride x duplication every RAG
+    index pays. Returns (id, chunk_idx, chunk_text, n_tokens).
+    """
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    if stride < 1 or stride > size:
+        raise ValueError(f"stride must be in [1, size], got {stride}")
+
+    def _chunks(t: Column) -> Column:
+        n = F.size(t)
+        last = F.greatest(n - size + 1, F.lit(1))
+        # stride grid, plus the right-aligned tail start when the grid
+        # doesn't land on it ((n - size) % stride != 0) — array_distinct
+        # keeps first-occurrence order, so the tail stays last
+        starts = F.when(
+            n > 0,
+            F.array_distinct(
+                F.concat(
+                    F.sequence(F.lit(1), last, F.lit(stride)),
+                    F.array(last),
+                )
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            starts,
+            lambda s, i: F.struct(
+                i.cast("long").alias("chunk_idx"),
+                F.array_join(F.slice(t, s, size), " ").alias("chunk_text"),
+                F.least(n - s + 1, F.lit(size)).cast("long").alias("n_tokens"),
+            ),
+        )
+
+    bound = _bind(tokens(text_col), _chunks)
+    return df.select(
+        F.col(id_col), F.explode(bound).alias("_c")
+    ).select(
+        id_col,
+        F.col("_c.chunk_idx").alias("chunk_idx"),
+        F.col("_c.chunk_text").alias("chunk_text"),
+        F.col("_c.n_tokens").alias("n_tokens"),
+    )

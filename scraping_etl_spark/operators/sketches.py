@@ -143,3 +143,51 @@ def cms_estimate(
     return candidates.join(F.broadcast(est), token_col, "left").withColumn(
         "cms_est", F.coalesce(F.col("cms_est"), F.lit(0))
     )
+
+
+def heavy_hitter_candidates(
+    df: DataFrame,
+    m: int,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Candidate generation for the CMS point queries — per-BUCKET
+    top-``m`` tokens by count, where the bucket is derived from the
+    token itself (``pmod(xxhash64(token), n_buckets)``).
+
+    Exactness guarantee (why this over-generates but never misses):
+    a token always lands in the same bucket, so its in-bucket count IS
+    its global count; if it belongs to the global top-m, fewer than m
+    tokens anywhere — hence in its own bucket — outrank it, so it is
+    top-m in its bucket. Global top-m ⊆ candidates, |candidates| <=
+    n_buckets x m. (Contrast per-PARTITION top-m, which has no such
+    guarantee: a token's count is split across partitions.)
+
+    Plan: one partial-aggregated groupBy(token) — the same exchange
+    the exact vocab build pays — but the ranking windows run per
+    bucket (n_buckets task-sized sorts) instead of one global
+    TakeOrdered over the full vocabulary, and the output is bounded,
+    which is what the downstream sketch estimate / exact re-count
+    needs. Returns ``(token, n_occ)``.
+    """
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    from pyspark.sql.window import Window
+
+    counts = (
+        df.select(F.explode(tokens(text_col, lowercase=lowercase)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .withColumn(
+            "_b", F.pmod(F.xxhash64("token"), F.lit(n_buckets))
+        )
+    )
+    w = Window.partitionBy("_b").orderBy(F.desc("n_occ"), F.asc("token"))
+    return (
+        counts.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= m)
+        .select("token", "n_occ")
+    )

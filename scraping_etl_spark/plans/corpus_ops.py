@@ -1359,3 +1359,88 @@ ORACLE_DOC_HEAVY_HITTERS = ORACLE_DOC_VOCAB_TOPK.replace(
     "AS INTEGER) AS rank,\n       true AS cms_ge_exact,\n"
     "       true AS cms_within_tol",
 )
+
+
+# ---------------------------------------------------------------------------
+# RAG sliding-window chunking (corpus_prep.sliding_chunks gate)
+# ---------------------------------------------------------------------------
+
+_RAG_SIZE, _RAG_STRIDE = 16, 12
+
+
+def q_doc_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval chunking gate: overlapping 16-token windows at stride
+    12 (4-token context overlap) with a right-aligned tail window, so
+    every token is covered. Zero-shuffle per-row sequence + slice; the
+    oracle reproduces the start grid explicitly (DuckDB's
+    list_distinct is unordered, so the tail-append is spelled out as a
+    CASE on the remainder instead)."""
+    d = load_table(spark, sf_dir, "documents")
+    return CP.sliding_chunks(d, size=_RAG_SIZE, stride=_RAG_STRIDE)
+
+
+ORACLE_DOC_RAG_CHUNKS = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+SELECT doc_id, unnest(list_transform(
+  CASE WHEN len(t) = 0 THEN CAST([] AS BIGINT[])
+       WHEN len(t) <= {_RAG_SIZE} THEN [CAST(1 AS BIGINT)]
+       WHEN (len(t) - {_RAG_SIZE}) % {_RAG_STRIDE} = 0
+         THEN list_transform(
+                generate_series(1, len(t) - {_RAG_SIZE} + 1, {_RAG_STRIDE}),
+                s -> CAST(s AS BIGINT))
+       ELSE list_append(
+         list_transform(
+           generate_series(1, len(t) - {_RAG_SIZE} + 1, {_RAG_STRIDE}),
+           s -> CAST(s AS BIGINT)),
+         CAST(len(t) - {_RAG_SIZE} + 1 AS BIGINT)) END,
+  (s, i) -> {{'chunk_idx': CAST(i - 1 AS BIGINT),
+             'chunk_text': array_to_string(
+                 list_slice(t, s, s + {_RAG_SIZE} - 1), ' '),
+             'n_tokens': CAST(least(len(t) - s + 1, {_RAG_SIZE}) AS BIGINT)}}),
+  recursive := true)
+FROM tok
+"""
+
+
+# ---------------------------------------------------------------------------
+# Heavy-hitter candidate generation (sketches.heavy_hitter_candidates)
+# ---------------------------------------------------------------------------
+
+_HHC_M, _HHC_BUCKETS = 20, 16
+
+
+def q_doc_hh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation gate: the global top-20 tokens RE-RANKED
+    from the salt-bucketed candidate pool (per-bucket top-20 over 16
+    token-derived buckets). By the containment guarantee
+    (sketches.heavy_hitter_candidates: a token's bucket count is its
+    global count), the candidate path must reproduce the exact global
+    top-20 — which is precisely what the oracle asserts."""
+    from pyspark.sql.window import Window
+
+    from scraping_etl_spark.operators import sketches as SK
+
+    d = load_table(spark, sf_dir, "documents")
+    cand = SK.heavy_hitter_candidates(d, m=_HHC_M, n_buckets=_HHC_BUCKETS)
+    w = Window.orderBy(F.desc("n_occ"), F.asc("token"))
+    return (
+        cand.orderBy(F.desc("n_occ"), F.asc("token")).limit(_HHC_M)
+        .withColumn("rank", F.row_number().over(w))
+        .select("token", "n_occ", "rank")
+    )
+
+
+ORACLE_DOC_HH_CANDIDATES = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_LTOKS}) AS token FROM documents
+),
+counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n_occ FROM tok GROUP BY 1
+),
+top AS (
+  SELECT * FROM counts ORDER BY n_occ DESC, token LIMIT {_HHC_M}
+)
+SELECT token, n_occ,
+       CAST(row_number() OVER (ORDER BY n_occ DESC, token) AS INTEGER) AS rank
+FROM top
+"""

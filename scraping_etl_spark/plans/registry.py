@@ -90,6 +90,19 @@ index) seat as new gates, paid for by rotating
 ``emb_ivf_topk`` because the similarity-module single-evaluation
 fixes (normalize/quantize double-bind) touched their operators after
 their last driver row.
+
+Round-8 eighth amendment: ``doc_rag_chunks`` (overlapping
+sliding-window RAG chunking, corpus_prep.sliding_chunks) seats in the
+window, paid for by rotating ``doc_corpus_pipeline`` (r7-green, its
+component operators unchanged since that row — the ONLY remaining
+unchanged r7-green entry in the window; every other seat is a
+re-seated r6 entry owed its r8 row, an r8-new gate, or an
+operator-changed entry). ``doc_hh_candidates`` (salt-bucketed
+heavy-hitter candidates with the exact containment guarantee) is
+registered at the HEAD of the tail — first in line for the r9
+window — because no further seat could be freed without breaking a
+stronger guarantee; it is DuckDB-verified locally every round and its
+containment guarantee is pytest-pinned. 91 entries.
 """
 
 from __future__ import annotations
@@ -379,10 +392,9 @@ QUERIES: list[QuerySpec] = [
         "(similarity.cluster_assign + rollup)",
     ),
     QuerySpec(
-        "doc_corpus_pipeline", C.q_doc_corpus_pipeline,
-        C.ORACLE_DOC_CORPUS_PIPELINE,
-        "full prep composition: scrub -> repetition + decontamination "
-        "gates -> domain-mix sample -> sequence packing, one query",
+        "doc_rag_chunks", C.q_doc_rag_chunks, C.ORACLE_DOC_RAG_CHUNKS,
+        "overlapping sliding-window RAG chunking, zero shuffle "
+        "(corpus_prep.sliding_chunks)",
     ),
     QuerySpec(
         "snapshot_diff", R.q_snapshot_diff, R.ORACLE_SNAPSHOT_DIFF,
@@ -399,6 +411,21 @@ QUERIES: list[QuerySpec] = [
     ),
     # ---- tail: rotated out of the driver window this round (still ----
     # ---- verified every round by the local DuckDB-oracle suite)   ----
+    QuerySpec(
+        # new gate left just outside the full window — first in line
+        # for the r9 rotation; DuckDB-verified locally + pytest
+        # containment-guarantee unit in the meantime
+        "doc_hh_candidates", C.q_doc_hh_candidates,
+        C.ORACLE_DOC_HH_CANDIDATES,
+        "salt-bucketed heavy-hitter candidate generation with exact "
+        "top-m containment guarantee (sketches.heavy_hitter_candidates)",
+    ),
+    QuerySpec(
+        "doc_corpus_pipeline", C.q_doc_corpus_pipeline,
+        C.ORACLE_DOC_CORPUS_PIPELINE,
+        "full prep composition: scrub -> repetition + decontamination "
+        "gates -> domain-mix sample -> sequence packing, one query",
+    ),
     QuerySpec(
         "doc_split_corpus", C.q_doc_split_corpus, C.ORACLE_DOC_SPLIT_CORPUS,
         "deterministic md5-bucket train/val/test assignment, zero "

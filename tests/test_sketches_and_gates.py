@@ -247,3 +247,87 @@ def test_pagerank_rejects_bad_iter(spark):
 
     with pytest.raises(ValueError):
         pagerank(_edges(spark, [("a", "b")]), n_iter=0)
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitter_candidates (containment guarantee)
+# ---------------------------------------------------------------------------
+
+def test_hh_candidates_contain_global_topm(spark):
+    """The guarantee the gate relies on: global top-m (count desc,
+    token asc) ⊆ per-bucket top-m candidates, for a skewed vocabulary
+    and a bucket count small enough to force real contention."""
+    from scraping_etl_spark.operators.textstats import vocab_topk
+
+    rows = [(i, " ".join(f"w{j}" for j in range(i % 40)) + " hot " * (i % 7))
+            for i in range(120)]
+    df = _docs(spark, rows)
+    for m in (1, 5, 10):
+        cand = {r.token for r in
+                SK.heavy_hitter_candidates(df, m=m, n_buckets=4).collect()}
+        top = {r.token for r in vocab_topk(df, k=m).collect()}
+        assert top <= cand, (m, top - cand)
+
+
+def test_hh_candidates_bounded_output(spark):
+    df = _docs(spark, [(i, " ".join(f"t{i}_{j}" for j in range(20)))
+                       for i in range(50)])
+    n = SK.heavy_hitter_candidates(df, m=3, n_buckets=8).count()
+    assert n <= 3 * 8
+
+
+def test_hh_candidates_rejects_bad_args(spark):
+    df = _docs(spark, [(1, "a")])
+    with pytest.raises(ValueError):
+        SK.heavy_hitter_candidates(df, m=0)
+    with pytest.raises(ValueError):
+        SK.heavy_hitter_candidates(df, m=1, n_buckets=0)
+
+
+# ---------------------------------------------------------------------------
+# sliding_chunks (RAG chunking)
+# ---------------------------------------------------------------------------
+
+def test_sliding_chunks_overlap_and_tail(spark):
+    """Grid starts at stride, right-aligned tail window when the grid
+    misses the end; every token covered; no empty chunks."""
+    df = _docs(spark, [(1, " ".join(f"t{i}" for i in range(9)))])
+    got = sorted(CP.sliding_chunks(df, size=4, stride=3).collect(),
+                 key=lambda r: r.chunk_idx)
+    assert [r.chunk_text for r in got] == [
+        "t0 t1 t2 t3", "t3 t4 t5 t6", "t5 t6 t7 t8"
+    ]
+    covered = set(" ".join(r.chunk_text for r in got).split())
+    assert covered == {f"t{i}" for i in range(9)}
+
+
+def test_sliding_chunks_exact_grid_no_duplicate_tail(spark):
+    """When the grid lands exactly on the last start, no duplicate
+    tail chunk is emitted."""
+    df = _docs(spark, [(1, " ".join(f"t{i}" for i in range(10)))])
+    got = CP.sliding_chunks(df, size=4, stride=3).collect()
+    assert len(got) == 3
+    assert len({r.chunk_idx for r in got}) == 3
+
+
+def test_sliding_chunks_short_and_empty_docs(spark):
+    df = _docs(spark, [(1, "a b"), (2, "")])
+    got = CP.sliding_chunks(df, size=4, stride=3).collect()
+    assert len(got) == 1  # empty doc yields no chunk
+    assert got[0].chunk_text == "a b" and got[0].n_tokens == 2
+
+
+def test_sliding_chunks_zero_shuffle(spark):
+    df = _docs(spark, [(1, "a b c d e")])
+    plan = CP.sliding_chunks(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_sliding_chunks_rejects_bad_args(spark):
+    df = _docs(spark, [(1, "a")])
+    with pytest.raises(ValueError):
+        CP.sliding_chunks(df, size=0)
+    with pytest.raises(ValueError):
+        CP.sliding_chunks(df, size=4, stride=5)
+    with pytest.raises(ValueError):
+        CP.sliding_chunks(df, size=4, stride=0)
