@@ -134,3 +134,84 @@ def score_logreg(
     return df.withColumn(
         out_col, F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick TF-IDF featurization (Weinberger et al. 2009)
+# ---------------------------------------------------------------------------
+
+#: Default feature-space width — the idf side-table is bounded at this
+#: many rows REGARDLESS of vocabulary size, which is the whole point.
+HASH_FEATURES = 1024
+
+
+def hashing_tfidf(
+    df: DataFrame,
+    n_features: int = HASH_FEATURES,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sparse TF-IDF document features via the hashing trick
+    (Weinberger et al. 2009, "Feature Hashing for Large Scale
+    Multitask Learning"): each token hashes to a fixed slot in
+    ``[0, n_features)``; tf is the per-(doc, slot) count, idf is the
+    smoothed slot document-frequency ``ln((N+1)/(df+1)) + 1``
+    (scikit-learn's convention) computed over SLOTS.
+
+    Why this shape at 100 TB: a real vocabulary is unbounded, so an
+    exact tf-idf needs a vocabulary-sized dictionary join; hashing
+    fixes the feature space up front, making the idf side-table at
+    most ``n_features`` rows — always broadcastable, independent of
+    corpus size. Slot collisions are the documented trade (two rare
+    tokens sharing a slot add their counts); at the default width the
+    collision mass is negligible for classifier features, and the
+    downstream consumer (:func:`train_logreg` on exploded features,
+    or cosine similarity over the sparse rows) is collision-agnostic.
+
+    The slot hash is the md5-prefix convention (portable to the
+    DuckDB oracle bit-for-bit), not xxhash64. Output is the SPARSE
+    relation ``(id, slot, tf, tfidf)`` — join-ready and explode-free
+    downstream; assemble a dense array only at the model boundary.
+
+    Plan: explode -> partial-agg groupBy (doc, slot) -> slot df agg
+    (bounded at n_features rows) broadcast back. Two bounded
+    exchanges, no UDFs.
+    """
+    if n_features < 2:
+        raise ValueError(f"n_features must be >= 2, got {n_features}")
+    slot = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("_tok")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(n_features),
+    )
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.explode(tokens(text_col, lowercase=True)).alias("_tok"),
+        )
+        .withColumn("slot", slot)
+        .groupBy(id_col, "slot")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    n_docs = df.select(id_col).distinct().count()  # O(1)-row scalar
+    idf = (
+        tf.groupBy("slot")
+        .agg(F.count_distinct(id_col).alias("_df"))
+        .select(
+            "slot",
+            (
+                F.log(
+                    (F.lit(float(n_docs + 1)))
+                    / (F.col("_df").cast("double") + F.lit(1.0))
+                )
+                + F.lit(1.0)
+            ).alias("_idf"),
+        )
+    )
+    return tf.join(F.broadcast(idf), "slot").select(
+        id_col,
+        "slot",
+        "tf",
+        F.round(F.col("tf") * F.col("_idf"), 6).alias("tfidf"),
+    )

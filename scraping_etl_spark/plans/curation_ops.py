@@ -884,3 +884,45 @@ FROM r{n_iter}
 
 
 ORACLE_HOST_PAGERANK = _pagerank_oracle_sql(_PR_ITER)
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick TF-IDF (operators/classifier.hashing_tfidf gate)
+# ---------------------------------------------------------------------------
+
+_TFIDF_F = 64  # small width at gate scale so slot collisions actually occur
+
+
+def q_doc_hashing_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing TF-IDF gate: sparse (doc, slot, tf, tfidf) rows
+    over a deliberately narrow 64-slot space (collisions present, so
+    the hash-and-sum path is genuinely exercised). idf is the smoothed
+    slot document frequency; both engines reproduce the md5-slot and
+    the double math bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    return CLF.hashing_tfidf(d, n_features=_TFIDF_F)
+
+
+ORACLE_DOC_HASHING_TFIDF = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_LTOKS}) AS t FROM documents
+),
+tf AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(t), 1, 15))::BIGINT % {_TFIDF_F}) AS slot,
+         CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2
+),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+idf AS (
+  -- same ln(quotient) shape as the Spark side (NOT ln(a) - ln(b):
+  -- the two differ in the last ulp and the gate rounds at 6dp)
+  SELECT slot,
+         ln(((SELECT n FROM n) + 1.0)
+            / (count(DISTINCT doc_id) + 1.0)) + 1.0 AS _idf
+  FROM tf GROUP BY 1
+)
+SELECT tf.doc_id, tf.slot, tf.tf,
+       round(tf.tf * idf._idf, 6) AS tfidf
+FROM tf JOIN idf USING (slot)
+"""

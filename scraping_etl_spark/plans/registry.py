@@ -103,6 +103,11 @@ registered at the HEAD of the tail — first in line for the r9
 window — because no further seat could be freed without breaking a
 stronger guarantee; it is DuckDB-verified locally every round and its
 containment guarantee is pytest-pinned. 91 entries.
+
+Round-8 ninth amendment: ``doc_hashing_tfidf`` (hashing-trick sparse
+TF-IDF featurization, classifier.hashing_tfidf) registers behind
+``doc_hh_candidates`` at the head of the tail with the same r9-window
+priority — 92 entries.
 """
 
 from __future__ import annotations
@@ -419,6 +424,13 @@ QUERIES: list[QuerySpec] = [
         C.ORACLE_DOC_HH_CANDIDATES,
         "salt-bucketed heavy-hitter candidate generation with exact "
         "top-m containment guarantee (sketches.heavy_hitter_candidates)",
+    ),
+    QuerySpec(
+        # new gate, same r9-window priority as doc_hh_candidates
+        "doc_hashing_tfidf", CR.q_doc_hashing_tfidf,
+        CR.ORACLE_DOC_HASHING_TFIDF,
+        "hashing-trick sparse TF-IDF features, bounded idf side-table "
+        "(classifier.hashing_tfidf)",
     ),
     QuerySpec(
         "doc_corpus_pipeline", C.q_doc_corpus_pipeline,

@@ -331,3 +331,50 @@ def test_sliding_chunks_rejects_bad_args(spark):
         CP.sliding_chunks(df, size=4, stride=5)
     with pytest.raises(ValueError):
         CP.sliding_chunks(df, size=4, stride=0)
+
+
+# ---------------------------------------------------------------------------
+# hashing_tfidf (operators/classifier.py)
+# ---------------------------------------------------------------------------
+
+def test_hashing_tfidf_collisions_sum_tf(spark):
+    """Tokens hashing to the same slot add their counts — a 2-slot
+    space forces collisions; total tf mass per doc is preserved."""
+    from scraping_etl_spark.operators.classifier import hashing_tfidf
+
+    df = _docs(spark, [(1, "a b c"), (2, "d d")])
+    rows = hashing_tfidf(df, n_features=2).collect()
+    per_doc: dict[int, int] = {}
+    for r in rows:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + r.tf
+    assert per_doc == {1: 3, 2: 2}
+
+
+def test_hashing_tfidf_idf_monotone(spark):
+    """A slot present in every doc gets the minimum idf (1.0 exactly:
+    ln((N+1)/(N+1)) + 1); rarer slots score higher."""
+    from scraping_etl_spark.operators.classifier import hashing_tfidf
+
+    df = _docs(spark, [(1, "common rare1"), (2, "common"), (3, "common")])
+    out = hashing_tfidf(df, n_features=1024).collect()
+    by_tf = {}
+    for r in out:
+        by_tf.setdefault(r.slot, []).append(r)
+    # the slot appearing in all 3 docs has tfidf == tf * 1.0
+    full = [rs for rs in by_tf.values() if len(rs) == 3]
+    assert full and all(r.tfidf == r.tf * 1.0 for r in full[0])
+
+
+def test_hashing_tfidf_idf_table_bounded(spark):
+    from scraping_etl_spark.operators.classifier import hashing_tfidf
+
+    rows = [(i, " ".join(f"tok{i}_{j}" for j in range(30))) for i in range(40)]
+    out = hashing_tfidf(_docs(spark, rows), n_features=16)
+    assert out.select("slot").distinct().count() <= 16
+
+
+def test_hashing_tfidf_rejects_bad_width(spark):
+    from scraping_etl_spark.operators.classifier import hashing_tfidf
+
+    with pytest.raises(ValueError):
+        hashing_tfidf(_docs(spark, [(1, "a")]), n_features=1)
