@@ -76,6 +76,11 @@ def pagerank(
         .localCheckpoint()
     )
     n_nodes = nodes.count()  # O(1)-row scalar, driver-safe
+    if n_nodes == 0:
+        raise ValueError(
+            "pagerank: edges is empty (no nodes to rank); filter the "
+            "degenerate input or skip the call"
+        )
     out_deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
 
     init_fx = PR_SCALE // n_nodes

@@ -106,8 +106,21 @@ def cms_estimate(
     token_col: str = "token",
     width: int = CMS_WIDTH,
     depth: int = CMS_DEPTH,
+    verify_geometry: bool = True,
 ) -> DataFrame:
     """Point-estimate each candidate token's occurrence count.
+
+    ``width``/``depth`` MUST match the geometry ``sketch`` was built
+    with — a mismatch silently breaks the never-undercount guarantee
+    (probes hash into cells the build never filled). Because every
+    token contributes one row per seed, a non-empty sketch always
+    contains seeds ``0..depth-1`` and only buckets ``< width``, so by
+    default the call runs a bounded probe (one tiny agg over the
+    <= depth x width-row sketch) and raises ``ValueError`` on
+    ``max(seed)+1 != depth`` or ``max(bucket) >= width``. An EMPTY
+    sketch is unverifiable (and harmless — every estimate coalesces
+    to 0); pass ``verify_geometry=False`` to skip the probe when the
+    caller owns both sides of the geometry.
 
     ``candidates`` keeps all its columns and gains ``cms_est``. The
     sketch is broadcast (bounded at depth x width rows by
@@ -123,6 +136,19 @@ def cms_estimate(
     candidates are by construction present (they come from the same
     corpus the sketch summarizes).
     """
+    if verify_geometry:
+        geo = sketch.agg(
+            F.max("seed").alias("_ms"), F.max("bucket").alias("_mb")
+        ).collect()[0]
+        if geo["_ms"] is not None and (
+            geo["_ms"] + 1 != depth or geo["_mb"] >= width
+        ):
+            raise ValueError(
+                "cms_estimate: sketch geometry mismatch — sketch has "
+                f"max seed {geo['_ms']} / max bucket {geo['_mb']} but the "
+                f"caller passed depth={depth}, width={width}; the "
+                "never-undercount guarantee would silently break"
+            )
     probes = candidates.select(
         F.col(token_col),
         F.expr(

@@ -1344,6 +1344,13 @@ def q_doc_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "rank",
             (F.col("cms_est") >= F.col("n_occ")).alias("cms_ge_exact"),
+            # NOTE: cms_within_tol asserts the PROBABILISTIC CMS bound
+            # (holds with prob 1 - e^-depth per query; a-priori ~13%
+            # chance SOME of the candidates exceeds it under fresh
+            # data). Deterministic and green on the fixed gate corpus;
+            # a future red here after a scale/seed/data change is a
+            # data-dependent tolerance trip, NOT an operator
+            # regression — triage like the HLL/KLL tolerance gates.
             (
                 F.col("cms_est")
                 <= F.col("n_occ") + F.ceil(F.lit(eps) * F.col("_n"))

@@ -824,10 +824,19 @@ def heavy_hitters_stream(
     dynamic partition overwrite — the fact-path replay convention
     (:func:`corpus_prep_stream`): a replayed batch overwrites its own
     partition with identical cells, so failure/replay never double
-    counts. The merged view is :func:`read_cms_sketch`, a sum over
-    cells at read time — bounded by depth x width x n_batches rows in,
-    depth x width out. (A compaction job can fold old partitions into
-    one at any time; addition is associative.)
+    counts. The replay guarantee assumes BATCH BOUNDARIES REPRODUCE —
+    true for replays under one checkpoint (Structured Streaming
+    replays the same file slices per batch_id). It does NOT survive
+    wiping the checkpoint while keeping the sketch dir: a fresh run
+    with different trigger config (e.g. no ``maxFilesPerTrigger``) can
+    produce FEWER batches, leaving stale higher-``batch_id``
+    partitions that inflate the merged counts. A checkpoint reset
+    therefore requires clearing the sketch dir too — the two
+    directories are one unit of state. The merged view is
+    :func:`read_cms_sketch`, a sum over cells at read time — bounded
+    by depth x width x n_batches rows in, depth x width out. (A
+    compaction job can fold old partitions into one at any time;
+    addition is associative.)
 
     Because the per-batch hashes are plan constants, per-batch build +
     cell addition equals the batch operator over the union corpus

@@ -183,6 +183,25 @@ def test_cms_rejects_bad_geometry(spark):
         SK.cms_build(df, depth=0)
 
 
+def test_cms_estimate_rejects_geometry_mismatch(spark):
+    """A sketch probed with geometry it wasn't built with silently
+    breaks the never-undercount guarantee — the probe must raise
+    instead of returning wrong estimates."""
+    df = _docs(spark, [(1, "a b c d e")])
+    sk = SK.cms_build(df, width=16, depth=3)
+    cands = spark.createDataFrame([("a",)], "token string")
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        SK.cms_estimate(cands, sk, width=16, depth=5)  # wrong depth
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        SK.cms_estimate(cands, sk, width=8, depth=3)  # narrower width
+    # matching geometry still works; empty sketch is unverifiable but
+    # harmless (all estimates coalesce to 0)
+    assert SK.cms_estimate(cands, sk, width=16, depth=3).collect()[0].cms_est >= 1
+    empty = sk.filter(F.lit(False))
+    row = SK.cms_estimate(cands, empty, width=16, depth=3).collect()[0]
+    assert row.cms_est == 0
+
+
 def test_cms_deterministic_across_repartition(spark):
     """Plan-constant hashes: the sketch is identical no matter the
     input partitioning."""
@@ -210,6 +229,13 @@ def test_pagerank_mass_conserved_and_hub_wins(spark):
     # converged ordering: hub > a > b = c (analytic fixpoint
     # hub ~ 0.4794, a ~ 0.4456, b = c = teleport 0.0375)
     assert r["hub"] > r["a"] > r["b"] == r["c"]
+
+
+def test_pagerank_empty_edges_raises(spark):
+    from scraping_etl_spark.operators.graph import pagerank
+
+    with pytest.raises(ValueError, match="edges is empty"):
+        pagerank(_edges(spark, []).filter(F.lit(False)), n_iter=2).collect()
 
 
 def test_pagerank_dangling_mass_redistributes(spark):
