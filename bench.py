@@ -75,6 +75,15 @@ def main() -> None:
     if errors:
         payload["errors"] = errors
     print(json.dumps(payload))
+    # r8 verdict hygiene: the driver captures stdout and can truncate
+    # the tail on a long registry, leaving BENCH_r{N}.json unparsable —
+    # always persist the full payload to a file too.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # a read-only checkout must not fail the bench
     spark.stop()
 
 

@@ -20,12 +20,24 @@ FREQUENCY table):
   Rounds ``localCheckpoint`` so the plan never nests ``n_merges`` deep.
 - :func:`word_segment_table` replays learned merges over a corpus's
   distinct words — the word-level segmentation cache every fast BPE
-  encoder builds; vocabulary-scale, so it broadcasts.
-- :func:`bpe_token_counts` tokenizes the corpus by BROADCAST-joining
-  that table: explode tokens → broadcast left join → partial-agg
-  groupBy. Unseen words fall back to character count (the honest
-  floor: one symbol per char). No Python UDF anywhere — the merge
-  fold, the segmentation and the join are all JVM-side expressions.
+  encoder builds. Vocabulary-scale, and the per-merge fold-expression
+  chain caps it at GATE merge budgets (each merge is one more
+  per-row array fold; ~8k checkpoints at 32k merges is not a plan).
+  :func:`word_segment_arrow` is the PRODUCTION tier for real merge
+  budgets: the learned table becomes a rank dict and each Arrow batch
+  encodes its words with the standard min-rank BPE encoder —
+  per-batch Python (the ``cluster_assign_arrow`` convention,
+  operators/similarity.py), never per-row, cost independent of
+  ``n_merges``. :func:`word_segment` dispatches between them.
+- :func:`bpe_token_counts` tokenizes the corpus by joining that
+  table: explode tokens → left join → partial-agg groupBy. The
+  segmentation side is broadcast only behind a MEASURED cardinality
+  probe (the ``decontaminate`` convention, corpus_prep.py:328) — a
+  100 TB web corpus's distinct-word "vocabulary" (typos, URLs,
+  numbers) is 1e8–1e9 rows, where an unconditional broadcast hint is
+  a driver OOM; past the cap the join falls back to an un-hinted
+  shuffle equi-join on the word. Unseen words fall back to character
+  count (the honest floor: one symbol per char).
 
 Determinism: merge selection breaks count ties lexicographically on
 the pair, so training is rerun-stable and the learned table can be
@@ -162,24 +174,149 @@ def word_segment_table(
     return seg.select("word", "sym", F.size("sym").cast("long").alias("n_sub"))
 
 
+#: Broadcast the word-segmentation table only below this many distinct
+#: words (~tens of MB at avg 8 chars + n_sub). A web-scale vocabulary
+#: is orders of magnitude past this — see module docstring.
+MAX_BROADCAST_WORDS = 2_000_000
+
+
+def word_segment_arrow(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Production-merge-budget twin of :func:`word_segment_table`:
+    same ``(word, sym, n_sub)`` output over the corpus's distinct
+    words, but the merges are applied by a per-Arrow-batch Python
+    encoder instead of ``n_merges`` chained fold expressions, so a
+    32k-merge table costs the same plan as a 16-merge one.
+
+    The encoder is the standard min-rank loop: repeatedly merge every
+    occurrence of the lowest-rank adjacent pair present (left-to-right,
+    a fresh merge never re-merging with the following symbol — the
+    exact greedy semantics of :func:`apply_merge`). For a
+    SELF-CONSISTENT table (every multi-char symbol in a merge produced
+    by an earlier merge — what :func:`bpe_train` learns by
+    construction, since a pair can only be counted after its symbols
+    exist), min-rank-first is provably identical to sequential
+    full-table passes: merging rank i can only create pairs of rank
+    > i, so no earlier merge ever becomes applicable late. The
+    consistency precondition is CHECKED up front and an inconsistent
+    table (hand-built, reordered) falls back to sequential per-merge
+    passes inside the same batch encoder — still per-batch Python,
+    just O(n_merges) per word. Identity with the expression tier is
+    pytest-pinned (tests/test_bpe.py)."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    produced: set[str] = set()
+    consistent = True
+    for a, b in merges:
+        if (len(a) > 1 and a not in produced) or (
+            len(b) > 1 and b not in produced
+        ):
+            consistent = False
+            break
+        produced.add(a + b)
+
+    def _merge_pass(sym: list[str], a: str, b: str) -> list[str]:
+        out: list[str] = []
+        i, n = 0, len(sym)
+        while i < n:
+            if i < n - 1 and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        return out
+
+    def _encode(word: str) -> list[str]:
+        sym = [c for c in word]
+        if not consistent:
+            for a, b in merges:
+                if len(sym) < 2:
+                    break
+                sym = _merge_pass(sym, a, b)
+            return sym
+        while len(sym) >= 2:
+            best = None
+            for i in range(len(sym) - 1):
+                r = ranks.get((sym[i], sym[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best = r
+            if best is None:
+                break
+            sym = _merge_pass(sym, *merges[best])
+        return sym
+
+    def _segment(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            syms = [_encode(w) for w in pdf["word"]]
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "sym": syms,
+                    "n_sub": [len(s) for s in syms],
+                }
+            )
+
+    words = df.select(
+        F.explode(tokens(text_col, lowercase=True)).alias("word")
+    ).distinct()
+    return words.mapInPandas(_segment, "word string, sym array<string>, n_sub long")
+
+
+#: Above this many merges the fold-expression chain of
+#: :func:`word_segment_table` stops being a sane plan (one array fold
+#: per merge, a checkpoint every few) — dispatch to the Arrow encoder.
+ARROW_SEGMENT_THRESHOLD = 64
+
+
+def word_segment(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Segment the corpus's distinct words with whichever tier fits
+    the merge budget: the oracle-mirrorable fold-expression chain up
+    to :data:`ARROW_SEGMENT_THRESHOLD` merges, the Arrow batch encoder
+    beyond (identical output, pytest-pinned)."""
+    if len(merges) <= ARROW_SEGMENT_THRESHOLD:
+        return word_segment_table(df, merges, text_col=text_col)
+    return word_segment_arrow(df, merges, text_col=text_col)
+
+
 def bpe_token_counts(
     df: DataFrame,
     seg: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_broadcast_words: int = MAX_BROADCAST_WORDS,
 ) -> DataFrame:
     """Tokenize the corpus against a word-segmentation table: explode
-    lowercased tokens, BROADCAST left-join ``seg`` (vocabulary-scale by
-    construction), one partial-agg groupBy back to the document. Words
-    absent from ``seg`` count their characters (the untrained floor —
-    every char is a symbol). Returns ``n_tokens`` (whitespace words)
-    and ``n_bpe_tokens`` (subword count, 0 for empty docs)."""
+    lowercased tokens, left-join ``seg``, one partial-agg groupBy back
+    to the document. The segmentation side broadcasts only if a
+    measured ``limit(n+1).count()`` probe says it fits under
+    ``max_broadcast_words`` (pass 0 to force the shuffle join) —
+    vocabulary tables are NOT small at web scale, and an unconditional
+    hint there is a driver OOM. Past the cap the join runs un-hinted
+    (AQE picks shuffle strategy) on the word key. Words absent from
+    ``seg`` count their characters (the untrained floor — every char
+    is a symbol). Returns ``n_tokens`` (whitespace words) and
+    ``n_bpe_tokens`` (subword count, 0 for empty docs)."""
     toks = df.select(
         F.col(id_col), F.explode_outer(tokens(text_col, lowercase=True)).alias("_w")
     )
     s = seg.select(F.col("word").alias("_w"), "n_sub")
+    fits = (
+        max_broadcast_words > 0
+        and s.limit(max_broadcast_words + 1).count() <= max_broadcast_words
+    )
     return (
-        toks.join(F.broadcast(s), "_w", "left")
+        toks.join(F.broadcast(s) if fits else s, "_w", "left")
         .groupBy(id_col)
         .agg(
             F.count("_w").alias("n_tokens"),

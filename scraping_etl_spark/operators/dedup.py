@@ -631,3 +631,75 @@ def winnow_candidate_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    tau: float = 0.5,
+    max_docs_per_gram: int = 64,
+) -> DataFrame:
+    """One-sided CONTAINMENT candidate pairs (Broder 1997, "On the
+    resemblance and containment of documents"): for docs sharing word
+    ``k``-grams, score ``c(A,B) = |G_A ∩ G_B| / min(|G_A|, |G_B|)``
+    over distinct gram sets and keep pairs with ``c >= tau``. This is
+    the asymmetric dup Jaccard-based tiers structurally miss: a short
+    document quoted whole inside a long one has tiny Jaccard (union is
+    dominated by the long doc) but containment ~1 — the
+    quote-inclusion / subset-duplicate case a curation pipeline must
+    catch separately from resemblance.
+
+    Plan: distinct (id, gram) relation with per-doc gram counts; grams
+    shared by more than ``max_docs_per_gram`` docs are dropped first —
+    the boilerplate filter that is simultaneously the skew guard
+    (bounds every join key's fan-out by construction, exactly the
+    ``winnow_candidate_pairs`` reasoning); the filtered relation is
+    ``localCheckpoint``-ed once for its two join sides. Everything
+    else is equi-join + partial-agg groupBy — no BNLJ, no all-pairs.
+    The min()-denominator uses the UNFILTERED per-doc gram counts, so
+    the score is exact for every pair whose shared grams survive the
+    boilerplate filter (dropped-gram pairs lose candidates, the
+    documented recall trade of every too-common filter)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0.0 < tau <= 1.0:
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    from scraping_etl_spark.operators.corpus_prep import word_grams
+
+    grams = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(word_grams(F.lower(F.col(text_col)), k)).alias("gram"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
+    common = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") > max_docs_per_gram)
+        .select("gram")
+    )
+    kept = grams.join(common, "gram", "left_anti").localCheckpoint()
+    a = kept.select(F.col("_id").alias("id_a"), "gram")
+    b = kept.select(F.col("_id").alias("id_b"), "gram")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        shared.join(sizes.select(F.col("_id").alias("id_a"),
+                                 F.col("n_grams").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"),
+                           F.col("n_grams").alias("n_b")), "id_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_shared") / F.least("n_a", "n_b").cast("double"), 6),
+        )
+        .filter(F.col("containment") >= tau)
+        .select("id_a", "id_b", "n_shared", "n_a", "n_b", "containment")
+    )

@@ -240,3 +240,86 @@ def vocab_topk(
     top = counts.orderBy(F.desc("n_occ"), F.asc("token")).limit(k)
     w = Window.orderBy(F.desc("n_occ"), F.asc("token"))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def pmi_collocations(
+    df: DataFrame,
+    k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` bigram collocations by pointwise mutual information
+    (Church & Hanks 1990, "Word association norms, mutual information,
+    and lexicography") — the classic corpus-analysis signal for
+    multi-word expressions, which a tokenizer/vocab build wants (merge
+    candidates) and a quality pipeline reads as phrase-level fluency:
+
+        pmi(a, b) = ln( N · c(a,b) / (c(a) · c(b)) )
+
+    over adjacent lowercased token pairs within each document
+    (bigrams never cross document boundaries). ``min_count`` floors
+    the bigram support — the standard guard against PMI's
+    rare-pair explosion (a 1-occurrence pair of two hapaxes maxes the
+    statistic; Church & Hanks use the same cutoff).
+
+    Plan shape for 100 TB: bigram and unigram counts are two
+    partial-aggregated groupBys over one tokenized scan each; the
+    unigram relation joins back VOCABULARY-scale (un-hinted — AQE
+    broadcasts when it fits, a web vocabulary may not); the bigram
+    total is a 1-row scalar attached via the always-0-key BHJ (the
+    ``heavy_hitters`` convention). Only ``min_count`` survivors pay
+    the join; the top-k is ``TakeOrderedAndProject`` (no global
+    sort). PMI is rounded to 6 decimals so the deterministic
+    (pmi DESC, w1, w2) order — and the DuckDB oracle's replay of
+    it — is exact."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    toks = df.select(tokens(text_col, lowercase=True).alias("_t"))
+    n = F.size("_t")
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                n >= 2,
+                F.zip_with(
+                    F.slice("_t", F.lit(1), n - 1),
+                    F.slice("_t", F.lit(2), n - 1),
+                    lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    uni = (
+        df.select(F.explode(tokens(text_col, lowercase=True)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    total = (
+        big.agg(F.sum("c_ab").alias("n_big"))
+        .withColumn("_k", F.pmod(F.xxhash64("n_big"), F.lit(1)))
+    )
+    scored = (
+        big.filter(F.col("c_ab") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b")), "w2")
+        .withColumn("_k", F.pmod(F.xxhash64(F.lit(0)), F.lit(1)))
+        .join(F.broadcast(total), "_k")
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    F.col("n_big").cast("double")
+                    * F.col("c_ab")
+                    / (F.col("c_a").cast("double") * F.col("c_b"))
+                ),
+                6,
+            ),
+        )
+    )
+    top = scored.orderBy(F.desc("pmi"), "w1", "w2").limit(k)
+    w = Window.orderBy(F.desc("pmi"), "w1", "w2")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "w1", "w2", "c_ab", "c_a", "c_b", "pmi"
+    )

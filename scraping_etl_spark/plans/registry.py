@@ -108,6 +108,27 @@ Round-8 ninth amendment: ``doc_hashing_tfidf`` (hashing-trick sparse
 TF-IDF featurization, classifier.hashing_tfidf) registers behind
 ``doc_hh_candidates`` at the head of the tail with the same r9-window
 priority — 92 entries.
+
+Round-9 rotation (and a structural change): the schedule is now the
+explicit ``ORDER`` name list below — definition order is append-only
+registration, ``ORDER`` is the verification schedule, and the two can
+no longer drift apart (the permutation is asserted at import). The
+r9 window, in order: seats 1-2 honor the r8 promise
+(``doc_hh_candidates``, ``doc_hashing_tfidf`` — the only two entries
+never driver-checked); seats 3-42 are ALL forty entries whose last
+driver row is r7 (the full r8 tail minus the two promises), so after
+this round no entry's last driver row is older than r8; seats 43-45
+re-seat the entries whose operators were touched this round
+(``doc_bpe_tokens`` — guarded segmentation broadcast + Arrow merge
+tier; ``doc_heavy_hitters`` — cms_estimate geometry probe;
+``host_pagerank`` — empty-edges guard); seats 46-50 are the five new
+round-9 gates (``star_pipeline``, ``doc_bloom_screen``,
+``doc_normalize_dups``, ``doc_pmi_collocations``,
+``doc_containment`` — plans/star_ops.py, plans/screen_ops.py). The
+47 rotated-out entries are all r8-driver-green with operators
+untouched this round. 97 entries; cadence policy in README.md
+"Correctness rotation" (trailing-THREE-round invariant + recorded
+local artifact from r9 on).
 """
 
 from __future__ import annotations
@@ -122,6 +143,8 @@ from scraping_etl_spark.plans import curation_ops as CR
 from scraping_etl_spark.plans import ml_ops as M
 from scraping_etl_spark.plans import pipeline_ops as P
 from scraping_etl_spark.plans import relational as R
+from scraping_etl_spark.plans import screen_ops as SC
+from scraping_etl_spark.plans import star_ops as SP
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -137,7 +160,7 @@ class QuerySpec:
     description: str
 
 
-QUERIES: list[QuerySpec] = [
+_REGISTERED: list[QuerySpec] = [
     # ---- re-seated from the r7 tail (last driver row: r6) ----
     QuerySpec(
         "hourly_event_rollup", R.q_hourly_event_rollup, R.ORACLE_HOURLY_EVENT_ROLLUP,
@@ -614,6 +637,161 @@ QUERIES: list[QuerySpec] = [
         "(textstats.vocab_topk)",
     ),
 ]
+
+
+
+# ---- round-9 gates (plans/star_ops.py, plans/screen_ops.py) ----
+_REGISTERED += [
+    QuerySpec(
+        "star_pipeline", SP.q_star_pipeline, SP.ORACLE_STAR_PIPELINE,
+        "end-to-end fixed-mode star build (clean -> dims -> fact -> "
+        "bridges) over an article frame synthesized from the scale "
+        "tables; one canonical rollup row per output table "
+        "(etl/star_schema.build_star)",
+    ),
+    QuerySpec(
+        "doc_bloom_screen", SC.q_doc_bloom_screen, SC.ORACLE_DOC_BLOOM_SCREEN,
+        "Bloom-filter banned-content pre-screen: exact membership twin "
+        "+ no-false-negative verdict column (operators/bloom.py)",
+    ),
+    QuerySpec(
+        "doc_normalize_dups", SC.q_doc_normalize_dups,
+        SC.ORACLE_DOC_NORMALIZE_DUPS,
+        "canonical-form (case/accent/punctuation) dedup families with "
+        "min-id survivors (operators/normalize.py)",
+    ),
+    QuerySpec(
+        "doc_pmi_collocations", SC.q_doc_pmi_collocations,
+        SC.ORACLE_DOC_PMI_COLLOCATIONS,
+        "top-k PMI bigram collocations, min-count floored "
+        "(textstats.pmi_collocations)",
+    ),
+    QuerySpec(
+        "doc_containment", SC.q_doc_containment, SC.ORACLE_DOC_CONTAINMENT,
+        "one-sided k-gram containment pairs — the quote-inclusion dups "
+        "Jaccard misses (dedup.containment_pairs)",
+    ),
+]
+
+_BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
+assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
+
+#: The round-9 verification schedule: the first 50 names are the
+#: driver window, the rest the tail. Rotations from round 9 on edit
+#: THIS list (definition order above is append-only registration
+#: order); the module docstring records each round's moves.
+ORDER: list[str] = [
+    # -- seats 1-2: the two gates never driver-checked (r8 promise) --
+    "doc_hh_candidates",
+    "doc_hashing_tfidf",
+    # -- seats 3-42: every entry whose last driver row is r7 --
+    "doc_corpus_pipeline",
+    "doc_split_corpus",
+    "doc_oov_ratio",
+    "doc_cross_corpus_dups",
+    "emb_cluster_assign",
+    "doc_media_features",
+    "doc_corpus_profile",
+    "doc_minhash_pairs",
+    "doc_neardup_clusters",
+    "doc_neardup_survivors",
+    "doc_regex_extract",
+    "doc_token_counts",
+    "doc_rolling_hash",
+    "doc_dedup_survivors",
+    "parts_brand_stats",
+    "supplier_balance_by_nation",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers",
+    "order_priority_semi",
+    "customers_without_orders",
+    "top_acctbal_per_nation",
+    "rollup_revenue",
+    "sessionize",
+    "asof_purchase_click",
+    "revenue_grouping_sets",
+    "doc_exact_dups",
+    "doc_simhash",
+    "doc_ngram_jaccard",
+    "doc_token_dim",
+    "doc_token_bridge",
+    "doc_clean_filters",
+    "events_props_struct",
+    "doc_pii_scrub",
+    "doc_repetition_stats",
+    "doc_domain_mix",
+    "doc_decontaminate",
+    "doc_pack_sequences",
+    "event_interval_join",
+    "doc_vocab_topk",
+    # -- seats 43-45: operators touched this round (re-seat policy) --
+    "doc_bpe_tokens",
+    "doc_heavy_hitters",
+    "host_pagerank",
+    # -- seats 46-50: new round-9 gates --
+    "star_pipeline",
+    "doc_bloom_screen",
+    "doc_normalize_dups",
+    "doc_pmi_collocations",
+    "doc_containment",
+    # ---- tail: r8-driver-green, operators untouched this round ----
+    "hourly_event_rollup",
+    "doc_text_stats",
+    "doc_lang_id",
+    "doc_fingerprint",
+    "doc_quality",
+    "string_functions",
+    "json_props",
+    "event_lag_delta",
+    "event_moving_avg",
+    "doc_zip_bigrams",
+    "order_date_roundtrip",
+    "event_type_pivot",
+    "orders_by_month",
+    "union_counterparties",
+    "orderkeys_except_open",
+    "doc_lm_score_ref",
+    "doc_stream_gates",
+    "doc_bm25",
+    "doc_source_cap",
+    "emb_semantic_dedup",
+    "doc_dup_passages",
+    "doc_quality_classifier",
+    "doc_dsir_weights",
+    "emb_decontaminate",
+    "doc_temperature_mix",
+    "dim_scd2",
+    "doc_token_divergence",
+    "doc_length_quantiles_kll",
+    "doc_url_canonical",
+    "emb_cosine_topk",
+    "emb_ann_topk",
+    "doc_chunk_dedup",
+    "doc_lm_score",
+    "doc_length_quantiles",
+    "doc_stratified_sample",
+    "doc_corpus_profile_hll",
+    "emb_ivf_topk",
+    "emb_quantized_topk",
+    "emb_cosine_dups",
+    "doc_collapse_repeats",
+    "doc_adaptive_quality",
+    "doc_winnow_pairs",
+    "doc_gumbel_sample",
+    "emb_cluster_profile",
+    "doc_rag_chunks",
+    "snapshot_diff",
+    "doc_dq_profile",
+]
+
+assert sorted(ORDER) == sorted(_BY_NAME), (
+    "ORDER must be a permutation of the registered names; missing="
+    + str(sorted(set(_BY_NAME) - set(ORDER)))
+    + " extra=" + str(sorted(set(ORDER) - set(_BY_NAME)))
+)
+
+QUERIES: list[QuerySpec] = [_BY_NAME[n] for n in ORDER]
 
 
 def queries_map() -> dict[str, QueryFn]:

@@ -1,0 +1,271 @@
+"""Round-9 screening / canonicalization / collocation driver gates.
+
+Four new gates over the scale tables, one per new operator:
+
+- ``doc_bloom_screen`` — Bloom-filter banned-content pre-screen
+  (``operators/bloom.py``). xxhash64 bit positions are not
+  DuckDB-reproducible, so the driver row checks the Bloom CONTRACT
+  (no false negative vs an exact membership twin) as a verdict
+  column — the CMS/HLL tolerance-gate convention; the fp-rate bound
+  is pytest-pinned in tests/test_screen_ops.py.
+- ``doc_normalize_dups`` — canonical-form dedup families
+  (``operators/normalize.py``) over a corpus with planted case /
+  accent / punctuation variants; FULL exact gate (the canonical form
+  and its md5 are reproduced verbatim in SQL).
+- ``doc_pmi_collocations`` — top-k PMI bigram collocations
+  (``textstats.pmi_collocations``); exact gate with the float
+  rounded to 6 decimals on both sides (the ``doc_dsir_weights``
+  convention).
+- ``doc_containment`` — one-sided k-gram containment pairs
+  (``dedup.containment_pairs``) over a corpus with planted
+  quote-inclusion docs (the first 20 tokens of every 3rd document);
+  exact gate.
+
+Synthesis conventions follow ``plans/curation_ops.py`` (id-shifted
+planted twins, the winnow corpus pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scraping_etl_spark.operators import bloom as BL
+from scraping_etl_spark.operators import normalize as NORM
+from scraping_etl_spark.operators.dedup import containment_pairs
+from scraping_etl_spark.operators.textstats import pmi_collocations, tokens
+from scraping_etl_spark.sources.readers import load_table
+
+_LTOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+# Bloom banned-content screen (operators/bloom.py gate)
+# ---------------------------------------------------------------------------
+
+#: Every 23rd document's content hash is "banned"; the whole corpus is
+#: screened. Gate geometry is deliberately small (m=2^14) so fp
+#: collisions are at least possible — the verdict column proves the
+#: no-false-negative side regardless.
+_BLOOM_BANNED_MOD = 23
+_BLOOM_M, _BLOOM_K = 1 << 14, 4
+
+
+def q_doc_bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Screen the corpus against a Bloom filter of banned content
+    hashes. ``is_member`` is the exact twin (same relational
+    membership DuckDB computes); ``nfn_ok`` asserts the Bloom
+    invariant — a true member is NEVER rejected by the filter."""
+    d = load_table(spark, sf_dir, "documents")
+    hashed = d.select("doc_id", F.md5("text").alias("h"))
+    banned = hashed.filter(F.col("doc_id") % _BLOOM_BANNED_MOD == 0)
+    filt = BL.bloom_build(banned, key_col="h", m_bits=_BLOOM_M, k_hashes=_BLOOM_K)
+    screened = BL.bloom_screen(
+        hashed, filt, key_col="h", m_bits=_BLOOM_M, k_hashes=_BLOOM_K
+    )
+    exact = banned.select(F.col("h").alias("_bh")).distinct()
+    return (
+        screened.join(exact, screened["h"] == exact["_bh"], "left")
+        .select(
+            "doc_id",
+            F.col("_bh").isNotNull().alias("is_member"),
+            (F.col("bloom_hit") | F.col("_bh").isNull()).alias("nfn_ok"),
+        )
+    )
+
+
+ORACLE_DOC_BLOOM_SCREEN = f"""
+WITH banned AS (
+  SELECT DISTINCT md5(text) AS h FROM documents
+  WHERE doc_id % {_BLOOM_BANNED_MOD} = 0
+)
+SELECT d.doc_id,
+       (b.h IS NOT NULL) AS is_member,
+       true AS nfn_ok
+FROM documents d LEFT JOIN banned b ON md5(d.text) = b.h
+"""
+
+
+# ---------------------------------------------------------------------------
+# Canonical-form dedup families (operators/normalize.py gate)
+# ---------------------------------------------------------------------------
+
+_NORM_ID_SHIFT = 300_000
+_NORM_N_COPIES = 60
+
+
+def _norm_corpus(d: DataFrame) -> DataFrame:
+    """Original docs plus a planted variant of the first
+    ``_NORM_N_COPIES``: uppercased, 'a'→'á' accent-poisoned, with
+    punctuation/whitespace junk appended — all of it erased by the
+    canonical form, so each variant lands in its original's family."""
+    variants = d.filter(F.col("doc_id") < _NORM_N_COPIES).select(
+        (F.col("doc_id") + _NORM_ID_SHIFT).alias("doc_id"),
+        F.concat(
+            F.translate(F.upper("text"), "A", "Á"), F.lit(",!?  . ")
+        ).alias("text"),
+    )
+    return d.select("doc_id", "text").unionByName(variants)
+
+
+def q_doc_normalize_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return NORM.normalized_dup_families(_norm_corpus(d)).orderBy("doc_id")
+
+
+def _norm_sql(expr: str) -> str:
+    return (
+        f"trim(regexp_replace(lower(translate({expr}, "
+        f"'{NORM.ACCENT_FROM}', '{NORM.ACCENT_TO}')), '[^a-z0-9]+', ' ', 'g'))"
+    )
+
+
+ORACLE_DOC_NORMALIZE_DUPS = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_NORM_ID_SHIFT},
+         translate(upper(text), 'A', 'Á') || ',!?  . '
+  FROM documents WHERE doc_id < {_NORM_N_COPIES}
+),
+keyed AS (
+  SELECT doc_id, md5({_norm_sql('text')}) AS norm_md5 FROM corpus
+),
+fams AS (
+  SELECT norm_md5, CAST(COUNT(*) AS BIGINT) AS n_family,
+         MIN(doc_id) AS min_id
+  FROM keyed GROUP BY 1
+)
+SELECT k.doc_id, k.norm_md5, f.n_family,
+       (k.doc_id = f.min_id) AS is_canonical
+FROM keyed k JOIN fams f USING (norm_md5)
+ORDER BY k.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (textstats.pmi_collocations gate)
+# ---------------------------------------------------------------------------
+
+_PMI_K, _PMI_MIN = 40, 5
+
+
+def q_doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(d, k=_PMI_K, min_count=_PMI_MIN)
+
+
+ORACLE_DOC_PMI_COLLOCATIONS = f"""
+WITH tok AS (SELECT doc_id, {_LTOKS} AS t FROM documents),
+pairs AS (
+  SELECT unnest(CASE WHEN len(t) >= 2
+           THEN list_transform(generate_series(1, len(t) - 1),
+                               i -> struct_pack(w1 := t[i], w2 := t[i+1]))
+           ELSE [] END) AS p
+  FROM tok
+),
+big AS (
+  SELECT p.w1 AS w1, p.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM pairs GROUP BY 1, 2
+),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w
+  FROM (SELECT unnest(t) AS w FROM tok) GROUP BY 1
+),
+total AS (SELECT SUM(c_ab) AS n_big FROM big),
+scored AS (
+  SELECT b.w1, b.w2, b.c_ab, ua.c_w AS c_a, ub.c_w AS c_b,
+         round(ln(CAST(t.n_big AS DOUBLE) * b.c_ab /
+                  (CAST(ua.c_w AS DOUBLE) * ub.c_w)), 6) AS pmi
+  FROM big b
+  JOIN uni ua ON b.w1 = ua.w
+  JOIN uni ub ON b.w2 = ub.w
+  CROSS JOIN total t
+  WHERE b.c_ab >= {_PMI_MIN}
+)
+SELECT CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS INTEGER) AS rank,
+       w1, w2, c_ab, c_a, c_b, pmi
+FROM scored
+ORDER BY pmi DESC, w1, w2
+LIMIT {_PMI_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Containment pairs (dedup.containment_pairs gate)
+# ---------------------------------------------------------------------------
+
+_CONT_ID_SHIFT = 400_000
+_CONT_K, _CONT_TAU, _CONT_MAX_DOCS = 4, 0.9, 64
+_CONT_QUOTE_TOKENS = 20
+
+
+def _cont_corpus(d: DataFrame) -> DataFrame:
+    """Original docs plus a quote-inclusion doc for every 3rd: its
+    first ``_CONT_QUOTE_TOKENS`` tokens verbatim — near-total
+    containment in the original, tiny Jaccard (the case resemblance
+    tiers miss)."""
+    quotes = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + _CONT_ID_SHIFT).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(tokens("text", lowercase=True), 1, _CONT_QUOTE_TOKENS)
+        ).alias("text"),
+    )
+    return d.select("doc_id", "text").unionByName(quotes)
+
+
+def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return containment_pairs(
+        _cont_corpus(d),
+        k=_CONT_K,
+        tau=_CONT_TAU,
+        max_docs_per_gram=_CONT_MAX_DOCS,
+    ).orderBy("id_a", "id_b")
+
+
+ORACLE_DOC_CONTAINMENT = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_CONT_ID_SHIFT},
+         array_to_string(list_slice({_LTOKS}, 1, {_CONT_QUOTE_TOKENS}), ' ')
+  FROM documents WHERE doc_id % 3 = 0
+),
+tok AS (SELECT doc_id, {_LTOKS} AS t FROM corpus),
+grams AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(CASE WHEN len(t) >= {_CONT_K}
+             THEN list_transform(generate_series(1, len(t) - {_CONT_K} + 1),
+                    i -> array_to_string(list_slice(t, i, i + {_CONT_K} - 1), ' '))
+             ELSE [] END) AS gram
+    FROM tok
+  )
+),
+sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM grams GROUP BY 1
+),
+common AS (
+  SELECT gram FROM grams GROUP BY 1 HAVING COUNT(*) > {_CONT_MAX_DOCS}
+),
+kept AS (
+  SELECT g.doc_id, g.gram FROM grams g ANTI JOIN common c ON g.gram = c.gram
+),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM kept a JOIN kept b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.id_a, s.id_b, s.n_shared,
+       sa.n_grams AS n_a, sb.n_grams AS n_b,
+       round(s.n_shared / CAST(least(sa.n_grams, sb.n_grams) AS DOUBLE), 6)
+         AS containment
+FROM shared s
+JOIN sizes sa ON s.id_a = sa.doc_id
+JOIN sizes sb ON s.id_b = sb.doc_id
+WHERE round(s.n_shared / CAST(least(sa.n_grams, sb.n_grams) AS DOUBLE), 6)
+      >= {_CONT_TAU}
+ORDER BY s.id_a, s.id_b
+"""

@@ -468,6 +468,50 @@ def corpus_prep_stream(
     )
     lm_prepared = CP.prepare_lm(lm_ref) if lm_ref is not None else None
 
+    gate = build_corpus_gate(
+        out_dir,
+        bench_prepared=bench_prepared,
+        vocab_static=vocab_static,
+        ref_prepared=ref_prepared,
+        lm_prepared=lm_prepared,
+        clf_weights=clf_weights,
+        max_oov_ratio=max_oov_ratio,
+        dedup_threshold=dedup_threshold,
+        min_avg_logp=min_avg_logp,
+        min_quality_prob=min_quality_prob,
+    )
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def build_corpus_gate(
+    out_dir: str,
+    bench_prepared: DataFrame | None = None,
+    vocab_static: DataFrame | None = None,
+    ref_prepared: DataFrame | None = None,
+    lm_prepared=None,
+    clf_weights: list[float] | None = None,
+    max_oov_ratio: float = 0.5,
+    dedup_threshold: float = 0.8,
+    min_avg_logp: float = -10.0,
+    min_quality_prob: float = 0.5,
+):
+    """The ``foreachBatch`` gate of :func:`corpus_prep_stream`, built
+    from ALREADY-PREPARED side inputs (module-level so tests can drive
+    it synchronously and pin the per-micro-batch Spark-job count —
+    every prepare probe runs before this, never inside). Returns the
+    ``(batch_df, batch_id) -> None`` callable."""
+    from scraping_etl_spark.operators import classifier as CLF
+    from scraping_etl_spark.operators import corpus_prep as CP
+    from scraping_etl_spark.operators.dedup import cross_corpus_neardup_pairs
+
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         keep_cols = [c for c in batch_df.columns if c != "text"]
         scrubbed = CP.scrub_pii(batch_df, with_counts=False).select(
@@ -525,14 +569,7 @@ def corpus_prep_stream(
             .parquet(out_dir)
         )
 
-    writer = (
-        stream.writeStream.outputMode("append")
-        .foreachBatch(gate)
-        .option("checkpointLocation", checkpoint_dir)
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return gate
 
 
 def incremental_star_stream(

@@ -96,6 +96,84 @@ def test_token_counts_uses_broadcast_join_no_shuffle_of_seg(spark, classic):
     assert "SortMergeJoin" not in plan
 
 
+def test_token_counts_shuffle_fallback_past_broadcast_cap(spark, classic):
+    """The measured probe: a cap smaller than the vocabulary must
+    drop the broadcast hint (un-hinted equi-join — no driver-side
+    vocabulary materialization), with identical counts."""
+    merges = bpe.bpe_train(classic, n_merges=3)
+    seg = bpe.word_segment_table(classic, merges).localCheckpoint()
+    hinted = bpe.bpe_token_counts(classic, seg)
+    capped = bpe.bpe_token_counts(classic, seg, max_broadcast_words=2)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan
+    assert sorted(map(tuple, hinted.collect())) == sorted(
+        map(tuple, capped.collect())
+    )
+
+
+def test_word_segment_arrow_identical_to_expression_tier(spark, classic):
+    """The Arrow min-rank encoder and the fold-expression chain must
+    produce the SAME segmentation table on a trained (self-consistent)
+    merge list — including on words the training never saw."""
+    merges = bpe.bpe_train(classic, n_merges=8)
+    probe = _docs(spark, [(1, "lowest widest newest low slower wows")])
+    expr = bpe.word_segment_table(probe, merges)
+    arrow = bpe.word_segment_arrow(probe, merges)
+    a = {r.word: (list(r.sym), r.n_sub) for r in expr.collect()}
+    b = {r.word: (list(r.sym), r.n_sub) for r in arrow.collect()}
+    assert a == b and len(a) == 6
+
+
+def test_word_segment_arrow_inconsistent_table_falls_back(spark):
+    """A hand-built table where a multi-char symbol appears BEFORE the
+    merge that produces it is not min-rank-safe; the encoder must
+    detect that and replay merges sequentially — matching the
+    expression tier exactly."""
+    merges = [("x", "ab"), ("a", "b")]  # (x,ab) ranked before ab exists
+    probe = _docs(spark, [(1, "xab ab xa")])
+    expr = bpe.word_segment_table(probe, merges)
+    arrow = bpe.word_segment_arrow(probe, merges)
+    a = {r.word: list(r.sym) for r in expr.collect()}
+    b = {r.word: list(r.sym) for r in arrow.collect()}
+    assert a == b
+    # sequential semantics: pass 1 no-ops (no 'ab' symbol yet),
+    # pass 2 builds it — 'xab' stays [x, ab], never [xab]
+    assert a["xab"] == ["x", "ab"]
+
+
+def test_word_segment_dispatch_and_production_merge_budget(spark):
+    """word_segment picks the expression tier at gate budgets and the
+    Arrow tier past ARROW_SEGMENT_THRESHOLD; a 1k-merge synthetic
+    self-consistent table segments a 1k-word vocabulary in bounded
+    time (the plan must not nest 1000 folds)."""
+    merges = bpe.bpe_train(
+        _docs(spark, [(1, "low low lower")]), n_merges=2
+    )
+    small = bpe.word_segment(_docs(spark, [(1, "low")]), merges)
+    assert "mapInPandas" not in small._jdf.queryExecution().executedPlan().toString()
+
+    # synthetic self-consistent 1k-merge chain: c0c1, c0c1c2, ... over
+    # a 32-char alphabet cycle — every left symbol produced earlier
+    alpha = [chr(ord("a") + i) for i in range(26)] + list("012345")
+    big_merges = []
+    acc = alpha[0]
+    for i in range(1, 1001):
+        nxt = alpha[i % len(alpha)]
+        big_merges.append((acc, nxt))
+        acc = acc + nxt
+    vocab = " ".join(
+        "".join(alpha[j % len(alpha)] for j in range(i % 40 + 1))
+        for i in range(1000)
+    )
+    seg = bpe.word_segment(_docs(spark, [(1, vocab)]), big_merges)
+    plan = seg._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" in plan.lower() or "MapInPandas" in plan
+    rows = {r.word: list(r.sym) for r in seg.collect()}
+    # the full 32-char prefix word collapses through the merge chain
+    w32 = "".join(alpha[j % len(alpha)] for j in range(32))
+    assert rows[w32] == [w32]
+
+
 def test_char_symbols_drops_spark_trailing_empty(spark):
     """Spark's split keeps trailing empties (limit −1); symbols must
     never contain ''."""

@@ -847,3 +847,59 @@ def test_heavy_hitters_stream_merges_to_batch_sketch(spark, tmp_path):
         for r in read_cms_sketch(spark, skdir).collect()
     }
     assert replayed == batch
+
+
+def test_corpus_gate_job_count_constant_per_batch(spark, tmp_path):
+    """r8 brief #7: side-input prepare probes must run ONCE, never per
+    micro-batch. Drives the extracted foreachBatch gate synchronously
+    over three same-shaped batches with EVERY prepared side input wired
+    (bench grams, vocab, near-dup lake, reference LM, classifier
+    weights) and pins the per-call Spark-job count: if any prepare
+    probe leaked into the gate, the count per batch would grow by the
+    probe's jobs and the equality would break."""
+    import os
+
+    from scraping_etl_spark.operators.corpus_prep import (
+        prepare_bench_grams,
+        prepare_lm,
+    )
+    from scraping_etl_spark.operators.dedup import prepare_neardup_ref
+    from scraping_etl_spark.operators.textstats import vocab_topk
+    from scraping_etl_spark.streaming.pipeline import build_corpus_gate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(90)
+    bench = docs.filter("doc_id % 13 = 0").select("doc_id", "text")
+    lake = docs.filter("doc_id % 11 = 0").select("doc_id", "text")
+    out = str(tmp_path / "gated")
+
+    gate = build_corpus_gate(
+        out,
+        bench_prepared=prepare_bench_grams(bench),
+        vocab_static=vocab_topk(docs, k=200).localCheckpoint(),
+        ref_prepared=prepare_neardup_ref(lake),
+        lm_prepared=prepare_lm(bench),
+        clf_weights=[0.1, 0.2, -0.3, 0.05, 0.0],
+        min_avg_logp=-50.0,
+        min_quality_prob=0.0,
+    )
+    batches = [
+        docs.filter(f"doc_id % 3 = {i}").localCheckpoint() for i in range(3)
+    ]
+    tracker = spark.sparkContext.statusTracker()
+
+    def last_job_id() -> int:
+        # job ids are monotonically increasing; the max-id delta counts
+        # submitted jobs even when the status store has evicted old
+        # entries (len() of the retained window shrinks mid-suite)
+        ids = tracker.getJobIdsForGroup(None) or []
+        return max(ids) if ids else -1
+
+    counts = []
+    for i, b in enumerate(batches):
+        before = last_job_id()
+        gate(b, i)
+        counts.append(last_job_id() - before)
+    # same-shaped batches, fully prepared side inputs -> identical
+    # per-batch job counts (prepare probes would add jobs per call)
+    assert counts[0] == counts[1] == counts[2], counts
+    assert os.path.isdir(out)
