@@ -270,3 +270,45 @@ def weighted_sample_gumbel(
         .orderBy(F.desc("gumbel_key"), F.asc(id_col))
         .limit(n)
     )
+
+
+def shuffle_to_shards(
+    df: DataFrame,
+    n_shards: int,
+    seed: str = "0",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global training-data shuffle: assign every row a
+    ``shard`` and a ``shard_pos`` such that reading shards in order,
+    each sorted by position, yields a seed-keyed pseudorandom
+    permutation of the corpus — the "shuffled shards" layout every
+    epoch loader wants (vary ``seed`` per epoch for a fresh
+    permutation; same seed ⇒ bit-identical layout, which is what makes
+    a 100 TB training run resumable and auditable).
+
+    No global sort: the permutation key is ``md5(seed || key)`` (the
+    engine-portable ``md5_bucket`` trick), the shard is its bucket —
+    rows scatter uniformly whatever the input order — and positions
+    are ranked per shard. The only wide ops are one hash-partitioned
+    exchange and ``n_shards`` independent task-sized sorts; choose
+    ``n_shards`` so a shard fits a task (the same sizing rule as
+    ``pack_sequences`` shards). Returns the frame + ``shard`` (int) +
+    ``shard_pos`` (long, 0-based)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(seed), F.lit("|"), F.col(key_col).cast("string")))
+    out = df.withColumn("_perm", h).withColumn(
+        "shard",
+        F.pmod(
+            F.conv(F.substring("_perm", 1, 15), 16, 10).cast("long"),
+            F.lit(n_shards),
+        ).cast("int"),
+    )
+    w = Window.partitionBy("shard").orderBy("_perm", key_col)
+    return (
+        out.withColumn(
+            "shard_pos", (F.row_number().over(w) - 1).cast("long")
+        ).drop("_perm")
+    )

@@ -191,3 +191,71 @@ def sample_frames(
 
     cols = df.select(F.col(id_col), F.col("payload"))
     return cols.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+SIGNATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("coarse_sig", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def payload_coarse_signature(
+    df: DataFrame, stride: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Perceptual-hash-SHAPED signature over the binary payload: md5 of
+    every ``stride``-th byte. The downsampling is the deterministic
+    stand-in for a real perceptual hash (pHash/chromaprint — codec
+    libraries absent here; production swaps the body, keeping the
+    signature/schema/batch contract), but the SCALE property it
+    exercises is the real one: a byte-level near-dup tier needs a
+    BUCKETABLE key computed in one Arrow pass so candidate pairs come
+    from an equi-join on the signature, never from pairwise payload
+    comparison. Returns ``(id, coarse_sig, n_bytes)``."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+
+    def sig(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "coarse_sig": [
+                        hashlib.md5(p[::stride]).hexdigest() for p in payloads
+                    ],
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return df.select(F.col(id_col), F.col("payload")).mapInPandas(
+        sig, schema=SIGNATURE_SCHEMA
+    )
+
+
+def payload_dup_groups(
+    df: DataFrame, stride: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Byte-level near-dup families via the coarse signature: one
+    partial-agg groupBy on the 32-char signature (the exact-dedup
+    shape — ``dedup.exact_dup_groups`` at the payload tier). Returns
+    per-payload rows with ``n_family`` and the min-id ``is_canonical``
+    survivor flag; families of size 1 pass through. Signature
+    collisions over-group (the documented coarse-tier trade —
+    downstream exact verification compares ``payload_md5`` from
+    :func:`media_features` within each family, a family-bounded
+    join, never corpus-pairwise)."""
+    sigs = payload_coarse_signature(df, stride=stride, id_col=id_col)
+    fams = sigs.groupBy("coarse_sig").agg(
+        F.count(F.lit(1)).cast("long").alias("n_family"),
+        F.min(id_col).alias("_min_id"),
+    )
+    return sigs.join(fams, "coarse_sig").select(
+        id_col,
+        "coarse_sig",
+        "n_bytes",
+        "n_family",
+        (F.col(id_col) == F.col("_min_id")).alias("is_canonical"),
+    )

@@ -129,6 +129,15 @@ round-9 gates (``star_pipeline``, ``doc_bloom_screen``,
 untouched this round. 97 entries; cadence policy in README.md
 "Correctness rotation" (trailing-THREE-round invariant + recorded
 local artifact from r9 on).
+
+Round-9 second amendment: three more new gates — ``doc_line_dedup``
+and ``doc_line_quality`` (C4-style line-level boilerplate surgery,
+operators/lines.py) and ``doc_shuffle_shards`` (deterministic
+training-shard shuffle, curation.shuffle_to_shards) — register at the
+HEAD of the tail with r10-window priority (the round-9 cap of five
+seated new gates is spent); all three are DuckDB-verified locally
+(tests/test_relational_queries.py + CORRECTNESS_LOCAL artifacts) and
+pytest-pinned meanwhile. 100 entries.
 """
 
 from __future__ import annotations
@@ -673,6 +682,26 @@ _REGISTERED += [
     ),
 ]
 
+# ---- r10-queued gates (registered this round, tail-head priority) ----
+_REGISTERED += [
+    QuerySpec(
+        "doc_line_dedup", SC.q_doc_line_dedup, SC.ORACLE_DOC_LINE_DEDUP,
+        "C4-style cross-document exact line dedup, first occurrence "
+        "wins, sorted reassembly (operators/lines.py)",
+    ),
+    QuerySpec(
+        "doc_line_quality", SC.q_doc_line_quality, SC.ORACLE_DOC_LINE_QUALITY,
+        "C4 per-line quality rules (min words, terminal punctuation, "
+        "brace filter), zero-shuffle rewrite (operators/lines.py)",
+    ),
+    QuerySpec(
+        "doc_shuffle_shards", SC.q_doc_shuffle_shards,
+        SC.ORACLE_DOC_SHUFFLE_SHARDS,
+        "deterministic seed-keyed global shuffle into training shards, "
+        "no global sort (curation.shuffle_to_shards)",
+    ),
+]
+
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 
@@ -735,6 +764,11 @@ ORDER: list[str] = [
     "doc_normalize_dups",
     "doc_pmi_collocations",
     "doc_containment",
+    # ---- tail head: r10 window priority (registered r9, never ----
+    # ---- driver-checked; DuckDB-verified locally + pytest)      ----
+    "doc_line_dedup",
+    "doc_line_quality",
+    "doc_shuffle_shards",
     # ---- tail: r8-driver-green, operators untouched this round ----
     "hourly_event_rollup",
     "doc_text_stats",

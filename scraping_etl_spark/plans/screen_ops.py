@@ -269,3 +269,165 @@ WHERE round(s.n_shared / CAST(least(sa.n_grams, sb.n_grams) AS DOUBLE), 6)
       >= {_CONT_TAU}
 ORDER BY s.id_a, s.id_b
 """
+
+
+# ---------------------------------------------------------------------------
+# r10-queued gates: line-level surgery + shuffled shards
+# (registered at the tail head with r10 window priority — the round-9
+# cadence cap of 5 seated gates is already spent)
+# ---------------------------------------------------------------------------
+
+_LINE_BOILER_A = "subscribe to our newsletter today"
+_LINE_BOILER_B = "all rights reserved worldwide"
+
+
+def _line_corpus(d: DataFrame) -> DataFrame:
+    """Every doc rebuilt as 3 lines: shared header boilerplate, its own
+    text, shared footer boilerplate — the C4 shape where documents are
+    distinct but stitched from shared lines."""
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.lit(_LINE_BOILER_A), F.col("text"), F.lit(_LINE_BOILER_B)
+        ).alias("text"),
+    )
+
+
+def q_doc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scraping_etl_spark.operators.lines import dedup_lines
+
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_lines(_line_corpus(d)).orderBy("doc_id")
+
+
+ORACLE_DOC_LINE_DEDUP = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         '{_LINE_BOILER_A}' || chr(10) || text || chr(10) ||
+         '{_LINE_BOILER_B}' AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, pos - 1 AS pos, line FROM (
+    SELECT doc_id,
+           generate_subscripts(ls, 1) AS pos,
+           unnest(ls) AS line
+    FROM (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)),
+                                        x -> trim(x)), x -> x <> '') AS ls
+      FROM corpus
+    )
+  )
+),
+ranked AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY md5(line)
+                            ORDER BY doc_id, pos) AS rk
+  FROM lines
+),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY pos) AS new_text,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM ranked WHERE rk = 1 GROUP BY doc_id
+),
+counts AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lines GROUP BY doc_id
+)
+SELECT c.doc_id,
+       COALESCE(r.new_text, '') AS text,
+       COALESCE(ct.n_lines, 0) AS n_lines,
+       COALESCE(r.n_kept, 0) AS n_kept
+FROM corpus c
+LEFT JOIN rebuilt r USING (doc_id)
+LEFT JOIN counts ct USING (doc_id)
+ORDER BY c.doc_id
+"""
+
+_LQ_MIN_WORDS = 4
+
+
+def q_doc_line_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-rule gate: header passes (5 words + '.'), the doc's own
+    text line fails (no terminal punctuation), a planted brace line
+    fails, a punctuated copy of the text passes when long enough."""
+    from scraping_etl_spark.operators.lines import filter_quality_lines
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("this header line has punctuation."),
+            F.col("text"),
+            F.concat(F.col("text"), F.lit(".")),
+            F.lit("code { barely } line."),
+        ).alias("text"),
+    )
+    return filter_quality_lines(corpus, min_words=_LQ_MIN_WORDS).orderBy("doc_id")
+
+
+ORACLE_DOC_LINE_QUALITY = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         'this header line has punctuation.' || chr(10) || text || chr(10)
+         || text || '.' || chr(10) || 'code {{ barely }} line.' AS text,
+         text AS orig
+  FROM documents
+),
+split AS (
+  SELECT doc_id, text,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS ls
+  FROM corpus
+),
+judged AS (
+  SELECT doc_id, ls,
+         list_filter(ls, x ->
+           len(list_filter(string_split_regex(x, '\\s+'), t -> t <> ''))
+             >= {_LQ_MIN_WORDS}
+           AND NOT contains(x, '{{') AND NOT contains(x, '}}')
+           AND (suffix(x, '.') OR suffix(x, '!') OR suffix(x, '?')
+                OR suffix(x, '"') OR suffix(x, ''''))
+         ) AS kept
+  FROM split
+)
+SELECT doc_id,
+       array_to_string(kept, chr(10)) AS text,
+       CAST(len(ls) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept
+FROM judged
+ORDER BY doc_id
+"""
+
+_SHARD_N, _SHARD_SEED = 16, "epoch0"
+
+
+def q_doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scraping_etl_spark.operators.curation import shuffle_to_shards
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return shuffle_to_shards(d, n_shards=_SHARD_N, seed=_SHARD_SEED).orderBy(
+        "shard", "shard_pos"
+    )
+
+
+ORACLE_DOC_SHUFFLE_SHARDS = f"""
+WITH keyed AS (
+  SELECT doc_id, lang,
+         md5('{_SHARD_SEED}' || '|' || CAST(doc_id AS VARCHAR)) AS perm
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, lang, perm,
+         CAST((('0x' || substr(perm, 1, 15))::BIGINT % {_SHARD_N})
+              AS INTEGER) AS shard
+  FROM keyed
+)
+SELECT doc_id, lang, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY perm, doc_id) - 1
+            AS BIGINT) AS shard_pos
+FROM sharded
+ORDER BY shard, shard_pos
+"""

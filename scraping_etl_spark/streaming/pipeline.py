@@ -915,3 +915,69 @@ def read_cms_sketch(spark: SparkSession, sketch_dir: str) -> DataFrame:
         .groupBy("seed", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def bloom_screen_stream(
+    spark: SparkSession,
+    source_dir: str,
+    bits_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType = schemas.DOCUMENTS,
+    key_expr: str = "md5(text)",
+    m_bits: int | None = None,
+    k_hashes: int | None = None,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming Bloom-filter maintenance — the streaming twin of
+    ``operators/bloom.py``, exploiting the Bloom filter's merge
+    algebra: filters over disjoint corpora combine by BITWISE OR,
+    exactly (the relation form: union + distinct of the set-bit rows).
+    A growing blocklist / visited-key set thus maintains itself at
+    ingest: each micro-batch contributes its keys' bits under a
+    ``batch_id=N`` partition (the replay-safe dynamic-overwrite
+    convention of :func:`heavy_hitters_stream`, including its
+    checkpoint-reset caveat — the bits dir and the checkpoint are one
+    unit of state), and :func:`read_bloom_bits` folds the partitions
+    into the current filter at read time, bounded by ``m_bits`` rows
+    out. Downstream screens (``bloom.bloom_screen``) then run against
+    a filter that is BIT-FOR-BIT the batch build over everything
+    ingested so far — the equivalence the twin test asserts.
+
+    ``key_expr`` is a SQL expression evaluated against the batch (the
+    default screens content hashes; pass e.g. ``canonical_url`` for a
+    frontier twin)."""
+    from scraping_etl_spark.operators import bloom as BL
+
+    m = m_bits if m_bits is not None else BL.BLOOM_BITS
+    k = k_hashes if k_hashes is not None else BL.BLOOM_HASHES
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        keys = batch_df.select(F.expr(key_expr).alias("_k"))
+        bits = BL.bloom_build(keys, key_col="_k", m_bits=m, k_hashes=k)
+        (
+            bits.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(bits_dir)
+        )
+
+    writer = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_bloom_bits(spark: SparkSession, bits_dir: str) -> DataFrame:
+    """Fold the per-batch bit partitions into the current filter —
+    bitwise OR in relation form (distinct over set bits), at most
+    ``m_bits`` rows out."""
+    return spark.read.parquet(bits_dir).select("bit").distinct()

@@ -516,3 +516,55 @@ def test_prepare_bench_matrix_cap_raises(spark):
     bench = _vecs(spark, [(i, [1.0, 0.0]) for i in range(5)])
     with pytest.raises(ValueError, match="exceeds"):
         SIM.prepare_bench_matrix(bench, max_vecs=3)
+
+
+# ---------------------------------------------------------------------------
+# payload coarse signature + byte-level near-dup families (round 9)
+# ---------------------------------------------------------------------------
+
+def _payload_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, payload binary")
+
+
+def test_payload_signature_ignores_non_sampled_bytes(spark):
+    """Bytes at positions the stride skips don't change the signature —
+    the bucketing property a perceptual tier relies on."""
+    base = bytes(range(64))
+    variant = bytearray(base)
+    for i in range(64):
+        if i % 4 != 0:
+            variant[i] = 0xFF  # perturb only non-sampled positions
+    df = _payload_docs(spark, [(1, base), (2, bytes(variant)), (3, b"other!!")])
+    sigs = {r.doc_id: r.coarse_sig for r in
+            MM.payload_coarse_signature(df, stride=4).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[3] != sigs[1]
+
+
+def test_payload_dup_groups_families_and_survivor(spark):
+    a = bytes(range(32))
+    df = _payload_docs(spark, [(5, a), (9, a), (7, b"unique payload")])
+    out = {r.doc_id: r for r in MM.payload_dup_groups(df, stride=2).collect()}
+    assert out[5].n_family == 2 and out[5].is_canonical
+    assert out[9].n_family == 2 and not out[9].is_canonical
+    assert out[7].n_family == 1 and out[7].is_canonical
+    assert out[5].n_bytes == 32
+
+
+def test_payload_dup_groups_composes_with_attach_payload(spark):
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "different")],
+        "doc_id long, text string",
+    )
+    out = MM.payload_dup_groups(MM.attach_payload(docs), stride=3)
+    fams = {r.doc_id: r.n_family for r in out.collect()}
+    assert fams[1] == 2 and fams[2] == 2 and fams[3] == 1
+
+
+def test_payload_signature_validates_stride(spark):
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        MM.payload_coarse_signature(
+            _payload_docs(spark, [(1, b"x")]), stride=0
+        )

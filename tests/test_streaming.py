@@ -903,3 +903,58 @@ def test_corpus_gate_job_count_constant_per_batch(spark, tmp_path):
     # per-batch job counts (prepare probes would add jobs per call)
     assert counts[0] == counts[1] == counts[2], counts
     assert os.path.isdir(out)
+
+
+def test_bloom_stream_merges_to_batch_filter_and_screens(spark, tmp_path):
+    """Bloom OR-mergeability twin: per-micro-batch bit partitions
+    folded at read time equal the batch build over the union corpus
+    BIT-FOR-BIT (plan-constant hashes); a screen against the folded
+    filter never rejects an ingested key; replay (checkpoint wiped,
+    bits dir kept) converges to the same bits."""
+    import os
+    import shutil
+
+    from scraping_etl_spark.operators import bloom as BL
+    from scraping_etl_spark.streaming.pipeline import (
+        bloom_screen_stream,
+        read_bloom_bits,
+    )
+
+    src, bdir, ckpt = (str(tmp_path / d) for d in ("src", "bits", "ckpt"))
+    os.makedirs(src)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    docs.filter("doc_id % 2 = 0").write.parquet(f"{src}/f1")
+    docs.filter("doc_id % 2 = 1").write.parquet(f"{src}/f2")
+
+    def run_once():
+        q = bloom_screen_stream(
+            spark, f"{src}/*", bdir, ckpt,
+            m_bits=1 << 12, k_hashes=3, max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert (
+        spark.read.parquet(bdir).select("batch_id").distinct().count() == 2
+    )
+    folded = sorted(r.bit for r in read_bloom_bits(spark, bdir).collect())
+    batch = sorted(
+        r.bit
+        for r in BL.bloom_build(
+            docs.selectExpr("md5(text) AS k"), key_col="k",
+            m_bits=1 << 12, k_hashes=3,
+        ).collect()
+    )
+    assert folded == batch
+
+    # every ingested key passes the screen against the folded filter
+    screened = BL.bloom_screen(
+        docs.selectExpr("doc_id", "md5(text) AS k"),
+        read_bloom_bits(spark, bdir),
+        key_col="k", m_bits=1 << 12, k_hashes=3,
+    )
+    assert screened.filter("NOT bloom_hit").count() == 0
+
+    shutil.rmtree(ckpt)
+    run_once()
+    assert sorted(r.bit for r in read_bloom_bits(spark, bdir).collect()) == batch
