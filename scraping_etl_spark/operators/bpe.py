@@ -330,3 +330,93 @@ def bpe_token_counts(
             .alias("n_bpe_tokens"),
         )
     )
+
+
+def bpe_vocab(seg: DataFrame) -> DataFrame:
+    """Subword-id vocabulary from a segmentation table: distinct
+    subwords, dense ids 0..V-1 in lexicographic order (deterministic —
+    re-derivable by any engine from the same merge table). The vocab
+    is TINY by construction — every merge mints at most one new symbol,
+    so V <= alphabet + n_merges — which is what justifies the single
+    global rank window (the ``vocab_topk`` reasoning: only V survivors
+    pass through it). Returns ``(token_id int, subword string)``."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("subword")
+    return (
+        seg.select(F.explode("sym").alias("subword"))
+        .distinct()
+        .withColumn("token_id", (F.row_number().over(w) - 1).cast("int"))
+        .select("token_id", "subword")
+    )
+
+
+UNK_ID = -1
+
+
+def encode_token_ids(
+    df: DataFrame,
+    seg: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_broadcast_words: int = MAX_BROADCAST_WORDS,
+) -> DataFrame:
+    """The LM input-prep step: each document's text becomes its
+    ordered subword-id sequence — tokenize (word split), segment
+    (the learned table; unseen words fall back to characters), map
+    subwords to vocabulary ids (:data:`UNK_ID` for symbols outside the
+    vocab, e.g. characters of unseen words), reassemble IN ORDER.
+
+    Plan: posexplode words → word-keyed join of the segmentation table
+    (broadcast behind the same measured probe as
+    :func:`bpe_token_counts`) → posexplode subwords → broadcast vocab
+    join (vocab is alphabet+merges rows, always tiny) → one
+    token-cardinality groupBy with a sorted (pos, subpos) collect.
+    That one shuffle at token cardinality is the honest cost of
+    order-preserving encoding at any scale; everything else is
+    map-side. Returns ``(id, token_ids array<int>, n_ids)`` with
+    empty docs as empty arrays."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col, lowercase=True)).alias("_pos", "_w"),
+    )
+    s = seg.select(F.col("word").alias("_w"), F.col("sym").alias("_sym"))
+    fits = (
+        max_broadcast_words > 0
+        and s.limit(max_broadcast_words + 1).count() <= max_broadcast_words
+    )
+    segmented = toks.join(F.broadcast(s) if fits else s, "_w", "left").select(
+        id_col,
+        "_pos",
+        F.posexplode(
+            F.coalesce(F.col("_sym"), char_symbols(F.col("_w")))
+        ).alias("_spos", "subword"),
+    )
+    v = vocab.select("subword", "token_id")
+    ids = segmented.join(F.broadcast(v), "subword", "left").select(
+        id_col,
+        "_pos",
+        "_spos",
+        F.coalesce(F.col("token_id"), F.lit(UNK_ID)).cast("int").alias("_id"),
+    )
+    encoded = ids.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_pos"), F.col("_spos"), F.col("_id")))
+            ),
+            lambda x: x["_id"],
+        ).alias("token_ids"),
+        F.count(F.lit(1)).cast("long").alias("n_ids"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(encoded, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("token_ids"), F.array().cast("array<int>")).alias(
+                "token_ids"
+            ),
+            F.coalesce(F.col("n_ids"), F.lit(0).cast("long")).alias("n_ids"),
+        )
+    )

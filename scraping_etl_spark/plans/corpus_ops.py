@@ -1451,3 +1451,117 @@ SELECT token, n_occ,
        CAST(row_number() OVER (ORDER BY n_occ DESC, token) AS INTEGER) AS rank
 FROM top
 """
+
+
+# ---------------------------------------------------------------------------
+# Ordered token-id encoding (bpe.encode_token_ids gate — r10 queue)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=4)
+def _bpe_encode_artifacts(sf_dir: str) -> tuple:
+    """Train-once encode artifacts per scale dir: the word→subwords
+    segmentation (subwords space-joined) and the lexicographic dense-id
+    vocabulary — both model-scale collects under the ``ivf_train``
+    convention, and the vocabulary derivation (sorted distinct
+    subwords) is exactly :func:`bpe.bpe_vocab`'s rank."""
+    from scraping_etl_spark.session import get_spark
+
+    spark = SparkSession.getActiveSession() or get_spark()
+    d = load_table(spark, sf_dir, "documents")
+    merges, _ = _bpe_artifacts(sf_dir)
+    seg = BPE.word_segment_table(d, list(merges))
+    seg_rows = tuple(
+        (r["word"], " ".join(r["sym"]))
+        for r in seg.select("word", "sym").collect()
+    )
+    subwords = sorted({s for _, syms in seg_rows for s in syms.split(" ")})
+    vocab_rows = tuple((s, i) for i, s in enumerate(subwords))
+    return seg_rows, vocab_rows
+
+
+def q_doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM input prep end-to-end: train BPE → segment the vocabulary →
+    encode every document to its ORDERED subword-id sequence
+    (bpe.encode_token_ids — the one token-cardinality shuffle with a
+    (pos, subpos)-sorted reassembly). Emits the id count and the
+    space-joined id string so the order itself is hash-gated."""
+    _bpe_query_dirs.add(sf_dir)
+    merges, _ = _bpe_artifacts(sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    seg = BPE.word_segment_table(d, list(merges))
+    vocab = BPE.bpe_vocab(seg)
+    enc = BPE.encode_token_ids(d, seg, vocab)
+    return enc.select(
+        "doc_id",
+        "n_ids",
+        F.array_join(
+            F.transform("token_ids", lambda x: x.cast("string")), " "
+        ).alias("ids_csv"),
+    )
+
+
+def oracle_doc_token_ids(sf_dir: str | None = None) -> str:
+    """Lazy DuckDB twin: segmentation + vocabulary embedded as plan
+    constants; the ordered encode is an exact relational mirror
+    (unnest-with-subscripts twice, id join, ORDER BY (pos, spos)
+    string_agg). Same dir-pairing guard as the other lazy oracles."""
+    if sf_dir is None:
+        if "SPARK_GRAFT_ORACLE_SF_DIR" in os.environ:
+            sf_dir = os.environ["SPARK_GRAFT_ORACLE_SF_DIR"]
+        elif len(_bpe_query_dirs) == 1:
+            sf_dir = next(iter(_bpe_query_dirs))
+        else:
+            sf_dir = _BPE_ORACLE_SF_DIR
+        if _bpe_query_dirs and sf_dir not in _bpe_query_dirs:
+            raise RuntimeError(
+                f"doc_token_ids oracle: would train at {sf_dir!r} but the "
+                f"query ran at {sorted(_bpe_query_dirs)!r} — pass sf_dir or "
+                f"set SPARK_GRAFT_ORACLE_SF_DIR to pair them."
+            )
+    seg_rows, vocab_rows = _bpe_encode_artifacts(sf_dir)
+    seg_values = ",\n    ".join(
+        "('{}', '{}')".format(w.replace("'", "''"), s.replace("'", "''"))
+        for w, s in seg_rows
+    )
+    vocab_values = ",\n    ".join(
+        "('{}', {})".format(s.replace("'", "''"), i) for s, i in vocab_rows
+    )
+    return f"""
+WITH seg(word, syms) AS (VALUES
+    {seg_values}
+),
+vocab(subword, token_id) AS (VALUES
+    {vocab_values}
+),
+tok AS (
+  SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS w
+  FROM (SELECT doc_id, {_LTOKS} AS t FROM documents)
+),
+segged AS (
+  SELECT tok.doc_id, tok.pos,
+         CASE WHEN seg.syms IS NOT NULL THEN string_split(seg.syms, ' ')
+              ELSE list_transform(generate_series(1, len(tok.w)),
+                                  i -> substr(tok.w, i, 1))
+         END AS sl
+  FROM tok LEFT JOIN seg ON tok.w = seg.word
+),
+subs AS (
+  SELECT doc_id, pos, generate_subscripts(sl, 1) AS spos, unnest(sl) AS subword
+  FROM segged
+),
+ids AS (
+  SELECT s.doc_id, s.pos, s.spos,
+         COALESCE(v.token_id, -1) AS tid
+  FROM subs s LEFT JOIN vocab v ON s.subword = v.subword
+),
+agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_ids,
+         string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos, spos) AS ids_csv
+  FROM ids GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(agg.n_ids, 0) AS n_ids,
+       COALESCE(agg.ids_csv, '') AS ids_csv
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""

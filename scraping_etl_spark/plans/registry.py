@@ -138,6 +138,11 @@ HEAD of the tail with r10-window priority (the round-9 cap of five
 seated new gates is spent); all three are DuckDB-verified locally
 (tests/test_relational_queries.py + CORRECTNESS_LOCAL artifacts) and
 pytest-pinned meanwhile. 100 entries.
+
+Round-9 third amendment: ``doc_token_ids`` (ordered BPE subword-id
+encoding — the LM input-prep step completing the tokenizer story:
+train → segment → encode → pack; bpe.encode_token_ids) joins the
+r10-priority queue behind the line/shard gates — 101 entries.
 """
 
 from __future__ import annotations
@@ -702,6 +707,16 @@ _REGISTERED += [
     ),
 ]
 
+_REGISTERED += [
+    QuerySpec(
+        "doc_token_ids", C.q_doc_token_ids, C.oracle_doc_token_ids,
+        "LM input prep: ordered subword-id encoding via the trained "
+        "BPE segmentation + lexicographic vocab; order itself is "
+        "hash-gated (bpe.encode_token_ids; lazy oracle embeds the "
+        "model as plan constants)",
+    ),
+]
+
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 
@@ -769,6 +784,7 @@ ORDER: list[str] = [
     "doc_line_dedup",
     "doc_line_quality",
     "doc_shuffle_shards",
+    "doc_token_ids",
     # ---- tail: r8-driver-green, operators untouched this round ----
     "hourly_event_rollup",
     "doc_text_stats",

@@ -981,3 +981,118 @@ def read_bloom_bits(spark: SparkSession, bits_dir: str) -> DataFrame:
     bitwise OR in relation form (distinct over set bits), at most
     ``m_bits`` rows out."""
     return spark.read.parquet(bits_dir).select("bit").distinct()
+
+
+def line_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    seen_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType = schemas.DOCUMENTS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming twin of ``lines.dedup_lines`` — C4-style boilerplate
+    removal AT INGEST, with the seen-line state kept as a parquet lake
+    of line hashes rather than in-executor streaming state (32 bytes
+    per distinct line ever seen; state a stream engine could not hold
+    per-key at corpus scale, but a lake holds trivially and EXACTLY —
+    no Bloom approximation, no watermark eviction).
+
+    Per micro-batch: lines from STRICTLY EARLIER batches are read from
+    ``seen_dir`` with a ``batch_id < N`` partition-pruned filter —
+    which is also what makes replay idempotent: a replayed batch never
+    sees its own previous output as "seen", so it rewrites exactly the
+    same kept lines into its own ``batch_id=N`` partitions (both dirs
+    follow the dynamic-overwrite convention and share the
+    checkpoint-reset caveat of :func:`heavy_hitters_stream`). Within
+    the batch, the batch operator's own first-occurrence window
+    applies. Semantics: first occurrence in ARRIVAL ORDER wins —
+    batches ingested in doc-id order reproduce the batch operator over
+    the union bit-for-bit (the twin test's setting); out-of-order
+    ingest keeps the earlier-ARRIVED copy, the only coherent choice on
+    an unbounded stream."""
+    from pyspark.sql import Window
+
+    from scraping_etl_spark.operators.lines import split_lines
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        lines = batch_df.select(
+            F.col(id_col),
+            F.posexplode(split_lines(text_col, sep)).alias("pos", "line"),
+        ).withColumn("_h", F.md5("line"))
+        w = Window.partitionBy("_h").orderBy(id_col, "pos")
+        firsts = lines.withColumn("_rk", F.row_number().over(w)).filter(
+            F.col("_rk") == 1
+        )
+        if os.path.isdir(seen_dir) and any(
+            e.startswith("batch_id=") for e in os.listdir(seen_dir)
+        ):
+            seen = (
+                spark.read.parquet(seen_dir)
+                .filter(F.col("batch_id") < batch_id)
+                .select("_h")
+            )
+            kept = firsts.join(seen, "_h", "left_anti")
+        else:
+            kept = firsts
+        kept = kept.localCheckpoint()  # one compute, three consumers
+        (
+            kept.select("_h")
+            .distinct()
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(seen_dir)
+        )
+        rebuilt = kept.groupBy(id_col).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("_new_text"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+        )
+        out = (
+            batch_df.select(
+                F.col(id_col),
+                F.size(split_lines(text_col, sep)).cast("long").alias("n_lines"),
+            )
+            .join(rebuilt, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce(F.col("_new_text"), F.lit("")).alias(text_col),
+                "n_lines",
+                F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+            )
+        )
+        (
+            out.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    writer = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -181,3 +181,43 @@ def test_char_symbols_drops_spark_trailing_empty(spark):
         bpe.char_symbols(F.lit("abc")).alias("s")
     ).collect()[0]
     assert list(row.s) == ["a", "b", "c"]
+
+
+def test_bpe_vocab_dense_lexicographic_ids(spark, classic):
+    merges = bpe.bpe_train(classic, n_merges=5)
+    seg = bpe.word_segment_table(classic, merges)
+    vocab = {r.subword: r.token_id for r in bpe.bpe_vocab(seg).collect()}
+    assert sorted(vocab.values()) == list(range(len(vocab)))
+    assert list(vocab) != []
+    ordered = sorted(vocab, key=lambda s: vocab[s])
+    assert ordered == sorted(ordered)  # ids follow lexicographic order
+
+
+def test_encode_token_ids_order_and_unseen_fallback(spark, classic):
+    """'lowest low' encodes as seg ids in order; an unseen word with
+    unseen characters contributes UNK (-1) per char; empty docs give
+    empty arrays."""
+    merges = bpe.bpe_train(classic, n_merges=5)
+    corpus = _docs(spark, [(1, "lowest low"), (2, "zz"), (3, "   ")])
+    seg = bpe.word_segment_table(
+        _docs(spark, [(9, "lowest low zz")]), merges
+    ).filter("word <> 'zz'")  # force 'zz' down the unseen-word path
+    vocab = bpe.bpe_vocab(seg)
+    v = {r.subword: r.token_id for r in vocab.collect()}
+    out = {r.doc_id: r for r in
+           bpe.encode_token_ids(corpus, seg, vocab).collect()}
+    assert list(out[1].token_ids) == [v["low"], v["est"], v["low"]]
+    assert out[1].n_ids == 3
+    assert list(out[2].token_ids) == [bpe.UNK_ID, bpe.UNK_ID]  # chars 'z','z'
+    assert list(out[3].token_ids) == [] and out[3].n_ids == 0
+
+
+def test_encode_token_ids_composes_with_arrow_segmentation(spark, classic):
+    merges = bpe.bpe_train(classic, n_merges=5)
+    probe = _docs(spark, [(1, "newest widest lowest")])
+    seg_e = bpe.word_segment_table(probe, merges)
+    seg_a = bpe.word_segment_arrow(probe, merges)
+    v = bpe.bpe_vocab(seg_e)
+    a = bpe.encode_token_ids(probe, seg_e, v).collect()[0]
+    b = bpe.encode_token_ids(probe, seg_a, v).collect()[0]
+    assert list(a.token_ids) == list(b.token_ids) and a.n_ids == b.n_ids

@@ -958,3 +958,64 @@ def test_bloom_stream_merges_to_batch_filter_and_screens(spark, tmp_path):
     shutil.rmtree(ckpt)
     run_once()
     assert sorted(r.bit for r in read_bloom_bits(spark, bdir).collect()) == batch
+
+
+def test_line_dedup_stream_matches_batch_and_replays(spark, tmp_path):
+    """Exact-state streaming line dedup: with batches arriving in
+    doc-id order, the streamed sink equals the batch operator over the
+    union corpus; a replay (checkpoint wiped, seen/out dirs kept)
+    converges to the same rows because each batch's anti-join reads
+    only STRICTLY earlier batch partitions."""
+    import os
+    import shutil
+
+    from scraping_etl_spark.operators.lines import dedup_lines
+    from scraping_etl_spark.streaming.pipeline import line_dedup_stream
+
+    src, out, seen, ckpt = (
+        str(tmp_path / d) for d in ("src", "out", "seen", "ckpt")
+    )
+    os.makedirs(src)
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    docs = base.selectExpr(
+        "doc_id",
+        "concat_ws('\\n', 'shared header line', text, 'shared footer line') AS text",
+        "lang", "source", "n_chars",
+    ).localCheckpoint()
+    # file-per-range so arrival order == doc_id order (file source
+    # lists lexicographically: f1 < f2)
+    docs.filter("doc_id < 20").coalesce(1).write.parquet(f"{src}/f1")
+    docs.filter("doc_id >= 20").coalesce(1).write.parquet(f"{src}/f2")
+
+    def run_once():
+        q = line_dedup_stream(
+            spark, f"{src}/*", out, seen, ckpt, max_files_per_trigger=1
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.select("batch_id").distinct().count() == 2
+    want = {
+        (r.doc_id, r.text, r.n_lines, r.n_kept)
+        for r in dedup_lines(docs.select("doc_id", "text")).collect()
+    }
+    got_rows = {
+        (r.doc_id, r.text, r.n_lines, r.n_kept)
+        for r in got.select("doc_id", "text", "n_lines", "n_kept").collect()
+    }
+    assert got_rows == want
+    # the boilerplate really is cross-batch deduped: only doc 0 keeps it
+    kept_header = [
+        r.doc_id for r in got.collect() if "shared header line" in r.text
+    ]
+    assert kept_header == [0]
+
+    shutil.rmtree(ckpt)
+    run_once()  # replay converges — no batch sees its own partitions
+    again = {
+        (r.doc_id, r.text, r.n_lines, r.n_kept)
+        for r in spark.read.parquet(out)
+        .select("doc_id", "text", "n_lines", "n_kept").collect()
+    }
+    assert again == want
