@@ -312,3 +312,74 @@ def shuffle_to_shards(
             "shard_pos", (F.row_number().over(w) - 1).cast("long")
         ).drop("_perm")
     )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budgets: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "0",
+    prune_cap: int | None = None,
+) -> DataFrame:
+    """Token-budget corpus assembly: take documents per source in the
+    deterministic ``md5(seed|id)`` order until each source's TOKEN
+    budget is filled — the unit a training mix is actually specified
+    in (epochs over The Pile / Dolma recipes quote tokens per source,
+    not doc counts or rates). A document is taken while the running
+    token total of the docs BEFORE it is still under budget, so the
+    budget is met with at most one overshooting document and the
+    selection is rerun-stable and seed-auditable. Sources missing from
+    ``budgets`` contribute nothing.
+
+    Scale: the cumulative sum needs a per-source ordered window —
+    exactly the hot-host sort the salt tournament exists to avoid — so
+    selection runs in two exact stages: :func:`per_key_cap` first
+    prunes each source to its cheapest possible superset
+    (``prune_cap`` docs in the same hash order; every doc carries >= 1
+    token, so rank > budget can never be selected — the default cap is
+    ``max(budgets)``), then the cumsum window runs over <= prune_cap
+    rows per source. Returns the taken docs with ``n_doc_tokens`` and
+    ``cum_before``."""
+    if not budgets:
+        raise ValueError("budgets must be a non-empty {source: n_tokens} map")
+    for k, v in budgets.items():
+        if v < 0:
+            raise ValueError(f"budget for {k!r} must be >= 0, got {v}")
+    from scraping_etl_spark.operators.textstats import tokens
+
+    cap = prune_cap if prune_cap is not None else max(max(budgets.values()), 1)
+    pairs: list[Column] = []
+    for k, v in budgets.items():
+        pairs += [F.lit(k), F.lit(v)]
+    bmap = F.create_map(*pairs)
+    # the md5(seed|id) order key must drive BOTH stages identically;
+    # per_key_cap ranks ascending on a plain column when descending=False
+    keyed = (
+        df.filter(bmap.getItem(F.col(source_col)).isNotNull())
+        .withColumn(
+            "_ord",
+            F.md5(F.concat(F.lit(seed), F.lit("|"), F.col(id_col).cast("string"))),
+        )
+        .withColumn(
+            "n_doc_tokens", F.size(tokens(text_col, lowercase=True)).cast("long")
+        )
+        .filter(F.col("n_doc_tokens") > 0)
+    )
+    pruned = per_key_cap(
+        keyed, cap, key_col=source_col, order_col="_ord",
+        descending=False, id_col=id_col,
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy("_ord", id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = pruned.withColumn(
+        "cum_before", F.coalesce(F.sum("n_doc_tokens").over(w), F.lit(0))
+    )
+    return (
+        out.filter(F.col("cum_before") < bmap.getItem(F.col(source_col)))
+        .drop("_ord", "cap_rank")
+    )

@@ -154,3 +154,79 @@ def filter_quality_lines(
         F.col("_q.n_lines").alias("n_lines"),
         F.col("_q.n_kept").alias("n_kept"),
     )
+
+
+def remove_common_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    min_df_frac: float = 0.5,
+    min_group_docs: int = 3,
+    sep: str = "\n",
+) -> DataFrame:
+    """Host-level boilerplate removal (the RefinedWeb/jusText signal):
+    a line appearing in at least ``min_df_frac`` of a group's documents
+    is template chrome — navigation, cookie banners, footers — and is
+    dropped from EVERY document of that group (unlike
+    :func:`dedup_lines`, which keeps the first copy: boilerplate has no
+    first copy worth keeping). Groups with fewer than
+    ``min_group_docs`` documents are left untouched (a 2-doc host
+    can't distinguish template from content).
+
+    Plan: distinct (group, line-hash, doc) → line document-frequency
+    per group (one partial-agg shuffle at distinct-line cardinality) →
+    the boilerplate set joins back LEFT-ANTI on (group, hash). Group
+    doc counts ride a broadcast (group cardinality = host count);
+    reassembly is the :func:`dedup_lines` sorted-collect. Returns
+    ``(id, text, n_lines, n_kept)``."""
+    if not 0.0 < min_df_frac <= 1.0:
+        raise ValueError(f"min_df_frac must be in (0, 1], got {min_df_frac}")
+    if min_group_docs < 1:
+        raise ValueError(f"min_group_docs must be >= 1, got {min_group_docs}")
+    lines = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("_g"),
+        F.posexplode(split_lines(text_col, sep)).alias("pos", "line"),
+    ).withColumn("_h", F.md5("line"))
+    group_sizes = df.groupBy(F.col(group_col).alias("_g")).agg(
+        F.count(F.lit(1)).alias("_gn")
+    )
+    line_df = (
+        lines.select("_g", "_h", id_col)
+        .distinct()
+        .groupBy("_g", "_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    boiler = (
+        line_df.join(F.broadcast(group_sizes), "_g")
+        .filter(
+            (F.col("_gn") >= min_group_docs)
+            & (F.col("_df") >= F.lit(min_df_frac) * F.col("_gn"))
+        )
+        .select("_g", "_h")
+    )
+    kept = lines.join(boiler, ["_g", "_h"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("line")))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("_new_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.size(split_lines(text_col, sep)).cast("long").alias("n_lines"),
+        )
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_new_text"), F.lit("")).alias(text_col),
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        )
+    )

@@ -802,3 +802,147 @@ def prepare_bench_matrix(
             "tier's shuffle fallback instead"
         )
     return [(r[0], list(r[1])) for r in rows]
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze & Schmid 2011, "Product
+# quantization for nearest neighbor search")
+# ---------------------------------------------------------------------------
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 5,
+) -> list[list[list[float]]]:
+    """Train the PQ codebooks: split the ``dim`` dimensions into ``m``
+    contiguous subspaces and k-means each subspace independently
+    (``m`` small train-once jobs, the ``ivf_train`` convention).
+    Returns ``codebooks[j] = k x (dim/m)`` centroid lists — plan
+    constants for encode/query, embeddable in a DuckDB oracle.
+
+    PQ's scale contract (the paper's): the corpus is stored as
+    ``m`` one-byte-ish codes per vector instead of ``dim`` floats
+    (here 8 ints vs 64 floats — 32x less scan bandwidth), and query
+    distance becomes ``m`` table lookups instead of ``dim`` multiplies.
+    """
+    if m < 1 or k < 2:
+        raise ValueError(f"need m >= 1 and k >= 2, got m={m} k={k}")
+    first = corpus.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError("pq_train: empty corpus")
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sliced = corpus.select(
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias("v")
+        )
+        books.append(
+            ivf_train(sliced, n_clusters=k, vec_col="v", seed=seed + j,
+                      max_iter=max_iter)
+        )
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its ``m`` nearest-subcentroid codes —
+    pure map-side expressions over codebook plan constants (the
+    ``cluster_assign`` argmin per subspace; ties (d, cid)-lexicographic
+    so both engines agree). Zero shuffle. For codebook budgets beyond
+    expression reach (m*k in the thousands) the ``cluster_assign_arrow``
+    convention applies per subspace — this expression tier is the
+    oracle-mirrorable gate path. Returns ``(id, pq_code array<int>)``.
+    """
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    codes = [
+        F.element_at(
+            nearest_centroids(
+                F.slice(F.col(vec_col), j * sub + 1, sub), codebooks[j], 1
+            ),
+            1,
+        )
+        for j in range(m)
+    ]
+    return corpus.select(
+        F.col(id_col), F.array(*codes).cast("array<int>").alias("pq_code")
+    )
+
+
+def pq_adc_tables(
+    codebooks: list[list[list[float]]], query: list[float]
+) -> list[list[float]]:
+    """The query's asymmetric-distance lookup tables:
+    ``T[j][c] = ||q_j - codebook_j[c]||^2`` — computed ONCE driver-side
+    in float64 and embedded as identical literals in the Spark plan and
+    the DuckDB oracle (no cross-engine float derivation to disagree
+    on)."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    tables: list[list[float]] = []
+    for j in range(m):
+        qj = query[j * sub: (j + 1) * sub]
+        tables.append(
+            [
+                sum((float(a) - float(b)) * (float(a) - float(b))
+                    for a, b in zip(qj, c))
+                for c in codebooks[j]
+            ]
+        )
+    return tables
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    probes: list[tuple[int, list[float]]],
+    k: int = 3,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-``k`` per probe over the ENCODED corpus: approximate
+    distance = sum of ``m`` table lookups
+    (``T_j[code_j]``, left-to-right double adds — bit-identical on any
+    engine given identical codes and tables), ordered
+    (distance, neighbor id) with ``TakeOrderedAndProject`` per probe.
+    The corpus side reads only the ``m``-int code column — PQ's whole
+    point at 100 TB: the scan is code-bandwidth, not vector-bandwidth,
+    and no shuffle touches anything but the k survivors per probe.
+    Returns ``(query_id, neighbor_id, adc_dist, rank)`` with the
+    distance rounded to 6 for the cross-engine gate."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not probes:
+        raise ValueError("probes must be non-empty")
+    parts = []
+    for qid, qvec in probes:
+        tables = pq_adc_tables(codebooks, list(qvec))
+        dist = None
+        for j, tj in enumerate(tables):
+            term = F.element_at(
+                F.array(*[F.lit(float(t)) for t in tj]),
+                F.element_at("pq_code", j + 1) + 1,
+            )
+            dist = term if dist is None else (dist + term)
+        scored = encoded.select(
+            F.lit(qid).cast("long").alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.round(dist, 6).alias("adc_dist"),
+        )
+        parts.append(scored.orderBy("adc_dist", "neighbor_id").limit(k))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return out.withColumn("rank", F.row_number().over(w).cast("int"))

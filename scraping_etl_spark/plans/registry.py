@@ -143,6 +143,18 @@ Round-9 third amendment: ``doc_token_ids`` (ordered BPE subword-id
 encoding — the LM input-prep step completing the tokenizer story:
 train → segment → encode → pack; bpe.encode_token_ids) joins the
 r10-priority queue behind the line/shard gates — 101 entries.
+
+Round-9 fourth amendment: ``doc_host_boilerplate`` (per-host
+line-document-frequency boilerplate removal,
+lines.remove_common_lines) and ``doc_budget_mix`` (token-budget
+corpus assembly with the tournament-pruned cumsum,
+curation.token_budget_mix) join the r10-priority queue — 103
+entries, 6 queued for the r10 window.
+
+Round-9 fifth amendment: ``emb_pq_topk`` (product-quantization ADC
+approximate top-k — Jégou et al. 2011; similarity.pq_train/encode/
+topk, code-bandwidth scans with driver-computed lookup tables as
+shared plan constants) joins the queue — 104 entries, 7 queued.
 """
 
 from __future__ import annotations
@@ -717,6 +729,30 @@ _REGISTERED += [
     ),
 ]
 
+_REGISTERED += [
+    QuerySpec(
+        "doc_host_boilerplate", SC.q_doc_host_boilerplate,
+        SC.ORACLE_DOC_HOST_BOILERPLATE,
+        "host-level boilerplate removal: per-group line document "
+        "frequency, every copy dropped (lines.remove_common_lines)",
+    ),
+    QuerySpec(
+        "doc_budget_mix", SC.q_doc_budget_mix, SC.ORACLE_DOC_BUDGET_MIX,
+        "token-budget corpus assembly: per-source budgets filled in "
+        "deterministic hash order, tournament-pruned cumsum "
+        "(curation.token_budget_mix)",
+    ),
+]
+
+_REGISTERED += [
+    QuerySpec(
+        "emb_pq_topk", SC.q_emb_pq_topk, SC.oracle_emb_pq_topk,
+        "product-quantization ADC top-k: m-subspace codebooks, "
+        "code-bandwidth scan, table-lookup distances (similarity.pq_*; "
+        "lazy oracle embeds codebooks + ADC tables as plan constants)",
+    ),
+]
+
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 
@@ -785,6 +821,9 @@ ORDER: list[str] = [
     "doc_line_quality",
     "doc_shuffle_shards",
     "doc_token_ids",
+    "doc_host_boilerplate",
+    "doc_budget_mix",
+    "emb_pq_topk",
     # ---- tail: r8-driver-green, operators untouched this round ----
     "hourly_event_rollup",
     "doc_text_stats",

@@ -431,3 +431,267 @@ SELECT doc_id, lang, shard,
 FROM sharded
 ORDER BY shard, shard_pos
 """
+
+
+_HB_FRAC, _HB_MIN_DOCS = 0.5, 3
+
+
+def q_doc_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level boilerplate gate: every doc of a source carries that
+    source's promo line (df 1.0 → removed from ALL docs); a 'rare
+    extra line' planted in every 10th doc stays under the df threshold
+    and survives (lines.remove_common_lines)."""
+    from scraping_etl_spark.operators.lines import remove_common_lines
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("promo "), F.col("source")),
+            F.col("text"),
+            F.when(F.col("doc_id") % 10 == 0, F.lit("rare extra line")),
+        ).alias("text"),
+        "source",
+    )
+    return remove_common_lines(
+        corpus, min_df_frac=_HB_FRAC, min_group_docs=_HB_MIN_DOCS
+    ).orderBy("doc_id")
+
+
+ORACLE_DOC_HOST_BOILERPLATE = f"""
+WITH corpus AS (
+  SELECT doc_id, source,
+         'promo ' || source || chr(10) || text ||
+         CASE WHEN doc_id % 10 = 0 THEN chr(10) || 'rare extra line'
+              ELSE '' END AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, source, pos - 1 AS pos, line FROM (
+    SELECT doc_id, source,
+           generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+    FROM (
+      SELECT doc_id, source,
+             list_filter(list_transform(string_split(text, chr(10)),
+                                        x -> trim(x)), x -> x <> '') AS ls
+      FROM corpus
+    )
+  )
+),
+gsizes AS (SELECT source, COUNT(*) AS gn FROM corpus GROUP BY 1),
+ldf AS (
+  SELECT source, md5(line) AS h, COUNT(DISTINCT doc_id) AS df
+  FROM lines GROUP BY 1, 2
+),
+boiler AS (
+  SELECT l.source, l.h FROM ldf l JOIN gsizes g USING (source)
+  WHERE g.gn >= {_HB_MIN_DOCS} AND l.df >= {_HB_FRAC} * g.gn
+),
+kept AS (
+  SELECT ln.doc_id, ln.pos, ln.line
+  FROM lines ln
+  ANTI JOIN boiler b ON ln.source = b.source AND md5(ln.line) = b.h
+),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY pos) AS new_text,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY 1
+),
+counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines FROM lines GROUP BY 1)
+SELECT c.doc_id,
+       COALESCE(r.new_text, '') AS text,
+       COALESCE(ct.n_lines, 0) AS n_lines,
+       COALESCE(r.n_kept, 0) AS n_kept
+FROM corpus c
+LEFT JOIN rebuilt r USING (doc_id)
+LEFT JOIN counts ct USING (doc_id)
+ORDER BY c.doc_id
+"""
+
+
+_BM_BUDGETS = {"src0": 400, "src1": 150, "src2": 0, "src3": 60}
+_BM_SEED = "mix0"
+
+
+def q_doc_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus assembly gate: per-source token budgets
+    filled in deterministic md5(seed|id) order, one overshooting doc
+    allowed, zero-budget and unlisted sources excluded
+    (curation.token_budget_mix)."""
+    from scraping_etl_spark.operators.curation import token_budget_mix
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        token_budget_mix(d, dict(_BM_BUDGETS), seed=_BM_SEED)
+        .select("doc_id", "source", "n_doc_tokens", "cum_before")
+        .orderBy("doc_id")
+    )
+
+
+def _bm_budget_sql() -> str:
+    return " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in _BM_BUDGETS.items()
+    )
+
+
+ORACLE_DOC_BUDGET_MIX = f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         CAST(len({_LTOKS}) AS BIGINT) AS n_doc_tokens,
+         md5('{_BM_SEED}' || '|' || CAST(doc_id AS VARCHAR)) AS ord_key,
+         CASE source {_bm_budget_sql()} ELSE NULL END AS budget
+  FROM documents
+),
+eligible AS (
+  SELECT * FROM keyed WHERE budget IS NOT NULL AND n_doc_tokens > 0
+),
+cum AS (
+  SELECT doc_id, source, n_doc_tokens, budget,
+         CAST(COALESCE(SUM(n_doc_tokens) OVER (
+           PARTITION BY source ORDER BY ord_key, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS cum_before
+  FROM eligible
+)
+SELECT doc_id, source, n_doc_tokens, cum_before
+FROM cum WHERE cum_before < budget
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN tier (similarity.pq_* gate — r10 queue)
+# ---------------------------------------------------------------------------
+
+import functools
+import os
+
+_PQ_M, _PQ_K, _PQ_TOPK, _PQ_N_PROBES = 8, 16, 3, 3
+
+_pq_query_dirs: set[str] = set()
+
+
+@functools.lru_cache(maxsize=4)
+def _pq_index(sf_dir: str) -> tuple:
+    """Train-once PQ artifacts per scale dir: the m codebooks and the
+    probe vectors (model-scale collects, the ``ivf_train``
+    convention)."""
+    from pyspark.sql import SparkSession as _SS
+
+    from scraping_etl_spark.operators import similarity as SIM
+    from scraping_etl_spark.session import get_spark
+
+    spark = _SS.getActiveSession() or get_spark()
+    e = load_table(spark, sf_dir, "embeddings")
+    books = SIM.pq_train(e, m=_PQ_M, k=_PQ_K)
+    probes = tuple(
+        (int(r["vec_id"]), tuple(float(x) for x in r["embedding"]))
+        for r in e.filter(F.col("vec_id") < _PQ_N_PROBES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return tuple(tuple(tuple(c) for c in b) for b in books), probes
+
+
+def q_emb_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-k: encode the corpus to m subspace codes
+    (map-side argmin over codebook plan constants), then answer each
+    probe with m table lookups per vector — the 32x-less-scan-bandwidth
+    ANN tier (similarity.pq_train/pq_encode/pq_topk)."""
+    from scraping_etl_spark.operators import similarity as SIM
+
+    _pq_query_dirs.add(sf_dir)
+    books, probes = _pq_index(sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    enc = SIM.pq_encode(e, [list(map(list, b)) for b in books])
+    return SIM.pq_topk(
+        enc, [list(map(list, b)) for b in books],
+        [(qid, list(q)) for qid, q in probes], k=_PQ_TOPK,
+    ).select("query_id", "neighbor_id", "adc_dist", "rank")
+
+
+def oracle_emb_pq_topk(sf_dir: str | None = None) -> str:
+    """Lazy DuckDB twin: codebooks embedded as VALUES, per-subspace
+    argmin replayed with the identical left-fold squared distance and
+    (d, cid) tie-break, codes pivoted to columns, and the ADC sum
+    written as the same FIXED-ORDER chain of adds over the same
+    driver-computed lookup-table literals (no engine-side float
+    derivation can disagree)."""
+    from scraping_etl_spark.operators import similarity as SIM
+
+    if sf_dir is None:
+        if "SPARK_GRAFT_ORACLE_SF_DIR" in os.environ:
+            sf_dir = os.environ["SPARK_GRAFT_ORACLE_SF_DIR"]
+        elif len(_pq_query_dirs) == 1:
+            sf_dir = next(iter(_pq_query_dirs))
+        else:
+            sf_dir = "/root/testdata/sf0.01"
+        if _pq_query_dirs and sf_dir not in _pq_query_dirs:
+            raise RuntimeError(
+                f"emb_pq_topk oracle: would train at {sf_dir!r} but the "
+                f"query ran at {sorted(_pq_query_dirs)!r} — pair them via "
+                "SPARK_GRAFT_ORACLE_SF_DIR."
+            )
+    books, probes = _pq_index(sf_dir)
+    m, sub = len(books), len(books[0][0])
+    book_rows = ",\n         ".join(
+        "({j}, {cid}, [{xs}])".format(
+            j=j, cid=cid,
+            xs=", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in c),
+        )
+        for j, b in enumerate(books)
+        for cid, c in enumerate(b)
+    )
+    sq = (
+        "list_reduce(list_transform(generate_series(1, {s}), "
+        "i -> (e.embedding[b.j*{s}+i]::DOUBLE - b.c[i]) "
+        "* (e.embedding[b.j*{s}+i]::DOUBLE - b.c[i])), (x, y) -> x + y)"
+    ).format(s=sub)
+    pivot = ", ".join(
+        f"MAX(CASE WHEN j = {j} THEN cid END) AS c{j}" for j in range(m)
+    )
+    probe_selects = []
+    for qid, q in probes:
+        tables = SIM.pq_adc_tables(
+            [list(map(list, b)) for b in books], list(q)
+        )
+        terms = " + ".join(
+            "[{xs}][c{j} + 1]".format(
+                xs=", ".join(f"CAST({float(t)!r} AS DOUBLE)" for t in tables[j]),
+                j=j,
+            )
+            for j in range(m)
+        )
+        probe_selects.append(
+            f"SELECT CAST({qid} AS BIGINT) AS query_id, vec_id AS neighbor_id,\n"
+            f"       round({terms}, 6) AS adc_dist FROM code_pivot"
+        )
+    union = "\n  UNION ALL\n  ".join(probe_selects)
+    return f"""
+WITH book(j, cid, c) AS (
+  VALUES {book_rows}
+), dist AS (
+  SELECT e.vec_id, b.j, b.cid, {sq} AS d
+  FROM embeddings e CROSS JOIN book b
+), code AS (
+  SELECT vec_id, j, cid FROM (
+    SELECT vec_id, j, cid,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rk
+    FROM dist
+  ) WHERE rk = 1
+), code_pivot AS (
+  SELECT vec_id, {pivot} FROM code GROUP BY vec_id
+), scored AS (
+  {union}
+), ranked AS (
+  SELECT query_id, neighbor_id, adc_dist,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, adc_dist, rank
+FROM ranked WHERE rank <= {_PQ_TOPK}
+"""

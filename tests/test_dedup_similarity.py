@@ -568,3 +568,105 @@ def test_payload_signature_validates_stride(spark):
         MM.payload_coarse_signature(
             _payload_docs(spark, [(1, b"x")]), stride=0
         )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (round 9)
+# ---------------------------------------------------------------------------
+
+def _vecs(spark, n=120, dim=16, seed=3):
+    import random
+
+    rnd = random.Random(seed)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_encode_codes_in_range_and_deterministic(spark):
+    from scraping_etl_spark.operators import similarity as SIM
+
+    e = _vecs(spark).localCheckpoint()
+    books = SIM.pq_train(e, m=4, k=8)
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+    a = {r.vec_id: list(r.pq_code) for r in SIM.pq_encode(e, books).collect()}
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in a.values())
+    b = {r.vec_id: list(r.pq_code)
+         for r in SIM.pq_encode(e.repartition(7), books).collect()}
+    assert a == b
+
+
+def test_pq_topk_recall_against_exact(spark):
+    """ADC top-10 must capture most of the exact L2 top-10 — the
+    paper's accuracy claim at this (tiny) scale. Deterministic corpus
+    and seeds, so the measured recall is stable."""
+    from scraping_etl_spark.operators import similarity as SIM
+
+    e = _vecs(spark, n=200, dim=16).localCheckpoint()
+    books = SIM.pq_train(e, m=8, k=32)
+    enc = SIM.pq_encode(e, books).localCheckpoint()
+    probes = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in e.filter("vec_id < 5").collect()
+    ]
+    got = SIM.pq_topk(enc, books, probes, k=10).collect()
+    approx = {}
+    for r in got:
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    rows = e.collect()
+    vec = {r.vec_id: r.embedding for r in rows}
+    recall_total = 0
+    for qid, q in probes:
+        d = sorted(
+            (sum((float(a) - float(b)) ** 2 for a, b in zip(q, v)), i)
+            for i, v in vec.items()
+        )
+        exact10 = {i for _, i in d[:10]}
+        recall_total += len(exact10 & approx[qid])
+    assert recall_total / (10 * len(probes)) >= 0.6
+
+
+def test_pq_adc_tables_match_definition():
+    from scraping_etl_spark.operators.similarity import pq_adc_tables
+
+    books = [[[0.0, 0.0], [1.0, 1.0]], [[2.0, 2.0], [0.0, 1.0]]]
+    q = [1.0, 1.0, 2.0, 2.0]
+    t = pq_adc_tables(books, q)
+    assert t[0] == [2.0, 0.0]
+    assert t[1] == [0.0, 5.0]
+
+
+def test_pq_validates(spark):
+    import pytest as _pt
+
+    from scraping_etl_spark.operators import similarity as SIM
+
+    e = _vecs(spark, n=10, dim=6)
+    with _pt.raises(ValueError):
+        SIM.pq_train(e, m=4, k=8)  # 4 does not divide 6
+    with _pt.raises(ValueError):
+        SIM.pq_train(e, m=2, k=1)
+    books = SIM.pq_train(e, m=2, k=4)
+    enc = SIM.pq_encode(e, books)
+    with _pt.raises(ValueError):
+        SIM.pq_topk(enc, books, [], k=3)
+    with _pt.raises(ValueError):
+        SIM.pq_topk(enc, books, [(0, [0.0] * 6)], k=0)
+
+
+def test_pq_topk_scans_only_code_column(spark):
+    """The ADC scan must read the m-int code column, not the vectors —
+    PQ's bandwidth contract (column pruning visible in the plan)."""
+    from scraping_etl_spark.operators import similarity as SIM
+
+    e = _vecs(spark, n=50, dim=8)
+    books = SIM.pq_train(e, m=2, k=4)
+    enc = SIM.pq_encode(e, books)
+    q = [0.0] * 8
+    phys = (
+        SIM.pq_topk(enc, books, [(0, q)], k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in phys
+    # the scored projection carries pq_code, never the embedding column
+    assert "embedding" not in phys.split("TakeOrderedAndProject")[1][:400]

@@ -142,3 +142,105 @@ def test_shuffle_shards_roughly_uniform(spark):
 def test_shuffle_shards_validates(spark):
     with pytest.raises(ValueError):
         shuffle_to_shards(spark.range(3), n_shards=0)
+
+
+# ---------------------------------------------------------------------------
+# remove_common_lines (host-level boilerplate)
+# ---------------------------------------------------------------------------
+
+def _hdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_remove_common_lines_drops_every_copy(spark):
+    rows = [(i, f"nav bar\ncontent {i}\nfooter", "h1") for i in range(6)]
+    rows += [(10 + i, f"other {i}\nnav bar", "h2") for i in range(2)]  # < min docs
+    out = {r.doc_id: r for r in
+           L.remove_common_lines(_hdocs(spark, rows), min_df_frac=0.5).collect()}
+    # h1: nav+footer in 6/6 docs -> gone from ALL (no first copy kept)
+    for i in range(6):
+        assert out[i].text == f"content {i}", out[i]
+        assert out[i].n_lines == 3 and out[i].n_kept == 1
+    # h2 has only 2 docs (< min_group_docs=3): untouched
+    assert out[10].text == "other 0\nnav bar"
+
+
+def test_remove_common_lines_df_threshold(spark):
+    # line in 2 of 5 docs (0.4 < 0.6) survives; in 4 of 5 (0.8) removed
+    rows = [(i, ("often\n" if i < 4 else "") + ("seldom\n" if i < 2 else "")
+             + f"body {i}", "h") for i in range(5)]
+    out = {r.doc_id: r.text for r in
+           L.remove_common_lines(_hdocs(spark, rows), min_df_frac=0.6).collect()}
+    assert out[0] == "seldom\nbody 0"
+    assert out[4] == "body 4"
+
+
+def test_remove_common_lines_validates(spark):
+    d = _hdocs(spark, [(1, "x", "h")])
+    with pytest.raises(ValueError):
+        L.remove_common_lines(d, min_df_frac=0.0)
+    with pytest.raises(ValueError):
+        L.remove_common_lines(d, min_group_docs=0)
+
+
+# ---------------------------------------------------------------------------
+# token_budget_mix
+# ---------------------------------------------------------------------------
+
+def test_token_budget_mix_fills_budget_with_one_overshoot(spark):
+    from scraping_etl_spark.operators.curation import token_budget_mix
+
+    rows = [(i, "w " * 10, "a") for i in range(20)]  # 10 tokens each
+    df = _hdocs(spark, [(i, t.strip(), s) for i, t, s in rows])
+    out = token_budget_mix(df, {"a": 35})
+    got = out.collect()
+    total = sum(r.n_doc_tokens for r in got)
+    # 35-token budget over 10-token docs -> 4 docs (30 before 4th < 35)
+    assert len(got) == 4 and total == 40
+    assert max(r.cum_before for r in got) == 30
+
+
+def test_token_budget_mix_unlisted_sources_excluded_and_deterministic(spark):
+    from scraping_etl_spark.operators.curation import token_budget_mix
+
+    rows = [(i, "x y z", "a" if i % 2 == 0 else "b") for i in range(30)]
+    df = _hdocs(spark, rows)
+    out = token_budget_mix(df, {"a": 9})
+    ids1 = sorted(r.doc_id for r in out.collect())
+    assert len(ids1) == 3  # 3-token docs, budget 9 -> exactly 3 docs
+    assert all(i % 2 == 0 for i in ids1)  # only source 'a'
+    ids2 = sorted(
+        r.doc_id
+        for r in token_budget_mix(df.repartition(7), {"a": 9}).collect()
+    )
+    assert ids1 == ids2
+    # a different seed picks a different (still size-3) set
+    ids3 = sorted(
+        r.doc_id for r in token_budget_mix(df, {"a": 9}, seed="other").collect()
+    )
+    assert len(ids3) == 3 and ids3 != ids1
+
+
+def test_token_budget_mix_prune_equals_unpruned(spark):
+    """The tournament prune is a pure optimization: tiny prune_cap
+    (but >= the selectable bound) must not change the selection."""
+    from scraping_etl_spark.operators.curation import token_budget_mix
+
+    rows = [(i, "t " * (1 + i % 3), "s") for i in range(40)]
+    df = _hdocs(spark, [(i, t.strip(), s) for i, t, s in rows])
+    a = sorted(r.doc_id for r in token_budget_mix(df, {"s": 12}).collect())
+    b = sorted(
+        r.doc_id
+        for r in token_budget_mix(df, {"s": 12}, prune_cap=12).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_token_budget_mix_validates(spark):
+    from scraping_etl_spark.operators.curation import token_budget_mix
+
+    d = _hdocs(spark, [(1, "x", "s")])
+    with pytest.raises(ValueError):
+        token_budget_mix(d, {})
+    with pytest.raises(ValueError):
+        token_budget_mix(d, {"s": -1})
