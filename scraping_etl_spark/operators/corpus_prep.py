@@ -834,6 +834,45 @@ def stratified_sample_n(
 # Exact per-stratum quantiles via value-histogram CDF
 # ---------------------------------------------------------------------------
 
+def stratified_cutoffs(
+    df: DataFrame,
+    value_col: str,
+    quantiles: tuple[float, ...],
+    strata_col: str = "lang",
+) -> DataFrame:
+    """Wide form of :func:`stratified_quantiles`: one row per stratum
+    with columns ``_q0.._qk`` (the ``percentile_disc`` value per
+    requested quantile) and ``_n`` (stratum row count). Same
+    histogram-CDF construction and the same scale argument — the
+    per-stratum window sorts DISTINCT-VALUE rows, bounded by the value
+    domain, never the corpus. Callers that assign rows against the
+    cutoffs (:func:`ccnet_buckets`) consume this form directly: the
+    output is strata-count rows, broadcastable by construction."""
+    for q in quantiles:
+        if not 0 < q <= 1:
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    hist = df.groupBy(strata_col, value_col).agg(
+        F.count(F.lit(1)).alias("_f")
+    )
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cdf = hist.withColumn("_cum", F.sum("_f").over(w)).withColumn(
+        "_n", F.sum("_f").over(Window.partitionBy(strata_col))
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.col("_cum") >= F.ceil(F.lit(q) * F.col("_n")), F.col(value_col)
+            )
+        ).alias(f"_q{i}")
+        for i, q in enumerate(quantiles)
+    ]
+    return cdf.groupBy(strata_col).agg(F.min("_n").alias("_n"), *picks)
+
+
 def stratified_quantiles(
     df: DataFrame,
     value_col: str,
@@ -858,29 +897,7 @@ def stratified_quantiles(
     rows). One quantile row per (stratum, q). Exact, no interpolation
     (values keep their column type), deterministic, and the oracle
     reproduces the same histogram-CDF construction."""
-    for q in quantiles:
-        if not 0 < q <= 1:
-            raise ValueError(f"quantiles must be in (0, 1], got {q}")
-    hist = df.groupBy(strata_col, value_col).agg(
-        F.count(F.lit(1)).alias("_f")
-    )
-    w = (
-        Window.partitionBy(strata_col)
-        .orderBy(value_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    cdf = hist.withColumn("_cum", F.sum("_f").over(w)).withColumn(
-        "_n", F.sum("_f").over(Window.partitionBy(strata_col))
-    )
-    picks = [
-        F.min(
-            F.when(
-                F.col("_cum") >= F.ceil(F.lit(q) * F.col("_n")), F.col(value_col)
-            )
-        ).alias(f"_q{i}")
-        for i, q in enumerate(quantiles)
-    ]
-    wide = cdf.groupBy(strata_col).agg(F.min("_n").alias("_n"), *picks)
+    wide = stratified_cutoffs(df, value_col, quantiles, strata_col)
     # unpivot (stratum, _q0.._qk, _n) → one row per (stratum, quantile)
     stack = ", ".join(
         f"CAST({q!r} AS DOUBLE), _q{i}" for i, q in enumerate(quantiles)
@@ -891,6 +908,79 @@ def stratified_quantiles(
             f"stack({len(quantiles)}, {stack}) AS (quantile, value)"
         ),
         F.col("_n").alias("n_rows"),
+    )
+
+
+#: Fixed-point scale for LM scores in :func:`ccnet_buckets` —
+#: ``avg_logp`` is already rounded to 6 decimals by
+#: :func:`with_lm_score`, so ``round(avg_logp * 1e6)`` is an EXACT
+#: integer image of the score (no further precision loss), and the
+#: cutoff histogram runs over a value domain bounded by the score
+#: range × 1e6, not by corpus size.
+LM_SCORE_FX_SCALE = 1_000_000
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "lang",
+    lm: DataFrame | None = None,
+    lm_prepared: PreparedLM | None = None,
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2019,
+    arXiv:1911.00359 §4.3): per language, split the corpus into
+    ``head`` / ``middle`` / ``tail`` thirds by language-model score —
+    head = best-scoring (lowest perplexity ⇔ highest ``avg_logp``)
+    third. CCNet keeps head+middle for pretraining and drops or
+    down-weights tail; this operator labels, it does not drop, so the
+    caller picks the policy.
+
+    The LM is :func:`with_lm_score`'s add-one bigram model (self-score
+    by default; pass ``lm=``/``lm_prepared=`` for the real CCNet
+    deployment — a curated reference LM). Bucket boundaries are EXACT
+    per-stratum ``percentile_disc`` cutoffs over the fixed-point score
+    (:data:`LM_SCORE_FX_SCALE`), ties resolved downward (a doc ON the
+    1/3 cutoff is ``tail``, on the 2/3 cutoff ``middle`` — the
+    smallest-value-reaching-rank convention of
+    :func:`stratified_quantiles`, so the split is deterministic and
+    the oracle reproduces it bit-for-bit). Docs with < 2 tokens score
+    0.0 (no bigrams) and land by that score like any other.
+
+    Scale: scoring is the audited :func:`with_lm_score` plan; cutoffs
+    add one partial-agg histogram shuffle at distinct-(stratum, fx)
+    cardinality — bounded by the score range × scale (~10^7 rows
+    worst-case, task-sized) — and the per-stratum cutoff table is
+    strata-count rows, attached back as a broadcast hash join; bucket
+    assignment is map-side. No corpus-scale sort anywhere.
+
+    Returns one row per doc: ``(id, stratum, n_bigrams, avg_logp,
+    bucket)``.
+    """
+    scored = with_lm_score(
+        df, id_col=id_col, text_col=text_col, lm=lm, lm_prepared=lm_prepared
+    )
+    base = df.select(id_col, strata_col).join(scored, id_col)
+    sdf = base.withColumn(
+        "_fx",
+        F.round(F.col("avg_logp") * LM_SCORE_FX_SCALE).cast("long"),
+    )
+    wide = stratified_cutoffs(sdf, "_fx", cuts, strata_col)
+    return (
+        sdf.join(
+            F.broadcast(wide.select(strata_col, "_q0", "_q1")), strata_col
+        )
+        .select(
+            id_col,
+            strata_col,
+            "n_bigrams",
+            "avg_logp",
+            F.when(F.col("_fx") <= F.col("_q0"), F.lit("tail"))
+            .when(F.col("_fx") <= F.col("_q1"), F.lit("middle"))
+            .otherwise(F.lit("head"))
+            .alias("bucket"),
+        )
     )
 
 

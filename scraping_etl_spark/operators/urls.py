@@ -85,3 +85,116 @@ def url_dedup(
             F.min(id_col).alias("survivor_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain blocklist screening (UT1-style)
+# ---------------------------------------------------------------------------
+
+#: Measured-probe cap for broadcasting the blocklist (the
+#: corpus_prep.decontaminate convention). The UT1 blacklists RefinedWeb
+#: filters with (Penedo et al. 2023 §3.1) hold ~4.6M domains — a list
+#: that size broadcasts fine; past the cap the match join degrades to
+#: an un-hinted shuffle join instead of an OOM.
+MAX_BROADCAST_BLOCKLIST = 2_000_000
+
+#: Suffix-chain depth cap: a host contributes its last ``n`` label
+#: suffixes as match candidates. Registered blocklist entries are
+#: shallow (rarely > 5 labels); the cap bounds per-row fan-out on
+#: adversarial 100-label hosts.
+MAX_SUFFIX_LABELS = 8
+
+
+def host_of(url: Column | str) -> Column:
+    """The lowercased host of a URL: authority between ``scheme://``
+    and the first ``/``, ``?`` or ``#``, with userinfo and port
+    stripped. A value with no ``scheme://`` yields ``''`` (relative
+    URLs have no authority — never guessed at, same contract as
+    :func:`canonical_url`)."""
+    u = F.trim(F.col(url) if isinstance(url, str) else url)
+    auth = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    auth = F.regexp_replace(auth, r"^[^@]*@", "")   # userinfo
+    return F.regexp_replace(auth, r":[0-9]*$", "")  # port
+
+
+def host_suffixes(host: Column, max_labels: int = MAX_SUFFIX_LABELS) -> Column:
+    """The domain-suffix chain of a host, deepest first:
+    ``a.b.c.d → [a.b.c.d, b.c.d, c.d, d]`` — the candidate keys for
+    registered-domain blocklist matching (a host is blocked iff ANY
+    suffix is listed, i.e. exact match or subdomain-of). Bounded at
+    the last ``max_labels`` labels; empty hosts yield ``[]``."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    start = F.greatest(F.lit(1), n - F.lit(max_labels) + 1)
+    return F.when(F.length(host) == 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(start, n),
+            lambda i: F.concat_ws(".", F.slice(labels, i, n - i + 1)),
+        )
+    )
+
+
+def blocklist_matches(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+    max_labels: int = MAX_SUFFIX_LABELS,
+    max_broadcast: int = MAX_BROADCAST_BLOCKLIST,
+) -> DataFrame:
+    """Match every row's URL host against a domain blocklist (exact
+    host OR subdomain of a listed domain — the UT1/RefinedWeb
+    adult-and-malware screen, Penedo et al. 2023 §3.1). Returns the
+    MATCH relation ``(id, host, blocked_by)`` — one row per blocked
+    input row, ``blocked_by`` = the shallowest (shortest) listed
+    suffix for a deterministic attribution — at blocked-row
+    cardinality, not corpus cardinality (callers anti-join it, see
+    :func:`blocklist_filter`).
+
+    Plan: explode the bounded suffix chain (≤ ``max_labels`` rows per
+    input), equi-join the blocklist on the suffix — broadcast behind a
+    measured ``limit(n+1).count()`` probe, un-hinted shuffle join past
+    the cap — then one partial-agg ``groupBy(id)`` picks the
+    attribution. Lowercase-trim normalization is applied to the
+    blocklist side; no UDFs anywhere."""
+    bl = blocklist.select(
+        F.lower(F.trim(F.col(domain_col))).alias("_bldom")
+    ).distinct()
+    small = bl.limit(max_broadcast + 1).count() <= max_broadcast
+    bl_side = F.broadcast(bl) if small else bl
+    host = host_of(url_col)
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        host.alias("_host"),
+        F.explode(host_suffixes(host, max_labels)).alias("_sfx"),
+    )
+    return (
+        exploded.join(bl_side, exploded["_sfx"] == bl_side["_bldom"])
+        .groupBy("_id")
+        .agg(
+            F.min("_host").alias("host"),  # functionally dependent on _id
+            F.min_by("_sfx", F.length("_sfx")).alias("blocked_by"),
+        )
+        .select(F.col("_id").alias(id_col), "host", "blocked_by")
+    )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Rows of ``df`` whose URL host survives the blocklist — the
+    filtering form of :func:`blocklist_matches`: one anti equi-join on
+    the id against the match relation (blocked-cardinality, usually a
+    small fraction of the corpus; Spark's planner broadcasts it when
+    its measured size allows, and AQE converts the shuffle plan at
+    runtime otherwise — no unguarded hint needed here because the
+    build side is an aggregate output, never raw input)."""
+    matches = blocklist_matches(df, blocklist, url_col, id_col, domain_col)
+    return df.join(matches.select(id_col), id_col, "left_anti")

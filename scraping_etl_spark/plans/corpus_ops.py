@@ -1565,3 +1565,75 @@ SELECT d.doc_id,
        COALESCE(agg.ids_csv, '') AS ids_csv
 FROM documents d LEFT JOIN agg USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets (corpus_prep.ccnet_buckets gate)
+# ---------------------------------------------------------------------------
+
+def q_doc_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language head/middle/tail LM-score thirds (CCNet, Wenzek et
+    al. 2019) over the documents table — self-scored bigram LM, exact
+    per-language ``percentile_disc`` cutoffs on the fixed-point score,
+    ties downward. Per-doc output so the hash gates BOTH the score
+    reproduction and the cutoff arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    return CP.ccnet_buckets(d).select(
+        "doc_id", "lang", "n_bigrams", "avg_logp", "bucket"
+    )
+
+
+ORACLE_DOC_CCNET_BUCKETS = f"""
+WITH tok AS (
+  SELECT doc_id, {_LTOKS} AS t FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 2
+                     THEN list_transform(generate_series(1, len(t) - 1),
+                                         i -> t[i] || ' ' || t[i+1])
+                     ELSE [] END) AS g
+  FROM tok
+),
+bc AS (SELECT g, count(*) AS cbi FROM bi GROUP BY 1),
+uc AS (
+  SELECT w, count(*) AS cw
+  FROM (SELECT unnest(t) AS w FROM tok) GROUP BY 1
+),
+v AS (SELECT count(*) AS v FROM uc),
+agg AS (
+  SELECT bi.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(ln((bc.cbi + 1.0) / (uc.cw + v.v))), 6) AS avg_logp
+  FROM bi
+  JOIN bc USING (g)
+  JOIN uc ON uc.w = split_part(bi.g, ' ', 1)
+  CROSS JOIN v
+  GROUP BY 1
+),
+scored AS (
+  SELECT d.doc_id, d.lang,
+         CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         coalesce(avg_logp, 0.0) AS avg_logp,
+         CAST(round(coalesce(avg_logp, 0.0) * 1000000) AS BIGINT) AS fxv
+  FROM documents d LEFT JOIN agg USING (doc_id)
+),
+hist AS (SELECT lang, fxv, count(*) AS f FROM scored GROUP BY 1, 2),
+cdf AS (
+  SELECT lang, fxv,
+         sum(f) OVER (PARTITION BY lang ORDER BY fxv) AS cum,
+         sum(f) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+cutw AS (
+  SELECT lang,
+         min(CASE WHEN cum >= ceil(0.3333333333333333 * n) THEN fxv END) AS q0,
+         min(CASE WHEN cum >= ceil(0.6666666666666666 * n) THEN fxv END) AS q1
+  FROM cdf GROUP BY 1
+)
+SELECT s.doc_id, s.lang, s.n_bigrams, s.avg_logp,
+       CASE WHEN s.fxv <= c.q0 THEN 'tail'
+            WHEN s.fxv <= c.q1 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM scored s JOIN cutw c USING (lang)
+"""

@@ -155,6 +155,18 @@ Round-9 fifth amendment: ``emb_pq_topk`` (product-quantization ADC
 approximate top-k — Jégou et al. 2011; similarity.pq_train/encode/
 topk, code-bandwidth scans with driver-computed lookup tables as
 shared plan constants) joins the queue — 104 entries, 7 queued.
+
+Round-9 sixth amendment: ``doc_ccnet_buckets`` (CCNet perplexity
+head/middle/tail thirds per language — Wenzek et al. 2019;
+corpus_prep.ccnet_buckets over the audited with_lm_score plan plus
+one bounded-domain histogram shuffle) joins the queue — 105 entries,
+8 queued.
+
+Round-9 seventh amendment: ``doc_blocklist`` (UT1-style domain
+blocklist screen — the RefinedWeb adult/malware filter shape, Penedo
+et al. 2023 §3.1; urls.blocklist_matches: bounded suffix-chain
+explode, guarded-broadcast equi-join, match relation at
+blocked-row cardinality) joins the queue — 106 entries, 9 queued.
 """
 
 from __future__ import annotations
@@ -753,6 +765,21 @@ _REGISTERED += [
     ),
 ]
 
+_REGISTERED += [
+    QuerySpec(
+        "doc_blocklist", SC.q_doc_blocklist, SC.ORACLE_DOC_BLOCKLIST,
+        "UT1-style domain blocklist screen: suffix-chain subdomain "
+        "matching, guarded broadcast (urls.blocklist_matches)",
+    ),
+    QuerySpec(
+        "doc_ccnet_buckets", C.q_doc_ccnet_buckets,
+        C.ORACLE_DOC_CCNET_BUCKETS,
+        "CCNet head/middle/tail perplexity thirds per language: exact "
+        "per-stratum percentile_disc cutoffs over the fixed-point LM "
+        "score (corpus_prep.ccnet_buckets)",
+    ),
+]
+
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 
@@ -824,6 +851,8 @@ ORDER: list[str] = [
     "doc_host_boilerplate",
     "doc_budget_mix",
     "emb_pq_topk",
+    "doc_ccnet_buckets",
+    "doc_blocklist",
     # ---- tail: r8-driver-green, operators untouched this round ----
     "hourly_event_rollup",
     "doc_text_stats",

@@ -695,3 +695,79 @@ WITH book(j, cid, c) AS (
 SELECT query_id, neighbor_id, adc_dist, rank
 FROM ranked WHERE rank <= {_PQ_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# Domain blocklist screen (urls.blocklist_matches gate)
+# ---------------------------------------------------------------------------
+
+#: The gate blocklist: one registered domain (blocks src0 entirely,
+#: subdomains included), one exact deep host (blocks only src1's
+#: tracker mirror), one never-matching entry.
+_BLOCKLIST = (
+    "src0.example.com",
+    "tracker.src1.example.com",
+    "blocked.example.org",
+)
+
+
+def q_doc_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style domain blocklist screen (urls.blocklist_matches):
+    deterministic URLs derived from the documents table — every 7th
+    doc serves from a ``tracker.`` subdomain — screened against a
+    3-entry blocklist that exercises exact-host, subdomain-of and
+    no-match paths. The oracle derives hosts INDEPENDENTLY from the
+    construction arithmetic (the doc_url_canonical convention) and
+    reproduces the suffix-chain match relationally."""
+    from scraping_etl_spark.operators.urls import blocklist_matches, host_of
+
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("tracker.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    df = d.select("doc_id", url.alias("url"))
+    bl = spark.createDataFrame([(x,) for x in _BLOCKLIST], "domain string")
+    m = blocklist_matches(df, bl)
+    return (
+        df.join(m.select("doc_id", "blocked_by"), "doc_id", "left")
+        .select(
+            "doc_id",
+            host_of("url").alias("host"),
+            "blocked_by",
+            F.col("blocked_by").isNotNull().alias("blocked"),
+        )
+    )
+
+
+_BL_IN = ", ".join(f"'{x}'" for x in _BLOCKLIST)
+
+ORACLE_DOC_BLOCKLIST = f"""
+-- hosts derived independently from the construction: the url is a
+-- pure function of (source, doc_id), so its host is
+-- ('tracker.' when doc_id%7=0 else '') || source || '.example.com'
+WITH hosts AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 7 = 0 THEN 'tracker.' ELSE '' END)
+           || source || '.example.com' AS host
+  FROM documents
+),
+lab AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM hosts),
+sfx AS (
+  SELECT doc_id, host,
+         unnest(list_transform(
+           generate_series(1, len(ls)),
+           i -> array_to_string(list_slice(ls, i, len(ls)), '.'))) AS s
+  FROM lab
+),
+m AS (
+  SELECT doc_id, arg_min(s, length(s)) AS blocked_by
+  FROM sfx WHERE s IN ({_BL_IN}) GROUP BY 1
+)
+SELECT h.doc_id, h.host, m.blocked_by,
+       m.blocked_by IS NOT NULL AS blocked
+FROM hosts h LEFT JOIN m USING (doc_id)
+"""

@@ -1015,3 +1015,68 @@ def test_sketch_quantiles_schema_matches_exact_tier(spark):
     exact = CP.stratified_quantiles(df, "v")
     sk = CP.stratified_quantiles_sketch(df, "v")
     assert exact.columns == sk.columns
+
+
+# ---------------------------------------------------------------------------
+# ccnet_buckets (CCNet perplexity thirds)
+# ---------------------------------------------------------------------------
+
+def _ccnet_corpus(spark, n=30):
+    """Per-language corpora with three visible fluency grades: fluent
+    docs repeat the language's common bigram, middling docs mix, and
+    junk docs are unique-token noise (lowest LM score)."""
+    rows = []
+    did = 0
+    for lang in ("aa", "bb"):
+        for i in range(n):
+            if i % 3 == 0:
+                text = f"the{lang} cat{lang} " * 6
+            elif i % 3 == 1:
+                text = f"the{lang} cat{lang} odd{lang}{i} " * 3
+            else:
+                text = " ".join(f"junk{lang}{i}w{j}" for j in range(12))
+            rows.append((did, text.strip(), lang))
+            did += 1
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_ccnet_buckets_are_thirds_per_language(spark):
+    out = CP.ccnet_buckets(_ccnet_corpus(spark)).collect()
+    from collections import Counter
+    c = Counter((r.lang, r.bucket) for r in out)
+    for lang in ("aa", "bb"):
+        sizes = sorted(c[(lang, b)] for b in ("head", "middle", "tail"))
+        assert sum(sizes) == 30
+        # exact thirds (ties in the synthetic corpus fall inside a
+        # grade, never across the cutoff)
+        assert sizes == [10, 10, 10], (lang, sizes)
+
+
+def test_ccnet_buckets_order_junk_in_tail(spark):
+    out = CP.ccnet_buckets(_ccnet_corpus(spark)).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault((r.lang, r.bucket), []).append(r.avg_logp)
+    for lang in ("aa", "bb"):
+        assert min(by_bucket[(lang, "head")]) >= max(by_bucket[(lang, "middle")])
+        assert min(by_bucket[(lang, "middle")]) >= max(by_bucket[(lang, "tail")])
+
+
+def test_ccnet_buckets_deterministic_across_partitionings(spark):
+    d = _ccnet_corpus(spark)
+    a = {r.doc_id: r.bucket for r in CP.ccnet_buckets(d).collect()}
+    b = {
+        r.doc_id: r.bucket
+        for r in CP.ccnet_buckets(d.repartition(13)).collect()
+    }
+    assert a == b
+
+
+def test_ccnet_buckets_reference_lm_mode(spark):
+    """Reference-LM mode (the real CCNet deployment): scoring against
+    a prepared curated LM keeps the same bucket contract."""
+    d = _ccnet_corpus(spark)
+    lm = d.filter("doc_id % 2 = 0")
+    out = CP.ccnet_buckets(d, lm=lm).collect()
+    assert len(out) == 60
+    assert {r.bucket for r in out} == {"head", "middle", "tail"}

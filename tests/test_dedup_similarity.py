@@ -574,7 +574,7 @@ def test_payload_signature_validates_stride(spark):
 # product quantization (round 9)
 # ---------------------------------------------------------------------------
 
-def _vecs(spark, n=120, dim=16, seed=3):
+def _pq_vecs(spark, n=120, dim=16, seed=3):
     import random
 
     rnd = random.Random(seed)
@@ -585,7 +585,7 @@ def _vecs(spark, n=120, dim=16, seed=3):
 def test_pq_encode_codes_in_range_and_deterministic(spark):
     from scraping_etl_spark.operators import similarity as SIM
 
-    e = _vecs(spark).localCheckpoint()
+    e = _pq_vecs(spark).localCheckpoint()
     books = SIM.pq_train(e, m=4, k=8)
     assert len(books) == 4 and all(len(b) == 8 for b in books)
     a = {r.vec_id: list(r.pq_code) for r in SIM.pq_encode(e, books).collect()}
@@ -601,7 +601,7 @@ def test_pq_topk_recall_against_exact(spark):
     and seeds, so the measured recall is stable."""
     from scraping_etl_spark.operators import similarity as SIM
 
-    e = _vecs(spark, n=200, dim=16).localCheckpoint()
+    e = _pq_vecs(spark, n=200, dim=16).localCheckpoint()
     books = SIM.pq_train(e, m=8, k=32)
     enc = SIM.pq_encode(e, books).localCheckpoint()
     probes = [
@@ -641,7 +641,7 @@ def test_pq_validates(spark):
 
     from scraping_etl_spark.operators import similarity as SIM
 
-    e = _vecs(spark, n=10, dim=6)
+    e = _pq_vecs(spark, n=10, dim=6)
     with _pt.raises(ValueError):
         SIM.pq_train(e, m=4, k=8)  # 4 does not divide 6
     with _pt.raises(ValueError):
@@ -659,7 +659,7 @@ def test_pq_topk_scans_only_code_column(spark):
     PQ's bandwidth contract (column pruning visible in the plan)."""
     from scraping_etl_spark.operators import similarity as SIM
 
-    e = _vecs(spark, n=50, dim=8)
+    e = _pq_vecs(spark, n=50, dim=8)
     books = SIM.pq_train(e, m=2, k=4)
     enc = SIM.pq_encode(e, books)
     q = [0.0] * 8

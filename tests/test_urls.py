@@ -75,3 +75,81 @@ def test_canonicalizer_is_map_side_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# domain blocklist (urls.blocklist_matches / blocklist_filter)
+# ---------------------------------------------------------------------------
+
+def _bl(spark, domains):
+    return spark.createDataFrame([(d,) for d in domains], "domain string")
+
+
+def _urls(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, url string")
+
+
+def test_host_of_strips_userinfo_port_and_case(spark):
+    from scraping_etl_spark.operators.urls import host_of
+
+    df = _urls(spark, [
+        (1, "HTTPS://User:pw@WWW.Example.COM:8443/a?b#c"),
+        (2, "relative/path/no/authority"),
+    ])
+    got = {r.doc_id: r.h for r in df.select("doc_id", host_of("url").alias("h")).collect()}
+    assert got[1] == "www.example.com"
+    assert got[2] == ""
+
+
+def test_suffix_chain_deepest_first_and_capped(spark):
+    from pyspark.sql import functions as F
+    from scraping_etl_spark.operators.urls import host_suffixes
+
+    df = spark.range(1).select(
+        host_suffixes(F.lit("a.b.c.d"), max_labels=8).alias("s8"),
+        host_suffixes(F.lit("l1.l2.l3.l4.l5"), max_labels=3).alias("s3"),
+        host_suffixes(F.lit(""), max_labels=8).alias("empty"),
+    ).collect()[0]
+    assert list(df.s8) == ["a.b.c.d", "b.c.d", "c.d", "d"]
+    # cap keeps only the LAST 3 labels' suffixes (registered domains
+    # are shallow; deep subdomain prefixes never match anyway)
+    assert list(df.s3) == ["l3.l4.l5", "l4.l5", "l5"]
+    assert list(df.empty) == []
+
+
+def test_blocklist_blocks_exact_and_subdomain_only(spark):
+    from scraping_etl_spark.operators.urls import blocklist_filter, blocklist_matches
+
+    df = _urls(spark, [
+        (1, "http://bad.com/x"),            # exact
+        (2, "http://a.b.bad.com/y"),        # subdomain
+        (3, "http://notbad.com/z"),         # suffix of the STRING, not the domain
+        (4, "http://bad.com.evil.net/w"),   # blocked domain as a PREFIX label run
+        (5, "http://good.org/q"),
+    ])
+    bl = _bl(spark, ["bad.com", "ALSO.Bad.Net "])  # normalization on the list side
+    m = {r.doc_id: r.blocked_by for r in blocklist_matches(df, bl).collect()}
+    assert m == {1: "bad.com", 2: "bad.com"}
+    kept = sorted(r.doc_id for r in blocklist_filter(df, bl).collect())
+    assert kept == [3, 4, 5]
+
+
+def test_blocklist_attribution_is_shallowest_match(spark):
+    from scraping_etl_spark.operators.urls import blocklist_matches
+
+    df = _urls(spark, [(1, "http://deep.sub.bad.com/")])
+    bl = _bl(spark, ["bad.com", "sub.bad.com"])
+    [r] = blocklist_matches(df, bl).collect()
+    assert r.blocked_by == "bad.com"
+
+
+def test_blocklist_shuffle_fallback_matches_broadcast(spark):
+    from scraping_etl_spark.operators.urls import blocklist_matches
+
+    df = _urls(spark, [(i, f"http://h{i % 5}.bad{i % 3}.com/") for i in range(60)])
+    bl = _bl(spark, ["bad0.com", "bad2.com"])
+    a = {(r.doc_id, r.blocked_by)
+         for r in blocklist_matches(df, bl).collect()}
+    b = {(r.doc_id, r.blocked_by)
+         for r in blocklist_matches(df, bl, max_broadcast=0).collect()}
+    assert a == b and len(a) == 40
