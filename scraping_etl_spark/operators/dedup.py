@@ -703,3 +703,104 @@ def containment_pairs(
         .filter(F.col("containment") >= tau)
         .select("id_a", "id_b", "n_shared", "n_a", "n_b", "containment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact all-pairs similarity join with prefix filtering (AllPairs/PPJoin)
+# ---------------------------------------------------------------------------
+
+def allpairs_jaccard(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """EXACT token-set Jaccard pairs at or above ``threshold`` via
+    prefix filtering (AllPairs, Bayardo et al., WWW 2007; the probing
+    prefix of PPJoin, Xiao et al., WWW 2008) — the exact complement to
+    the approximate MinHash tier: same output contract as
+    :func:`minhash_lsh_pairs`'s verify stage but with a PROOF of
+    completeness instead of an s-curve recall argument.
+
+    The filter: order every document's distinct-token set by a global
+    rarest-first total order (ascending document frequency, term text
+    as tie-break) and keep only the first ``|x| - ceil(t·|x|) + 1``
+    tokens as the document's PREFIX. Any pair with ``J ≥ t`` must
+    share at least one prefix token under a common order — if all
+    shared tokens sat outside both prefixes, the overlap would be
+    capped below ``t·max(|x|,|y|) ≤ t/(1+t)·(|x|+|y|)``, the overlap a
+    Jaccard of ``t`` requires — so the candidate equi-join on prefix
+    tokens misses nothing, and the exact Jaccard verify on candidates
+    only discards.
+
+    Why it scales: the prefix is the RAREST tokens of each document,
+    so per-token candidate fan-out is bounded by the document
+    frequency of rare terms — stopword-scale terms never join unless a
+    document is so short that everything is prefix. Plan: one explode,
+    a term-cardinality df join (hot terms hit one build row — AQE skew
+    split applies), one per-doc sort (task-sized: a doc's own tokens),
+    the prefix-token candidate equi-join, and an id-keyed verify join.
+    Never all-pairs, no driver state.
+
+    Returns ``(id_a, id_b, jacc)`` with ``id_a < id_b``. The compared
+    sets are DISTINCT ``k``-word shingles (:func:`word_shingles` — the
+    same sets the MinHash tier signs, so the two tiers are directly
+    comparable; ``k=1`` degrades to bag-of-words, which on a
+    small-vocabulary corpus makes every set collide — shingling is
+    what keeps the sets discriminative).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sets = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.array_sort(
+                F.array_distinct(word_shingles(F.col(text_col), k))
+            ).alias("_set"),
+        )
+        .filter(F.size("_set") > 0)
+        .localCheckpoint()  # consumed 3×: explode, verify ×2
+    )
+    exploded = sets.select("_id", F.explode("_set").alias("_t"))
+    dfreq = exploded.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
+    prefixes = (
+        exploded.join(dfreq, "_t")
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_list(F.struct("_df", "_t"))).alias("_ord"))
+        .select(
+            "_id",
+            F.slice(
+                F.col("_ord"),
+                1,
+                F.greatest(
+                    F.lit(1),
+                    (
+                        F.size("_ord")
+                        - F.ceil(F.lit(threshold) * F.size("_ord"))
+                        + 1
+                    ).cast("int"),
+                ),
+            ).alias("_pref"),
+        )
+        .select("_id", F.explode("_pref").alias("_p"))
+        .select("_id", F.col("_p._t").alias("_t"))
+    )
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    cands = (
+        a.join(b, (F.col("a._t") == F.col("b._t")) & (F.col("a._id") < F.col("b._id")))
+        .select(F.col("a._id").alias("_ida"), F.col("b._id").alias("_idb"))
+        .distinct()
+    )
+    sa = sets.select(F.col("_id").alias("_ida"), F.col("_set").alias("_seta"))
+    sb = sets.select(F.col("_id").alias("_idb"), F.col("_set").alias("_setb"))
+    return (
+        cands.join(sa, "_ida")
+        .join(sb, "_idb")
+        .select(
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            jaccard(F.col("_seta"), F.col("_setb")).alias("jacc"),
+        )
+        .filter(F.col("jacc") >= threshold)
+    )

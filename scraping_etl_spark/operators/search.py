@@ -164,3 +164,70 @@ def bm25_topk(
             "score",
         )
     )
+
+
+def phrase_match(
+    docs: DataFrame,
+    phrases: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    phrase_id_col: str = "phrase_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Exact phrase occurrence search — the positional-index operator
+    every full-text engine pairs with BM25 (Lucene/Elasticsearch
+    ``match_phrase``; the textbook positional-postings algorithm,
+    Manning et al., IR book §2.4): a document matches a phrase iff the
+    phrase's terms occur at CONSECUTIVE token positions, in order.
+
+    ``phrases`` is a small DataFrame ``(phrase_id, terms
+    array<string>)``; matching is lowercased-whitespace-token exact.
+    Returns one row per (phrase, matching doc): ``(phrase_id, id,
+    n_matches, first_pos)`` with ``first_pos`` the 0-based token
+    position of the first occurrence.
+
+    Plan — anchor alignment, one corpus scan, zero self-joins:
+    positional postings ``(doc, pos, term)`` come from one
+    ``posexplode``; each posting joins the broadcast ``(phrase, offset,
+    term)`` relation and votes for the anchor ``pos - offset``; a
+    ``groupBy(phrase, doc, anchor)`` counting DISTINCT matched offsets
+    equal to the phrase length certifies an occurrence at that anchor
+    (within a group each offset matches at most once — ``pos = anchor +
+    offset`` is injective — so repeated terms in the phrase are handled
+    for free; negative anchors can never certify: offset 0 would be
+    missing). The only shuffle is the partial-agg anchor count at
+    matched-posting cardinality — postings that match no phrase term
+    never leave the map side.
+    """
+    toks = tokens(text_col, lowercase=True)
+    postings = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(toks).alias("_pos", "_t"),
+    )
+    pterms = phrases.select(
+        F.col(phrase_id_col).alias("_pid"),
+        F.size(F.col(terms_col)).alias("_m"),
+        F.posexplode(F.transform(F.col(terms_col), F.lower)).alias("_i", "_pt"),
+    )
+    anchors = (
+        postings.join(F.broadcast(pterms), postings["_t"] == pterms["_pt"])
+        .select(
+            "_pid", "_doc", "_m", (F.col("_pos") - F.col("_i")).alias("_a"), "_i"
+        )
+        .groupBy("_pid", "_doc", "_m", "_a")
+        .agg(F.count_distinct("_i").alias("_hits"))
+        .filter(F.col("_hits") == F.col("_m"))
+    )
+    return (
+        anchors.groupBy("_pid", "_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("_a").alias("first_pos"),
+        )
+        .select(
+            F.col("_pid").alias(phrase_id_col),
+            F.col("_doc").alias(id_col),
+            F.col("n_matches").cast("long").alias("n_matches"),
+            F.col("first_pos").cast("long").alias("first_pos"),
+        )
+    )

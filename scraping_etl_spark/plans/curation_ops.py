@@ -926,3 +926,67 @@ SELECT tf.doc_id, tf.slot, tf.tf,
        round(tf.tf * idf._idf, 6) AS tfidf
 FROM tf JOIN idf USING (slot)
 """
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search (operators/search.phrase_match gate)
+# ---------------------------------------------------------------------------
+
+#: Fixed phrase workload over the synthetic vocabulary: a common
+#: bigram, a 3-term phrase, a REPEATED-term phrase (the anchor
+#: algorithm's hard case — "a a" must not certify on a single "a"),
+#: and a phrase absent from the corpus.
+_PHRASES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (0, ("table", "value")),
+    (1, ("fast", "table", "value")),
+    (2, ("a", "a")),
+    (3, ("spark", "shuffle")),
+)
+
+
+def q_doc_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase-occurrence search for 4 fixed phrases
+    (operators/search.phrase_match): positional postings + anchor
+    alignment vote, one partial-agg shuffle at matched-posting
+    cardinality, zero self-joins."""
+    from scraping_etl_spark.operators.search import phrase_match
+
+    d = load_table(spark, sf_dir, "documents")
+    phrases = spark.createDataFrame(
+        [(pid, list(terms)) for pid, terms in _PHRASES],
+        "phrase_id INT, terms ARRAY<STRING>",
+    )
+    return phrase_match(d, phrases)
+
+
+def _phrase_oracle() -> str:
+    pvals = ", ".join(
+        f"({pid}, {i}, '{t}')"
+        for pid, terms in _PHRASES
+        for i, t in enumerate(terms)
+    )
+    return f"""
+WITH pt(pid, i, ptm) AS (VALUES {pvals}),
+pm AS (SELECT pid, count(*) AS m FROM pt GROUP BY 1),
+tok AS (
+  SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS w
+  FROM (SELECT doc_id, {_LTOKS} AS t FROM documents)
+),
+an AS (
+  SELECT pt.pid, tok.doc_id, tok.pos - pt.i AS a,
+         count(DISTINCT pt.i) AS hits
+  FROM tok JOIN pt ON tok.w = pt.ptm
+  GROUP BY 1, 2, 3
+),
+occ AS (
+  SELECT an.pid, an.doc_id, an.a
+  FROM an JOIN pm USING (pid) WHERE an.hits = pm.m
+)
+SELECT pid AS phrase_id, doc_id,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(a) AS BIGINT) AS first_pos
+FROM occ GROUP BY 1, 2
+"""
+
+
+ORACLE_DOC_PHRASE_SEARCH = _phrase_oracle()

@@ -167,6 +167,14 @@ blocklist screen — the RefinedWeb adult/malware filter shape, Penedo
 et al. 2023 §3.1; urls.blocklist_matches: bounded suffix-chain
 explode, guarded-broadcast equi-join, match relation at
 blocked-row cardinality) joins the queue — 106 entries, 9 queued.
+
+Round-9 eighth amendment: ``doc_phrase_search`` (positional-postings
+exact phrase match via anchor-alignment voting — the Lucene
+``match_phrase`` operator; search.phrase_match, zero self-joins) and
+``doc_allpairs`` (EXACT all-pairs shingle-Jaccard join with AllPairs
+prefix filtering — Bayardo et al. 2007; dedup.allpairs_jaccard,
+gated against the UNFILTERED brute-force oracle so losslessness is
+the thing hashed) join the queue — 108 entries, 11 queued.
 """
 
 from __future__ import annotations
@@ -767,6 +775,17 @@ _REGISTERED += [
 
 _REGISTERED += [
     QuerySpec(
+        "doc_phrase_search", CR.q_doc_phrase_search,
+        CR.ORACLE_DOC_PHRASE_SEARCH,
+        "exact positional phrase match: anchor-alignment vote, one "
+        "partial-agg shuffle (search.phrase_match)",
+    ),
+    QuerySpec(
+        "doc_allpairs", SC.q_doc_allpairs, SC.ORACLE_DOC_ALLPAIRS,
+        "exact all-pairs shingle Jaccard via AllPairs prefix filter, "
+        "hash-gated vs unfiltered brute force (dedup.allpairs_jaccard)",
+    ),
+    QuerySpec(
         "doc_blocklist", SC.q_doc_blocklist, SC.ORACLE_DOC_BLOCKLIST,
         "UT1-style domain blocklist screen: suffix-chain subdomain "
         "matching, guarded broadcast (urls.blocklist_matches)",
@@ -853,6 +872,8 @@ ORDER: list[str] = [
     "emb_pq_topk",
     "doc_ccnet_buckets",
     "doc_blocklist",
+    "doc_phrase_search",
+    "doc_allpairs",
     # ---- tail: r8-driver-green, operators untouched this round ----
     "hourly_event_rollup",
     "doc_text_stats",

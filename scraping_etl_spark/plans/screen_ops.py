@@ -771,3 +771,43 @@ SELECT h.doc_id, h.host, m.blocked_by,
        m.blocked_by IS NOT NULL AS blocked
 FROM hosts h LEFT JOIN m USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact all-pairs Jaccard with prefix filtering (dedup.allpairs_jaccard)
+# ---------------------------------------------------------------------------
+
+_ALLPAIRS_T = 0.6
+
+
+def q_doc_allpairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs trigram-shingle Jaccard ≥ 0.6
+    (dedup.allpairs_jaccard — AllPairs prefix filtering, Bayardo et
+    al. 2007). The oracle is the UNFILTERED brute-force quadratic join
+    — so the hash gate proves the prefix filter LOSSLESS, not merely
+    self-consistent."""
+    from scraping_etl_spark.operators.dedup import allpairs_jaccard
+
+    d = load_table(spark, sf_dir, "documents")
+    return allpairs_jaccard(d, threshold=_ALLPAIRS_T)
+
+
+ORACLE_DOC_ALLPAIRS = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           CASE WHEN len(t) >= 3 THEN generate_series(1, len(t) - 2) ELSE [] END,
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+        FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.s, b.s))
+               / greatest(len(list_distinct(list_concat(a.s, b.s))), 1),
+               6) AS jacc
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jacc FROM pairs WHERE jacc >= {_ALLPAIRS_T}
+"""

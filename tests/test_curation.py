@@ -432,3 +432,67 @@ def test_gumbel_rejects_bad_n(spark):
     df = spark.createDataFrame([(1, 0.0)], "doc_id long, log_weight double")
     with pytest.raises(ValueError):
         weighted_sample_gumbel(df, 0)
+
+
+# ---------------------------------------------------------------------------
+# phrase_match (positional phrase search)
+# ---------------------------------------------------------------------------
+
+def _phrase_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "quick the brown fox"),        # terms present, order wrong
+            (3, "THE QUICK the quick brown"),  # case + second occurrence
+            (4, "a a a b"),                    # overlapping repeated term
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _phrases(spark, rows):
+    return spark.createDataFrame(rows, "phrase_id int, terms array<string>")
+
+
+def test_phrase_match_requires_consecutive_order(spark):
+    from scraping_etl_spark.operators.search import phrase_match
+
+    out = phrase_match(
+        _phrase_docs(spark), _phrases(spark, [(0, ["quick", "brown"])])
+    ).collect()
+    got = {r.doc_id: (r.n_matches, r.first_pos) for r in out}
+    # doc 2 has both words ("quick the brown": quick@0, brown@2) but
+    # never consecutive in phrase order -> no match
+    assert got == {1: (1, 1), 3: (1, 3)}
+
+
+def test_phrase_match_counts_overlapping_occurrences(spark):
+    from scraping_etl_spark.operators.search import phrase_match
+
+    out = phrase_match(
+        _phrase_docs(spark), _phrases(spark, [(7, ["a", "a"])])
+    ).collect()
+    assert {r.doc_id: (r.n_matches, r.first_pos) for r in out} == {4: (2, 0)}
+
+
+def test_phrase_match_repeated_term_needs_both_positions(spark):
+    from scraping_etl_spark.operators.search import phrase_match
+
+    docs = spark.createDataFrame(
+        [(1, "x a y a z"), (2, "a a")], "doc_id long, text string"
+    )
+    out = phrase_match(docs, _phrases(spark, [(0, ["a", "a"])])).collect()
+    # doc 1 has two 'a's but never adjacent -> no match
+    assert {r.doc_id: r.n_matches for r in out} == {2: 1}
+
+
+def test_phrase_match_lowercases_and_skips_absent(spark):
+    from scraping_etl_spark.operators.search import phrase_match
+
+    out = phrase_match(
+        _phrase_docs(spark),
+        _phrases(spark, [(0, ["The", "QUICK"]), (1, ["missing", "words"])]),
+    ).collect()
+    got = {(r.phrase_id, r.doc_id): r.n_matches for r in out}
+    assert got == {(0, 1): 1, (0, 3): 2}

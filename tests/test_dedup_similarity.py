@@ -670,3 +670,76 @@ def test_pq_topk_scans_only_code_column(spark):
     assert "TakeOrderedAndProject" in phys
     # the scored projection carries pq_code, never the embedding column
     assert "embedding" not in phys.split("TakeOrderedAndProject")[1][:400]
+
+
+# ---------------------------------------------------------------------------
+# allpairs_jaccard (exact prefix-filtered similarity join)
+# ---------------------------------------------------------------------------
+
+def _ap_corpus(spark, seed=11, n=40, vocab=12, doclen=10):
+    """Small-vocabulary random corpus + planted near-identical pairs —
+    adversarial for prefix filtering (sets overlap heavily)."""
+    import random
+
+    rnd = random.Random(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    rows = []
+    for i in range(n):
+        rows.append((i, " ".join(rnd.choice(words) for _ in range(doclen))))
+    # planted: 100..102 near-copies of doc 0 (one word changed)
+    base = rows[0][1].split()
+    for j in range(3):
+        c = list(base)
+        c[-1 - j] = "uniq"
+        rows.append((100 + j, " ".join(c)))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _brute_jaccard(rows, k, t):
+    def sh(text):
+        toks = text.split()
+        return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+    sets = {r.doc_id: sh(r.text) for r in rows if len(r.text.split()) >= k}
+    out = set()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            u = sets[a] | sets[b]
+            j = round(len(sets[a] & sets[b]) / max(len(u), 1), 6)
+            if j >= t:
+                out.add((a, b, j))
+    return out
+
+
+def test_allpairs_complete_vs_brute_force(spark):
+    from scraping_etl_spark.operators.dedup import allpairs_jaccard
+
+    df = _ap_corpus(spark)
+    rows = df.collect()
+    for t in (0.3, 0.6, 0.9):
+        got = {(r.id_a, r.id_b, r.jacc)
+               for r in allpairs_jaccard(df, t).collect()}
+        assert got == _brute_jaccard(rows, 3, t), t
+
+
+def test_allpairs_unigram_sets_complete(spark):
+    from scraping_etl_spark.operators.dedup import allpairs_jaccard
+
+    df = _ap_corpus(spark, vocab=30)
+    got = {(r.id_a, r.id_b, r.jacc)
+           for r in allpairs_jaccard(df, 0.5, k=1).collect()}
+    assert got == _brute_jaccard(df.collect(), 1, 0.5)
+
+
+def test_allpairs_threshold_validation_and_determinism(spark):
+    import pytest as _pt
+    from scraping_etl_spark.operators.dedup import allpairs_jaccard
+
+    df = _ap_corpus(spark)
+    with _pt.raises(ValueError):
+        allpairs_jaccard(df, 0.0)
+    a = {(r.id_a, r.id_b) for r in allpairs_jaccard(df, 0.6).collect()}
+    b = {(r.id_a, r.id_b)
+         for r in allpairs_jaccard(df.repartition(17), 0.6).collect()}
+    assert a == b and a  # non-empty: the planted pairs
