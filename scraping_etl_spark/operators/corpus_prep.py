@@ -962,10 +962,14 @@ def ccnet_buckets(
         df, id_col=id_col, text_col=text_col, lm=lm, lm_prepared=lm_prepared
     )
     base = df.select(id_col, strata_col).join(scored, id_col)
+    # two consumers (cutoff histogram, bucket assignment) hang off the
+    # scored relation — checkpoint ONCE at doc cardinality (id,
+    # stratum, two numbers) so the LM scoring plan runs once, not per
+    # consumer (measured 11.9 s → ~6 s at sf0.1).
     sdf = base.withColumn(
         "_fx",
         F.round(F.col("avg_logp") * LM_SCORE_FX_SCALE).cast("long"),
-    )
+    ).localCheckpoint()
     wide = stratified_cutoffs(sdf, "_fx", cuts, strata_col)
     return (
         sdf.join(

@@ -1637,3 +1637,63 @@ SELECT s.doc_id, s.lang, s.n_bigrams, s.avg_logp,
             ELSE 'head' END AS bucket
 FROM scored s JOIN cutw c USING (lang)
 """
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility report (bpe.tokenizer_fertility gate)
+# ---------------------------------------------------------------------------
+
+def q_doc_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fertility/compression of the trained BPE
+    vocabulary (bpe.tokenizer_fertility) — same train-once artifacts
+    as ``doc_bpe_tokens``, rolled up per language instead of per doc."""
+    _bpe_query_dirs.add(sf_dir)
+    merges, _ = _bpe_artifacts(sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    seg = BPE.word_segment_table(d, list(merges))
+    return BPE.tokenizer_fertility(d, seg)
+
+
+def oracle_doc_bpe_fertility(sf_dir: str | None = None) -> str:
+    """Lazy DuckDB twin: the learned word→n_sub table rides in as plan
+    constants (the ``oracle_doc_bpe_tokens`` convention, same pairing
+    guard); the report is then an exact relational mirror."""
+    if sf_dir is None:
+        if "SPARK_GRAFT_ORACLE_SF_DIR" in os.environ:
+            sf_dir = os.environ["SPARK_GRAFT_ORACLE_SF_DIR"]
+        elif len(_bpe_query_dirs) == 1:
+            sf_dir = next(iter(_bpe_query_dirs))
+        else:
+            sf_dir = _BPE_ORACLE_SF_DIR
+        if _bpe_query_dirs and sf_dir not in _bpe_query_dirs:
+            raise RuntimeError(
+                f"doc_bpe_fertility oracle: would train at {sf_dir!r} but "
+                f"the query ran at {sorted(_bpe_query_dirs)!r} — pass sf_dir "
+                f"or set SPARK_GRAFT_ORACLE_SF_DIR to pair them."
+            )
+    _, table = _bpe_artifacts(sf_dir)
+    values = ",\n    ".join(
+        "('{}', {})".format(w.replace("'", "''"), n) for w, n in table
+    )
+    return f"""
+WITH seg(word, n_sub) AS (VALUES
+    {values}
+),
+tok AS (
+  SELECT lang, unnest({_LTOKS}) AS w FROM documents
+),
+wc AS (SELECT lang, w, count(*) AS c FROM tok GROUP BY 1, 2),
+j AS (
+  SELECT wc.lang, wc.c,
+         coalesce(seg.n_sub, len(wc.w)) AS ns,
+         len(wc.w) AS ln
+  FROM wc LEFT JOIN seg ON wc.w = seg.word
+)
+SELECT lang,
+       CAST(sum(c) AS BIGINT) AS n_words,
+       CAST(sum(c * ns) AS BIGINT) AS n_subwords,
+       CAST(sum(c * ln) AS BIGINT) AS n_chars,
+       round(sum(c * ns) / sum(c), 6) AS fertility,
+       round(sum(c * ln) / sum(c * ns), 6) AS chars_per_subword
+FROM j GROUP BY 1
+"""

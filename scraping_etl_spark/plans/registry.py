@@ -175,6 +175,13 @@ exact phrase match via anchor-alignment voting — the Lucene
 prefix filtering — Bayardo et al. 2007; dedup.allpairs_jaccard,
 gated against the UNFILTERED brute-force oracle so losslessness is
 the thing hashed) join the queue — 108 entries, 11 queued.
+
+Round-9 ninth amendment: ``doc_bpe_fertility`` (per-language
+fertility/compression report of the trained BPE vocabulary — the
+tokenizer-quality signal a multilingual vocab/data-mix decision
+needs; bpe.tokenizer_fertility, corpus collapsed to weighted
+(lang, word) counts before the segmentation join) joins the queue —
+109 entries, 12 queued.
 """
 
 from __future__ import annotations
@@ -775,6 +782,12 @@ _REGISTERED += [
 
 _REGISTERED += [
     QuerySpec(
+        "doc_bpe_fertility", C.q_doc_bpe_fertility,
+        C.oracle_doc_bpe_fertility,
+        "per-language BPE fertility/compression report (lazy "
+        "plan-constants oracle, bpe.tokenizer_fertility)",
+    ),
+    QuerySpec(
         "doc_phrase_search", CR.q_doc_phrase_search,
         CR.ORACLE_DOC_PHRASE_SEARCH,
         "exact positional phrase match: anchor-alignment vote, one "
@@ -874,6 +887,7 @@ ORDER: list[str] = [
     "doc_blocklist",
     "doc_phrase_search",
     "doc_allpairs",
+    "doc_bpe_fertility",
     # ---- tail: r8-driver-green, operators untouched this round ----
     "hourly_event_rollup",
     "doc_text_stats",

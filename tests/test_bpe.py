@@ -221,3 +221,45 @@ def test_encode_token_ids_composes_with_arrow_segmentation(spark, classic):
     a = bpe.encode_token_ids(probe, seg_e, v).collect()[0]
     b = bpe.encode_token_ids(probe, seg_a, v).collect()[0]
     assert list(a.token_ids) == list(b.token_ids) and a.n_ids == b.n_ids
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_fertility
+# ---------------------------------------------------------------------------
+
+def test_fertility_hand_computed_with_oov_fallback(spark):
+    """Known segmentation: 'ab'->1 subword, 'cde'->2; 'zz' is OOV (2
+    chars -> 2). lang x: 'ab ab cde' -> words 3, subwords 1+1+2=4,
+    chars 2+2+3=7; lang y: 'zz' -> 1 word, 2 subwords, 2 chars."""
+    from scraping_etl_spark.operators.bpe import tokenizer_fertility
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab cde", "x"), (2, "zz", "y")],
+        "doc_id long, text string, lang string",
+    )
+    seg = spark.createDataFrame(
+        [("ab", ["ab"], 1), ("cde", ["cd", "e"], 2)],
+        "word string, sym array<string>, n_sub long",
+    )
+    got = {r.lang: r for r in tokenizer_fertility(docs, seg).collect()}
+    assert (got["x"].n_words, got["x"].n_subwords, got["x"].n_chars) == (3, 4, 7)
+    assert got["x"].fertility == round(4 / 3, 6)
+    assert got["x"].chars_per_subword == round(7 / 4, 6)
+    assert (got["y"].n_words, got["y"].n_subwords) == (1, 2)
+
+
+def test_fertility_shuffle_fallback_matches_broadcast(spark):
+    from scraping_etl_spark.operators.bpe import (
+        bpe_train, tokenizer_fertility, word_segment_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest newer new " * 2, "l" + str(i % 2))
+         for i in range(8)],
+        "doc_id long, text string, lang string",
+    )
+    seg = word_segment_table(docs, bpe_train(docs, n_merges=6))
+    a = sorted(map(tuple, tokenizer_fertility(docs, seg).collect()))
+    b = sorted(map(tuple, tokenizer_fertility(
+        docs, seg, max_broadcast_words=0).collect()))
+    assert a == b
