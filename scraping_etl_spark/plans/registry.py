@@ -182,6 +182,13 @@ tokenizer-quality signal a multilingual vocab/data-mix decision
 needs; bpe.tokenizer_fertility, corpus collapsed to weighted
 (lang, word) counts before the segmentation join) joins the queue —
 109 entries, 12 queued.
+
+Round-9 tenth amendment: ``doc_zorder`` (Z-order clustering key —
+the Delta/Iceberg OPTIMIZE ZORDER layout primitive re-expressed as a
+pure bit-interleave expression; operators/layout.py also ships
+z_order_layout range-writing and parquet compaction, locality and
+round-trip pinned by tests/test_layout.py) joins the queue — 110
+entries, 13 queued.
 """
 
 from __future__ import annotations
@@ -782,6 +789,11 @@ _REGISTERED += [
 
 _REGISTERED += [
     QuerySpec(
+        "doc_zorder", SC.q_doc_zorder, SC.ORACLE_DOC_ZORDER,
+        "Z-order clustering key: bit-interleaved (n_chars, id-hash) "
+        "layout key, every bit hash-gated (operators/layout.zvalue)",
+    ),
+    QuerySpec(
         "doc_bpe_fertility", C.q_doc_bpe_fertility,
         C.oracle_doc_bpe_fertility,
         "per-language BPE fertility/compression report (lazy "
@@ -888,6 +900,7 @@ ORDER: list[str] = [
     "doc_phrase_search",
     "doc_allpairs",
     "doc_bpe_fertility",
+    "doc_zorder",
     # ---- tail: r8-driver-green, operators untouched this round ----
     "hourly_event_rollup",
     "doc_text_stats",

@@ -811,3 +811,50 @@ pairs AS (
 )
 SELECT id_a, id_b, jacc FROM pairs WHERE jacc >= {_ALLPAIRS_T}
 """
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout key (operators/layout.zvalue gate)
+# ---------------------------------------------------------------------------
+
+_Z_GATE_BITS = 12
+
+
+def q_doc_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key over the documents table
+    (operators/layout.zvalue): interleave quantized length
+    (``n_chars``) with a hash-derived second dimension — the layout
+    key `z_order_layout` range-writes on. Per-doc output so the hash
+    gates every interleaved bit; the key is a pure map-side
+    expression — file assignment itself is ``repartitionByRange``'s
+    sampled internals (deliberately not oracled: a global rank over
+    the corpus is the exact sort this operator exists to avoid), and
+    the locality claim is pinned by tests/test_layout.py instead."""
+    from scraping_etl_spark.operators.layout import zvalue
+
+    d = load_table(spark, sf_dir, "documents")
+    x = F.col("n_chars")
+    y = F.col("doc_id") % (1 << _Z_GATE_BITS)
+    return d.select("doc_id", zvalue(x, y, bits=_Z_GATE_BITS).alias("zval"))
+
+
+def _zorder_oracle() -> str:
+    cap = (1 << _Z_GATE_BITS) - 1
+    terms = " + ".join(
+        f"(CASE WHEN (xs & {1 << i}) > 0 THEN {1 << (2 * i)} ELSE 0 END)"
+        f" + (CASE WHEN (ys & {1 << i}) > 0 THEN {1 << (2 * i + 1)} ELSE 0 END)"
+        for i in range(_Z_GATE_BITS)
+    )
+    return f"""
+WITH q AS (
+  SELECT doc_id,
+         least(greatest(n_chars, 0), {cap}) AS xs,
+         doc_id % {1 << _Z_GATE_BITS} AS ys
+  FROM documents
+),
+z AS (SELECT doc_id, CAST({terms} AS BIGINT) AS zval FROM q)
+SELECT doc_id, zval FROM z
+"""
+
+
+ORACLE_DOC_ZORDER = _zorder_oracle()

@@ -1096,3 +1096,139 @@ def line_dedup_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def neardup_screen_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    bands_dir: str,
+    docs_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType = schemas.DOCUMENTS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming twin of ``dedup.cross_corpus_neardup_pairs`` — "have
+    we seen something like this before?" AT INGEST. The lake state is
+    two parquet relations partitioned by ``batch_id``: the banded
+    signatures (``bands_dir``: id, band_idx, band_hash — |corpus|·bands
+    rows) and the shingle sets (``docs_dir``: id, shingle array — what
+    the exact-Jaccard verify needs). Like :func:`line_dedup_stream`,
+    lake-as-state holds what executor streaming state could not, and
+    holds it EXACTLY — the screen is the same band equi-join + exact
+    verify the batch operator runs, not an approximation of it.
+
+    Per micro-batch: the batch bands once (``minhash_banded``, same
+    fixed-seed arithmetic as the lake's signatures — band params are
+    baked into the lake, so pass the prepare-time values); candidates
+    come from the batch×lake band equi-join against STRICTLY EARLIER
+    partitions (``batch_id < N`` — partition-pruned, and what makes
+    replay idempotent: a replayed batch never screens against its own
+    previous signatures); exact shingle Jaccard ≥ ``threshold``
+    verifies; pairs land in ``out_dir`` and the batch's signatures
+    append to both lakes under ``batch_id=N`` (dynamic partition
+    overwrite throughout — same checkpoint-reset caveat as
+    :func:`heavy_hitters_stream`). Within-batch pairs are deliberately
+    NOT emitted (the batch operator's in-corpus pairing is
+    ``minhash_lsh_pairs``; this stream is the cross-corpus screen), so
+    shard-ordered ingest reproduces the batch screen of each shard
+    against the union of its predecessors bit-for-bit — the twin
+    test's pinned setting."""
+    import os
+
+    from scraping_etl_spark.operators.dedup import minhash_banded
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        new_docs, new_banded = minhash_banded(
+            batch_df, id_col, text_col, k, num_hashes, bands
+        )
+        new_docs = new_docs.localCheckpoint()      # lake write + verify
+        new_banded = new_banded.localCheckpoint()  # lake write + screen
+        has_lake = os.path.isdir(bands_dir) and any(
+            e.startswith("batch_id=") for e in os.listdir(bands_dir)
+        )
+        if has_lake:
+            ref_banded = (
+                spark.read.parquet(bands_dir)
+                .filter(F.col("batch_id") < batch_id)
+                .select("_id", "_band_idx", "_band_hash")
+            )
+            ref_docs = (
+                spark.read.parquet(docs_dir)
+                .filter(F.col("batch_id") < batch_id)
+                .select("_id", "_sh")
+            )
+            # the operator's new side re-bands from text; feed it the
+            # already-banded batch relations directly instead.
+            cand = (
+                new_banded.alias("a")
+                .join(
+                    ref_banded.alias("b"),
+                    (F.col("a._band_idx") == F.col("b._band_idx"))
+                    & (F.col("a._band_hash") == F.col("b._band_hash")),
+                )
+                .select(
+                    F.col("a._id").alias("new_id"),
+                    F.col("b._id").alias("ref_id"),
+                )
+                .distinct()
+            )
+            from scraping_etl_spark.operators.dedup import jaccard
+
+            sh_n = new_docs.select(
+                F.col("_id").alias("new_id"), F.col("_sh").alias("_sh_n")
+            )
+            sh_r = ref_docs.select(
+                F.col("_id").alias("ref_id"), F.col("_sh").alias("_sh_r")
+            )
+            pairs = (
+                cand.join(sh_n, "new_id")
+                .join(sh_r, "ref_id")
+                .withColumn("jaccard", jaccard(F.col("_sh_n"), F.col("_sh_r")))
+                .filter(F.col("jaccard") >= threshold)
+                .select("new_id", "ref_id", "jaccard")
+            )
+        else:
+            pairs = spark.createDataFrame(
+                [], "new_id long, ref_id long, jaccard double"
+            )
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+        (
+            new_banded.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(bands_dir)
+        )
+        (
+            new_docs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(docs_dir)
+        )
+
+    writer = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

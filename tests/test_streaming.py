@@ -1019,3 +1019,76 @@ def test_line_dedup_stream_matches_batch_and_replays(spark, tmp_path):
         .select("doc_id", "text", "n_lines", "n_kept").collect()
     }
     assert again == want
+
+
+def test_neardup_screen_stream_matches_batch_and_replays(spark, tmp_path):
+    """Streaming cross-corpus near-dup screen: with shards arriving in
+    doc-id order, the union of per-batch pair outputs equals the batch
+    screen of each shard against the union of its predecessors; a
+    replay (checkpoint wiped, lakes kept) converges because each batch
+    screens only STRICTLY earlier lake partitions."""
+    import os
+    import shutil
+
+    from scraping_etl_spark.operators.dedup import (
+        cross_corpus_neardup_pairs, prepare_neardup_ref,
+    )
+    from scraping_etl_spark.streaming.pipeline import neardup_screen_stream
+
+    src, out, bands_d, docs_d, ckpt = (
+        str(tmp_path / d) for d in ("src", "out", "bands", "docs", "ckpt")
+    )
+    os.makedirs(src)
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(30)
+        .localCheckpoint()
+    )
+    # shard 2 contains near-copies of shard-1 docs (id-shifted, one
+    # word appended) -> guaranteed cross-batch hits
+    copies = base.filter("doc_id < 8").selectExpr(
+        "doc_id + 1000 AS doc_id",
+        "concat(text, ' tail') AS text",
+        "lang", "source", "n_chars",
+    )
+    s1 = base.localCheckpoint()
+    s2 = copies.unionByName(
+        base.filter("doc_id >= 20").selectExpr(
+            "doc_id + 2000 AS doc_id", "text", "lang", "source", "n_chars"
+        )
+    ).localCheckpoint()
+    s1.coalesce(1).write.parquet(f"{src}/f1")
+    s2.coalesce(1).write.parquet(f"{src}/f2")
+
+    def run_once():
+        q = neardup_screen_stream(
+            spark, f"{src}/*", out, bands_d, docs_d, ckpt,
+            max_files_per_trigger=1, threshold=0.5,
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    got = {
+        (r.new_id, r.ref_id, r.jaccard)
+        for r in spark.read.parquet(out).collect()
+    }
+    # batch reference: shard 1 screens against nothing, shard 2
+    # against shard 1
+    ref = prepare_neardup_ref(s1)
+    want = {
+        (r.new_id, r.ref_id, r.jaccard)
+        for r in cross_corpus_neardup_pairs(
+            s2, ref_prepared=ref, threshold=0.5
+        ).collect()
+    }
+    assert got == want
+    # the planted copies actually hit
+    assert any(n == o + 1000 for (n, o, _) in got)
+
+    shutil.rmtree(ckpt)
+    run_once()
+    again = {
+        (r.new_id, r.ref_id, r.jaccard)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == want
