@@ -189,6 +189,12 @@ pure bit-interleave expression; operators/layout.py also ships
 z_order_layout range-writing and parquet compaction, locality and
 round-trip pinned by tests/test_layout.py) joins the queue — 110
 entries, 13 queued.
+
+Round-9 eleventh amendment: ``curation_pipeline`` (the LLM-side
+``star_pipeline`` analog — blocklist screen → exact dedup → CCNet
+bucketing trained on the survivor corpus → tail drop → rollup, as
+ONE query with one exact oracle; gates the COMPOSITION of
+already-gated operators) joins the queue — 111 entries, 14 queued.
 """
 
 from __future__ import annotations
@@ -789,6 +795,12 @@ _REGISTERED += [
 
 _REGISTERED += [
     QuerySpec(
+        "curation_pipeline", SC.q_curation_pipeline,
+        SC.ORACLE_CURATION_PIPELINE,
+        "end-to-end curation: blocklist -> exact dedup -> CCNet "
+        "buckets on survivors -> tail drop -> rollup (one oracle)",
+    ),
+    QuerySpec(
         "doc_zorder", SC.q_doc_zorder, SC.ORACLE_DOC_ZORDER,
         "Z-order clustering key: bit-interleaved (n_chars, id-hash) "
         "layout key, every bit hash-gated (operators/layout.zvalue)",
@@ -901,6 +913,7 @@ ORDER: list[str] = [
     "doc_allpairs",
     "doc_bpe_fertility",
     "doc_zorder",
+    "curation_pipeline",
     # ---- tail: r8-driver-green, operators untouched this round ----
     "hourly_event_rollup",
     "doc_text_stats",

@@ -858,3 +858,151 @@ SELECT doc_id, zval FROM z
 
 
 ORACLE_DOC_ZORDER = _zorder_oracle()
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline gate (the LLM-side star_pipeline analog)
+# ---------------------------------------------------------------------------
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus-CURATION path as ONE query — what a
+    training-data team runs between "crawled" and "tokenized",
+    end-to-end on this engine:
+
+    URL blocklist screen → exact dedup (min-id survivor per content
+    hash) → CCNet perplexity bucketing over the SURVIVOR corpus (the
+    LM is trained on what survived, as deployed) → drop the tail
+    third → per-(lang, source) rollup.
+
+    Every stage is an already-gated operator
+    (urls.blocklist_matches, dedup-by-hash, corpus_prep.ccnet_buckets)
+    — this row gates their COMPOSITION: filters feeding filters, the
+    LM trained on a filtered corpus, cutoffs computed post-dedup.
+    Plan: the screen is map-side + one blocked-cardinality anti join;
+    dedup is one partial-agg shuffle + a semi join; bucketing is the
+    audited ccnet plan over the smaller corpus; the rollup is one
+    partial agg."""
+    from scraping_etl_spark.operators.corpus_prep import ccnet_buckets
+    from scraping_etl_spark.operators.urls import blocklist_matches
+
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("tracker.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    with_url = d.withColumn("url", url)
+    bl = spark.createDataFrame([(x,) for x in _BLOCKLIST], "domain string")
+    kept1 = with_url.join(
+        blocklist_matches(with_url, bl).select("doc_id"), "doc_id", "left_anti"
+    )
+    survivors = kept1.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    # the survivor corpus feeds the LM scorer's several consumers
+    # (bigram pairs, unigram counts, the id spine) plus the final
+    # rollup join — checkpoint once so the screen+dedup lineage runs
+    # once, not per consumer
+    kept2 = kept1.join(
+        survivors.select("doc_id"), "doc_id", "left_semi"
+    ).localCheckpoint()
+    bucketed = ccnet_buckets(kept2.select("doc_id", "text", "lang"))
+    final = (
+        kept2.select("doc_id", "source", "n_chars")
+        .join(bucketed, "doc_id")
+        .filter(F.col("bucket") != "tail")
+    )
+    return final.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.sum("n_bigrams").cast("long").alias("sum_bigrams"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+_CURATION_BL_IN = ", ".join(f"'{x}'" for x in _BLOCKLIST)
+
+ORACLE_CURATION_PIPELINE = f"""
+WITH hosts AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 7 = 0 THEN 'tracker.' ELSE '' END)
+           || source || '.example.com' AS host
+  FROM documents
+),
+lab AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM hosts),
+sfx AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(ls)),
+           i -> array_to_string(list_slice(ls, i, len(ls)), '.'))) AS s
+  FROM lab
+),
+blocked AS (
+  SELECT DISTINCT doc_id FROM sfx WHERE s IN ({_CURATION_BL_IN})
+),
+kept1 AS (
+  SELECT d.* FROM documents d ANTI JOIN blocked b USING (doc_id)
+),
+surv AS (SELECT min(doc_id) AS doc_id FROM kept1 GROUP BY md5(text)),
+kept2 AS (SELECT k.* FROM kept1 k SEMI JOIN surv USING (doc_id)),
+tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+  FROM kept2
+),
+bi AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 2
+                     THEN list_transform(generate_series(1, len(t) - 1),
+                                         i -> t[i] || ' ' || t[i+1])
+                     ELSE [] END) AS g
+  FROM tok
+),
+bc AS (SELECT g, count(*) AS cbi FROM bi GROUP BY 1),
+uc AS (
+  SELECT w, count(*) AS cw
+  FROM (SELECT unnest(t) AS w FROM tok) GROUP BY 1
+),
+v AS (SELECT count(*) AS v FROM uc),
+agg AS (
+  SELECT bi.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(ln((bc.cbi + 1.0) / (uc.cw + v.v))), 6) AS avg_logp
+  FROM bi
+  JOIN bc USING (g)
+  JOIN uc ON uc.w = split_part(bi.g, ' ', 1)
+  CROSS JOIN v
+  GROUP BY 1
+),
+scored AS (
+  SELECT k.doc_id, k.lang, k.source, k.n_chars,
+         CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         CAST(round(coalesce(avg_logp, 0.0) * 1000000) AS BIGINT) AS fxv
+  FROM kept2 k LEFT JOIN agg USING (doc_id)
+),
+hist AS (SELECT lang, fxv, count(*) AS f FROM scored GROUP BY 1, 2),
+cdf AS (
+  SELECT lang, fxv,
+         sum(f) OVER (PARTITION BY lang ORDER BY fxv) AS cum,
+         sum(f) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+cutw AS (
+  SELECT lang,
+         min(CASE WHEN cum >= ceil(0.3333333333333333 * n) THEN fxv END) AS q0
+  FROM cdf GROUP BY 1
+),
+final AS (
+  SELECT s.* FROM scored s JOIN cutw c USING (lang) WHERE s.fxv > c.q0
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM final GROUP BY 1, 2
+"""
