@@ -946,3 +946,180 @@ def pq_topk(
 
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
     return out.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (IVFADC): coarse quantizer + product quantization on residuals
+# ---------------------------------------------------------------------------
+
+def centroid_matrix(centroids: list[list[float]]) -> Column:
+    """The centroid table as one array-of-arrays plan constant."""
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+
+
+def with_residual(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse-assign every vector and attach its residual
+    ``v - centroid[cluster]`` — the quantity IVFADC product-quantizes
+    (Jégou et al. 2011 §IV: residuals are far more compressible than
+    raw vectors, so the same code budget buys much lower distortion).
+    Two chained projections keep every derived quantity
+    single-evaluated (the PLANS.md outer-ref hazard): the cluster
+    argmin lands as a REAL column first, then the residual reads it.
+    Pure map-side — centroids are plan constants. Returns
+    ``(id, cluster, residual array<double>)``."""
+    v = F.col(vec_col)
+    scored = F.array(
+        *[
+            F.struct(centroid_sq_dist(c, v).alias("d"), F.lit(i).alias("cid"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    assigned = corpus.select(
+        F.col(id_col),
+        v.alias("_v"),
+        F.element_at(F.array_sort(scored), 1)["cid"].cast("int").alias("cluster"),
+    )
+    cent = F.element_at(centroid_matrix(centroids), F.col("cluster") + 1)
+    return assigned.select(
+        id_col,
+        "cluster",
+        F.zip_with(
+            F.col("_v"), cent, lambda a, b: a.cast("double") - b
+        ).alias("residual"),
+    )
+
+
+def ivfpq_train(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """Train the IVFADC index: coarse k-means centroids, then PQ
+    codebooks over the RESIDUALS (train-once eager step, the
+    ``ivf_train`` convention — both artifacts are plan constants).
+    Returns ``(centroids, codebooks)``."""
+    centroids = ivf_train(corpus, n_clusters=n_clusters, vec_col=vec_col,
+                          seed=seed)
+    res = with_residual(corpus, centroids, vec_col=vec_col)
+    books = pq_train(res, m=m, k=k, vec_col="residual", seed=seed)
+    return centroids, books
+
+
+def ivfpq_encode(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode the corpus for IVFADC: coarse cluster + ``m`` residual
+    subspace codes per vector — all map-side expression work over plan
+    constants, zero shuffle. In production the encoded table is
+    WRITTEN PARTITIONED BY ``cluster`` so a query's scan touches only
+    its ``n_probe`` inverted lists (partition pruning does the list
+    selection); the in-memory form here filters on the cluster column
+    instead — same plan semantics, file skipping aside. Returns
+    ``(id, cluster, pq_code array<int>)``."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    res = with_residual(corpus, centroids, id_col, vec_col)
+    codes = [
+        F.element_at(
+            nearest_centroids(
+                F.slice(F.col("residual"), j * sub + 1, sub), codebooks[j], 1
+            ),
+            1,
+        )
+        for j in range(m)
+    ]
+    return res.select(
+        F.col(id_col), "cluster",
+        F.array(*codes).cast("array<int>").alias("pq_code"),
+    )
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    probes: list[tuple[int, list[float]]],
+    k: int = 3,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFADC top-``k``: per probe, rank the coarse centroids
+    DRIVER-SIDE (centroids are plan constants — the ranking is
+    arithmetic on literals, not a job), visit the ``n_probe`` nearest
+    inverted lists, and within each list estimate
+    ``||q - (centroid + residual)||^2`` as the ADC sum over tables
+    built from ``q - centroid_c`` — m lookups per candidate, the
+    partition-pruned code-bandwidth scan that makes IVFADC the
+    standard billion-scale layout.
+
+    Plan: ONE pass — the ``(query, probed cluster, lookup tables)``
+    relation (``probes × n_probe`` rows of driver-computed literals)
+    broadcast-joins the code table on ``cluster``, so a code row is
+    read once and scored only for the queries that probed its list;
+    then one rank window per query. An earlier shape built a
+    ``TakeOrderedAndProject`` branch per (probe, list) — plan width
+    (and local wall-clock) grew linearly in ``probes × n_probe`` for
+    the same rows read. The window shuffles only probed-list
+    candidates (|list| × n_probe per query — exactly the rows IVFADC
+    scans by contract). Returns
+    ``(query_id, neighbor_id, cluster, adc_dist, rank)``."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 1 <= n_probe <= len(centroids):
+        raise ValueError(
+            f"n_probe must be in [1, {len(centroids)}], got {n_probe}"
+        )
+    if not probes:
+        raise ValueError("probes must be non-empty")
+    m = len(codebooks)
+    rows = []
+    for qid, qvec in probes:
+        coarse = sorted(
+            (
+                sum((float(a) - float(b)) ** 2 for a, b in zip(qvec, c)),
+                cid,
+            )
+            for cid, c in enumerate(centroids)
+        )[:n_probe]
+        for _, cid in coarse:
+            resq = [
+                float(a) - float(b) for a, b in zip(qvec, centroids[cid])
+            ]
+            rows.append((qid, cid, pq_adc_tables(codebooks, resq)))
+    probe_rel = encoded.sparkSession.createDataFrame(
+        rows, "query_id long, cluster int, tabs array<array<double>>"
+    )
+    dist = None
+    for j in range(m):
+        term = F.element_at(
+            F.element_at("tabs", j + 1), F.element_at("pq_code", j + 1) + 1
+        )
+        dist = term if dist is None else (dist + term)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        encoded.join(F.broadcast(probe_rel), "cluster")
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "cluster",
+            F.round(dist, 6).alias("adc_dist"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -195,6 +195,14 @@ Round-9 eleventh amendment: ``curation_pipeline`` (the LLM-side
 bucketing trained on the survivor corpus → tail drop → rollup, as
 ONE query with one exact oracle; gates the COMPOSITION of
 already-gated operators) joins the queue — 111 entries, 14 queued.
+
+Round-9 twelfth amendment: ``emb_ivfpq_topk`` (IVFADC — coarse
+quantizer + product quantization over RESIDUALS, Jégou et al. 2011
+§IV; similarity.ivfpq_train/encode/topk: zero-shuffle encode,
+driver-ranked coarse probes, per-list ADC scans that partition-prune
+in the production cluster-partitioned layout; full hash gate incl.
+float distances via shared plan constants) joins the queue — 112
+entries, 15 queued.
 """
 
 from __future__ import annotations
@@ -795,6 +803,12 @@ _REGISTERED += [
 
 _REGISTERED += [
     QuerySpec(
+        "emb_ivfpq_topk", SC.q_emb_ivfpq_topk, SC.oracle_emb_ivfpq_topk,
+        "IVFADC top-k: coarse quantizer + PQ on residuals, per-list "
+        "ADC code scans (similarity.ivfpq_*; lazy plan-constants "
+        "oracle)",
+    ),
+    QuerySpec(
         "curation_pipeline", SC.q_curation_pipeline,
         SC.ORACLE_CURATION_PIPELINE,
         "end-to-end curation: blocklist -> exact dedup -> CCNet "
@@ -914,6 +928,7 @@ ORDER: list[str] = [
     "doc_bpe_fertility",
     "doc_zorder",
     "curation_pipeline",
+    "emb_ivfpq_topk",
     # ---- tail: r8-driver-green, operators untouched this round ----
     "hourly_event_rollup",
     "doc_text_stats",

@@ -1006,3 +1006,196 @@ SELECT lang, source,
        max(doc_id) AS max_doc
 FROM final GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ / IVFADC approximate top-k (similarity.ivfpq_* gate)
+# ---------------------------------------------------------------------------
+
+_IVFPQ_NC, _IVFPQ_M, _IVFPQ_K = 6, 4, 8
+_IVFPQ_NPROBE, _IVFPQ_TOPK, _IVFPQ_NQ = 2, 3, 8
+_IVFPQ_DIM = 64
+
+_ivfpq_query_dirs: set[str] = set()
+
+
+@functools.lru_cache(maxsize=4)
+def _ivfpq_index(sf_dir: str) -> tuple:
+    """Train-once IVFADC artifacts per scale dir (coarse centroids +
+    residual codebooks + probe vectors — model-scale collects, the
+    ``ivf_train`` convention)."""
+    from pyspark.sql import SparkSession as _SS
+
+    from scraping_etl_spark.operators import similarity as SIM
+    from scraping_etl_spark.session import get_spark
+
+    spark = _SS.getActiveSession() or get_spark()
+    e = load_table(spark, sf_dir, "embeddings")
+    cents, books = SIM.ivfpq_train(
+        e, n_clusters=_IVFPQ_NC, m=_IVFPQ_M, k=_IVFPQ_K
+    )
+    probes = tuple(
+        (int(r["vec_id"]), tuple(float(x) for x in r["embedding"]))
+        for r in e.filter(F.col("vec_id") < _IVFPQ_NQ)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return (
+        tuple(tuple(c) for c in cents),
+        tuple(tuple(tuple(c) for c in b) for b in books),
+        probes,
+    )
+
+
+def q_emb_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC approximate top-k (Jégou et al. 2011 §IV): coarse
+    quantizer + PQ over residuals — encode is zero-shuffle expression
+    work, queries visit only their n_probe inverted lists (partition
+    pruning in the production cluster-partitioned layout) and pay m
+    table lookups per candidate (similarity.ivfpq_*)."""
+    from scraping_etl_spark.operators import similarity as SIM
+
+    _ivfpq_query_dirs.add(sf_dir)
+    cents, books, probes = _ivfpq_index(sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    # the encoded relation feeds probes x n_probe TakeOrdered branches
+    # — checkpoint once (m ints + cluster per vector) so the encode
+    # expression chain runs once, not per branch
+    enc = SIM.ivfpq_encode(
+        e, [list(c) for c in cents], [list(map(list, b)) for b in books]
+    ).localCheckpoint()
+    return SIM.ivfpq_topk(
+        enc,
+        [list(c) for c in cents],
+        [list(map(list, b)) for b in books],
+        [(qid, list(q)) for qid, q in probes],
+        k=_IVFPQ_TOPK,
+        n_probe=_IVFPQ_NPROBE,
+    ).select("query_id", "neighbor_id", "cluster", "adc_dist", "rank")
+
+
+def oracle_emb_ivfpq_topk(sf_dir: str | None = None) -> str:
+    """Lazy DuckDB twin: centroids + residual codebooks as VALUES,
+    coarse argmin replayed with the identical left-fold distance and
+    (d, cid) tie-break, residuals recomputed relationally, subspace
+    codes pivoted, and each probe's per-probed-cluster ADC sum written
+    as the same fixed-order chain over driver-computed tables (the
+    ``oracle_emb_pq_topk`` convention, pairing guard included)."""
+    from scraping_etl_spark.operators import similarity as SIM
+
+    if sf_dir is None:
+        if "SPARK_GRAFT_ORACLE_SF_DIR" in os.environ:
+            sf_dir = os.environ["SPARK_GRAFT_ORACLE_SF_DIR"]
+        elif len(_ivfpq_query_dirs) == 1:
+            sf_dir = next(iter(_ivfpq_query_dirs))
+        else:
+            sf_dir = "/root/testdata/sf0.01"
+        if _ivfpq_query_dirs and sf_dir not in _ivfpq_query_dirs:
+            raise RuntimeError(
+                f"emb_ivfpq_topk oracle: would train at {sf_dir!r} but the "
+                f"query ran at {sorted(_ivfpq_query_dirs)!r} — pair them via "
+                "SPARK_GRAFT_ORACLE_SF_DIR."
+            )
+    cents, books, probes = _ivfpq_index(sf_dir)
+    m, sub = len(books), len(books[0][0])
+    dim = _IVFPQ_DIM
+    cent_rows = ",\n         ".join(
+        "({cid}, [{xs}])".format(
+            cid=cid, xs=", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in c)
+        )
+        for cid, c in enumerate(cents)
+    )
+    book_rows = ",\n         ".join(
+        "({j}, {cid}, [{xs}])".format(
+            j=j, cid=cid,
+            xs=", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in c),
+        )
+        for j, b in enumerate(books)
+        for cid, c in enumerate(b)
+    )
+    coarse_sq = (
+        "list_reduce(list_transform(generate_series(1, {d}), "
+        "i -> (e.embedding[i]::DOUBLE - c.c[i]) "
+        "* (e.embedding[i]::DOUBLE - c.c[i])), (x, y) -> x + y)"
+    ).format(d=dim)
+    sub_sq = (
+        "list_reduce(list_transform(generate_series(1, {s}), "
+        "i -> (r.r[b.j*{s}+i] - b.c[i]) * (r.r[b.j*{s}+i] - b.c[i])), "
+        "(x, y) -> x + y)"
+    ).format(s=sub)
+    pivot = ", ".join(
+        f"MAX(CASE WHEN j = {j} THEN scid END) AS c{j}" for j in range(m)
+    )
+    probe_selects = []
+    for qid, q in probes:
+        coarse = sorted(
+            (
+                sum((float(a) - float(b)) ** 2 for a, b in zip(q, c)),
+                cid,
+            )
+            for cid, c in enumerate(cents)
+        )[:_IVFPQ_NPROBE]
+        for _, cid in coarse:
+            resq = [float(a) - float(b) for a, b in zip(q, cents[cid])]
+            tables = SIM.pq_adc_tables(
+                [list(map(list, b)) for b in books], resq
+            )
+            terms = " + ".join(
+                "[{xs}][c{j} + 1]".format(
+                    xs=", ".join(
+                        f"CAST({float(t)!r} AS DOUBLE)" for t in tables[j]
+                    ),
+                    j=j,
+                )
+                for j in range(m)
+            )
+            probe_selects.append(
+                f"SELECT CAST({qid} AS BIGINT) AS query_id, vec_id AS neighbor_id,\n"
+                f"       cluster, round({terms}, 6) AS adc_dist\n"
+                f"FROM code_pivot WHERE cluster = {cid}"
+            )
+    union = "\n  UNION ALL\n  ".join(probe_selects)
+    return f"""
+WITH cent(cid, c) AS (
+  VALUES {cent_rows}
+), cd AS (
+  SELECT e.vec_id, c.cid, {coarse_sq} AS d
+  FROM embeddings e CROSS JOIN cent c
+), assign AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+    FROM cd
+  ) WHERE rk = 1
+), resid AS (
+  SELECT e.vec_id, a.cluster,
+         list_transform(generate_series(1, {dim}),
+                        i -> e.embedding[i]::DOUBLE - c.c[i]) AS r
+  FROM embeddings e
+  JOIN assign a USING (vec_id)
+  JOIN cent c ON c.cid = a.cluster
+), book(j, scid, c) AS (
+  VALUES {book_rows}
+), dist AS (
+  SELECT r.vec_id, r.cluster, b.j, b.scid, {sub_sq} AS d
+  FROM resid r CROSS JOIN book b
+), code AS (
+  SELECT vec_id, cluster, j, scid FROM (
+    SELECT vec_id, cluster, j, scid,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d, scid) AS rk
+    FROM dist
+  ) WHERE rk = 1
+), code_pivot AS (
+  SELECT vec_id, cluster, {pivot} FROM code GROUP BY vec_id, cluster
+), scored AS (
+  {union}
+), ranked AS (
+  SELECT query_id, neighbor_id, cluster, adc_dist,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cluster, adc_dist, rank
+FROM ranked WHERE rank <= {_IVFPQ_TOPK}
+"""

@@ -743,3 +743,91 @@ def test_allpairs_threshold_validation_and_determinism(spark):
     b = {(r.id_a, r.id_b)
          for r in allpairs_jaccard(df.repartition(17), 0.6).collect()}
     assert a == b and a  # non-empty: the planted pairs
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (IVFADC)
+# ---------------------------------------------------------------------------
+
+def _clustered_vecs(spark, n_per=40, dim=8, seed=5):
+    """Three well-separated gaussian blobs — coarse assignment is
+    unambiguous, so recall claims are stable."""
+    import random
+
+    rnd = random.Random(seed)
+    centers = [[10.0 * (c == j) for j in range(dim)] for c in range(3)]
+    rows = []
+    i = 0
+    for c, ctr in enumerate(centers):
+        for _ in range(n_per):
+            rows.append((i, [ctr[j] + rnd.gauss(0, 0.5) for j in range(dim)]))
+            i += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ivfpq_residual_reconstructs_vector(spark):
+    from scraping_etl_spark.operators import similarity as SIM
+
+    e = _clustered_vecs(spark).localCheckpoint()
+    cents = SIM.ivf_train(e, n_clusters=3)
+    res = SIM.with_residual(e, cents).collect()
+    vecs = {r.vec_id: list(r.embedding) for r in e.collect()}
+    for r in res:
+        rebuilt = [a + b for a, b in zip(r.residual, cents[r.cluster])]
+        assert all(
+            abs(x - y) < 1e-5 for x, y in zip(rebuilt, vecs[r.vec_id])
+        ), r.vec_id
+
+
+def test_ivfpq_encode_deterministic_and_in_range(spark):
+    from scraping_etl_spark.operators import similarity as SIM
+
+    e = _clustered_vecs(spark).localCheckpoint()
+    cents, books = SIM.ivfpq_train(e, n_clusters=3, m=4, k=8)
+    a = {r.vec_id: (r.cluster, list(r.pq_code))
+         for r in SIM.ivfpq_encode(e, cents, books).collect()}
+    b = {r.vec_id: (r.cluster, list(r.pq_code))
+         for r in SIM.ivfpq_encode(e.repartition(7), cents, books).collect()}
+    assert a == b
+    assert all(
+        0 <= cl < 3 and len(code) == 4 and all(0 <= x < 8 for x in code)
+        for cl, code in a.values()
+    )
+
+
+def test_ivfpq_topk_recall_on_blobs(spark):
+    """With unambiguous blobs and n_probe=1, IVFADC top-5 must capture
+    most of the exact L2 top-5 (the paper's accuracy claim at toy
+    scale)."""
+    from scraping_etl_spark.operators import similarity as SIM
+
+    e = _clustered_vecs(spark).localCheckpoint()
+    cents, books = SIM.ivfpq_train(e, n_clusters=3, m=4, k=16)
+    enc = SIM.ivfpq_encode(e, cents, books).localCheckpoint()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in e.collect()}
+    probes = [(i, vecs[i]) for i in (0, 45, 90)]
+    got = SIM.ivfpq_topk(enc, cents, books, probes, k=5, n_probe=1)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.query_id, []).append(r.neighbor_id)
+    hits = total = 0
+    for qid, qv in probes:
+        exact = sorted(
+            vecs, key=lambda v: (sum((a - b) ** 2 for a, b in zip(vecs[v], qv)), v)
+        )[:5]
+        hits += len(set(exact) & set(by_q[qid]))
+        total += 5
+    assert hits / total >= 0.8, (hits, total)
+
+
+def test_ivfpq_topk_validates(spark):
+    import pytest as _pt
+    from scraping_etl_spark.operators import similarity as SIM
+
+    e = _clustered_vecs(spark, n_per=5).localCheckpoint()
+    cents, books = SIM.ivfpq_train(e, n_clusters=3, m=4, k=4)
+    enc = SIM.ivfpq_encode(e, cents, books)
+    with _pt.raises(ValueError):
+        SIM.ivfpq_topk(enc, cents, books, [(0, [0.0] * 8)], n_probe=9)
+    with _pt.raises(ValueError):
+        SIM.ivfpq_topk(enc, cents, books, [], k=3)
