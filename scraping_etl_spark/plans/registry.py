@@ -203,6 +203,12 @@ driver-ranked coarse probes, per-list ADC scans that partition-prune
 in the production cluster-partitioned layout; full hash gate incl.
 float distances via shared plan constants) joins the queue — 112
 entries, 15 queued.
+
+Round-9 thirteenth amendment: ``doc_html_extract`` (WET-style
+HTML→text extraction as a zero-shuffle Java∩RE2 regexp chain — the
+corpus-scale form of the reference's per-page DOM scraping; the
+oracle runs a GENERATED mirror chain so every regex is parity-gated;
+operators/html.py) joins the queue — 113 entries, 16 queued.
 """
 
 from __future__ import annotations
@@ -803,6 +809,12 @@ _REGISTERED += [
 
 _REGISTERED += [
     QuerySpec(
+        "doc_html_extract", SC.q_doc_html_extract,
+        SC.ORACLE_DOC_HTML_EXTRACT,
+        "WET-style HTML->text extraction, zero-shuffle regexp chain "
+        "with a generated mirror oracle (operators/html.py)",
+    ),
+    QuerySpec(
         "emb_ivfpq_topk", SC.q_emb_ivfpq_topk, SC.oracle_emb_ivfpq_topk,
         "IVFADC top-k: coarse quantizer + PQ on residuals, per-list "
         "ADC code scans (similarity.ivfpq_*; lazy plan-constants "
@@ -929,6 +941,7 @@ ORDER: list[str] = [
     "doc_zorder",
     "curation_pipeline",
     "emb_ivfpq_topk",
+    "doc_html_extract",
     # ---- tail: r8-driver-green, operators untouched this round ----
     "hourly_event_rollup",
     "doc_text_stats",

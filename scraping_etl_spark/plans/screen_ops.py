@@ -1199,3 +1199,60 @@ WITH cent(cid, c) AS (
 SELECT query_id, neighbor_id, cluster, adc_dist, rank
 FROM ranked WHERE rank <= {_IVFPQ_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (operators/html.py gate)
+# ---------------------------------------------------------------------------
+
+def q_doc_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET-style HTML→text extraction (operators/html.html_to_text):
+    deterministic pages are synthesized from the documents table —
+    script/style/head junk, a nav div, entities, comments, block
+    structure — extracted back to visible text as a pure zero-shuffle
+    regexp chain. The oracle rebuilds the SAME pages and runs the
+    generated mirror chain (html_to_text_sql), so every regex in the
+    chain is parity-gated."""
+    from scraping_etl_spark.operators.html import with_extracted_text
+
+    d = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><title>"), F.col("source"),
+        F.lit("</title><style>p{margin:0}</style></head><body>"
+              "<script>var a=1;if(a<2){a=3}</script><div id=\"nav\">Home | "),
+        F.col("source"),
+        F.lit("</div><h1>Doc &amp; "), F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><p>len&nbsp;"), F.col("n_chars").cast("string"),
+        F.lit("</p><br/><!-- crawl --></body></html>"),
+    )
+    return with_extracted_text(
+        d.select("doc_id", html.alias("html"))
+    ).select("doc_id", "text", "n_text_chars", "extract_ratio")
+
+
+def _html_oracle() -> str:
+    from scraping_etl_spark.operators.html import html_to_text_sql
+
+    page = (
+        "'<html><head><title>' || source || "
+        "'</title><style>p{margin:0}</style></head><body>"
+        "<script>var a=1;if(a<2){a=3}</script><div id=\"nav\">Home | ' || "
+        "source || '</div><h1>Doc &amp; ' || CAST(doc_id AS VARCHAR) || "
+        "'</h1><p>' || text || '</p><p>len&nbsp;' || "
+        "CAST(n_chars AS VARCHAR) || '</p><br/><!-- crawl --></body></html>'"
+    )
+    ext = html_to_text_sql("html")
+    return f"""
+WITH pages AS (
+  SELECT doc_id, {page} AS html FROM documents
+),
+x AS (SELECT doc_id, html, {ext} AS t FROM pages)
+SELECT doc_id, t AS text,
+       CAST(length(t) AS BIGINT) AS n_text_chars,
+       round(length(t) / greatest(length(html), 1), 6) AS extract_ratio
+FROM x
+"""
+
+
+ORACLE_DOC_HTML_EXTRACT = _html_oracle()
