@@ -215,3 +215,97 @@ def hashing_tfidf(
         "tf",
         F.round(F.col("tf") * F.col("_idf"), 6).alias("tfidf"),
     )
+
+
+#: Fixed-point grid of the sparse dot fold (integer summation is
+#: associative — any partial-agg order gives the bit-same total in
+#: Spark and the DuckDB oracle; the ``token_divergence`` convention).
+DOT_FX_SCALE = 10**12
+
+
+def dense_from_sparse(
+    sparse: DataFrame,
+    n_features: int,
+    id_col: str = "doc_id",
+    slot_col: str = "slot",
+    value_col: str = "tfidf",
+) -> DataFrame:
+    """(id, slot, value) → (id, array<double> dense) via ``n_features``
+    conditional partial aggs — no pivot, no collect; one shuffle at id
+    cardinality. For the BOUNDED model-boundary assembly (training
+    sets), not the lake."""
+    sums = sparse.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col(slot_col) == i, F.col(value_col)).otherwise(0.0)
+            ).alias(f"_f{i}")
+            for i in range(n_features)
+        ]
+    )
+    return sums.select(
+        id_col,
+        F.array(*[F.col(f"_f{i}") for i in range(n_features)]).alias("dense"),
+    )
+
+
+def score_hashed_logreg(
+    df: DataFrame,
+    idf: list[float],
+    weights: list[float],
+    n_features: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "quality_prob",
+) -> DataFrame:
+    """Deployment scoring of the bag-of-hashed-words linear classifier
+    (the fastText / GPT-3-appendix-A quality-filter shape): the MODEL
+    is ``idf`` (per-slot idf learned from the training corpus) plus
+    ``weights`` (bias first, then one weight per slot), all plan
+    constants — so scoring the lake needs NO corpus-wide statistics
+    pass: explode tokens, hash to slots (md5-prefix convention,
+    oracle-portable), per-(doc, slot) tf partial-agg, then a
+    fixed-point sparse dot ``z = w0 + sum(round(w[s]·tfidf·FX))/FX``
+    whose integer summation is order-free (:data:`DOT_FX_SCALE`).
+    One shuffle at (doc, slot) grain, zero joins against anything
+    corpus-sized. Tokenless documents score ``sigmoid(w0)``.
+    """
+    if len(idf) != n_features:
+        raise ValueError(f"idf must have {n_features} entries, got {len(idf)}")
+    if len(weights) != n_features + 1:
+        raise ValueError(
+            f"weights must have {n_features + 1} entries (bias first), "
+            f"got {len(weights)}"
+        )
+    slot = F.pmod(
+        F.conv(F.substring(F.md5(F.col("_tok")), 1, 15), 16, 10).cast("long"),
+        F.lit(n_features),
+    )
+    tf = (
+        df.select(
+            F.col(id_col), F.explode(tokens(text_col, lowercase=True)).alias("_tok")
+        )
+        .withColumn("slot", slot)
+        .groupBy(id_col, "slot")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    idf_arr = F.array(*[F.lit(float(v)) for v in idf])
+    w_arr = F.array(*[F.lit(float(w)) for w in weights[1:]])
+    at = (F.col("slot") + 1).cast("int")
+    tfidf = F.round(F.col("tf") * F.element_at(idf_arr, at), 6)
+    term = F.round(
+        F.element_at(w_arr, at) * tfidf * F.lit(float(DOT_FX_SCALE)), 0
+    ).cast("long")
+    zfx = tf.select(F.col(id_col), term.alias("_fx")).groupBy(id_col).agg(
+        F.sum("_fx").alias("_zfx")
+    )
+    z = F.lit(float(weights[0])) + F.coalesce(
+        F.col("_zfx"), F.lit(0)
+    ) / F.lit(float(DOT_FX_SCALE))
+    return (
+        df.select(id_col)
+        .join(zfx, id_col, "left")
+        .select(
+            id_col,
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias(out_col),
+        )
+    )

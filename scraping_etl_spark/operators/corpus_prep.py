@@ -1413,3 +1413,124 @@ def sliding_chunks(
         F.col("_c.chunk_text").alias("chunk_text"),
         F.col("_c.n_tokens").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram LM score
+# ---------------------------------------------------------------------------
+
+#: Absolute discount of the interpolated Kneser-Ney model. 0.75 is the
+#: classic fixed setting (Chen & Goodman 1999 report the count-of-counts
+#: estimate n1/(n1+2*n2) lands near it on natural text).
+KN_DISCOUNT = 0.75
+
+
+def with_kn_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hot_threshold: int = HOT_GRAM_OCCS,
+    max_broadcast_hot: int = MAX_BROADCAST_HOT_GRAMS,
+    discount: float = KN_DISCOUNT,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram score per document — the smoothing
+    family KenLM ships and the CCNet perplexity filter actually runs
+    (Kneser & Ney 1995; Chen & Goodman 1999; Wenzek et al. 2019 score
+    with a KenLM 5-gram). :func:`with_lm_score` is the add-one tier;
+    this tier replaces the crude +1 mass with absolute discounting plus
+    a CONTINUATION back-off — ``P(w2|w1) = max(c(w1w2)-D, 0)/c(w1.)
+    + D*N1+(w1,.)/c(w1.) * N1+(.,w2)/T`` — so common-but-restricted
+    words ("Francisco": frequent, but only ever after "San") stop
+    inflating unseen-context probability. Self-scored form: the model
+    is the corpus's own counts, every doc bigram is seen.
+
+    Plan (all model tables derive from ONE bigram-count aggregate — the
+    corpus is scanned once for grams):
+
+    - ``pairs`` (doc, gram, n): explode + partial-agg, skew-free key;
+    - ``bc`` (gram, c): partial-agg of pairs, ``localCheckpoint``-ed —
+      FOUR consumers (context table, continuation table, type total,
+      stats join) read materialized rows, not four explode replays;
+    - context ``c(w1.)``/``N1+(w1,.)`` and continuation ``N1+(.,w2)``
+      are aggregates of ``bc`` at vocabulary cardinality; per-key
+      fan-out in the joins back is vocabulary branching, not corpus
+      size; the 1-row type total joins via the non-foldable always-zero
+      key (the :func:`with_lm_score` BNLJ-avoidance trick);
+    - the scored join ``pairs ⋈ stats`` reuses :func:`with_lm_score`'s
+      hot/cold decomposition verbatim: Zipf-hot grams score through a
+      MEASURED capped broadcast, cold grams ride the shuffle join where
+      AQE skew-split applies.
+
+    Determinism: every model quantity is an exact integer; the float
+    chain is one fixed-shape expression + ``ln``, and the per-doc mean
+    is rounded to 6 (the module's cross-engine convention).
+    """
+    if hot_threshold < 1:
+        raise ValueError(f"hot_threshold must be >= 1, got {hot_threshold}")
+    lowered = F.lower(F.col(text_col))
+    pairs = (
+        df.select(F.col(id_col), F.explode(word_grams(lowered, 2)).alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    bc = (
+        pairs.groupBy("_g")
+        .agg(F.sum("_n").alias("_cbi"))
+        .withColumn("_w1", F.split_part(F.col("_g"), F.lit(" "), F.lit(1)))
+        .withColumn("_w2", F.split_part(F.col("_g"), F.lit(" "), F.lit(2)))
+        .localCheckpoint()
+    )
+    ctx = bc.groupBy("_w1").agg(
+        F.sum("_cbi").alias("_cw1"), F.count(F.lit(1)).alias("_nf")
+    )
+    cont = bc.groupBy("_w2").agg(F.count(F.lit(1)).alias("_np"))
+    tt = bc.agg(F.count(F.lit(1)).cast("double").alias("_t")).withColumn(
+        "_k", F.pmod(F.xxhash64(F.col("_t")), F.lit(1))
+    )
+    logp = F.log(
+        (
+            F.greatest(F.col("_cbi") - F.lit(discount), F.lit(0.0))
+            + F.lit(discount) * F.col("_nf") * F.col("_np") / F.col("_t")
+        )
+        / F.col("_cw1")
+    )
+    stats = (
+        bc.join(ctx, "_w1")
+        .join(cont, "_w2")
+        .withColumn("_k", F.pmod(F.xxhash64("_g"), F.lit(1)))
+        .join(F.broadcast(tt), "_k")
+        .select("_g", "_cbi", logp.alias("_logp"))
+        # consumed three ways (hot-set build, hot probe, cold join)
+        .localCheckpoint()
+    )
+    scored_cols = [
+        F.col(id_col),
+        F.col("_n"),
+        (F.col("_n") * F.col("_logp")).alias("_nlp"),
+    ]
+    hot = stats.filter(F.col("_cbi") > hot_threshold)
+    if max_broadcast_hot > 0:
+        if hot.limit(max_broadcast_hot + 1).count() > max_broadcast_hot:
+            hot = hot.orderBy(F.col("_cbi").desc(), "_g").limit(max_broadcast_hot)
+    else:
+        hot = hot.limit(0)
+    hot_scored = pairs.join(F.broadcast(hot), "_g").select(scored_cols)
+    cold_base = pairs.join(F.broadcast(hot.select("_g")), "_g", "left_anti")
+    cold_scored = cold_base.join(stats, "_g").select(scored_cols)
+    agg = (
+        hot_scored.unionByName(cold_scored)
+        .groupBy(id_col)
+        .agg(
+            F.sum("_n").alias("n_bigrams"),
+            F.round(F.sum("_nlp") / F.sum("_n"), 6).alias("avg_logp_kn"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("avg_logp_kn", F.lit(0.0)).alias("avg_logp_kn"),
+        )
+    )

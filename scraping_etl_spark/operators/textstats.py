@@ -323,3 +323,67 @@ def pmi_collocations(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "w1", "w2", "c_ab", "c_a", "c_b", "pmi"
     )
+
+
+#: Fixed entropy alphabet: the 26 ASCII letters; everything else folds
+#: into one "other" bucket. Bounded by construction, so the operator is
+#: a zero-shuffle expression chain (27 counted classes), not an
+#: explode at character cardinality.
+ENTROPY_ALPHABET: tuple[str, ...] = tuple("abcdefghijklmnopqrstuvwxyz")
+
+
+def with_char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-class Shannon entropy + letter fraction — the gibberish
+    / repeated-character / encoding-junk signal quality pipelines pair
+    with token-level stats (RedPajama-v2 ships similar entropy-family
+    signals; low entropy = stutter or padding, very high = random
+    bytes).
+
+    Per document over the lowercased text: the distribution over a
+    FIXED 27-symbol alphabet (a-z + other) and its natural-log entropy
+    ``-sum(p ln p)``. Fixing the alphabet is what keeps this a pure
+    map-side expression at 100 TB: 26 ``replace``-count scans + one
+    fold, no explode to character rows, no shuffle, whole-stage
+    codegen. Empty documents score 0.
+
+    Float discipline: class counts are exact integers, the fold order
+    (a..z, then other) is identical in the DuckDB oracle, and the only
+    libm op is ``ln``, rounded to 6 — the :func:`~scraping_etl_spark.
+    operators.corpus_prep.with_lm_score` convention.
+    """
+    s = F.lower(F.col(text_col))
+    out = df.withColumn("_s", s).withColumn(
+        "_L", F.length(F.col("_s")).cast("double")
+    )
+    counts = F.array(
+        *[
+            (
+                F.length(F.col("_s"))
+                - F.length(F.replace(F.col("_s"), F.lit(ch), F.lit("")))
+            ).cast("double")
+            for ch in ENTROPY_ALPHABET
+        ]
+    )
+    out = out.withColumn("_counts", counts)
+    alpha = F.aggregate(
+        F.col("_counts"), F.lit(0.0), lambda acc, x: acc + x
+    )
+    out = out.withColumn("_alpha", alpha)
+    all_counts = F.concat(
+        F.col("_counts"), F.array(F.col("_L") - F.col("_alpha"))
+    )
+    term = lambda acc, x: acc + F.when(  # noqa: E731 — fold step
+        x > 0, (x / F.col("_L")) * F.log(x / F.col("_L"))
+    ).otherwise(F.lit(0.0))
+    ent = F.when(
+        F.col("_L") > 0,
+        F.round(-F.aggregate(all_counts, F.lit(0.0), term), 6),
+    ).otherwise(F.lit(0.0))
+    frac = F.when(
+        F.col("_L") > 0, F.round(F.col("_alpha") / F.col("_L"), 6)
+    ).otherwise(F.lit(0.0))
+    return (
+        out.withColumn("char_entropy", ent)
+        .withColumn("alpha_frac", frac)
+        .drop("_s", "_L", "_counts", "_alpha")
+    )

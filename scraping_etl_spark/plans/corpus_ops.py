@@ -1697,3 +1697,52 @@ SELECT lang,
        round(sum(c * ln) / sum(c * ns), 6) AS chars_per_subword
 FROM j GROUP BY 1
 """
+
+
+def q_doc_kn_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram score (corpus_prep.with_kn_score):
+    absolute discounting + continuation back-off — the KenLM/CCNet
+    smoothing family, vs the add-one tier of ``doc_lm_score``."""
+    d = load_table(spark, sf_dir, "documents")
+    return CP.with_kn_score(d).select("doc_id", "n_bigrams", "avg_logp_kn")
+
+
+ORACLE_DOC_KN_LM = f"""
+WITH tok AS (
+  SELECT doc_id, {{_LTOKS}} AS t FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(t) >= 2
+                     THEN list_transform(generate_series(1, len(t) - 1),
+                                         i -> t[i] || ' ' || t[i+1])
+                     ELSE [] END) AS g
+  FROM tok
+),
+pg AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS n FROM bi GROUP BY 1, 2),
+bc AS (
+  SELECT g, split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+         CAST(sum(n) AS BIGINT) AS cbi
+  FROM pg GROUP BY 1, 2, 3
+),
+ctx AS (SELECT w1, CAST(sum(cbi) AS BIGINT) AS cw1, count(*) AS nf
+        FROM bc GROUP BY 1),
+cont AS (SELECT w2, count(*) AS np FROM bc GROUP BY 1),
+tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM bc),
+stats AS (
+  SELECT g, ln((greatest(cbi - 0.75, 0.0) + 0.75 * nf * np / t) / cw1) AS logp
+  FROM bc JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tt
+),
+agg AS (
+  SELECT pg.doc_id,
+         CAST(sum(n) AS BIGINT) AS n_bigrams,
+         round(sum(n * logp) / sum(n), 6) AS avg_logp_kn
+  FROM pg JOIN stats USING (g)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       coalesce(agg.avg_logp_kn, 0.0) AS avg_logp_kn
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+ORACLE_DOC_KN_LM = ORACLE_DOC_KN_LM.replace("{_LTOKS}", _LTOKS)

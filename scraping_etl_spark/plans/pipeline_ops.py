@@ -214,3 +214,38 @@ SELECT 'https://www.' || source || '.example.com/Articles/'
 FROM documents
 GROUP BY 1, 2
 """
+
+
+def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class entropy + letter fraction (textstats.
+    with_char_entropy): fixed 27-symbol alphabet keeps it a
+    zero-shuffle map-side expression at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    return TS.with_char_entropy(d).select("doc_id", "char_entropy", "alpha_frac")
+
+
+#: The a-z literal list shared by the oracle's two lambdas.
+_ENT_ALPHA_SQL = "[" + ", ".join(f"'{c}'" for c in "abcdefghijklmnopqrstuvwxyz") + "]"
+
+ORACLE_DOC_CHAR_ENTROPY = f"""
+WITH base AS (
+  SELECT doc_id, lower(text) AS s,
+         CAST(len(lower(text)) AS DOUBLE) AS L
+  FROM documents
+), cnt AS (
+  SELECT doc_id, L,
+         list_transform({_ENT_ALPHA_SQL},
+                        ch -> CAST(len(s) - len(replace(s, ch, '')) AS DOUBLE))
+           AS cs
+  FROM base
+), agg AS (
+  SELECT doc_id, L, cs, list_sum(cs) AS alpha FROM cnt
+)
+SELECT doc_id,
+       CASE WHEN L > 0 THEN round(-(list_sum(list_transform(
+              list_append(cs, L - alpha),
+              x -> CASE WHEN x > 0 THEN (x / L) * ln(x / L) ELSE 0.0 END))), 6)
+            ELSE 0.0 END AS char_entropy,
+       CASE WHEN L > 0 THEN round(alpha / L, 6) ELSE 0.0 END AS alpha_frac
+FROM agg
+"""

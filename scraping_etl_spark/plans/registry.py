@@ -209,6 +209,24 @@ HTML→text extraction as a zero-shuffle Java∩RE2 regexp chain — the
 corpus-scale form of the reference's per-page DOM scraping; the
 oracle runs a GENERATED mirror chain so every regex is parity-gated;
 operators/html.py) joins the queue — 113 entries, 16 queued.
+
+Round-9 fourteenth amendment: three behavioral-analytics gates —
+``event_funnel`` (strictly-sequential view→click→purchase funnel as
+chained unordered windows over one user-partitioning, one shuffle for
+any step count), ``event_cohort_retention`` (weekly cohort × offset
+retention matrix; the classic cohort self-join collapsed into a
+window) and ``part_avg_qty_outliers`` (TPC-H Q17 correlated scalar
+subquery submitted as literal SQL — Catalyst decorrelation gated
+end-to-end) — join the r10-priority queue — 116 entries, 19 queued.
+
+Round-9 fifteenth amendment: ``doc_char_entropy`` (fixed-27-symbol
+character-class Shannon entropy + letter fraction — the
+gibberish/encoding-junk signal, zero-shuffle by the bounded-alphabet
+construction) and ``doc_kn_lm`` (interpolated Kneser-Ney bigram score
+— the KenLM/CCNet smoothing family with continuation back-off,
+reusing the lm_score hot/cold scored-join decomposition; Kneser & Ney
+1995, Chen & Goodman 1999) join the r10-priority queue — 118 entries,
+21 queued.
 """
 
 from __future__ import annotations
@@ -862,6 +880,39 @@ _REGISTERED += [
     ),
 ]
 
+_REGISTERED += [
+    QuerySpec(
+        "event_funnel", R.q_event_funnel, R.ORACLE_EVENT_FUNNEL,
+        "ordered view->click->purchase funnel: chained unordered "
+        "windows, one shuffle for any number of steps",
+    ),
+    QuerySpec(
+        "event_cohort_retention", R.q_event_cohort_retention,
+        R.ORACLE_EVENT_COHORT_RETENTION,
+        "weekly cohort retention matrix: first-event window, "
+        "(cohort, offset) distinct-agg, window denominator",
+    ),
+    QuerySpec(
+        "part_avg_qty_outliers", R.q_part_avg_qty_outliers,
+        R.ORACLE_PART_AVG_QTY_OUTLIERS,
+        "TPC-H Q17 correlated scalar subquery as literal SQL — "
+        "Catalyst decorrelation gated against DuckDB on the same text",
+    ),
+]
+
+_REGISTERED += [
+    QuerySpec(
+        "doc_char_entropy", P.q_doc_char_entropy, P.ORACLE_DOC_CHAR_ENTROPY,
+        "27-class character entropy + letter fraction, zero-shuffle "
+        "bounded-alphabet expression (textstats.with_char_entropy)",
+    ),
+    QuerySpec(
+        "doc_kn_lm", C.q_doc_kn_lm, C.ORACLE_DOC_KN_LM,
+        "interpolated Kneser-Ney bigram LM score with continuation "
+        "back-off (corpus_prep.with_kn_score)",
+    ),
+]
+
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 
@@ -942,6 +993,11 @@ ORDER: list[str] = [
     "curation_pipeline",
     "emb_ivfpq_topk",
     "doc_html_extract",
+    "event_funnel",
+    "event_cohort_retention",
+    "part_avg_qty_outliers",
+    "doc_char_entropy",
+    "doc_kn_lm",
     # ---- tail: r8-driver-green, operators untouched this round ----
     "hourly_event_rollup",
     "doc_text_stats",

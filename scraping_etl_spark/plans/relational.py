@@ -814,3 +814,211 @@ FROM t, (VALUES ('chars_match'), ('lang_known'),
                 ('max_chars_400'), ('min_tokens_20')) AS r(rule)
 GROUP BY r.rule
 """
+
+
+# ---------------------------------------------------------------------------
+# Behavioral analytics: ordered funnel + cohort retention (SURVEY §2.5's
+# window surface composed into the two classic event-analytics reports)
+# ---------------------------------------------------------------------------
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel (view → click → purchase), strictly
+    sequential: each step must happen AFTER the user's previous step.
+
+    The self-referential step chain (step N's window filter depends on
+    step N-1's result) is expressed as three chained unordered window
+    aggregates over the SAME ``user_id`` partitioning — Catalyst plans
+    one Exchange and three adjacent Window operators, so the event log
+    shuffles once no matter how many funnel steps are chained. The
+    whole-partition ``min`` frames need no sort. The final stage
+    reduction is a per-user max + single-row conditional agg.
+
+    Scale: one hash-partition shuffle of the event log by user, then
+    map-side partial aggregation down to ONE row. No join, no distinct,
+    no driver-side iteration; adding a funnel step costs one more
+    Window operator on the already-shuffled data, not a pass over the
+    log.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    staged = (
+        e.withColumn(
+            "_t1",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "_t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("_t1")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "_t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("_t2")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    stage = (
+        F.when(F.col("_t3").isNotNull(), 3)
+        .when(F.col("_t2").isNotNull(), 2)
+        .when(F.col("_t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    per_user = staged.groupBy("user_id").agg(F.max(stage).alias("_stage"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum((F.col("_stage") >= 1).cast("long")).alias("n_view"),
+        F.sum((F.col("_stage") >= 2).cast("long")).alias("n_view_click"),
+        F.sum((F.col("_stage") >= 3).cast("long")).alias("n_full_funnel"),
+        F.round(
+            F.sum((F.col("_stage") >= 3).cast("long"))
+            / F.sum((F.col("_stage") >= 1).cast("long")),
+            6,
+        ).alias("view_to_purchase_rate"),
+    )
+
+
+ORACLE_EVENT_FUNNEL = """
+WITH s1 AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+  FROM events GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND s1.t1 IS NOT NULL AND e.ts > s1.t1
+  GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY 1
+), staged AS (
+  SELECT s1.user_id,
+         CASE WHEN s3.user_id IS NOT NULL THEN 3
+              WHEN s2.user_id IS NOT NULL THEN 2
+              WHEN s1.t1 IS NOT NULL THEN 1
+              ELSE 0 END AS stage
+  FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN stage >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN stage >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+       CAST(sum(CASE WHEN stage >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel,
+       round(CAST(sum(CASE WHEN stage >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+             / sum(CASE WHEN stage >= 1 THEN 1 ELSE 0 END), 6)
+         AS view_to_purchase_rate
+FROM staged
+"""
+
+
+def q_event_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the ISO week of their
+    first event; for each (cohort, week-offset) cell, how many cohort
+    members were active, and what fraction of the cohort that is.
+
+    Plan: the per-user first-event timestamp rides an unordered window
+    over the ``user_id`` partitioning (one shuffle, no join-back — the
+    classic two-pass cohort self-join collapses into Window), then a
+    distinct + partial agg at (cohort, offset) cardinality, then the
+    cohort-size denominator attaches via a second window over the
+    tiny (cohort, offset) result — never over the event log.
+
+    Scale: shuffles are by user then by (cohort, offset); the second is
+    bounded by cohorts × horizon regardless of corpus size. Offsets are
+    exact (week-truncated epoch differences are exact multiples of
+    604800), so the report is hash-stable.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    cohort = F.date_trunc("week", F.min("ts").over(w))
+    offset = (
+        (
+            F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+            - F.unix_timestamp(cohort)
+        )
+        / F.lit(7 * 86400)
+    ).cast("long")
+    cells = (
+        e.select(
+            F.date_format(cohort, "yyyy-MM-dd").alias("cohort_week"),
+            offset.alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    wc = Window.partitionBy("cohort_week")
+    base = F.max(F.when(F.col("week_offset") == 0, F.col("n_active"))).over(wc)
+    return cells.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        F.round(F.col("n_active").cast("double") / base, 6).alias("retention"),
+    )
+
+
+ORACLE_EVENT_COHORT_RETENTION = """
+WITH f AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+  FROM events GROUP BY 1
+), act AS (
+  SELECT DISTINCT
+         strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+         CAST(floor((epoch_us(date_trunc('week', e.ts)) - epoch_us(f.cohort))
+                    / 604800000000.0) AS BIGINT) AS week_offset,
+         e.user_id
+  FROM events e JOIN f USING (user_id)
+), cells AS (
+  SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_active
+  FROM act GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, n_active,
+       round(CAST(n_active AS DOUBLE)
+             / max(CASE WHEN week_offset = 0 THEN n_active END)
+                 OVER (PARTITION BY cohort_week), 6) AS retention
+FROM cells
+"""
+
+
+def q_part_avg_qty_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar subquery, decorrelated by
+    Catalyst: lineitems whose quantity is below 20% of their part's
+    average quantity, rolled up per brand.
+
+    The query is submitted as LITERAL SQL with the correlated subquery
+    intact: Catalyst's ``RewriteCorrelatedScalarSubquery`` turns it
+    into a per-part aggregate joined back to the fact — the exact plan
+    one would hand-write — so the declarative form costs nothing and
+    survives optimizer upgrades. The oracle runs the same text.
+
+    Scale: the decorrelated plan is one partial-agg shuffle of the fact
+    by ``l_partkey`` + one equi-join fact⋈avg on the same key (the
+    exchange is reused — AQE sees matching partitioning), then the tiny
+    brand rollup. The boundary compare is deterministic: quantities are
+    integer-valued, so ``avg`` is an exact-integer-sum / count in both
+    engines regardless of summation order.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(ORACLE_PART_AVG_QTY_OUTLIERS)
+
+
+ORACLE_PART_AVG_QTY_OUTLIERS = """
+SELECT p.p_brand AS brand,
+       CAST(count(*) AS BIGINT) AS n_outlier_lines,
+       round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                      FROM lineitem l2
+                      WHERE l2.l_partkey = l.l_partkey)
+GROUP BY p.p_brand
+"""
