@@ -150,7 +150,8 @@ def hashing_tfidf(
     n_features: int = HASH_FEATURES,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> DataFrame:
+    return_idf: bool = False,
+):
     """Sparse TF-IDF document features via the hashing trick
     (Weinberger et al. 2009, "Feature Hashing for Large Scale
     Multitask Learning"): each token hashes to a fixed slot in
@@ -209,12 +210,18 @@ def hashing_tfidf(
             ).alias("_idf"),
         )
     )
-    return tf.join(F.broadcast(idf), "slot").select(
+    out = tf.join(F.broadcast(idf), "slot").select(
         id_col,
         "slot",
         "tf",
         F.round(F.col("tf") * F.col("_idf"), 6).alias("tfidf"),
     )
+    if return_idf:
+        # (slot, _idf) at <= n_features rows — the learned idf side of
+        # the model, for deployments that freeze it as plan constants
+        # (see :func:`score_hashed_logreg`).
+        return out, idf
+    return out
 
 
 #: Fixed-point grid of the sparse dot fold (integer summation is

@@ -990,3 +990,143 @@ FROM occ GROUP BY 1, 2
 
 
 ORACLE_DOC_PHRASE_SEARCH = _phrase_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Bag-of-hashed-words linear classifier (the fastText deployment shape)
+# ---------------------------------------------------------------------------
+
+#: Hash width of the gate model. Production widths (HASH_FEATURES) make
+#: the idf/weight constant lists longer, nothing else — the plan shape
+#: and the oracle generation are width-independent.
+_FCLF_FEATURES = 32
+_FCLF_ITERS = 15
+_FCLF_LR = 0.5
+#: Negative-copy id offset: keeps corrupted rows from colliding with
+#: their positives in the (doc, slot) tf aggregation.
+_FCLF_NEG_OFFSET = 10**12
+
+_fclf_query_dirs: set[str] = set()
+_fclf_zero_arg_oracle_dir: str | None = None
+_fclf_explicit_oracle_dirs: set[str] = set()
+
+
+@functools.lru_cache(maxsize=4)
+def _fclf_model(sf_dir: str) -> tuple:
+    """Train-once (idf[32], w[33]) per scale dir: documents as curated
+    positives vs their md5-corrupted copies as raw negatives (the
+    ``_clf_weights`` labeling), features = hashed TF-IDF. The idf
+    table is LEARNED from the training corpus and frozen into the
+    model — deployment scoring then needs no corpus-wide statistics
+    pass (:func:`classifier.score_hashed_logreg`)."""
+    import math
+
+    from scraping_etl_spark.session import get_spark
+
+    spark = SparkSession.getActiveSession() or get_spark()
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pos = d
+    neg = _corrupted_negatives(d).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(_FCLF_NEG_OFFSET)
+    )
+    labeled_txt = pos.unionByName(neg)
+    sp, idf_df = CLF.hashing_tfidf(
+        labeled_txt, n_features=_FCLF_FEATURES, return_idf=True
+    )
+    # model-scale collect: <= n_features rows (the ivf_train convention)
+    idf_rows = {r["slot"]: float(r["_idf"]) for r in idf_df.collect()}
+    n_docs = labeled_txt.select("doc_id").distinct().count()
+    empty_slot_idf = math.log(float(n_docs + 1)) + 1.0
+    idf = [idf_rows.get(s, empty_slot_idf) for s in range(_FCLF_FEATURES)]
+    dense = CLF.dense_from_sparse(sp, _FCLF_FEATURES)
+    zeros = F.array(*[F.lit(0.0)] * _FCLF_FEATURES)
+    labeled = (
+        pos.select("doc_id", F.lit(1).alias("label"))
+        .unionByName(neg.select("doc_id", F.lit(0).alias("label")))
+        .join(dense, "doc_id", "left")
+        .select(
+            "label",
+            F.concat(
+                F.array(F.lit(1.0)), F.coalesce(F.col("dense"), zeros)
+            ).alias("features"),
+        )
+    )
+    w = CLF.train_logreg(
+        labeled, dim=_FCLF_FEATURES + 1, lr=_FCLF_LR, iters=_FCLF_ITERS
+    )
+    return tuple(idf), tuple(w)
+
+
+def q_doc_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-bag-of-words quality classifier, deployment path: the
+    trained (idf, weights) ride as plan constants; scoring is one
+    (doc, slot) partial agg + a fixed-point sparse dot — no
+    corpus-scale joins (classifier.score_hashed_logreg)."""
+    if (
+        _fclf_zero_arg_oracle_dir is not None
+        and _fclf_zero_arg_oracle_dir != sf_dir
+        and sf_dir not in _fclf_explicit_oracle_dirs
+    ):
+        raise RuntimeError(
+            f"doc_hashed_classifier: zero-arg oracle trained at "
+            f"{_fclf_zero_arg_oracle_dir!r} but the query runs at {sf_dir!r}."
+        )
+    _fclf_query_dirs.add(sf_dir)
+    idf, w = _fclf_model(sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    return CLF.score_hashed_logreg(
+        d, list(idf), list(w), _FCLF_FEATURES
+    ).select("doc_id", "quality_prob")
+
+
+def oracle_doc_hashed_classifier(sf_dir: str | None = None) -> str:
+    """Lazy DuckDB twin: idf + weights as plan constants; the md5-slot
+    hash, the round-6 tfidf, and the fixed-point dot grid are written
+    out with the exact Spark-side arithmetic shape."""
+    global _fclf_zero_arg_oracle_dir
+    if sf_dir is None:
+        if "SPARK_GRAFT_ORACLE_SF_DIR" in os.environ:
+            resolved = os.environ["SPARK_GRAFT_ORACLE_SF_DIR"]
+        elif len(_fclf_query_dirs) == 1:
+            resolved = next(iter(_fclf_query_dirs))
+        else:
+            resolved = _CLF_ORACLE_SF_DIR
+        if _fclf_query_dirs and resolved not in _fclf_query_dirs:
+            raise RuntimeError(
+                f"doc_hashed_classifier oracle: would train at {resolved!r} "
+                f"but the query ran at {sorted(_fclf_query_dirs)!r}."
+            )
+        _fclf_zero_arg_oracle_dir = resolved
+        sf_dir = resolved
+    else:
+        _fclf_explicit_oracle_dirs.add(sf_dir)
+    idf, w = _fclf_model(sf_dir)
+    idf_list = ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in idf)
+    w_list = ", ".join(f"CAST({float(v)!r} AS DOUBLE)" for v in w[1:])
+    fx = "1000000000000.0"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_LTOKS}) AS tok FROM documents
+), tf AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 15))::BIGINT
+              % {_FCLF_FEATURES} AS BIGINT) AS slot,
+         CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2
+), term AS (
+  SELECT doc_id,
+         CAST(round(
+           list_extract(list_value({w_list}), CAST(slot AS INTEGER) + 1)
+           * round(tf * list_extract(list_value({idf_list}),
+                                     CAST(slot AS INTEGER) + 1), 6)
+           * {fx}) AS BIGINT) AS fxv
+  FROM tf
+), z AS (
+  SELECT doc_id, sum(fxv) AS zfx FROM term GROUP BY 1
+)
+SELECT d.doc_id,
+       round(1.0 / (1.0 + exp(-(CAST({float(w[0])!r} AS DOUBLE)
+                                + coalesce(CAST(z.zfx AS DOUBLE), 0.0)
+                                  / {fx}))), 6) AS quality_prob
+FROM documents d LEFT JOIN z USING (doc_id)
+"""

@@ -227,6 +227,13 @@ construction) and ``doc_kn_lm`` (interpolated Kneser-Ney bigram score
 reusing the lm_score hot/cold scored-join decomposition; Kneser & Ney
 1995, Chen & Goodman 1999) join the r10-priority queue — 118 entries,
 21 queued.
+
+Round-9 sixteenth amendment: ``doc_hashed_classifier`` (bag-of-hashed-
+words linear quality classifier — the fastText deployment shape: idf
+AND weights frozen as plan constants so lake scoring needs no
+corpus-wide statistics pass; fixed-point sparse dot keeps the hash
+gate order-free; classifier.score_hashed_logreg) joins the
+r10-priority queue — 119 entries, 22 queued.
 """
 
 from __future__ import annotations
@@ -913,6 +920,16 @@ _REGISTERED += [
     ),
 ]
 
+_REGISTERED += [
+    QuerySpec(
+        "doc_hashed_classifier", CR.q_doc_hashed_classifier,
+        CR.oracle_doc_hashed_classifier,
+        "bag-of-hashed-words linear quality classifier, idf + weights "
+        "as plan constants, fixed-point sparse dot (fastText shape; "
+        "classifier.score_hashed_logreg; lazy oracle)",
+    ),
+]
+
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 
@@ -998,6 +1015,7 @@ ORDER: list[str] = [
     "part_avg_qty_outliers",
     "doc_char_entropy",
     "doc_kn_lm",
+    "doc_hashed_classifier",
     # ---- tail: r8-driver-green, operators untouched this round ----
     "hourly_event_rollup",
     "doc_text_stats",

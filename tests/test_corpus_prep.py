@@ -1080,3 +1080,49 @@ def test_ccnet_buckets_reference_lm_mode(spark):
     out = CP.ccnet_buckets(d, lm=lm).collect()
     assert len(out) == 60
     assert {r.bucket for r in out} == {"head", "middle", "tail"}
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney score
+# ---------------------------------------------------------------------------
+
+def test_kn_score_matches_hand_model(spark):
+    """Two docs, tiny vocab: verify against a by-hand interpolated-KN
+    computation (D = 0.75)."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id LONG, text STRING"
+    )
+    out = {r.doc_id: r for r in CP.with_kn_score(df).collect()}
+    # bigrams: doc1: (a b) x2, (b a) x1 ; doc2: (a c) x1
+    # bc: ab=2, ba=1, ac=1 ; ctx: a: cw1=3, nf=2 ; b: cw1=1, nf=1
+    # cont: b: np=1 ; a: np=1 ; c: np=1 ; T=3
+    def p(cbi, nf, np_, cw1):
+        return (max(cbi - 0.75, 0.0) + 0.75 * nf * np_ / 3.0) / cw1
+
+    lp_ab = math.log(p(2, 2, 1, 3))
+    lp_ba = math.log(p(1, 1, 1, 1))
+    lp_ac = math.log(p(1, 2, 1, 3))
+    assert out[1].n_bigrams == 3
+    assert out[1].avg_logp_kn == round((2 * lp_ab + lp_ba) / 3, 6)
+    assert out[2].n_bigrams == 1
+    assert out[2].avg_logp_kn == round(lp_ac, 6)
+
+
+def test_kn_score_short_docs_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, "a b")], "doc_id LONG, text STRING"
+    )
+    out = {r.doc_id: r for r in CP.with_kn_score(df).collect()}
+    assert out[1].n_bigrams == 0 and out[1].avg_logp_kn == 0.0
+    assert out[2].n_bigrams == 0
+    assert out[3].n_bigrams == 1
+
+
+def test_kn_score_validation(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id LONG, text STRING")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        CP.with_kn_score(df, hot_threshold=0)

@@ -496,3 +496,59 @@ def test_phrase_match_lowercases_and_skips_absent(spark):
     ).collect()
     got = {(r.phrase_id, r.doc_id): r.n_matches for r in out}
     assert got == {(0, 1): 1, (0, 3): 2}
+
+
+# ---------------------------------------------------------------------------
+# Hashed (fastText-shape) classifier
+# ---------------------------------------------------------------------------
+
+def test_hashed_classifier_separates_and_is_deterministic(spark):
+    base = _labeled_quality(spark)
+    texts = base.select("doc_id", "text")
+    sp, idf_df = CLF.hashing_tfidf(texts, n_features=16, return_idf=True)
+    import math as _m
+
+    idf_rows = {r["slot"]: float(r["_idf"]) for r in idf_df.collect()}
+    n_docs = texts.count()
+    default = _m.log(float(n_docs + 1)) + 1.0
+    idf = [idf_rows.get(s, default) for s in range(16)]
+    dense = CLF.dense_from_sparse(sp, 16)
+    from pyspark.sql import functions as F
+
+    zeros = F.array(*[F.lit(0.0)] * 16)
+    labeled = base.join(dense, "doc_id", "left").select(
+        "label",
+        F.concat(F.array(F.lit(1.0)), F.coalesce("dense", zeros)).alias(
+            "features"
+        ),
+    )
+    w = CLF.train_logreg(labeled, dim=17, iters=20)
+    scored = CLF.score_hashed_logreg(base, idf, w, 16).join(
+        base.select("doc_id", "label"), "doc_id"
+    )
+    rows = scored.collect()
+    real = [r.quality_prob for r in rows if r.label == 1]
+    fake = [r.quality_prob for r in rows if r.label == 0]
+    # hashed bag-of-words separates the md5-noise negatives
+    assert min(real) > max(fake)
+    again = CLF.score_hashed_logreg(base.repartition(7), idf, w, 16).collect()
+    assert {(r.doc_id, r.quality_prob) for r in again} == {
+        (r.doc_id, r.quality_prob) for r in rows
+    }
+
+
+def test_hashed_classifier_empty_doc_scores_bias(spark):
+    import math as _m
+
+    df = spark.createDataFrame([(1, "")], "doc_id LONG, text STRING")
+    w = [0.4] + [1.0] * 8
+    got = CLF.score_hashed_logreg(df, [1.0] * 8, w, 8).collect()[0]
+    assert got.quality_prob == round(1.0 / (1.0 + _m.exp(-0.4)), 6)
+
+
+def test_hashed_classifier_validation(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError):
+        CLF.score_hashed_logreg(df, [1.0] * 3, [0.0] * 5, 4)
+    with pytest.raises(ValueError):
+        CLF.score_hashed_logreg(df, [1.0] * 4, [0.0] * 4, 4)

@@ -404,3 +404,40 @@ def test_hashing_tfidf_rejects_bad_width(spark):
 
     with pytest.raises(ValueError):
         hashing_tfidf(_docs(spark, [(1, "a")]), n_features=1)
+
+
+# ---------------------------------------------------------------------------
+# Character entropy
+# ---------------------------------------------------------------------------
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from scraping_etl_spark.operators.textstats import with_char_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa"),        # single class -> H = 0
+            (2, "abab"),        # two classes, p = 1/2 each -> ln 2
+            (3, ""),            # empty -> 0 by convention
+            (4, "ab12"),        # a, b, other(2): 1/4,1/4,1/2
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in with_char_entropy(df).collect()}
+    assert out[1].char_entropy == 0.0 and out[1].alpha_frac == 1.0
+    assert out[2].char_entropy == round(math.log(2), 6)
+    assert out[3].char_entropy == 0.0 and out[3].alpha_frac == 0.0
+    h4 = -(0.25 * math.log(0.25) * 2 + 0.5 * math.log(0.5))
+    assert out[4].char_entropy == round(h4, 6)
+    assert out[4].alpha_frac == 0.5
+
+
+def test_char_entropy_case_insensitive_and_stable(spark):
+    from scraping_etl_spark.operators.textstats import with_char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "AbAb"), (2, "abab")], "doc_id LONG, text STRING"
+    )
+    out = {r.doc_id: r for r in with_char_entropy(df).collect()}
+    assert out[1].char_entropy == out[2].char_entropy
