@@ -1123,3 +1123,95 @@ def ivfpq_topk(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+#: Fixed-point grid of the distributed k-means centroid updates:
+#: coordinate sums ride an integer lattice so any partial-aggregation
+#: order gives the bit-same centroid on every engine (the
+#: ``token_divergence`` / ``host_pagerank`` convention).
+KMEANS_FX_SCALE = 10**6
+
+
+def kmeans_train_fx(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 4,
+    fx_scale: int = KMEANS_FX_SCALE,
+) -> list[list[float]]:
+    """DISTRIBUTED Lloyd's k-means with exactly-reproducible arithmetic
+    — the in-cluster alternative to :func:`ivf_train`'s MLlib call
+    when the training corpus itself is lake-scale (MLlib's k-means||
+    init samples fine, but its float centroid sums are
+    partitioning-dependent; an exactness gate can't hash them).
+
+    - **Init**: the ``n_clusters`` rows with the smallest
+      ``(md5(id), id)`` — a deterministic scatter (md5 is a uniform
+      hash, so seeds are corpus-spread), one TakeOrdered, k vectors
+      collected (model-scale).
+    - **Assignment**: centroids ride as plan constants; the argmin is
+      the per-row ``(distance, cid)``-lexicographic expression of
+      :func:`nearest_centroids` — pure map, zero shuffle.
+    - **Update**: per (cluster, coordinate) sums on the
+      :data:`KMEANS_FX_SCALE` integer lattice — ``posexplode`` +
+      partial agg, k x d longs + counts to the driver per iteration
+      (model state, not data; the ``ivf_train`` convention). Integer
+      sums are associative, so the new centroids are bit-identical
+      under any partitioning, which is what lets the DuckDB oracle
+      replay the ENTIRE training fixpoint (plans/ml_ops.py
+      ``ORACLE_EMB_KMEANS_TRAIN``). Empty clusters keep their previous
+      centroid.
+
+    At 100 TB: per iteration one corpus scan, one (k x d)-bounded
+    partial-agg shuffle; int64 headroom is ``|x| * fx_scale * rows``
+    per (cluster, coordinate) — at |x| <= 8, fx 1e6, that allows ~1e12
+    member rows per cluster before overflow; raise the grid coarser or
+    split the sum hierarchically beyond that.
+    """
+    if n_clusters < 1:
+        raise ValueError(f"n_clusters must be >= 1, got {n_clusters}")
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    seeds = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_clusters)
+        .collect()
+    )
+    if len(seeds) < n_clusters:
+        raise ValueError(
+            f"kmeans_train_fx: corpus has {len(seeds)} rows < k={n_clusters}"
+        )
+    cents = [[float(x) for x in r[vec_col]] for r in seeds]
+    d = len(cents[0])
+    v = F.col(vec_col)
+    for _ in range(iters):
+        scored = F.array(
+            *[
+                F.struct(centroid_sq_dist(c, v).alias("d"), F.lit(i).alias("cid"))
+                for i, c in enumerate(cents)
+            ]
+        )
+        best = F.element_at(F.array_sort(scored), 1)["cid"].cast("int")
+        xfx = F.round(F.col("_x").cast("double") * F.lit(float(fx_scale)), 0).cast(
+            "long"
+        )
+        sums = (
+            # two-step projection: a lambda-bearing struct expression
+            # and a generator in ONE select trips the analyzer (struct
+            # field names degrade to col1/col2); assigning the cluster
+            # first keeps the plan identical after collapse
+            corpus.select(best.alias("_cid"), v.alias("_v"))
+            .select("_cid", F.posexplode("_v").alias("_pos", "_x"))
+            .groupBy("_cid", "_pos")
+            .agg(F.sum(xfx).alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        new = [c[:] for c in cents]
+        for r in sums:
+            new[r["_cid"]][r["_pos"]] = float(r["_s"]) / (
+                float(fx_scale) * float(r["_n"])
+            )
+        cents = new
+    return cents

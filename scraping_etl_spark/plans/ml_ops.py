@@ -1446,3 +1446,86 @@ FROM ranked WHERE rk = 1
 
 
 ORACLE_EMB_DECONTAMINATE = _emb_decontaminate_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Distributed fixed-point k-means — training replayed by the oracle
+# ---------------------------------------------------------------------------
+
+_KM_K, _KM_ITERS, _KM_FX = 8, 4, 10**6
+
+
+def q_emb_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (similarity.kmeans_train_fx) —
+    the training loop itself is the gate: deterministic md5-scatter
+    seeds, map-side assignment, fixed-point centroid updates, then the
+    final assignment with distances. The STATIC DuckDB oracle replays
+    seed selection, all four assignment passes and all four integer-
+    lattice updates from the raw table (the ``host_pagerank``
+    iterative-fixpoint convention) — no trained constants cross over,
+    so the hash gate certifies the whole fixpoint, not a frozen
+    model."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = SIM.kmeans_train_fx(
+        e, n_clusters=_KM_K, iters=_KM_ITERS, fx_scale=_KM_FX
+    )
+    return SIM.cluster_assign(e, cents)
+
+
+def _kmeans_oracle_sql(k: int, iters: int, d: int, fx: int) -> str:
+    dist = (
+        "list_reduce(list_transform(generate_series(1, {d}), "
+        "i -> (p.v[i] - c.c[i]) * (p.v[i] - c.c[i])), (x, y) -> x + y)"
+    ).format(d=d)
+    parts = [
+        f"""WITH pts AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), seeds AS (
+  SELECT vec_id, v,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS rn
+  FROM pts
+), cl0 AS (
+  SELECT rn - 1 AS cid, v AS c FROM seeds WHERE rn <= {k}
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", a{i} AS (
+  SELECT p.vec_id, p.v, c.cid, {dist} AS dd
+  FROM pts p CROSS JOIN cl{i - 1} c
+), w{i} AS (
+  SELECT vec_id, v, cid FROM a{i}
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) = 1
+), u{i} AS (
+  SELECT cid, g.j AS pos,
+         sum(CAST(round(v[g.j] * {fx}.0) AS BIGINT)) AS sfx,
+         count(*) AS n
+  FROM w{i}, generate_series(1, {d}) AS g(j)
+  GROUP BY 1, 2
+), cl{i} AS (
+  SELECT cid, list(cx ORDER BY pos) AS c FROM (
+    SELECT prev.cid, g.j AS pos,
+           coalesce(CAST(u.sfx AS DOUBLE) / ({fx}.0 * u.n), prev.c[g.j]) AS cx
+    FROM cl{i - 1} prev
+    CROSS JOIN generate_series(1, {d}) AS g(j)
+    LEFT JOIN u{i} u ON u.cid = prev.cid AND u.pos = g.j
+  ) GROUP BY 1
+)"""
+        )
+    parts.append(
+        f""", fa AS (
+  SELECT p.vec_id, c.cid, {dist} AS dd
+  FROM pts p CROSS JOIN cl{iters} c
+), fw AS (
+  SELECT vec_id, cid, dd FROM fa
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) = 1
+)
+SELECT vec_id, CAST(cid AS INTEGER) AS cluster, round(dd, 6) AS sq_dist
+FROM fw"""
+    )
+    return "".join(parts)
+
+
+ORACLE_EMB_KMEANS_TRAIN = _kmeans_oracle_sql(_KM_K, _KM_ITERS, _DIM, _KM_FX)

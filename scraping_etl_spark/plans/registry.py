@@ -234,6 +234,15 @@ AND weights frozen as plan constants so lake scoring needs no
 corpus-wide statistics pass; fixed-point sparse dot keeps the hash
 gate order-free; classifier.score_hashed_logreg) joins the
 r10-priority queue — 119 entries, 22 queued.
+
+Round-9 seventeenth amendment: ``emb_kmeans_train`` (distributed
+Lloyd's k-means with integer-lattice centroid updates — bit-identical
+under any partitioning, so the STATIC DuckDB oracle replays seed
+selection, every assignment pass and every update from the raw table;
+the training loop itself is what the hash gate certifies, extending
+the host_pagerank iterative-fixpoint convention to model training;
+similarity.kmeans_train_fx) joins the r10-priority queue — 120
+entries, 23 queued.
 """
 
 from __future__ import annotations
@@ -930,6 +939,15 @@ _REGISTERED += [
     ),
 ]
 
+_REGISTERED += [
+    QuerySpec(
+        "emb_kmeans_train", M.q_emb_kmeans_train, M.ORACLE_EMB_KMEANS_TRAIN,
+        "distributed fixed-point Lloyd's k-means; the static oracle "
+        "replays the whole training fixpoint from the raw table "
+        "(similarity.kmeans_train_fx)",
+    ),
+]
+
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 
@@ -1016,6 +1034,7 @@ ORDER: list[str] = [
     "doc_char_entropy",
     "doc_kn_lm",
     "doc_hashed_classifier",
+    "emb_kmeans_train",
     # ---- tail: r8-driver-green, operators untouched this round ----
     "hourly_event_rollup",
     "doc_text_stats",

@@ -831,3 +831,68 @@ def test_ivfpq_topk_validates(spark):
         SIM.ivfpq_topk(enc, cents, books, [(0, [0.0] * 8)], n_probe=9)
     with _pt.raises(ValueError):
         SIM.ivfpq_topk(enc, cents, books, [], k=3)
+
+
+# ---------------------------------------------------------------------------
+# Distributed fixed-point k-means
+# ---------------------------------------------------------------------------
+
+def _km_corpus(spark, n=40, d=4):
+    import random
+
+    rnd = random.Random(11)
+    rows = [
+        (i, [rnd.uniform(-1, 1) + (2.0 if i % 2 else -2.0) for _ in range(d)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+
+def test_kmeans_fx_bit_identical_under_repartition(spark):
+    from scraping_etl_spark.operators.similarity import kmeans_train_fx
+
+    c = _km_corpus(spark)
+    a = kmeans_train_fx(c, n_clusters=3, iters=3)
+    b = kmeans_train_fx(c.repartition(13), n_clusters=3, iters=3)
+    assert a == b  # integer-lattice updates: exact, order-free
+
+
+def test_kmeans_fx_separates_two_blobs(spark):
+    from scraping_etl_spark.operators.similarity import (
+        cluster_assign,
+        kmeans_train_fx,
+    )
+
+    c = _km_corpus(spark)
+    cents = kmeans_train_fx(c, n_clusters=2, iters=4)
+    got = cluster_assign(c, cents).collect()
+    by_parity = {}
+    for r in got:
+        by_parity.setdefault(r.vec_id % 2, set()).add(r.cluster)
+    # each blob lands wholly in one cluster, and they differ
+    assert all(len(v) == 1 for v in by_parity.values())
+    assert by_parity[0] != by_parity[1]
+
+
+def test_kmeans_fx_empty_cluster_keeps_previous_centroid(spark):
+    from scraping_etl_spark.operators.similarity import kmeans_train_fx
+
+    # two identical points far from a third: with k=3 seeded on three
+    # rows, some cluster may end up empty after reassignment; the
+    # training must not NaN out — every centroid stays finite
+    rows = [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [9.0, 9.0])]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = kmeans_train_fx(df, n_clusters=3, iters=3)
+    assert all(all(x == x for x in c) for c in cents)  # no NaN
+
+
+def test_kmeans_fx_validates(spark):
+    import pytest as _pt
+
+    from scraping_etl_spark.operators.similarity import kmeans_train_fx
+
+    df = spark.createDataFrame([(1, [0.0])], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    with _pt.raises(ValueError):
+        kmeans_train_fx(df, n_clusters=0)
+    with _pt.raises(ValueError):
+        kmeans_train_fx(df, n_clusters=5)  # corpus smaller than k
