@@ -243,6 +243,11 @@ the training loop itself is what the hash gate certifies, extending
 the host_pagerank iterative-fixpoint convention to model training;
 similarity.kmeans_train_fx) joins the r10-priority queue — 120
 entries, 23 queued.
+
+Round-9 eighteenth amendment: ``supplier_sole_late`` (TPC-H Q21 shape
+— EXISTS + NOT EXISTS correlated subqueries as literal SQL, gating
+Catalyst's semi/anti decorrelation with a windowed top-20) joins the
+r10-priority queue — 121 entries, 24 queued.
 """
 
 from __future__ import annotations
@@ -948,6 +953,15 @@ _REGISTERED += [
     ),
 ]
 
+_REGISTERED += [
+    QuerySpec(
+        "supplier_sole_late", R.q_supplier_sole_late,
+        R.ORACLE_SUPPLIER_SOLE_LATE,
+        "TPC-H Q21 shape: EXISTS + NOT EXISTS correlated subqueries, "
+        "Catalyst semi/anti decorrelation gated on the same SQL text",
+    ),
+]
+
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 
@@ -1035,6 +1049,7 @@ ORDER: list[str] = [
     "doc_kn_lm",
     "doc_hashed_classifier",
     "emb_kmeans_train",
+    "supplier_sole_late",
     # ---- tail: r8-driver-green, operators untouched this round ----
     "hourly_event_rollup",
     "doc_text_stats",

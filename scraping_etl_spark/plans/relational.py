@@ -1022,3 +1022,48 @@ WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
                       WHERE l2.l_partkey = l.l_partkey)
 GROUP BY p.p_brand
 """
+
+
+def q_supplier_sole_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — TWO correlated subqueries (EXISTS + NOT
+    EXISTS), decorrelated by Catalyst: suppliers who were the ONLY
+    late shipper in multi-supplier orders. "Late" adapts Q21 to this
+    schema: shipped more than 90 days after the order date.
+
+    Submitted as literal SQL: Catalyst rewrites the EXISTS into a
+    left-semi and the NOT EXISTS into a left-anti join on
+    ``l_orderkey`` with the extra-condition filters folded in — three
+    passes over lineitem co-partitioned on the same key (the exchange
+    reuses), then the per-supplier rollup. The oracle runs the same
+    text; top 20 by (count desc, suppkey) with a row_number total
+    order, never a bare LIMIT.
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(ORACLE_SUPPLIER_SOLE_LATE)
+
+
+ORACLE_SUPPLIER_SOLE_LATE = """
+WITH ranked AS (
+  SELECT l1.l_suppkey AS suppkey,
+         CAST(count(*) AS BIGINT) AS numwait
+  FROM lineitem l1
+  JOIN orders o ON o.o_orderkey = l1.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    AND EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+  GROUP BY 1
+)
+SELECT suppkey, numwait
+FROM (SELECT suppkey, numwait,
+             row_number() OVER (ORDER BY numwait DESC, suppkey) AS rk
+      FROM ranked)
+WHERE rk <= 20
+"""
