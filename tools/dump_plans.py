@@ -131,6 +131,25 @@ def main() -> None:
         ("doc_dsir_weights", CR.q_doc_dsir_weights,
          "DSIR: two LM scorings (target reference-mode, raw self-mode) "
          "joined at document cardinality"),
+        ("event_funnel", R.q_event_funnel,
+         "ordered funnel: ONE user-hash exchange feeds three adjacent "
+         "Window operators — a funnel step adds a Window node, not a "
+         "pass over the log"),
+        ("supplier_sole_late", R.q_supplier_sole_late,
+         "Q21 shape: EXISTS/NOT EXISTS decorrelated to left-semi/"
+         "left-anti on the shared orderkey partitioning"),
+        ("doc_kn_lm", C.q_doc_kn_lm,
+         "Kneser-Ney LM: context/continuation tables are aggregates of "
+         "the checkpointed distinct-gram relation; scored join reuses "
+         "the lm_score hot/cold split"),
+        ("doc_hashed_classifier", CR.q_doc_hashed_classifier,
+         "hashed-bag-of-words classifier scoring: idf + weights frozen "
+         "as plan constants, (doc, slot) partial agg + fixed-point "
+         "sparse dot — no corpus-scale statistics pass at deployment"),
+        ("emb_kmeans_train", M.q_emb_kmeans_train,
+         "distributed k-means final assignment: trained centroids as "
+         "plan constants, per-row argmin, ZERO exchanges (training = "
+         "4 map-side assign + k*d-bounded partial-agg rounds)"),
     ]
 
     spark = get_spark()
