@@ -804,3 +804,52 @@ def allpairs_jaccard(
         )
         .filter(F.col("jacc") >= threshold)
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document k-gram NOVELTY in document-id order: the fraction
+    of a document's distinct k-shingles it is the FIRST document (by
+    id) to contain. The dataset-redundancy growth curve — duplicated
+    and boilerplate-heavy corpora show novelty collapsing as ids grow
+    — and the per-document complement of the corpus-level
+    duplicate-passage profile (``curation.duplicate_passage_stats``).
+
+    Returns ``(id, n_grams, novelty_frac)``; documents with no k-gram
+    (< k tokens) report 0 grams and fraction 0.
+
+    Plan: distinct (doc, shingle) explode + partial agg; first-owner =
+    one more partial agg (``min(id)`` per shingle, shingle
+    cardinality); flag join back at (doc, shingle) grain keyed by the
+    shingle — per-key fan-out is the shingle's duplication count, the
+    same Zipf shape as every gram join here (AQE skew-split; hot/cold
+    decomposition is the documented escalation). No windows, no
+    all-pairs anything.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pairs = df.select(
+        F.col(id_col), F.explode(word_shingles(F.lower(F.col(text_col)), k)).alias("_g")
+    )
+    first = pairs.groupBy("_g").agg(F.min(id_col).alias("_first"))
+    flagged = pairs.join(first, "_g").select(
+        F.col(id_col),
+        (F.col(id_col) == F.col("_first")).cast("long").alias("_novel"),
+    )
+    agg = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.round(F.sum("_novel") / F.count(F.lit(1)), 6).alias("novelty_frac"),
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("novelty_frac", F.lit(0.0)).alias("novelty_frac"),
+        )
+    )

@@ -387,3 +387,69 @@ def with_char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("alpha_frac", frac)
         .drop("_s", "_L", "_counts", "_alpha")
     )
+
+
+def keyword_extract(
+    df: DataFrame,
+    top_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Per-document top-k TF-IDF keywords over the EXACT vocabulary —
+    the classic keyword-extraction / document-tagging primitive (the
+    hashed sibling is :func:`~scraping_etl_spark.operators.classifier.
+    hashing_tfidf`; this tier keeps real tokens because the output IS
+    the tokens). idf follows the same smoothed convention,
+    ``ln((N+1)/(df+1)) + 1``.
+
+    Returns ``(id, rank, token, tfidf)`` with ``rank`` 1..k by
+    ``(tfidf desc, token)`` — the rank key uses the ROUNDED score, so
+    ordering is reproducible cross-engine.
+
+    Plan: one explode + (doc, token) partial agg; df is an aggregate
+    of that relation (vocabulary cardinality); the score join runs at
+    (doc, token) grain keyed by token — a hash equi-join whose hot
+    keys ("the") are exactly the lm_score Zipf shape: AQE skew-split
+    applies, and the hot/cold capped-broadcast decomposition
+    (``corpus_prep.with_lm_score``) is the documented escalation if a
+    deployment needs it. The top-k window partitions by document —
+    per-partition work is doc vocabulary, never corpus-wide.
+
+    ``n_docs``: corpus size for idf; pass it when known to keep the
+    plan fully lazy (defaults to one count job, the
+    ``hashing_tfidf`` convention).
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    tf = (
+        df.select(
+            F.col(id_col), F.explode(tokens(text_col, lowercase=True)).alias("token")
+        )
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    if n_docs is None:
+        n_docs = df.select(id_col).distinct().count()
+    idf = tf.groupBy("token").agg(
+        (
+            F.log(
+                F.lit(float(n_docs + 1))
+                / (F.count_distinct(F.col(id_col)).cast("double") + F.lit(1.0))
+            )
+            + F.lit(1.0)
+        ).alias("_idf")
+    )
+    scored = tf.join(idf, "token").select(
+        F.col(id_col),
+        "token",
+        F.round(F.col("tf") * F.col("_idf"), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, F.col("rank").cast("long").alias("rank"), "token", "tfidf")
+    )

@@ -1542,3 +1542,74 @@ FROM fw"""
 
 
 ORACLE_EMB_KMEANS_TRAIN = _kmeans_oracle_sql(_KM_K, _KM_ITERS, _DIM, _KM_FX)
+
+
+# ---------------------------------------------------------------------------
+# Keyword extraction + n-gram novelty
+# ---------------------------------------------------------------------------
+
+_MLLTOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+
+
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 exact-vocabulary TF-IDF keywords per document
+    (textstats.keyword_extract) — rank key is the rounded score, so
+    the ordering itself is hash-gated."""
+    from scraping_etl_spark.operators.textstats import keyword_extract
+
+    d = load_table(spark, sf_dir, "documents")
+    return keyword_extract(d, top_k=3)
+
+
+ORACLE_DOC_KEYWORDS = f"""
+WITH tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest({_MLLTOKS}) AS token FROM documents)
+  GROUP BY 1, 2
+), n AS (SELECT count(*) AS n FROM documents),
+idf AS (
+  SELECT token,
+         ln((n.n + 1.0) / (count(DISTINCT doc_id) + 1.0)) + 1.0 AS idf
+  FROM tf CROSS JOIN n GROUP BY token, n.n
+), scored AS (
+  SELECT tf.doc_id, tf.token, round(tf.tf * idf.idf, 6) AS tfidf
+  FROM tf JOIN idf USING (token)
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, tfidf
+FROM (SELECT doc_id, token, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, token) AS rank
+      FROM scored)
+WHERE rank <= 3
+"""
+
+
+def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 5-gram novelty in id order (dedup.ngram_novelty):
+    the dataset-redundancy growth signal."""
+    d = load_table(spark, sf_dir, "documents")
+    return DD.ngram_novelty(d, k=5)
+
+
+ORACLE_DOC_NGRAM_NOVELTY = f"""
+WITH sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           CASE WHEN len(t) >= 5 THEN generate_series(1, len(t) - 4) ELSE [] END,
+           i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])))) AS g
+  FROM (SELECT doc_id, {_MLLTOKS} AS t FROM documents)
+), fo AS (
+  SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY 1
+), agg AS (
+  SELECT sh.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         round(sum(CASE WHEN sh.doc_id = fo.first_doc THEN 1 ELSE 0 END)
+               / CAST(count(*) AS DOUBLE), 6) AS novelty_frac
+  FROM sh JOIN fo USING (g)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(agg.n_grams, 0) AS BIGINT) AS n_grams,
+       coalesce(agg.novelty_frac, 0.0) AS novelty_frac
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""

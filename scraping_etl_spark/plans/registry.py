@@ -248,6 +248,13 @@ Round-9 eighteenth amendment: ``supplier_sole_late`` (TPC-H Q21 shape
 — EXISTS + NOT EXISTS correlated subqueries as literal SQL, gating
 Catalyst's semi/anti decorrelation with a windowed top-20) joins the
 r10-priority queue — 121 entries, 24 queued.
+
+Round-9 nineteenth amendment: ``doc_keywords`` (per-document top-3
+exact-vocabulary TF-IDF keywords; the rounded score is the rank key
+so the ordering itself hashes; textstats.keyword_extract) and
+``doc_ngram_novelty`` (per-document 5-gram first-owner novelty — the
+dataset-redundancy growth signal; dedup.ngram_novelty) join the
+r10-priority queue — 123 entries, 26 queued.
 """
 
 from __future__ import annotations
@@ -962,6 +969,20 @@ _REGISTERED += [
     ),
 ]
 
+_REGISTERED += [
+    QuerySpec(
+        "doc_keywords", M.q_doc_keywords, M.ORACLE_DOC_KEYWORDS,
+        "top-3 exact TF-IDF keywords per doc; rounded-score rank key "
+        "(textstats.keyword_extract)",
+    ),
+    QuerySpec(
+        "doc_ngram_novelty", M.q_doc_ngram_novelty,
+        M.ORACLE_DOC_NGRAM_NOVELTY,
+        "per-doc 5-gram first-owner novelty fraction "
+        "(dedup.ngram_novelty)",
+    ),
+]
+
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 
@@ -1050,6 +1071,8 @@ ORDER: list[str] = [
     "doc_hashed_classifier",
     "emb_kmeans_train",
     "supplier_sole_late",
+    "doc_keywords",
+    "doc_ngram_novelty",
     # ---- tail: r8-driver-green, operators untouched this round ----
     "hourly_event_rollup",
     "doc_text_stats",

@@ -896,3 +896,22 @@ def test_kmeans_fx_validates(spark):
         kmeans_train_fx(df, n_clusters=0)
     with _pt.raises(ValueError):
         kmeans_train_fx(df, n_clusters=5)  # corpus smaller than k
+
+
+def test_ngram_novelty_first_owner_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),          # grams: abcde, bcdef — all novel
+            (2, "a b c d e f"),          # exact dup -> novelty 0
+            (3, "x y z w v a b c d e"),  # 6 grams, 1 shared with doc 1
+            (4, "too short"),            # no 5-gram
+        ],
+        "doc_id LONG, text STRING",
+    )
+    from scraping_etl_spark.operators.dedup import ngram_novelty
+
+    out = {r.doc_id: r for r in ngram_novelty(df, k=5).collect()}
+    assert out[1].n_grams == 2 and out[1].novelty_frac == 1.0
+    assert out[2].n_grams == 2 and out[2].novelty_frac == 0.0
+    assert out[3].n_grams == 6 and out[3].novelty_frac == round(5 / 6, 6)
+    assert out[4].n_grams == 0 and out[4].novelty_frac == 0.0

@@ -441,3 +441,32 @@ def test_char_entropy_case_insensitive_and_stable(spark):
     )
     out = {r.doc_id: r for r in with_char_entropy(df).collect()}
     assert out[1].char_entropy == out[2].char_entropy
+
+
+def test_keyword_extract_ranks_rare_terms_first(spark):
+    from scraping_etl_spark.operators.textstats import keyword_extract
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common zebra"),
+            (2, "common quark quark"),
+            (3, "common plain words"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = keyword_extract(df, top_k=2).collect()
+    top = {(r.doc_id, r.rank): r.token for r in out}
+    import math
+
+    # doc 2: quark tf=2, idf=ln(4/2)+1 -> 2*1.693; beats 'common'
+    # (tf=1, idf=ln(4/4)+1=1.0 — in every doc, floor idf)
+    assert top[(2, 1)] == "quark" and top[(2, 2)] == "common"
+    # doc 3: singleton rare terms tie at idf ln(2)+1; token tie-break
+    assert top[(3, 1)] == "plain" and top[(3, 2)] == "words"
+    scores = {(r.doc_id, r.token): r.tfidf for r in out}
+    assert scores[(2, "quark")] == round(2 * (math.log(2) + 1), 6)
+    assert scores[(2, "common")] == 1.0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        keyword_extract(df, top_k=0)
