@@ -353,6 +353,12 @@ def bpe_vocab(seg: DataFrame) -> DataFrame:
 
 UNK_ID = -1
 
+#: Reserved end-of-word id (``append_eow=True``) and its internal
+#: marker symbol. The marker is a NUL-prefixed string no whitespace
+#: token can start with in practice; it never reaches the output.
+EOW_ID = -2
+_EOW_SYM = "\x00eow"
+
 
 def encode_token_ids(
     df: DataFrame,
@@ -361,6 +367,7 @@ def encode_token_ids(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_broadcast_words: int = MAX_BROADCAST_WORDS,
+    append_eow: bool = False,
 ) -> DataFrame:
     """The LM input-prep step: each document's text becomes its
     ordered subword-id sequence — tokenize (word split), segment
@@ -386,19 +393,26 @@ def encode_token_ids(
         max_broadcast_words > 0
         and s.limit(max_broadcast_words + 1).count() <= max_broadcast_words
     )
+    syms = F.coalesce(F.col("_sym"), char_symbols(F.col("_w")))
+    if append_eow:
+        # word-boundary sentinel: makes the id sequence decodable
+        # (:func:`decode_token_ids`) — real tokenizers carry the same
+        # information as </w> markers or byte-level space tokens
+        syms = F.concat(syms, F.array(F.lit(_EOW_SYM)))
     segmented = toks.join(F.broadcast(s) if fits else s, "_w", "left").select(
         id_col,
         "_pos",
-        F.posexplode(
-            F.coalesce(F.col("_sym"), char_symbols(F.col("_w")))
-        ).alias("_spos", "subword"),
+        F.posexplode(syms).alias("_spos", "subword"),
     )
     v = vocab.select("subword", "token_id")
     ids = segmented.join(F.broadcast(v), "subword", "left").select(
         id_col,
         "_pos",
         "_spos",
-        F.coalesce(F.col("token_id"), F.lit(UNK_ID)).cast("int").alias("_id"),
+        F.when(F.col("subword") == _EOW_SYM, F.lit(EOW_ID))
+        .otherwise(F.coalesce(F.col("token_id"), F.lit(UNK_ID)))
+        .cast("int")
+        .alias("_id"),
     )
     encoded = ids.groupBy(id_col).agg(
         F.transform(
@@ -480,4 +494,53 @@ def tokenizer_fertility(
                 "chars_per_subword"
             ),
         )
+    )
+
+
+def decode_token_ids(
+    enc: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    out_col: str = "text_rt",
+) -> DataFrame:
+    """Inverse of :func:`encode_token_ids` with ``append_eow=True``:
+    ids → subwords (broadcast vocab join — the vocabulary is
+    alphabet+merges rows, always tiny), :data:`EOW_ID` → word break,
+    ordered reassembly per document. :data:`UNK_ID` decodes to U+FFFD
+    (the only lossy case — a corpus-trained model covers its own
+    corpus, so the round trip is exact there; the round-trip gate
+    hashes that claim against the raw text).
+
+    Plan: posexplode + broadcast join + ONE id-cardinality groupBy
+    with a (pos)-sorted reassembly — the mirror image of the encode
+    shuffle, same cost model.
+    """
+    ex = enc.select(F.col(id_col), F.posexplode(ids_col).alias("_pos", "_id"))
+    v = vocab.select(F.col("token_id").alias("_id"), "subword")
+    piece = (
+        F.when(F.col("_id") == EOW_ID, F.lit(" "))
+        .when(F.col("_id") == UNK_ID, F.lit("�"))
+        .otherwise(F.col("subword"))
+    )
+    joined = ex.join(F.broadcast(v), "_id", "left").select(
+        F.col(id_col), "_pos", piece.alias("_piece")
+    )
+    dec = joined.groupBy(id_col).agg(
+        F.rtrim(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_pos"), F.col("_piece")))
+                    ),
+                    lambda x: x["_piece"],
+                ),
+                "",
+            )
+        ).alias(out_col)
+    )
+    return (
+        enc.select(F.col(id_col))
+        .join(dec, id_col, "left")
+        .select(id_col, F.coalesce(out_col, F.lit("")).alias(out_col))
     )

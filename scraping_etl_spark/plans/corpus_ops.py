@@ -1746,3 +1746,25 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN agg USING (doc_id)
 """
 ORACLE_DOC_KN_LM = ORACLE_DOC_KN_LM.replace("{_LTOKS}", _LTOKS)
+
+
+def q_doc_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer round trip: train BPE → encode with end-of-word
+    sentinels → DECODE back to text (bpe.decode_token_ids). The
+    oracle is the raw lowercased-token join — it knows nothing about
+    BPE — so the hash gate certifies that the entire
+    train→segment→encode→decode composition is lossless on the corpus
+    it was trained on."""
+    _bpe_query_dirs.add(sf_dir)
+    merges, _ = _bpe_artifacts(sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    seg = BPE.word_segment_table(d, list(merges))
+    vocab = BPE.bpe_vocab(seg)
+    enc = BPE.encode_token_ids(d, seg, vocab, append_eow=True)
+    return BPE.decode_token_ids(enc, vocab)
+
+
+ORACLE_DOC_BPE_ROUNDTRIP = f"""
+SELECT doc_id, array_to_string({{_LTOKS}}, ' ') AS text_rt FROM documents
+"""
+ORACLE_DOC_BPE_ROUNDTRIP = ORACLE_DOC_BPE_ROUNDTRIP.replace("{_LTOKS}", _LTOKS)

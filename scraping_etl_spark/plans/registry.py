@@ -255,6 +255,13 @@ so the ordering itself hashes; textstats.keyword_extract) and
 ``doc_ngram_novelty`` (per-document 5-gram first-owner novelty — the
 dataset-redundancy growth signal; dedup.ngram_novelty) join the
 r10-priority queue — 123 entries, 26 queued.
+
+Round-9 twentieth amendment: ``doc_bpe_roundtrip`` (tokenizer
+round trip: encode with end-of-word sentinels → decode; the STATIC
+oracle is the raw lowercased-token join — it knows nothing about BPE,
+so the hash certifies train→segment→encode→decode losslessness;
+bpe.decode_token_ids) joins the r10-priority queue — 124 entries, 27
+queued.
 """
 
 from __future__ import annotations
@@ -983,6 +990,15 @@ _REGISTERED += [
     ),
 ]
 
+_REGISTERED += [
+    QuerySpec(
+        "doc_bpe_roundtrip", C.q_doc_bpe_roundtrip,
+        C.ORACLE_DOC_BPE_ROUNDTRIP,
+        "BPE encode->decode round trip vs the BPE-blind raw-text "
+        "oracle (bpe.decode_token_ids)",
+    ),
+]
+
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 
@@ -1073,6 +1089,7 @@ ORDER: list[str] = [
     "supplier_sole_late",
     "doc_keywords",
     "doc_ngram_novelty",
+    "doc_bpe_roundtrip",
     # ---- tail: r8-driver-green, operators untouched this round ----
     "hourly_event_rollup",
     "doc_text_stats",

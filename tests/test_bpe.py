@@ -263,3 +263,37 @@ def test_fertility_shuffle_fallback_matches_broadcast(spark):
     b = sorted(map(tuple, tokenizer_fertility(
         docs, seg, max_broadcast_words=0).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Decode round trip
+# ---------------------------------------------------------------------------
+
+def test_encode_decode_roundtrip_on_training_corpus(spark):
+    df = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "new newer lowest"), (3, "")],
+        "doc_id LONG, text STRING",
+    )
+    merges = bpe.bpe_train(df, n_merges=8, min_pair_count=1)
+    seg = bpe.word_segment_table(df, merges)
+    vocab = bpe.bpe_vocab(seg)
+    enc = bpe.encode_token_ids(df, seg, vocab, append_eow=True)
+    dec = {r.doc_id: r.text_rt for r in bpe.decode_token_ids(enc, vocab).collect()}
+    assert dec[1] == "low lower lowest"
+    assert dec[2] == "new newer lowest"
+    assert dec[3] == ""
+
+
+def test_encode_eow_ids_present_and_decode_unknown_lossy(spark):
+    train = spark.createDataFrame([(1, "aa bb")], "doc_id LONG, text STRING")
+    merges = bpe.bpe_train(train, n_merges=2, min_pair_count=1)
+    seg = bpe.word_segment_table(train, merges)
+    vocab = bpe.bpe_vocab(seg)
+    # unseen word with chars outside the training alphabet -> UNK ids
+    score = spark.createDataFrame([(9, "aa zz")], "doc_id LONG, text STRING")
+    enc = bpe.encode_token_ids(score, seg, vocab, append_eow=True)
+    ids = enc.collect()[0].token_ids
+    assert ids.count(bpe.EOW_ID) == 2  # one per word
+    assert bpe.UNK_ID in ids           # z not in training alphabet
+    dec = bpe.decode_token_ids(enc, vocab).collect()[0].text_rt
+    assert dec == "aa ��"  # each unknown char decodes to U+FFFD
