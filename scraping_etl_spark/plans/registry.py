@@ -262,6 +262,14 @@ oracle is the raw lowercased-token join — it knows nothing about BPE,
 so the hash certifies train→segment→encode→decode losslessness;
 bpe.decode_token_ids) joins the r10-priority queue — 124 entries, 27
 queued.
+
+Round-9 twenty-first amendment: ``event_time_range_avg`` (time-axis
+RANGE window frame — the frame surface beyond the ROWS spec),
+``event_rank_metrics`` (percent_rank/ntile/cume_dist with a total
+order so ntile itself hashes) and ``customer_idle_rich`` (TPC-H Q22
+shape — scalar subquery + NOT EXISTS, cents-exact threshold so the
+boundary compare cannot flip on summation order) join the
+r10-priority queue — 127 entries, 30 queued.
 """
 
 from __future__ import annotations
@@ -999,6 +1007,25 @@ _REGISTERED += [
     ),
 ]
 
+_REGISTERED += [
+    QuerySpec(
+        "event_time_range_avg", R.q_event_time_range_avg,
+        R.ORACLE_EVENT_TIME_RANGE_AVG,
+        "trailing-1-hour RANGE window frame on the timestamp axis",
+    ),
+    QuerySpec(
+        "event_rank_metrics", R.q_event_rank_metrics,
+        R.ORACLE_EVENT_RANK_METRICS,
+        "percent_rank + ntile(4) + cume_dist under a total order",
+    ),
+    QuerySpec(
+        "customer_idle_rich", R.q_customer_idle_rich,
+        R.ORACLE_CUSTOMER_IDLE_RICH,
+        "TPC-H Q22 shape: scalar subquery + NOT EXISTS, cents-exact "
+        "threshold",
+    ),
+]
+
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 
@@ -1090,6 +1117,9 @@ ORDER: list[str] = [
     "doc_keywords",
     "doc_ngram_novelty",
     "doc_bpe_roundtrip",
+    "event_time_range_avg",
+    "event_rank_metrics",
+    "customer_idle_rich",
     # ---- tail: r8-driver-green, operators untouched this round ----
     "hourly_event_rollup",
     "doc_text_stats",

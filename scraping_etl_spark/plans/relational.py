@@ -1067,3 +1067,98 @@ FROM (SELECT suppkey, numwait,
       FROM ranked)
 WHERE rk <= 20
 """
+
+
+def q_event_time_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame (SURVEY §2.5's frame surface
+    beyond the ROWS spec of ``event_moving_avg``): trailing-1-hour
+    average value per user, frame defined on the TIMESTAMP axis — rows
+    with equal order keys share the frame, so tie handling is the
+    standard RANGE semantics in both engines.
+
+    Scale: same cost model as any user-partitioned window — one hash
+    exchange + per-partition sort; the range frame is a sliding
+    two-pointer over the sorted partition, never a per-row rescan.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round(F.avg("value").over(w), 6).alias("hour_avg"),
+    )
+
+
+ORACLE_EVENT_TIME_RANGE_AVG = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       round(avg(value) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 6) AS hour_avg
+FROM events
+"""
+
+
+def q_event_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-function surface in one pass: ``percent_rank``, ``ntile(4)``
+    and ``cume_dist`` per event type. The order key is the TOTAL order
+    ``(value, event_id)`` — ntile's bucket boundaries depend on row
+    order within ties, so a deterministic tie-break is what makes the
+    gate hashable (and is the production-correct habit anyway)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+ORACLE_EVENT_RANK_METRICS = """
+SELECT event_id, event_type,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(cume_dist() OVER w, 6) AS cume
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+
+def q_customer_idle_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — scalar subquery + NOT EXISTS anti join:
+    customers with above-average positive balance and NO orders,
+    rolled up per market segment. Completes the correlated-subquery
+    family (Q17 scalar: ``part_avg_qty_outliers``; Q21
+    EXISTS/NOT EXISTS: ``supplier_sole_late``).
+
+    Boundary determinism: the average is computed over CENTS
+    (``round(bal * 100)`` as BIGINT) — integer sums are exact in any
+    order, so the threshold compare cannot flip on summation-order
+    ulps in either engine. Balance sums in the output are cent-exact
+    for the same reason.
+    """
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(ORACLE_CUSTOMER_IDLE_RICH)
+
+
+ORACLE_CUSTOMER_IDLE_RICH = """
+WITH cents AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+)
+SELECT c_mktsegment AS segment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(bal_cents) / 100.0, 2) AS total_acctbal
+FROM cents c
+WHERE bal_cents > (SELECT avg(bal_cents) FROM cents WHERE bal_cents > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+"""
