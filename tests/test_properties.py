@@ -379,3 +379,133 @@ def test_token_divergence_properties(spark, da, db):
     assert ab == ba
     assert 0.0 <= ab <= math.log(2.0)
     assert aa == 0.0
+
+
+# ---------------------------------------------------------------------------
+# with_kn_score vs a pure-Python Kneser-Ney model
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "dd"]), min_size=0, max_size=8),
+        min_size=1, max_size=8,
+    )
+)
+def test_kn_score_matches_python_reference(spark, docs):
+    """Interpolated KN computed independently in Python: bigram counts,
+    context totals/branching, continuation counts, type total, D=0.75
+    — per-doc mean ln P must match the operator (round 6)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from scraping_etl_spark.operators.corpus_prep import with_kn_score
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_logp_kn) for r in with_kn_score(df).collect()
+    }
+
+    big = Counter(
+        (toks[i], toks[i + 1]) for toks in docs for i in range(len(toks) - 1)
+    )
+    cw1 = defaultdict(int)
+    nf = defaultdict(set)
+    np_ = defaultdict(set)
+    for (a, b), c in big.items():
+        cw1[a] += c
+        nf[a].add(b)
+        np_[b].add(a)
+    t = float(len(big))
+
+    def p(a, b):
+        return (
+            max(big[(a, b)] - 0.75, 0.0) + 0.75 * len(nf[a]) * len(np_[b]) / t
+        ) / cw1[a]
+
+    for i, toks in enumerate(docs):
+        bis = [(toks[j], toks[j + 1]) for j in range(len(toks) - 1)]
+        if not bis:
+            assert got[i] == (0, 0.0)
+            continue
+        lps = [math.log(p(a, b)) for a, b in bis]
+        assert got[i][0] == len(bis)
+        assert abs(got[i][1] - round(sum(lps) / len(lps), 6)) < 1e-9, (i, toks)
+
+
+# ---------------------------------------------------------------------------
+# char entropy vs a pure-Python reference
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        # latin + digits + punctuation + a few accents: exotic unicode
+        # lowercasing differs between Python and the JVM (e.g. dotted
+        # I) — out of scope for the reference comparison
+        st.text(alphabet="abcXYZ019 .,!?éüß-", max_size=24),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_char_entropy_matches_python_reference(spark, texts):
+    import math
+
+    from scraping_etl_spark.operators.textstats import with_char_entropy
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.char_entropy, r.alpha_frac)
+        for r in with_char_entropy(df).collect()
+    }
+    for i, t in enumerate(texts):
+        s = t.lower()
+        n = len(s)
+        if n == 0:
+            assert got[i] == (0.0, 0.0)
+            continue
+        counts = [s.count(c) for c in "abcdefghijklmnopqrstuvwxyz"]
+        alpha = float(sum(counts))
+        counts.append(n - alpha)
+        h = -sum((c / n) * math.log(c / n) for c in counts if c > 0)
+        assert abs(got[i][0] - round(h, 6)) < 2e-6, (i, t)
+        assert abs(got[i][1] - round(alpha / n, 6)) < 2e-6, (i, t)
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty vs a pure-Python first-owner scan
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=8),
+        min_size=1, max_size=8,
+    ),
+    st.integers(1, 3),
+)
+def test_ngram_novelty_matches_python_reference(spark, docs, k):
+    from scraping_etl_spark.operators.dedup import ngram_novelty
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_grams, r.novelty_frac)
+        for r in ngram_novelty(df, k=k).collect()
+    }
+    first: dict[tuple, int] = {}
+    shingles = []
+    for i, toks in enumerate(docs):
+        sh = {tuple(toks[j : j + k]) for j in range(len(toks) - k + 1)}
+        shingles.append(sh)
+        for g in sh:
+            first.setdefault(g, i)
+    for i, sh in enumerate(shingles):
+        if not sh:
+            assert got[i] == (0, 0.0)
+            continue
+        novel = sum(1 for g in sh if first[g] == i)
+        assert got[i][0] == len(sh)
+        assert abs(got[i][1] - round(novel / len(sh), 6)) < 1e-9, (i, docs)
