@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from scraping_etl_spark.operators.corpus_prep import word_grams
+from scraping_etl_spark.operators.textstats import tokens
 
 
 def per_key_cap(
@@ -382,4 +383,88 @@ def token_budget_mix(
     return (
         out.filter(F.col("cum_before") < bmap.getItem(F.col(source_col)))
         .drop("_ord", "cap_rank")
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-SPAN removal — the actionable form of
+    :func:`duplicate_passage_stats` (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", cut
+    duplicated substrings instead of dropping whole documents; MinHash
+    tiers drop DOCUMENTS, this drops the shared passages inside the
+    survivors). A token is dropped when ANY cross-document-duplicated
+    ``k``-gram covers it; what remains reassembles in order.
+
+    Returns ``(id, n_tokens, n_dropped, text_kept)`` — short docs
+    (< k tokens) pass through untouched.
+
+    Plan: positional gram explode → distinct (gram, doc) partial agg →
+    duplicated-gram mark join (``localCheckpoint``-ed gram table, the
+    ``duplicate_passage_stats`` discipline) → coverage explode (k rows
+    per duplicated position — bounded by k x dup volume, not corpus) →
+    one distinct + left-anti at (doc, pos) grain → ordered reassembly
+    in ONE token-cardinality groupBy. Every join is a hash equi-join;
+    the per-doc reassembly sort is doc-length bounded.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    toks = df.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(tokens(F.col(text_col), lowercase=True)).alias("_pos", "_tok"),
+    )
+    occ = df.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(word_grams(F.lower(F.col(text_col)), k)).alias("_gpos", "_g"),
+    )
+    dup_grams = (
+        occ.groupBy("_g", "_doc")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_n_docs"))
+        .filter(F.col("_n_docs") >= min_docs)
+        .select("_g")
+        .localCheckpoint()
+    )
+    covered = (
+        occ.join(dup_grams, "_g")
+        .select(
+            "_doc",
+            F.explode(
+                F.sequence(F.col("_gpos"), F.col("_gpos") + F.lit(k - 1))
+            ).alias("_pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, ["_doc", "_pos"], "left_anti")
+    re = kept.groupBy("_doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_tok"))),
+                lambda x: x["_tok"],
+            ),
+            " ",
+        ).alias("text_kept"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = toks.groupBy("_doc").agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        df.select(F.col(id_col))
+        .join(totals.withColumnRenamed("_doc", id_col), id_col, "left")
+        .join(re.withColumnRenamed("_doc", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            (
+                F.coalesce("n_tokens", F.lit(0)) - F.coalesce("_n_kept", F.lit(0))
+            ).cast("long").alias("n_dropped"),
+            F.coalesce("text_kept", F.lit("")).alias("text_kept"),
+        )
     )

@@ -1130,3 +1130,49 @@ SELECT d.doc_id,
                                   / {fx}))), 6) AS quality_prob
 FROM documents d LEFT JOIN z USING (doc_id)
 """
+
+
+def q_doc_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span removal (curation.remove_duplicate_spans):
+    drop every token covered by a cross-document-duplicated 5-gram,
+    reassemble the survivors in order — the text itself hash-gates."""
+    d = load_table(spark, sf_dir, "documents")
+    return CU.remove_duplicate_spans(d, k=5)
+
+
+ORACLE_DOC_DEDUP_SPANS = f"""
+WITH tok AS (
+  SELECT doc_id, {_LTOKS} AS t FROM documents
+), toks AS (
+  SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos, unnest(t) AS w
+  FROM tok
+), grams AS (
+  SELECT doc_id, generate_subscripts(gs, 1) - 1 AS gpos, unnest(gs) AS g
+  FROM (SELECT doc_id,
+               CASE WHEN len(t) >= 5
+                    THEN list_transform(generate_series(1, len(t) - 4),
+                      i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))
+                    ELSE [] END AS gs
+        FROM tok)
+), dup AS (
+  SELECT g FROM (SELECT DISTINCT g, doc_id FROM grams)
+  GROUP BY g HAVING count(*) >= 2
+), cov AS (
+  SELECT DISTINCT gr.doc_id, gr.gpos + off.o AS pos
+  FROM grams gr JOIN dup USING (g), generate_series(0, 4) AS off(o)
+), kept AS (
+  SELECT t.doc_id, t.pos, t.w
+  FROM toks t LEFT JOIN cov ON cov.doc_id = t.doc_id AND cov.pos = t.pos
+  WHERE cov.doc_id IS NULL
+), re AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS text_kept,
+         count(*) AS n_kept
+  FROM kept GROUP BY 1
+), tot AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(tot.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(tot.n_tokens, 0) - coalesce(re.n_kept, 0) AS BIGINT)
+         AS n_dropped,
+       coalesce(re.text_kept, '') AS text_kept
+FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN re USING (doc_id)
+"""

@@ -270,6 +270,13 @@ order so ntile itself hashes) and ``customer_idle_rich`` (TPC-H Q22
 shape — scalar subquery + NOT EXISTS, cents-exact threshold so the
 boundary compare cannot flip on summation order) join the
 r10-priority queue — 127 entries, 30 queued.
+
+Round-9 twenty-second amendment: ``doc_dedup_spans`` (exact
+duplicated-SPAN removal — Lee et al. 2021's cut-the-substring form of
+substring dedup: tokens covered by any cross-document-duplicated
+5-gram are dropped and the survivors reassemble in order, the
+reconstructed text itself hash-gating; curation.remove_duplicate_spans)
+joins the r10-priority queue — 128 entries, 31 queued.
 """
 
 from __future__ import annotations
@@ -1026,6 +1033,15 @@ _REGISTERED += [
     ),
 ]
 
+_REGISTERED += [
+    QuerySpec(
+        "doc_dedup_spans", CR.q_doc_dedup_spans, CR.ORACLE_DOC_DEDUP_SPANS,
+        "exact duplicated-span removal: drop tokens covered by "
+        "cross-doc duplicated 5-grams, ordered reassembly "
+        "(curation.remove_duplicate_spans)",
+    ),
+]
+
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 
@@ -1120,6 +1136,7 @@ ORDER: list[str] = [
     "event_time_range_avg",
     "event_rank_metrics",
     "customer_idle_rich",
+    "doc_dedup_spans",
     # ---- tail: r8-driver-green, operators untouched this round ----
     "hourly_event_rollup",
     "doc_text_stats",

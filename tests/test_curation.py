@@ -552,3 +552,46 @@ def test_hashed_classifier_validation(spark):
         CLF.score_hashed_logreg(df, [1.0] * 3, [0.0] * 5, 4)
     with pytest.raises(ValueError):
         CLF.score_hashed_logreg(df, [1.0] * 4, [0.0] * 4, 4)
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span removal
+# ---------------------------------------------------------------------------
+
+def test_remove_duplicate_spans_cuts_shared_passage_only(spark):
+    shared = "one two three four five"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"{shared} epsilon zeta eta theta iota"),
+            (3, "totally unrelated text with no overlap here"),
+            (4, "tiny doc"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in CU.remove_duplicate_spans(df, k=5).collect()}
+    # the shared 5-gram is cut from both carriers, the rest survives
+    assert out[1].text_kept == "alpha beta gamma delta"
+    assert out[1].n_dropped == 5
+    assert out[2].text_kept == "epsilon zeta eta theta iota"
+    assert out[3].n_dropped == 0
+    assert out[3].text_kept == out[3].text_kept.lower()
+    assert out[4].n_tokens == 2 and out[4].n_dropped == 0
+
+
+def test_remove_duplicate_spans_within_doc_repeat_not_cut(spark):
+    # duplication must be CROSS-document (min_docs=2 distinct docs)
+    df = spark.createDataFrame(
+        [(1, "a b c d e x a b c d e"), (2, "unrelated words entirely here now")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in CU.remove_duplicate_spans(df, k=5).collect()}
+    assert out[1].n_dropped == 0
+
+
+def test_remove_duplicate_spans_validates(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError):
+        CU.remove_duplicate_spans(df, k=0)
+    with pytest.raises(ValueError):
+        CU.remove_duplicate_spans(df, min_docs=1)
