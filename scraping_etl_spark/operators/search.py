@@ -231,3 +231,82 @@ def phrase_match(
             F.col("first_pos").cast("long").alias("first_pos"),
         )
     )
+
+
+def hybrid_prf_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    embeddings: DataFrame,
+    k_lex: int = 20,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid retrieval: BM25 candidates re-ranked by embedding cosine
+    to a PSEUDO-RELEVANCE-FEEDBACK vector — the keyword query has no
+    embedding, so the top lexical hit's vector stands in for it
+    (Rocchio-style PRF, the classic trick for bolting dense re-ranking
+    onto a lexical-only query surface). The two-stage
+    retrieve-then-rerank shape is how every production RAG/IR stack
+    composes lexical and dense scoring.
+
+    Plan: :func:`bm25_topk` produces ``k_lex`` candidates per query
+    (checkpointed once for its two consumers); the PRF relation is
+    n_queries rows; candidates (``n_queries x k_lex`` rows, tiny)
+    BROADCAST into the embedding table join — at lake scale the
+    rerank reads the embedding rows of the candidates, never scans
+    per query. The cosine is the module-standard left-fold (mirrored
+    by the oracle); final top-``k`` is a per-query rank window over
+    ``k_lex`` rows.
+    """
+    if k_lex < 1 or k < 1:
+        raise ValueError(f"k_lex and k must be >= 1, got {k_lex}, {k}")
+    from scraping_etl_spark.operators.similarity import cosine
+
+    lex = bm25_topk(
+        docs, queries, k=k_lex, k1=k1, b=b,
+        id_col=id_col, text_col=text_col,
+        query_id_col=query_id_col, terms_col=terms_col,
+    ).localCheckpoint()
+    e = embeddings.select(
+        F.col(vec_id_col).alias("_vid"), F.col(vec_col).alias("_v")
+    )
+    prf = (
+        lex.filter(F.col("rank") == 1)
+        .select(F.col(query_id_col).alias("_pq"), F.col(id_col).alias("_pdoc"))
+        .join(e, F.col("_pdoc") == F.col("_vid"))
+        .select("_pq", F.col("_v").alias("_pv"))
+    )
+    cand = (
+        e.join(
+            F.broadcast(
+                lex.select(
+                    F.col(query_id_col).alias("_qid"), F.col(id_col).alias("_doc")
+                )
+            ),
+            F.col("_doc") == F.col("_vid"),
+        )
+        .join(F.broadcast(prf), F.col("_qid") == F.col("_pq"))
+    )
+    scored = cand.select(
+        "_qid",
+        "_doc",
+        F.round(cosine(F.col("_v"), F.col("_pv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("_qid").orderBy(F.desc("cos_sim"), F.asc("_doc"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("_doc").alias(id_col),
+            "cos_sim",
+        )
+    )

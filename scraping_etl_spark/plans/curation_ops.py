@@ -23,7 +23,7 @@ from scraping_etl_spark.operators import classifier as CLF
 from scraping_etl_spark.operators import corpus_prep as CP
 from scraping_etl_spark.operators import curation as CU
 from scraping_etl_spark.operators import similarity as SIM
-from scraping_etl_spark.operators.search import bm25_topk
+from scraping_etl_spark.operators.search import bm25_topk, hybrid_prf_topk
 from scraping_etl_spark.operators.textstats import STOPWORDS
 from scraping_etl_spark.sources.readers import load_table
 
@@ -64,7 +64,7 @@ def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, queries, k=_BM25_K, k1=_BM25_K1, b=_BM25_B)
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(k: int = _BM25_K) -> str:
     qvals = ", ".join(
         f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
     )
@@ -111,7 +111,7 @@ ranked AS (
   FROM scores
 )
 SELECT query_id, CAST(rk AS INTEGER) AS rank, doc_id, score
-FROM ranked WHERE rk <= {_BM25_K}
+FROM ranked WHERE rk <= {k}
 """
 
 
@@ -1176,3 +1176,77 @@ SELECT d.doc_id,
        coalesce(re.text_kept, '') AS text_kept
 FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN re USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 -> PRF embedding rerank
+# ---------------------------------------------------------------------------
+
+_HY_K_LEX, _HY_K, _HY_DIM = 20, 5, 64
+
+
+def q_doc_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval gate (search.hybrid_prf_topk): the same 5
+    keyword queries as ``doc_bm25``, top-20 lexical candidates
+    re-ranked by cosine to the top hit's embedding (PRF), final
+    top-5 — the full retrieve-then-rerank composition in one
+    hash-gated query."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = spark.createDataFrame(
+        [(qid, list(terms)) for qid, terms in _BM25_QUERIES],
+        "query_id INT, terms ARRAY<STRING>",
+    )
+    return hybrid_prf_topk(
+        d, queries, e, k_lex=_HY_K_LEX, k=_HY_K, k1=_BM25_K1, b=_BM25_B
+    )
+
+
+def _hybrid_oracle() -> str:
+    dot_vp = (
+        "list_reduce(list_prepend(0.0, list_transform(generate_series(1, {d}), "
+        "i -> c.v[i] * c.pv[i])), (x, y) -> x + y)"
+    ).format(d=_HY_DIM)
+    nv = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, {d}), "
+        "i -> c.v[i] * c.v[i])), (x, y) -> x + y))"
+    ).format(d=_HY_DIM)
+    npv = (
+        "sqrt(list_reduce(list_prepend(0.0, list_transform(generate_series(1, {d}), "
+        "i -> c.pv[i] * c.pv[i])), (x, y) -> x + y))"
+    ).format(d=_HY_DIM)
+    return f"""
+WITH lex AS ({_bm25_oracle(k=_HY_K_LEX)}),
+emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+prf AS (
+  SELECT l.query_id, e.v AS pv
+  FROM lex l JOIN emb e ON e.vec_id = l.doc_id
+  WHERE l.rank = 1
+),
+cand AS (
+  SELECT l.query_id, l.doc_id, e.v, p.pv
+  FROM lex l
+  JOIN emb e ON e.vec_id = l.doc_id
+  JOIN prf p USING (query_id)
+),
+scored AS (
+  SELECT query_id, doc_id,
+         round(CASE WHEN {nv} * {npv} > 0
+                    THEN {dot_vp} / ({nv} * {npv}) ELSE 0.0 END, 6) AS cos_sim
+  FROM cand c
+),
+ranked AS (
+  SELECT query_id, doc_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, doc_id) AS rk
+  FROM scored
+)
+SELECT query_id, CAST(rk AS INTEGER) AS rank, doc_id, cos_sim
+FROM ranked WHERE rk <= {_HY_K}
+"""
+
+
+ORACLE_DOC_HYBRID_SEARCH = _hybrid_oracle()

@@ -277,6 +277,13 @@ substring dedup: tokens covered by any cross-document-duplicated
 5-gram are dropped and the survivors reassemble in order, the
 reconstructed text itself hash-gating; curation.remove_duplicate_spans)
 joins the r10-priority queue — 128 entries, 31 queued.
+
+Round-9 twenty-third amendment: ``doc_hybrid_search`` (hybrid
+retrieval — BM25 top-20 candidates re-ranked by embedding cosine to
+the top lexical hit's vector, Rocchio-style pseudo-relevance
+feedback; the production retrieve-then-rerank composition in one
+hash-gated query; search.hybrid_prf_topk) joins the r10-priority
+queue — 129 entries, 32 queued.
 """
 
 from __future__ import annotations
@@ -1042,6 +1049,15 @@ _REGISTERED += [
     ),
 ]
 
+_REGISTERED += [
+    QuerySpec(
+        "doc_hybrid_search", CR.q_doc_hybrid_search,
+        CR.ORACLE_DOC_HYBRID_SEARCH,
+        "hybrid retrieval: BM25 candidates re-ranked by PRF embedding "
+        "cosine (search.hybrid_prf_topk)",
+    ),
+]
+
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 
@@ -1137,6 +1153,7 @@ ORDER: list[str] = [
     "event_rank_metrics",
     "customer_idle_rich",
     "doc_dedup_spans",
+    "doc_hybrid_search",
     # ---- tail: r8-driver-green, operators untouched this round ----
     "hourly_event_rollup",
     "doc_text_stats",

@@ -595,3 +595,42 @@ def test_remove_duplicate_spans_validates(spark):
         CU.remove_duplicate_spans(df, k=0)
     with pytest.raises(ValueError):
         CU.remove_duplicate_spans(df, min_docs=1)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval (BM25 -> PRF rerank)
+# ---------------------------------------------------------------------------
+
+def test_hybrid_prf_reranks_by_embedding(spark):
+    from scraping_etl_spark.operators.search import hybrid_prf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana fruit market"),
+            (2, "apple orchard harvest season"),
+            (3, "apple pie recipe baking"),
+            (4, "unrelated quantum physics lecture"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    # doc 1 is the lexical top hit; doc 3's vector is closest to doc 1,
+    # doc 2's is opposite — the rerank must promote 3 over 2
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [-1.0, 0.0]),
+            (3, [0.9, 0.1]),
+            (4, [0.0, 1.0]),
+        ],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    qs = spark.createDataFrame([(0, ["apple"])], "query_id INT, terms ARRAY<STRING>")
+    out = hybrid_prf_topk(docs, qs, emb, k_lex=4, k=3).orderBy("rank").collect()
+    assert [r.doc_id for r in out] == [1, 3, 2] or [r.doc_id for r in out][0] == 1
+    assert out[0].cos_sim == 1.0  # PRF doc ranks itself first
+    ranks = {r.doc_id: r.rank for r in out}
+    assert ranks[3] < ranks[2]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        hybrid_prf_topk(docs, qs, emb, k_lex=0)
