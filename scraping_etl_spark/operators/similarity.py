@@ -310,16 +310,39 @@ def centroid_sq_dist(center: list[float], vec: Column) -> Column:
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def scored_centroids(vec: Column, centroids: list[list[float]]) -> Column:
+    """``(sq_dist, cid)`` structs for every centroid, built from ONE
+    nested-array literal + three lambdas — NOT a Python loop of
+    per-centroid expression structs. Arithmetic is bit-identical to
+    the loop form (left-fold ``(a-b)*(a-b)``), but the Column tree is
+    O(1) in the centroid count: the loop form's m*k literal arrays and
+    folds cost seconds of DRIVER-side py4j construction per query at
+    real codebook budgets (see PLANS.md "PQ plan-construction
+    finding")."""
+    mat = F.lit([[float(x) for x in c] for c in centroids])
+    return F.zip_with(
+        mat,
+        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        lambda c, i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    c,
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            i.alias("cid"),
+        ),
+    )
+
+
 def nearest_centroids(vec: Column, centroids: list[list[float]], n: int) -> Column:
     """Ids of the ``n`` nearest centroids, (distance, cid)-lexicographic
-    — a per-row expression over centroid literals (plan constants), no
-    join, no shuffle."""
-    scored = F.array(
-        *[
-            F.struct(centroid_sq_dist(c, vec).alias("d"), F.lit(i).alias("cid"))
-            for i, c in enumerate(centroids)
-        ]
-    )
+    — a per-row expression over centroid plan constants, no join, no
+    shuffle."""
+    scored = scored_centroids(vec, centroids)
     return F.slice(F.transform(F.array_sort(scored), lambda s: s["cid"]), 1, n)
 
 
@@ -338,12 +361,7 @@ def cluster_assign(
     squared distance to the winning centroid (rounded 6 for the exact
     oracle compare)."""
     v = F.col(vec_col)
-    scored = F.array(
-        *[
-            F.struct(centroid_sq_dist(c, v).alias("d"), F.lit(i).alias("cid"))
-            for i, c in enumerate(centroids)
-        ]
-    )
+    scored = scored_centroids(v, centroids)
     best = F.element_at(F.array_sort(scored), 1)
     return corpus.select(
         F.col(id_col),
@@ -1012,12 +1030,7 @@ def with_residual(
     Pure map-side — centroids are plan constants. Returns
     ``(id, cluster, residual array<double>)``."""
     v = F.col(vec_col)
-    scored = F.array(
-        *[
-            F.struct(centroid_sq_dist(c, v).alias("d"), F.lit(i).alias("cid"))
-            for i, c in enumerate(centroids)
-        ]
-    )
+    scored = scored_centroids(v, centroids)
     assigned = corpus.select(
         F.col(id_col),
         v.alias("_v"),
@@ -1224,12 +1237,7 @@ def kmeans_train_fx(
     d = len(cents[0])
     v = F.col(vec_col)
     for _ in range(iters):
-        scored = F.array(
-            *[
-                F.struct(centroid_sq_dist(c, v).alias("d"), F.lit(i).alias("cid"))
-                for i, c in enumerate(cents)
-            ]
-        )
+        scored = scored_centroids(v, cents)
         best = F.element_at(F.array_sort(scored), 1)["cid"].cast("int")
         xfx = F.round(F.col("_x").cast("double") * F.lit(float(fx_scale)), 0).cast(
             "long"
