@@ -130,3 +130,23 @@ def scd2_merge(
         .unionByName(new_versions)
         .unionByName(inserts)
     )
+
+
+def scd2_asof(
+    dim: DataFrame,
+    as_of: str,
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+) -> DataFrame:
+    """Point-in-time (time-travel) view of an SCD2 dimension: the
+    version of each key valid AT ``as_of`` (ISO date string) under the
+    half-open convention ``from <= as_of < to`` with an open ``to``
+    (null) meaning current. The payoff of carrying SCD2 history: any
+    past state of the dimension is ONE map-side filter over the
+    versioned table — no join, no window, no snapshot copies. Keys
+    born after ``as_of`` simply have no row."""
+    d = F.to_date(F.lit(as_of))
+    return dim.filter(
+        (F.col(from_col) <= d)
+        & (F.col(to_col).isNull() | (F.col(to_col) > d))
+    )

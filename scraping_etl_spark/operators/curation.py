@@ -468,3 +468,56 @@ def remove_duplicate_spans(
             F.coalesce("text_kept", F.lit("")).alias("text_kept"),
         )
     )
+
+
+def term_screen(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hits: int = 0,
+) -> DataFrame:
+    """Banned-term content screen — the lexical layer of the C4 /
+    RefinedWeb filter stack (next to the domain blocklist in
+    ``urls.blocklist_matches`` and the exact-content Bloom screen):
+    WORD-BOUNDARY matching via tokenization, not substring scanning
+    (the classic "Scunthorpe" false positive), lowercased. Returns
+    per document the total hit count, distinct banned terms hit, and
+    ``keep = hits <= max_hits``.
+
+    Plan: explode tokens → broadcast banned-set join (the list is
+    config-sized) → partial agg at doc grain. Only offending documents
+    survive the inner join, so the aggregate touches the violation
+    volume, not the corpus; clean docs rejoin with zero counts
+    map-side. One bounded shuffle at any corpus size.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if max_hits < 0:
+        raise ValueError(f"max_hits must be >= 0, got {max_hits}")
+    spark = df.sparkSession
+    banned = spark.createDataFrame(
+        [(t.lower(),) for t in sorted(set(terms))], "_tok STRING"
+    )
+    hits = (
+        df.select(
+            F.col(id_col),
+            F.explode(tokens(F.col(text_col), lowercase=True)).alias("_tok"),
+        )
+        .join(F.broadcast(banned), "_tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.count_distinct("_tok").alias("n_terms"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce("n_terms", F.lit(0)).cast("long").alias("n_terms"),
+            (F.coalesce("n_hits", F.lit(0)) <= max_hits).alias("keep"),
+        )
+    )

@@ -1250,3 +1250,34 @@ FROM ranked WHERE rk <= {_HY_K}
 
 
 ORACLE_DOC_HYBRID_SEARCH = _hybrid_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Banned-term content screen
+# ---------------------------------------------------------------------------
+
+_SCREEN_TERMS = ("spark", "vector", "stream")
+
+
+def q_doc_term_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-boundary banned-term screen (curation.term_screen) over a
+    fixed 3-term list known to occur in the corpus — hit counts,
+    distinct-term counts and the keep verdict all hash-gate."""
+    d = load_table(spark, sf_dir, "documents")
+    return CU.term_screen(d, list(_SCREEN_TERMS), max_hits=0)
+
+
+ORACLE_DOC_TERM_SCREEN = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter({_LTOKS},
+                     x -> x IN ({", ".join("'" + t + "'" for t in _SCREEN_TERMS)}))
+           AS hits
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(hits) AS BIGINT) AS n_hits,
+       CAST(len(list_distinct(hits)) AS BIGINT) AS n_terms,
+       len(hits) <= 0 AS keep
+FROM t
+"""

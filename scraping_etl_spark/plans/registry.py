@@ -284,6 +284,14 @@ the top lexical hit's vector, Rocchio-style pseudo-relevance
 feedback; the production retrieve-then-rerank composition in one
 hash-gated query; search.hybrid_prf_topk) joins the r10-priority
 queue — 129 entries, 32 queued.
+
+Round-9 twenty-fourth amendment: ``dim_scd2_asof`` (point-in-time
+time travel over the merged SCD2 dimension — both sides of the
+half-open from <= t < to boundary gated in one query;
+etl/scd.scd2_asof) and ``doc_term_screen`` (word-boundary banned-term
+content screen, the lexical layer of the C4/RefinedWeb filter stack —
+only offending docs reach the aggregate; curation.term_screen) join
+the r10-priority queue — 131 entries, 34 queued.
 """
 
 from __future__ import annotations
@@ -1058,6 +1066,19 @@ _REGISTERED += [
     ),
 ]
 
+_REGISTERED += [
+    QuerySpec(
+        "dim_scd2_asof", R.q_dim_scd2_asof, R.ORACLE_DIM_SCD2_ASOF,
+        "point-in-time (time-travel) view over the merged SCD2 "
+        "dimension, both boundary sides gated (etl/scd.scd2_asof)",
+    ),
+    QuerySpec(
+        "doc_term_screen", CR.q_doc_term_screen, CR.ORACLE_DOC_TERM_SCREEN,
+        "word-boundary banned-term content screen "
+        "(curation.term_screen)",
+    ),
+]
+
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 
@@ -1154,6 +1175,8 @@ ORDER: list[str] = [
     "customer_idle_rich",
     "doc_dedup_spans",
     "doc_hybrid_search",
+    "dim_scd2_asof",
+    "doc_term_screen",
     # ---- tail: r8-driver-green, operators untouched this round ----
     "hourly_event_rollup",
     "doc_text_stats",

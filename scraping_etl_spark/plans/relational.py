@@ -1162,3 +1162,44 @@ WHERE bal_cents > (SELECT avg(bal_cents) FROM cents WHERE bal_cents > 0)
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 GROUP BY c_mktsegment
 """
+
+
+def q_dim_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the merged SCD2 dimension (etl/scd.scd2_asof):
+    the same merge as ``dim_scd2``, then two point-in-time views — the
+    eve of the merge date (pre-merge versions, including rows the
+    merge later closed) and the merge date itself (post-merge
+    versions) — tagged and unioned, so both sides of the half-open
+    ``from <= t < to`` boundary are hash-gated."""
+    from scraping_etl_spark.etl.scd import scd2_asof, scd2_merge
+
+    dim, updates = _scd_base(spark, sf_dir)
+    merged = scd2_merge(
+        dim, updates, key_col="c_custkey",
+        compare_cols=_SCD_COMPARE, effective_date=_SCD_EFF,
+    ).localCheckpoint()  # one merge feeds both as-of views
+    cols = [
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+        "effective_from", "effective_to", "is_current",
+    ]
+    pre = scd2_asof(merged, "1995-12-31").select(
+        F.lit("1995-12-31").alias("as_of"), *cols
+    )
+    post = scd2_asof(merged, _SCD_EFF).select(
+        F.lit(_SCD_EFF).alias("as_of"), *cols
+    )
+    return pre.unionByName(post)
+
+
+ORACLE_DIM_SCD2_ASOF = f"""
+WITH merged AS ({ORACLE_DIM_SCD2})
+SELECT '1995-12-31' AS as_of, *
+FROM merged
+WHERE effective_from <= DATE '1995-12-31'
+  AND (effective_to IS NULL OR effective_to > DATE '1995-12-31')
+UNION ALL
+SELECT '{_SCD_EFF}' AS as_of, *
+FROM merged
+WHERE effective_from <= DATE '{_SCD_EFF}'
+  AND (effective_to IS NULL OR effective_to > DATE '{_SCD_EFF}')
+"""

@@ -634,3 +634,25 @@ def test_hybrid_prf_reranks_by_embedding(spark):
 
     with _pt.raises(ValueError):
         hybrid_prf_topk(docs, qs, emb, k_lex=0)
+
+
+def test_term_screen_word_boundaries_and_counts(spark):
+    from scraping_etl_spark.operators.curation import term_screen
+
+    df = spark.createDataFrame(
+        [
+            (1, "Spark beats spark classic"),   # 2 hits, 1 term (cased)
+            (2, "sparkling water"),             # substring, NOT a hit
+            (3, "clean document here"),
+            (4, "spark and vector and vector"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in term_screen(df, ["spark", "vector"]).collect()}
+    assert (out[1].n_hits, out[1].n_terms, out[1].keep) == (2, 1, False)
+    assert (out[2].n_hits, out[2].keep) == (0, True)
+    assert out[3].keep
+    assert (out[4].n_hits, out[4].n_terms) == (3, 2)
+    assert term_screen(df, ["spark"], max_hits=2).filter("doc_id = 1").collect()[0].keep
+    with pytest.raises(ValueError):
+        term_screen(df, [])

@@ -98,3 +98,32 @@ def test_update_side_broadcasts(spark):
     out = _merge(dim, _upd(spark, [(1, "b")]))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# As-of (time travel)
+# ---------------------------------------------------------------------------
+
+def test_scd2_asof_selects_version_valid_at_date(spark):
+    from scraping_etl_spark.etl.scd import scd2_asof
+
+    dim = spark.createDataFrame(
+        [
+            (1, "v1", "2020-01-01", "2021-01-01", False),
+            (1, "v2", "2021-01-01", None, True),
+            (2, "w1", "2022-01-01", None, True),
+        ],
+        "k LONG, val STRING, effective_from STRING, effective_to STRING, is_current BOOLEAN",
+    ).selectExpr(
+        "k", "val",
+        "CAST(effective_from AS DATE) AS effective_from",
+        "CAST(effective_to AS DATE) AS effective_to",
+        "is_current",
+    )
+    mid = {r.k: r.val for r in scd2_asof(dim, "2020-06-01").collect()}
+    assert mid == {1: "v1"}  # key 2 not born yet
+    # boundary: the new version takes effect ON its from date
+    on = {r.k: r.val for r in scd2_asof(dim, "2021-01-01").collect()}
+    assert on[1] == "v2"
+    now = {r.k: r.val for r in scd2_asof(dim, "2023-01-01").collect()}
+    assert now == {1: "v2", 2: "w1"}
