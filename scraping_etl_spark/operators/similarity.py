@@ -1260,3 +1260,59 @@ def kmeans_train_fx(
             )
         cents = new
     return cents
+
+
+def jl_matrix(k: int, dim: int) -> list[list[float]]:
+    """Deterministic ±1 Johnson-Lindenstrauss projection matrix
+    (Achlioptas 2003: Rademacher entries satisfy the JL lemma with the
+    same guarantees as gaussians) — one md5-derived sign per cell, a
+    plan-time constant like :func:`_hyperplane`."""
+    out = []
+    for j in range(k):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"jl:{j}:dim:{i}".encode()).digest()
+            row.append(1.0 if h[0] & 1 else -1.0)
+        out.append(row)
+    return out
+
+
+def jl_project(
+    corpus: DataFrame,
+    out_dim: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """JL random projection ``R^dim -> R^out_dim``: ``y = R v /
+    sqrt(out_dim)`` with the deterministic ±1 matrix of
+    :func:`jl_matrix` — the cheap-ANN / sketching primitive (pairwise
+    distances preserved within ``1 ± eps``, eps ~ sqrt(ln n / k)).
+    Pure map-side: ONE nested-array literal + three lambdas (the
+    ``scored_centroids`` construction discipline), zero shuffle at any
+    scale. Output coordinates are rounded to 6 for the cross-engine
+    gate. Returns ``(id, proj array<double>)``."""
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    mat = F.lit(jl_matrix(out_dim, dim))
+    scale = F.sqrt(F.lit(float(out_dim)))
+
+    def _proj(v: Column) -> Column:
+        return F.transform(
+            mat,
+            lambda r: F.round(
+                F.aggregate(
+                    F.zip_with(v, r, lambda a, b: a.cast("double") * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / scale,
+                6,
+            ),
+        )
+
+    from scraping_etl_spark.operators.dedup import _bind
+
+    return corpus.select(
+        F.col(id_col), _bind(F.col(vec_col), _proj).alias("proj")
+    )

@@ -1613,3 +1613,97 @@ SELECT d.doc_id,
        coalesce(agg.novelty_frac, 0.0) AS novelty_frac
 FROM documents d LEFT JOIN agg USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss projection
+# ---------------------------------------------------------------------------
+
+_JL_K = 16
+
+
+def q_emb_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL ±1 random projection 64 -> 16 (similarity.jl_project): every
+    projected coordinate hash-gates via the fixed-point CSV (the
+    ``doc_token_ids`` rendering convention — integer strings render
+    identically in both engines), plus the adjacent-pair distance
+    ratio ``||pa-pb|| / ||va-vb||``, the quantity the JL lemma bounds."""
+    e = load_table(spark, sf_dir, "embeddings")
+    p = SIM.jl_project(e, out_dim=_JL_K, dim=_DIM)
+    fx = F.array_join(
+        F.transform(
+            "proj",
+            lambda x: F.round(x * F.lit(1_000_000.0), 0)
+            .cast("long")
+            .cast("string"),
+        ),
+        " ",
+    )
+    base = e.select("vec_id", F.col("embedding").alias("_v")).join(
+        p.select("vec_id", "proj"), "vec_id"
+    )
+    nxt = base.select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("_v").alias("_vb"),
+        F.col("proj").alias("_pb"),
+    )
+    def _sqd(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                       * (x.cast("double") - y.cast("double"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    joined = base.join(nxt, "vec_id", "left")
+    dorig = F.sqrt(_sqd(F.col("_v"), F.col("_vb")))
+    dproj = F.sqrt(_sqd(F.col("proj"), F.col("_pb")))
+    ratio = F.when(
+        F.col("_vb").isNotNull() & (dorig > 0), F.round(dproj / dorig, 6)
+    )
+    return joined.select("vec_id", fx.alias("proj_fx"), ratio.alias("dist_ratio"))
+
+
+_JL_MAT_SQL = "[" + ", ".join(
+    "[" + ", ".join(repr(x) for x in row) + "]"
+    for row in __import__(
+        "scraping_etl_spark.operators.similarity", fromlist=["jl_matrix"]
+    ).jl_matrix(_JL_K, 64)
+) + "]"
+
+ORACLE_EMB_JL_PROJECT = f"""
+WITH pts AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), pr AS (
+  SELECT vec_id, v,
+         list_transform({_JL_MAT_SQL},
+           r -> round(list_reduce(list_prepend(0.0,
+                  list_transform(generate_series(1, {_DIM}),
+                                 i -> v[i] * r[i])),
+                  (x, y) -> x + y) / sqrt({float(_JL_K)!r}), 6)) AS proj
+  FROM pts
+), paired AS (
+  SELECT a.vec_id, a.proj, b.v AS vb, b.proj AS pb, a.v AS va
+  FROM pr a LEFT JOIN pr b ON b.vec_id = a.vec_id + 1
+)
+SELECT vec_id,
+       array_to_string(list_transform(proj,
+         x -> CAST(CAST(round(x * 1000000.0) AS BIGINT) AS VARCHAR)), ' ')
+         AS proj_fx,
+       CASE WHEN vb IS NOT NULL AND
+                 sqrt(list_reduce(list_prepend(0.0,
+                   list_transform(generate_series(1, {_DIM}),
+                                  i -> (va[i] - vb[i]) * (va[i] - vb[i]))),
+                   (x, y) -> x + y)) > 0
+            THEN round(
+              sqrt(list_reduce(list_prepend(0.0,
+                list_transform(generate_series(1, {_JL_K}),
+                               i -> (proj[i] - pb[i]) * (proj[i] - pb[i]))),
+                (x, y) -> x + y))
+              / sqrt(list_reduce(list_prepend(0.0,
+                  list_transform(generate_series(1, {_DIM}),
+                                 i -> (va[i] - vb[i]) * (va[i] - vb[i]))),
+                  (x, y) -> x + y)), 6)
+       END AS dist_ratio
+FROM paired
+"""

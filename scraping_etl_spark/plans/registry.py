@@ -292,6 +292,13 @@ etl/scd.scd2_asof) and ``doc_term_screen`` (word-boundary banned-term
 content screen, the lexical layer of the C4/RefinedWeb filter stack —
 only offending docs reach the aggregate; curation.term_screen) join
 the r10-priority queue — 131 entries, 34 queued.
+
+Round-9 twenty-fifth amendment: ``emb_jl_project`` (Johnson-
+Lindenstrauss ±1 random projection 64→16, Achlioptas 2003 — every
+projected coordinate hash-gated via fixed-point CSV plus the
+adjacent-pair distance ratio the JL lemma bounds; zero-shuffle
+matrix-literal expression; similarity.jl_project) joins the
+r10-priority queue — 132 entries, 35 queued.
 """
 
 from __future__ import annotations
@@ -1079,6 +1086,14 @@ _REGISTERED += [
     ),
 ]
 
+_REGISTERED += [
+    QuerySpec(
+        "emb_jl_project", M.q_emb_jl_project, M.ORACLE_EMB_JL_PROJECT,
+        "JL +/-1 random projection 64->16, coordinates + adjacent-pair "
+        "distance ratios hash-gated (similarity.jl_project)",
+    ),
+]
+
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 
@@ -1177,6 +1192,7 @@ ORDER: list[str] = [
     "doc_hybrid_search",
     "dim_scd2_asof",
     "doc_term_screen",
+    "emb_jl_project",
     # ---- tail: r8-driver-green, operators untouched this round ----
     "hourly_event_rollup",
     "doc_text_stats",

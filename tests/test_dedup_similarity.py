@@ -915,3 +915,39 @@ def test_ngram_novelty_first_owner_semantics(spark):
     assert out[2].n_grams == 2 and out[2].novelty_frac == 0.0
     assert out[3].n_grams == 6 and out[3].novelty_frac == round(5 / 6, 6)
     assert out[4].n_grams == 0 and out[4].novelty_frac == 0.0
+
+
+# ---------------------------------------------------------------------------
+# JL projection
+# ---------------------------------------------------------------------------
+
+def test_jl_project_preserves_distances_on_average(spark):
+    import math
+    import random
+
+    from scraping_etl_spark.operators.similarity import jl_project
+
+    rnd = random.Random(3)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(64)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    proj = {r.vec_id: r.proj for r in jl_project(df, out_dim=16, dim=64).collect()}
+    vecs = dict(rows)
+
+    def dist(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    ratios = [
+        dist(proj[i], proj[i + 1]) / dist(vecs[i], vecs[i + 1])
+        for i in range(0, 59)
+    ]
+    mean = sum(ratios) / len(ratios)
+    assert 0.85 < mean < 1.15           # unbiased on average
+    assert all(0.3 < r < 2.5 for r in ratios)  # no catastrophic distortion
+    # deterministic under repartition
+    again = {r.vec_id: r.proj
+             for r in jl_project(df.repartition(7), out_dim=16, dim=64).collect()}
+    assert again == proj
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        jl_project(df, out_dim=0)
