@@ -1232,3 +1232,52 @@ def neardup_screen_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def term_screen_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    terms: list[str],
+    schema: T.StructType = schemas.DOCUMENTS,
+    max_hits: int = 0,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Banned-term screen at ingest — the streaming twin of
+    :func:`~scraping_etl_spark.operators.curation.term_screen`. The
+    gate is per-document against a STATIC config-sized list, so
+    batch-local evaluation equals global (the :func:`corpus_prep_stream`
+    honesty argument) and any micro-batch slicing lands exactly the
+    documents the batch operator keeps; hit counts ride along for
+    audit. Idempotent replay via the batch_id partition-overwrite
+    convention."""
+    from scraping_etl_spark.operators.curation import term_screen
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        verdicts = term_screen(batch_df, terms, max_hits=max_hits)
+        kept = (
+            batch_df.join(verdicts.filter("keep"), "doc_id", "inner")
+            .drop("keep")
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        (
+            kept.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1092,3 +1092,43 @@ def test_neardup_screen_stream_matches_batch_and_replays(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert again == want
+
+
+def test_term_screen_stream_matches_batch_twin(spark, tmp_path):
+    """Streaming banned-term screen lands exactly the docs the batch
+    operator keeps, under any micro-batch slicing; hit counts ride
+    along; replay converges (batch_id partition overwrite)."""
+    import os
+    import shutil
+
+    from scraping_etl_spark.operators.curation import term_screen
+    from scraping_etl_spark.streaming.pipeline import term_screen_stream
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    docs.filter("doc_id % 2 = 0").write.parquet(f"{src}/f1")
+    docs.filter("doc_id % 2 = 1").write.parquet(f"{src}/f2")
+    terms = ["spark", "vector", "stream"]
+
+    def run_once():
+        q = term_screen_stream(
+            spark, f"{src}/*", out, ckpt, terms,
+            max_hits=2, max_files_per_trigger=1
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.select("batch_id").distinct().count() == 2
+    want = term_screen(docs, terms, max_hits=2).filter("keep")
+    want_ids = {r.doc_id for r in want.collect()}
+    assert {r.doc_id for r in got.collect()} == want_ids
+    assert 0 < len(want_ids) < docs.count()  # the screen genuinely bites
+    assert {"n_hits", "n_terms"} <= set(got.columns)
+
+    before = {tuple(r) for r in got.drop("batch_id").collect()}
+    shutil.rmtree(ckpt)
+    run_once()
+    after = {tuple(r) for r in spark.read.parquet(out).drop("batch_id").collect()}
+    assert after == before
