@@ -64,17 +64,26 @@ def q_doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(d, queries, k=_BM25_K, k1=_BM25_K1, b=_BM25_B)
 
 
-def _bm25_oracle(k: int = _BM25_K) -> str:
+def _bm25_oracle(
+    k: int = _BM25_K,
+    rel: str = "documents",
+    prefix_ctes: str = "",
+    out_id: str = "doc_id",
+) -> str:
+    """BM25 oracle text, parameterized so composition gates can run it
+    over a derived corpus: ``rel`` names the scored relation (columns
+    ``doc_id``, ``text``), ``prefix_ctes`` prepends the CTEs that
+    build it, ``out_id`` aliases the id in the final projection."""
     qvals = ", ".join(
         f"({qid}, '{t}')" for qid, terms in _BM25_QUERIES for t in terms
     )
     k1p1 = repr(_BM25_K1 + 1.0)
     one_minus_b = repr(1.0 - _BM25_B)
     return f"""
-WITH qs(query_id, term) AS (VALUES {qvals}),
+WITH {prefix_ctes}qs(query_id, term) AS (VALUES {qvals}),
 tok AS (
   SELECT doc_id, unnest(t) AS t, len(t) AS dl
-  FROM (SELECT doc_id, {_LTOKS} AS t FROM documents)
+  FROM (SELECT doc_id, {_LTOKS} AS t FROM {rel})
 ),
 postings AS (
   SELECT doc_id, t, dl, CAST(count(*) AS BIGINT) AS tf
@@ -82,7 +91,7 @@ postings AS (
 ),
 consts AS (
   SELECT count(*) AS n_docs, sum(dl) / count(*) AS avgdl
-  FROM (SELECT len({_LTOKS}) AS dl FROM documents) WHERE dl > 0
+  FROM (SELECT len({_LTOKS}) AS dl FROM {rel}) WHERE dl > 0
 ),
 dfreq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM postings GROUP BY t),
 qidf AS (
@@ -110,7 +119,7 @@ ranked AS (
                             ORDER BY score DESC, doc_id) AS rk
   FROM scores
 )
-SELECT query_id, CAST(rk AS INTEGER) AS rank, doc_id, score
+SELECT query_id, CAST(rk AS INTEGER) AS rank, doc_id AS {out_id}, score
 FROM ranked WHERE rk <= {k}
 """
 
@@ -1281,3 +1290,63 @@ SELECT doc_id,
        len(hits) <= 0 AS keep
 FROM t
 """
+
+
+# ---------------------------------------------------------------------------
+# RAG retrieval pipeline: chunk -> dedup -> BM25 over chunks
+# ---------------------------------------------------------------------------
+
+_RAGP_K = 5
+_RAGP_ID_BASE = 1000
+
+
+def q_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG retrieval composition in one hash-gated query: overlapping
+    chunking (corpus_prep.sliding_chunks, the ``doc_rag_chunks``
+    grid), exact-duplicate chunk collapse (min-id survivor per
+    identical chunk text — overlapping windows of near-identical docs
+    produce verbatim chunk dupes), then BM25 top-5 over the CHUNK
+    corpus for the standard 5 queries. Chunk ids are
+    ``doc_id * 1000 + chunk_idx`` (chunk counts are bounded far below
+    1000 by the doc-length cap). The composition is the point: a
+    retrieval index built over derived chunks, every stage already
+    individually gated."""
+    from scraping_etl_spark.plans.corpus_ops import _RAG_SIZE, _RAG_STRIDE
+
+    d = load_table(spark, sf_dir, "documents")
+    ch = CP.sliding_chunks(d, size=_RAG_SIZE, stride=_RAG_STRIDE)
+    cd = ch.select(
+        (F.col("doc_id") * _RAGP_ID_BASE + F.col("chunk_idx")).alias("chunk_id"),
+        F.col("chunk_text"),
+    )
+    survivors = cd.groupBy("chunk_text").agg(
+        F.min("chunk_id").alias("chunk_id")
+    )
+    queries = spark.createDataFrame(
+        [(qid, list(terms)) for qid, terms in _BM25_QUERIES],
+        "query_id INT, terms ARRAY<STRING>",
+    )
+    return bm25_topk(
+        survivors, queries, k=_RAGP_K,
+        k1=_BM25_K1, b=_BM25_B,
+        id_col="chunk_id", text_col="chunk_text",
+    )
+
+
+def _rag_pipeline_oracle() -> str:
+    from scraping_etl_spark.plans.corpus_ops import ORACLE_DOC_RAG_CHUNKS
+
+    prefix = f"""ch AS ({ORACLE_DOC_RAG_CHUNKS}),
+cd AS (
+  SELECT doc_id * {_RAGP_ID_BASE} + chunk_idx AS doc_id,
+         chunk_text AS text
+  FROM ch
+),
+chunks_d AS (SELECT min(doc_id) AS doc_id, text FROM cd GROUP BY text),
+"""
+    return _bm25_oracle(
+        k=_RAGP_K, rel="chunks_d", prefix_ctes=prefix, out_id="chunk_id"
+    )
+
+
+ORACLE_RAG_PIPELINE = _rag_pipeline_oracle()

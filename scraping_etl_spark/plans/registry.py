@@ -299,6 +299,13 @@ projected coordinate hash-gated via fixed-point CSV plus the
 adjacent-pair distance ratio the JL lemma bounds; zero-shuffle
 matrix-literal expression; similarity.jl_project) joins the
 r10-priority queue — 132 entries, 35 queued.
+
+Round-9 twenty-sixth amendment: ``rag_pipeline`` (RAG retrieval
+composition: overlapping chunking → exact-dup chunk collapse → BM25
+top-5 over the CHUNK corpus, one oracle — the retrieval-side
+composition gate beside ``curation_pipeline`` and ``star_pipeline``;
+the BM25 oracle is now parameterized over its scored relation) joins
+the r10-priority queue — 133 entries, 36 queued.
 """
 
 from __future__ import annotations
@@ -1094,6 +1101,14 @@ _REGISTERED += [
     ),
 ]
 
+_REGISTERED += [
+    QuerySpec(
+        "rag_pipeline", CR.q_rag_pipeline, CR.ORACLE_RAG_PIPELINE,
+        "RAG retrieval composition: chunk -> dedup -> BM25 over the "
+        "chunk corpus, one oracle",
+    ),
+]
+
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 
@@ -1193,6 +1208,7 @@ ORDER: list[str] = [
     "dim_scd2_asof",
     "doc_term_screen",
     "emb_jl_project",
+    "rag_pipeline",
     # ---- tail: r8-driver-green, operators untouched this round ----
     "hourly_event_rollup",
     "doc_text_stats",
