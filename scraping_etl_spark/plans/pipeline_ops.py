@@ -249,3 +249,61 @@ SELECT doc_id,
        CASE WHEN L > 0 THEN round(alpha / L, 6) ELSE 0.0 END AS alpha_frac
 FROM agg
 """
+
+
+def q_doc_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus datasheet (the "Datasheets for Datasets" summary
+    a corpus release ships — Gebru et al. 2021): sizes, diversity,
+    exact-duplicate mass, and a short-doc fraction, all in TWO scans
+    (one plain agg + one distinct-text agg) — every number a
+    map-side-combinable aggregate, no windows, no joins."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = TS.tokens("text")
+    base = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("n_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(
+            F.avg((F.size(toks) >= 20).cast("double")), 6
+        ).alias("frac_ge_20_tokens"),
+    )
+    dups = d.agg(
+        F.countDistinct(F.md5("text")).cast("long").alias("n_distinct_texts")
+    )
+    return base.join(dups).select(
+        "n_docs",
+        "n_tokens",
+        "n_langs",
+        "n_sources",
+        "avg_chars",
+        "frac_ge_20_tokens",
+        "n_distinct_texts",
+        F.round(
+            F.lit(1.0) - F.col("n_distinct_texts") / F.col("n_docs"), 6
+        ).alias("dup_frac"),
+    )
+
+
+ORACLE_DOC_DATASHEET = r"""
+WITH base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         round(avg(n_chars), 4) AS avg_chars,
+         round(avg(CASE WHEN len(list_filter(string_split_regex(text, '\s+'),
+                                             x -> x <> '')) >= 20
+                        THEN 1.0 ELSE 0.0 END), 6) AS frac_ge_20_tokens
+  FROM documents
+), dups AS (
+  SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+  FROM documents
+)
+SELECT n_docs, n_tokens, n_langs, n_sources, avg_chars, frac_ge_20_tokens,
+       n_distinct_texts,
+       round(1.0 - CAST(n_distinct_texts AS DOUBLE) / n_docs, 6) AS dup_frac
+FROM base, dups
+"""

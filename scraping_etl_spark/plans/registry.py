@@ -306,6 +306,12 @@ top-5 over the CHUNK corpus, one oracle — the retrieval-side
 composition gate beside ``curation_pipeline`` and ``star_pipeline``;
 the BM25 oracle is now parameterized over its scored relation) joins
 the r10-priority queue — 133 entries, 36 queued.
+
+Round-9 twenty-seventh amendment: ``doc_datasheet`` (one-row corpus
+datasheet — Gebru et al. 2021 "Datasheets for Datasets": sizes,
+diversity, exact-duplicate mass, short-doc fraction in two map-side
+aggregate scans) joins the r10-priority queue — 134 entries, 37
+queued.
 """
 
 from __future__ import annotations
@@ -1109,6 +1115,14 @@ _REGISTERED += [
     ),
 ]
 
+_REGISTERED += [
+    QuerySpec(
+        "doc_datasheet", P.q_doc_datasheet, P.ORACLE_DOC_DATASHEET,
+        "one-row corpus datasheet: sizes, diversity, dup mass, "
+        "short-doc fraction in two aggregate scans",
+    ),
+]
+
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 
@@ -1209,6 +1223,7 @@ ORDER: list[str] = [
     "doc_term_screen",
     "emb_jl_project",
     "rag_pipeline",
+    "doc_datasheet",
     # ---- tail: r8-driver-green, operators untouched this round ----
     "hourly_event_rollup",
     "doc_text_stats",
