@@ -752,13 +752,27 @@ def allpairs_jaccard(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sets = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_sort(
+            F.array_distinct(word_shingles(F.col(text_col), k))
+        ).alias("_set"),
+    )
+    return allpairs_jaccard_sets(sets, threshold)
+
+
+def allpairs_jaccard_sets(sets: DataFrame, threshold: float) -> DataFrame:
+    """AllPairs prefix-filtered exact Jaccard over PRE-BUILT sets —
+    the core of :func:`allpairs_jaccard`, exposed so callers can bring
+    their own set construction (e.g. character n-grams for fuzzy
+    string/entity matching, :func:`char_ngrams`). ``sets`` must have
+    columns ``(_id, _set array<string>)``; the set contents are
+    treated as opaque tokens. Same completeness proof, same
+    ``(id_a, id_b, jacc)`` contract."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     sets = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.array_sort(
-                F.array_distinct(word_shingles(F.col(text_col), k))
-            ).alias("_set"),
-        )
+        sets.select("_id", F.array_sort(F.array_distinct("_set")).alias("_set"))
         .filter(F.size("_set") > 0)
         .localCheckpoint()  # consumed 3×: explode, verify ×2
     )
@@ -853,3 +867,42 @@ def ngram_novelty(
             F.coalesce("novelty_frac", F.lit(0.0)).alias("novelty_frac"),
         )
     )
+
+
+def char_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct lowercase character ``n``-grams of a string — the set
+    representation fuzzy STRING matching compares (names, titles,
+    addresses: word shingles are useless on 1-3-word values; character
+    grams survive typos and dropped letters). The lowered string is
+    bound once (single-evaluation hazard); each gram is one bounded
+    ``substr``."""
+
+    def _grams(s: Column) -> Column:
+        ln = F.length(s)
+        idx = F.when(ln >= n, F.sequence(F.lit(1), ln - n + 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.array_distinct(F.transform(idx, lambda i: s.substr(i, F.lit(n))))
+
+    return _bind(F.lower(col), _grams)
+
+
+def fuzzy_string_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str,
+    string_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """EXACT fuzzy string matching (record linkage / entity
+    resolution): all id pairs whose character-``n``-gram Jaccard
+    reaches ``threshold`` — :func:`allpairs_jaccard_sets` over
+    :func:`char_ngrams`, so the candidate set is provably complete
+    (the AllPairs prefix argument), never an all-pairs scan. Cross-
+    relation joins: union the two sides with disjoint ids and filter
+    pairs to cross-side, as the ``fuzzy_customer_match`` gate does."""
+    sets = df.select(
+        F.col(id_col).alias("_id"),
+        char_ngrams(F.col(string_col), n).alias("_set"),
+    )
+    return allpairs_jaccard_sets(sets, threshold)

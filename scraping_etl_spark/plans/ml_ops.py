@@ -1707,3 +1707,88 @@ SELECT vec_id,
        END AS dist_ratio
 FROM paired
 """
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity matching (record linkage)
+# ---------------------------------------------------------------------------
+
+_FM_T = 0.6
+
+
+def q_doc_title_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage gate (dedup.fuzzy_string_pairs): 40-char document
+    "titles" vs copies with one md5-positioned character DROPPED —
+    char-trigram Jaccard via the AllPairs prefix filter (provably
+    complete, never an all-pairs scan on the Spark side; the ORACLE
+    is the brute-force all-pairs, so losslessness is what hashes).
+    Cross-side semantics: left ids are even (2*doc), corrupted right
+    ids odd (2*doc+1); ``same_doc`` marks true links."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.substring("text", 1, 40).alias("_s")
+    ).filter(F.length("_s") >= 10)
+    left = base.select((F.col("doc_id") * 2).alias("_fid"), "_s")
+    plen = F.length("_s")
+    p = (
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+            ).cast("long"),
+            plen - 2,
+        )
+        + 2
+    )
+    right = base.select(
+        (F.col("doc_id") * 2 + 1).alias("_fid"),
+        F.concat(
+            F.col("_s").substr(F.lit(1), (p - 1).cast("int")),
+            F.col("_s").substr((p + 1).cast("int"), plen),
+        ).alias("_s"),
+    )
+    pairs = DD.fuzzy_string_pairs(
+        left.unionByName(right), _FM_T, id_col="_fid", string_col="_s", n=3
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "jacc",
+        (
+            (F.col("id_b") - F.col("id_a") == 1)
+            & (F.pmod(F.col("id_a"), 2) == 0)
+        ).alias("same_doc"),
+    )
+
+
+ORACLE_DOC_TITLE_FUZZY_MATCH = f"""
+WITH base AS (
+  SELECT doc_id, substr(text, 1, 40) AS s
+  FROM documents
+  WHERE doc_id % 5 = 0 AND len(substr(text, 1, 40)) >= 10
+), lr AS (
+  SELECT doc_id * 2 AS id, s FROM base
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS id,
+         substr(s, 1, CAST(p - 1 AS INTEGER))
+           || substr(s, CAST(p + 1 AS INTEGER)) AS s
+  FROM (SELECT doc_id, s,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % (len(s) - 2) + 2 AS p
+        FROM base)
+), sets AS (
+  SELECT id,
+         list_distinct(list_transform(
+           generate_series(1, len(lower(s)) - 2),
+           i -> substr(lower(s), CAST(i AS INTEGER), 3))) AS g
+  FROM lr WHERE len(s) >= 3
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         round(len(list_intersect(a.g, b.g))
+               / greatest(len(list_distinct(list_concat(a.g, b.g))), 1),
+               6) AS jacc
+  FROM sets a JOIN sets b ON a.id < b.id
+)
+SELECT id_a, id_b, jacc,
+       (id_b - id_a = 1 AND id_a % 2 = 0) AS same_doc
+FROM pairs WHERE jacc >= {_FM_T}
+"""

@@ -312,6 +312,15 @@ datasheet — Gebru et al. 2021 "Datasheets for Datasets": sizes,
 diversity, exact-duplicate mass, short-doc fraction in two map-side
 aggregate scans) joins the r10-priority queue — 134 entries, 37
 queued.
+
+Round-9 twenty-eighth amendment: ``doc_title_fuzzy_match`` (record
+linkage / fuzzy entity matching: char-trigram Jaccard via the
+AllPairs prefix filter over 40-char titles vs one-char-dropped
+copies; dedup.char_ngrams + fuzzy_string_pairs over the extracted
+allpairs_jaccard_sets core; gated against the brute-force all-pairs
+oracle — at sf0.01 it recovers all 100 true links with zero false
+positives at t=0.6) joins the r10-priority queue — 135 entries, 38
+queued.
 """
 
 from __future__ import annotations
@@ -1123,6 +1132,16 @@ _REGISTERED += [
     ),
 ]
 
+_REGISTERED += [
+    QuerySpec(
+        "doc_title_fuzzy_match", M.q_doc_title_fuzzy_match,
+        M.ORACLE_DOC_TITLE_FUZZY_MATCH,
+        "fuzzy entity matching: char-trigram AllPairs join of titles "
+        "vs corrupted copies, brute-force oracle "
+        "(dedup.fuzzy_string_pairs)",
+    ),
+]
+
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 
@@ -1224,6 +1243,7 @@ ORDER: list[str] = [
     "emb_jl_project",
     "rag_pipeline",
     "doc_datasheet",
+    "doc_title_fuzzy_match",
     # ---- tail: r8-driver-green, operators untouched this round ----
     "hourly_event_rollup",
     "doc_text_stats",

@@ -951,3 +951,35 @@ def test_jl_project_preserves_distances_on_average(spark):
 
     with _pt.raises(ValueError):
         jl_project(df, out_dim=0)
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string matching (record linkage)
+# ---------------------------------------------------------------------------
+
+def test_fuzzy_string_pairs_links_typos_not_strangers(spark):
+    from scraping_etl_spark.operators.dedup import fuzzy_string_pairs
+
+    rows = [
+        (1, "international conference on databases"),
+        (2, "internatonal conference on databases"),   # typo of 1
+        (3, "journal of marine biology research"),
+        (4, "journal of marine biology researh"),      # typo of 3
+        (5, "completely different string here"),
+    ]
+    df = spark.createDataFrame(rows, "rid LONG, name STRING")
+    got = {
+        (r.id_a, r.id_b): r.jacc
+        for r in fuzzy_string_pairs(df, 0.6, "rid", "name").collect()
+    }
+    assert set(got) == {(1, 2), (3, 4)}
+    assert all(v >= 0.6 for v in got.values())
+
+
+def test_char_ngrams_distinct_lowercase_and_short_strings(spark):
+    from scraping_etl_spark.operators.dedup import char_ngrams
+
+    df = spark.createDataFrame([(1, "AbAb"), (2, "ab")], "i LONG, s STRING")
+    out = {r.i: r.g for r in df.select("i", char_ngrams(F.col("s")).alias("g")).collect()}
+    assert sorted(out[1]) == ["aba", "bab"]  # lowered + distinct
+    assert out[2] == []                      # below n -> empty
