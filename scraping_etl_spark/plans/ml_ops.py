@@ -1713,13 +1713,16 @@ FROM paired
 # Fuzzy entity matching (record linkage)
 # ---------------------------------------------------------------------------
 
-_FM_T = 0.6
+_FM_T, _FM_N = 0.7, 5
 
 
 def q_doc_title_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record-linkage gate (dedup.fuzzy_string_pairs): 40-char document
     "titles" vs copies with one md5-positioned character DROPPED —
-    char-trigram Jaccard via the AllPairs prefix filter (provably
+    char-5-gram Jaccard via the AllPairs prefix filter (5-grams, not
+    trigrams: on 40-char strings the trigram vocabulary is so small
+    that every prefix token is common and the candidate join fans out
+    ~10x — measured 18 s vs 1.8 s at sf0.1 for identical links) (provably
     complete, never an all-pairs scan on the Spark side; the ORACLE
     is the brute-force all-pairs, so losslessness is what hashes).
     Cross-side semantics: left ids are even (2*doc), corrupted right
@@ -1747,7 +1750,7 @@ def q_doc_title_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("_s"),
     )
     pairs = DD.fuzzy_string_pairs(
-        left.unionByName(right), _FM_T, id_col="_fid", string_col="_s", n=3
+        left.unionByName(right), _FM_T, id_col="_fid", string_col="_s", n=_FM_N
     )
     return pairs.select(
         "id_a",
@@ -1778,9 +1781,9 @@ WITH base AS (
 ), sets AS (
   SELECT id,
          list_distinct(list_transform(
-           generate_series(1, len(lower(s)) - 2),
-           i -> substr(lower(s), CAST(i AS INTEGER), 3))) AS g
-  FROM lr WHERE len(s) >= 3
+           generate_series(1, len(lower(s)) - {_FM_N - 1}),
+           i -> substr(lower(s), CAST(i AS INTEGER), {_FM_N}))) AS g
+  FROM lr WHERE len(s) >= {_FM_N}
 ), pairs AS (
   SELECT a.id AS id_a, b.id AS id_b,
          round(len(list_intersect(a.g, b.g))
