@@ -320,7 +320,19 @@ copies; dedup.char_ngrams + fuzzy_string_pairs over the extracted
 allpairs_jaccard_sets core; gated against the brute-force all-pairs
 oracle — at sf0.01 it recovers all 100 true links with zero false
 positives at t=0.6) joins the r10-priority queue — 135 entries, 38
-queued.
+queued. (Retuned same-round to char 5-grams at t=0.7 — trigram
+prefixes on 40-char strings are too common for AllPairs selectivity;
+18 s -> 1.8 s at sf0.1, links unchanged.)
+
+Round-9 twenty-ninth amendment: ``session_window_agg`` (the NATIVE
+``session_window`` aggregation beside the lag+running-sum
+``sessionize`` — both construction styles of gap sessionization now
+gated) and ``event_value_quantiles_approx`` (Spark's built-in
+Greenwald-Khanna ``percentile_approx`` as a bounded-tolerance gate:
+exact ``percentile_disc`` values hash-checked, approx estimates'
+exact ranks asserted within 2x the documented n/accuracy budget —
+the KLL-gate convention applied to the native sketch) join the
+r10-priority queue — 137 entries, 40 queued.
 """
 
 from __future__ import annotations
@@ -1142,6 +1154,21 @@ _REGISTERED += [
     ),
 ]
 
+_REGISTERED += [
+    QuerySpec(
+        "session_window_agg", R.q_session_window_agg,
+        R.ORACLE_SESSION_WINDOW_AGG,
+        "native session_window gap sessionization (twin construction "
+        "to the lag+running-sum sessionize gate)",
+    ),
+    QuerySpec(
+        "event_value_quantiles_approx", R.q_event_value_quantiles_approx,
+        R.ORACLE_EVENT_VALUE_QUANTILES_APPROX,
+        "percentile_approx bounded-tolerance gate: exact "
+        "percentile_disc hash-checked + rank-budget verdicts",
+    ),
+]
+
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 
@@ -1244,6 +1271,8 @@ ORDER: list[str] = [
     "rag_pipeline",
     "doc_datasheet",
     "doc_title_fuzzy_match",
+    "session_window_agg",
+    "event_value_quantiles_approx",
     # ---- tail: r8-driver-green, operators untouched this round ----
     "hourly_event_rollup",
     "doc_text_stats",

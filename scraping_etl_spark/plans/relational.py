@@ -1203,3 +1203,138 @@ FROM merged
 WHERE effective_from <= DATE '{_SCD_EFF}'
   AND (effective_to IS NULL OR effective_to > DATE '{_SCD_EFF}')
 """
+
+
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``session_window`` aggregation (the gap-based session
+    operator Structured Streaming shares): per (user, session) event
+    counts and value sums with a 30-minute gap — the same semantics
+    ``q_sessionize`` derives from lag+running-sum, now via the native
+    operator, so both construction styles of SURVEY §2.5's
+    sessionization are gated against one oracle family.
+
+    Scale: one user-hash exchange; session merging is per-partition
+    state, identical to the streaming operator's. The oracle rebuilds
+    sessions with the standard gap-and-islands SQL.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_SESSION_WINDOW_AGG = """
+WITH gaps AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) + 1800 * 1000000 AS session_end_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
+#: Quantiles + rank-error budget of the approx tier: percentile_approx
+#: with accuracy A bounds rank error by n/A (Greenwald-Khanna); the
+#: verdicts allow 2x headroom.
+_PA_QS = (0.5, 0.9, 0.99)
+_PA_ACCURACY = 100
+_PA_EPS = 2.0 / _PA_ACCURACY
+
+
+def q_event_value_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native ``percentile_approx`` (Greenwald-Khanna) as a
+    BOUNDED-TOLERANCE gate — the ``doc_length_quantiles_kll``
+    convention applied to the built-in sketch: per event type the
+    query emits the EXACT discrete quantiles (``percentile_disc`` — an
+    actual data value, no interpolation arithmetic to disagree on) as
+    the hash-checked half, plus verdicts that each approx estimate's
+    exact rank lands within twice the documented ``n/accuracy`` rank
+    error. The oracle asserts exact values and all-true verdicts."""
+    e = load_table(spark, sf_dir, "events")
+    qs = list(_PA_QS)
+    agg = e.groupBy("event_type").agg(
+        F.percentile_approx("value", qs, _PA_ACCURACY).alias("_appr"),
+        *[
+            F.expr(
+                f"percentile_disc({q}) WITHIN GROUP (ORDER BY value)"
+            ).alias(f"_ex{i}")
+            for i, q in enumerate(qs)
+        ],
+    )
+    est = agg.select(
+        "event_type",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(q) for q in qs]).alias("q"),
+                F.col("_appr").alias("av"),
+                F.array(*[F.col(f"_ex{i}") for i in range(len(qs))]).alias("ev"),
+            )
+        ).alias("_z"),
+    ).select(
+        "event_type",
+        F.col("_z.q").alias("q"),
+        F.col("_z.av").alias("_av"),
+        F.round(F.col("_z.ev"), 6).alias("exact_value"),
+    )
+    ranks = (
+        e.select("event_type", "value")
+        .join(F.broadcast(est), "event_type")
+        .groupBy("event_type", "q", "_av", "exact_value")
+        .agg(
+            F.sum(F.when(F.col("value") <= F.col("_av"), 1).otherwise(0)).alias("_le"),
+            F.sum(F.when(F.col("value") < F.col("_av"), 1).otherwise(0)).alias("_lt"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+    )
+    return ranks.select(
+        "event_type",
+        "q",
+        "exact_value",
+        (F.col("_le") / F.col("_n") >= F.col("q") - _PA_EPS).alias("approx_rank_lo_ok"),
+        (F.col("_lt") / F.col("_n") <= F.col("q") + _PA_EPS).alias("approx_rank_hi_ok"),
+    )
+
+
+ORACLE_EVENT_VALUE_QUANTILES_APPROX = """
+SELECT event_type, q, exact_value,
+       true AS approx_rank_lo_ok,
+       true AS approx_rank_hi_ok
+FROM (
+  SELECT event_type, u.q AS q,
+         round(CASE u.q
+           WHEN 0.5  THEN quantile_disc(value, 0.5)
+           WHEN 0.9  THEN quantile_disc(value, 0.9)
+           WHEN 0.99 THEN quantile_disc(value, 0.99)
+         END, 6) AS exact_value
+  FROM events, (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+              (CAST(0.99 AS DOUBLE))) AS u(q)
+  GROUP BY event_type, u.q
+)
+"""
