@@ -77,11 +77,25 @@ def main() -> None:
     print(json.dumps(payload))
     # r8 verdict hygiene: the driver captures stdout and can truncate
     # the tail on a long registry, leaving BENCH_r{N}.json unparsable —
-    # always persist the full payload to a file too.
+    # always persist the full payload to a file too, plus a compact
+    # {name: seconds} twin with total_s up front (r9 verdict item 7:
+    # the summary stays parseable even if a tail gets cut).
     try:
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
+        compact = {
+            "total_s": round(total, 4),
+            "n_queries": len(timings),
+            "n_errors": len(errors),
+            "sf": payload["sf"],
+        }
+        compact.update(
+            {k: timings[k] for k in sorted(timings, key=lambda k: k)}
+        )
+        with open(os.path.join(here, "BENCH_LOCAL_COMPACT.json"), "w") as f:
+            json.dump(compact, f, indent=0)
+            f.write("\n")
     except OSError:
         pass  # a read-only checkout must not fail the bench
     spark.stop()

@@ -249,7 +249,9 @@ def build_keyword_article_map(clean: DataFrame, keywords: DataFrame) -> DataFram
     )
 
 
-def build_star(raw: DataFrame, parity: bool = False) -> dict[str, DataFrame]:
+def build_star(
+    raw: DataFrame, parity: bool = False, checkpoint_clean: bool = False
+) -> dict[str, DataFrame]:
     """Full pipeline: clean + all eight output tables.
 
     ``parity=False`` (default): fixed semantics (Q2/Q3/Q4/Q5/Q7 repaired,
@@ -257,8 +259,18 @@ def build_star(raw: DataFrame, parity: bool = False) -> dict[str, DataFrame]:
     cardinality behavior on the same input — dims keyed per occurrence,
     bridges joined on FullName, topics/dates from the uncleaned frame,
     date filter via subtract, dead email filter.
+
+    ``checkpoint_clean=True`` materializes the shared cleaning lineage
+    once (``localCheckpoint``) before the dim/fact fan-out, so a caller
+    that consumes several outputs in one job pays one corpus scan
+    instead of re-running the cleaning chain per branch. Default off:
+    the production path (``materialize_star``) persists each table to
+    parquet anyway, and single-output callers would pay an eager
+    materialization for nothing. Values are identical either way.
     """
     clean = clean_documents(raw, parity=parity)
+    if checkpoint_clean:
+        clean = clean.localCheckpoint()
     dim_source = raw if parity else clean
     publishers = build_publishers(clean, dedup_issn=not parity)
     topics = build_topics(dim_source)

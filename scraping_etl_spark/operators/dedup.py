@@ -42,6 +42,7 @@ lambda variable of an outer ``transform``.
 from __future__ import annotations
 
 import random
+import warnings
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -761,21 +762,27 @@ def allpairs_jaccard(
     return allpairs_jaccard_sets(sets, threshold)
 
 
-def allpairs_jaccard_sets(sets: DataFrame, threshold: float) -> DataFrame:
-    """AllPairs prefix-filtered exact Jaccard over PRE-BUILT sets —
-    the core of :func:`allpairs_jaccard`, exposed so callers can bring
-    their own set construction (e.g. character n-grams for fuzzy
-    string/entity matching, :func:`char_ngrams`). ``sets`` must have
-    columns ``(_id, _set array<string>)``; the set contents are
-    treated as opaque tokens. Same completeness proof, same
-    ``(id_a, id_b, jacc)`` contract."""
-    if not 0.0 < threshold <= 1.0:
-        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    sets = (
-        sets.select("_id", F.array_sort(F.array_distinct("_set")).alias("_set"))
-        .filter(F.size("_set") > 0)
-        .localCheckpoint()  # consumed 3×: explode, verify ×2
-    )
+#: Below this threshold the prefix bound ``|x| - ceil(t·|x|) + 1``
+#: keeps most of every set as prefix and the candidate join trends
+#: toward all-pairs even WITH the length filter — the documented floor
+#: for the exact tier (use the MinHash/LSH tier below it).
+ALLPAIRS_THRESHOLD_FLOOR = 0.4
+
+
+def _allpairs_candidates(
+    sets: DataFrame, threshold: float, length_filter: bool = True
+) -> DataFrame:
+    """Candidate ``(_ida, _idb)`` pairs for the AllPairs verify stage:
+    the rarest-first prefix-token equi-join, optionally tightened by
+    the PPJoin LENGTH filter (Xiao et al., WWW 2008): any pair with
+    ``J ≥ t`` satisfies ``min(|a|,|b|) ≥ t·max(|a|,|b|)`` because
+    ``J ≤ |a∩b|/|a∪b| ≤ min/max`` — so dropping size-incompatible
+    candidates is provably lossless. The filter is what bounds the
+    low-threshold regime: at small ``t`` most of each set is prefix
+    and the token join alone trends quadratic; the size predicate
+    prunes candidates before the distinct + verify join pays for them.
+    ``sets`` must be the checkpointed ``(_id, _set)`` relation.
+    Exposed separately so tests can prove the filter engages."""
     exploded = sets.select("_id", F.explode("_set").alias("_t"))
     dfreq = exploded.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
     prefixes = (
@@ -784,6 +791,7 @@ def allpairs_jaccard_sets(sets: DataFrame, threshold: float) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("_df", "_t"))).alias("_ord"))
         .select(
             "_id",
+            F.size("_ord").alias("_n"),
             F.slice(
                 F.col("_ord"),
                 1,
@@ -797,15 +805,55 @@ def allpairs_jaccard_sets(sets: DataFrame, threshold: float) -> DataFrame:
                 ),
             ).alias("_pref"),
         )
-        .select("_id", F.explode("_pref").alias("_p"))
-        .select("_id", F.col("_p._t").alias("_t"))
+        .select("_id", "_n", F.explode("_pref").alias("_p"))
+        .select("_id", "_n", F.col("_p._t").alias("_t"))
     )
     a, b = prefixes.alias("a"), prefixes.alias("b")
-    cands = (
-        a.join(b, (F.col("a._t") == F.col("b._t")) & (F.col("a._id") < F.col("b._id")))
+    cond = (F.col("a._t") == F.col("b._t")) & (F.col("a._id") < F.col("b._id"))
+    if length_filter:
+        # 1e-9 slack absorbs float round-up in t·max (sizes are exact
+        # ints; the true bound is the rational min/max ≥ t).
+        cond = cond & (
+            F.least(F.col("a._n"), F.col("b._n")).cast("double")
+            >= F.lit(threshold) * F.greatest(F.col("a._n"), F.col("b._n"))
+            - F.lit(1e-9)
+        )
+    return (
+        a.join(b, cond)
         .select(F.col("a._id").alias("_ida"), F.col("b._id").alias("_idb"))
         .distinct()
     )
+
+
+def allpairs_jaccard_sets(sets: DataFrame, threshold: float) -> DataFrame:
+    """AllPairs prefix-filtered exact Jaccard over PRE-BUILT sets —
+    the core of :func:`allpairs_jaccard`, exposed so callers can bring
+    their own set construction (e.g. character n-grams for fuzzy
+    string/entity matching, :func:`char_ngrams`). ``sets`` must have
+    columns ``(_id, _set array<string>)``; the set contents are
+    treated as opaque tokens. Same completeness proof, same
+    ``(id_a, id_b, jacc)`` contract. Candidates pass both the prefix
+    filter and the PPJoin length filter (:func:`_allpairs_candidates`);
+    thresholds below :data:`ALLPAIRS_THRESHOLD_FLOOR` stay exact but
+    warn — the prefix bound degrades there and the MinHash tier is the
+    right tool."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if threshold < ALLPAIRS_THRESHOLD_FLOOR:
+        warnings.warn(
+            f"allpairs threshold {threshold} is below the documented "
+            f"floor {ALLPAIRS_THRESHOLD_FLOOR}: the prefix filter keeps "
+            "most of every set and the candidate join trends toward "
+            "all-pairs; prefer the MinHash/LSH tier for recall-style "
+            "thresholds",
+            stacklevel=2,
+        )
+    sets = (
+        sets.select("_id", F.array_sort(F.array_distinct("_set")).alias("_set"))
+        .filter(F.size("_set") > 0)
+        .localCheckpoint()  # consumed 3×: explode, verify ×2
+    )
+    cands = _allpairs_candidates(sets, threshold)
     sa = sets.select(F.col("_id").alias("_ida"), F.col("_set").alias("_seta"))
     sb = sets.select(F.col("_id").alias("_idb"), F.col("_set").alias("_setb"))
     return (

@@ -1460,7 +1460,9 @@ def _km_centroids(sf_dir: str) -> tuple:
     """Train-once per scale dir (the ``ivf_train`` convention): the
     scale tables are immutable, the trainer is bit-deterministic, so
     re-runs (bench pass 2, repeated driver calls) pay scoring only."""
-    spark = SparkSession.getActiveSession()
+    from scraping_etl_spark.session import get_spark
+
+    spark = SparkSession.getActiveSession() or get_spark()
     e = load_table(spark, sf_dir, "embeddings")
     return tuple(
         tuple(c)

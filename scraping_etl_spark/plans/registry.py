@@ -314,7 +314,7 @@ aggregate scans) joins the r10-priority queue — 134 entries, 37
 queued.
 
 Round-9 twenty-eighth amendment: ``doc_title_fuzzy_match`` (record
-linkage / fuzzy entity matching: char-trigram Jaccard via the
+linkage / fuzzy entity matching: char-5-gram Jaccard via the
 AllPairs prefix filter over 40-char titles vs one-char-dropped
 copies; dedup.char_ngrams + fuzzy_string_pairs over the extracted
 allpairs_jaccard_sets core; gated against the brute-force all-pairs
@@ -333,6 +333,30 @@ exact ``percentile_disc`` values hash-checked, approx estimates'
 exact ranks asserted within 2x the documented n/accuracy budget —
 the KLL-gate convention applied to the native sketch) join the
 r10-priority queue — 137 entries, 40 queued.
+
+Round-10 rotation (consolidation round — NO new gates; burns the
+driver-verification queue down to zero): seats 1-40 are the entire
+r9 queue (every entry that had never had a driver CORRECTNESS row);
+seat 41 re-seats ``star_pipeline`` (operator changed:
+``build_star(checkpoint_clean=True)`` collapses the per-rollup
+re-execution of the shared cleaning lineage to one corpus scan —
+values identical, plan shape changed, re-seat policy applies); seats
+42-50 take the nine most senior r8-green entries
+(``hourly_event_rollup`` … ``event_moving_avg``). The tail leads
+with the remaining 38 r8-green seniors in r11-priority order (the
+trailing-3-round invariant requires each to re-seat by r11), then
+the 48 r9-green entries. Queue math after this round: 0 never-seated
+entries; r11 owes 38 seats to seniors, leaving 12 for new/changed
+gates. Also this round (operator fixes, all within the window):
+``part_avg_qty_outliers`` sums extendedprice as exact BIGINT cents
+(order-independent; the ``customer_idle_rich`` convention) so the
+rounded output can't flip on a .005 boundary between engines;
+``doc_allpairs`` / ``doc_title_fuzzy_match`` gain the PPJoin length
+filter (provably lossless candidate pruning) plus a documented
+threshold floor; ``doc_token_ids`` / ``doc_bpe_roundtrip``'s encoder
+now flags the end-of-word sentinel positionally (a corpus token
+equal to the sentinel byte sequence encodes through the vocab path
+instead of breaking the decode round trip).
 """
 
 from __future__ import annotations
@@ -1148,7 +1172,7 @@ _REGISTERED += [
     QuerySpec(
         "doc_title_fuzzy_match", M.q_doc_title_fuzzy_match,
         M.ORACLE_DOC_TITLE_FUZZY_MATCH,
-        "fuzzy entity matching: char-trigram AllPairs join of titles "
+        "fuzzy entity matching: char-5-gram AllPairs join of titles "
         "vs corrupted copies, brute-force oracle "
         "(dedup.fuzzy_string_pairs)",
     ),
@@ -1172,67 +1196,15 @@ _REGISTERED += [
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 
-#: The round-9 verification schedule: the first 50 names are the
+#: The round-10 verification schedule: the first 50 names are the
 #: driver window, the rest the tail. Rotations from round 9 on edit
 #: THIS list (definition order above is append-only registration
-#: order); the module docstring records each round's moves.
+#: order); the module docstring records each round's moves and
+#: ``tools/make_rotation.py`` emits the machine-readable ledger
+#: (ROTATION.json: per entry first_seated / last_driver_green).
 ORDER: list[str] = [
-    # -- seats 1-2: the two gates never driver-checked (r8 promise) --
-    "doc_hh_candidates",
-    "doc_hashing_tfidf",
-    # -- seats 3-42: every entry whose last driver row is r7 --
-    "doc_corpus_pipeline",
-    "doc_split_corpus",
-    "doc_oov_ratio",
-    "doc_cross_corpus_dups",
-    "emb_cluster_assign",
-    "doc_media_features",
-    "doc_corpus_profile",
-    "doc_minhash_pairs",
-    "doc_neardup_clusters",
-    "doc_neardup_survivors",
-    "doc_regex_extract",
-    "doc_token_counts",
-    "doc_rolling_hash",
-    "doc_dedup_survivors",
-    "parts_brand_stats",
-    "supplier_balance_by_nation",
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_customers",
-    "order_priority_semi",
-    "customers_without_orders",
-    "top_acctbal_per_nation",
-    "rollup_revenue",
-    "sessionize",
-    "asof_purchase_click",
-    "revenue_grouping_sets",
-    "doc_exact_dups",
-    "doc_simhash",
-    "doc_ngram_jaccard",
-    "doc_token_dim",
-    "doc_token_bridge",
-    "doc_clean_filters",
-    "events_props_struct",
-    "doc_pii_scrub",
-    "doc_repetition_stats",
-    "doc_domain_mix",
-    "doc_decontaminate",
-    "doc_pack_sequences",
-    "event_interval_join",
-    "doc_vocab_topk",
-    # -- seats 43-45: operators touched this round (re-seat policy) --
-    "doc_bpe_tokens",
-    "doc_heavy_hitters",
-    "host_pagerank",
-    # -- seats 46-50: new round-9 gates --
-    "star_pipeline",
-    "doc_bloom_screen",
-    "doc_normalize_dups",
-    "doc_pmi_collocations",
-    "doc_containment",
-    # ---- tail head: r10 window priority (registered r9, never ----
-    # ---- driver-checked; DuckDB-verified locally + pytest)      ----
+    # ---- r10 window seats 1-40: the entire never-driver-checked ----
+    # ---- r9 queue (all locally DuckDB-green since r9)            ----
     "doc_line_dedup",
     "doc_line_quality",
     "doc_shuffle_shards",
@@ -1273,7 +1245,11 @@ ORDER: list[str] = [
     "doc_title_fuzzy_match",
     "session_window_agg",
     "event_value_quantiles_approx",
-    # ---- tail: r8-driver-green, operators untouched this round ----
+    # -- seat 41: re-seat, operator changed this round (build_star
+    # -- checkpoint_clean + gate now passes it; plan shape changed) --
+    "star_pipeline",
+    # -- seats 42-50: the nine most senior entries (last driver row
+    # -- r8) -- the trailing-3-round invariant's oldest cohort      --
     "hourly_event_rollup",
     "doc_text_stats",
     "doc_lang_id",
@@ -1283,6 +1259,9 @@ ORDER: list[str] = [
     "json_props",
     "event_lag_delta",
     "event_moving_avg",
+    # ---- tail head: the remaining 38 r8-green seniors, in r11 ----
+    # ---- window priority order (trailing-3 invariant: every   ----
+    # ---- one must have a driver row by r11)                   ----
     "doc_zip_bigrams",
     "order_date_roundtrip",
     "event_type_pivot",
@@ -1321,6 +1300,56 @@ ORDER: list[str] = [
     "doc_rag_chunks",
     "snapshot_diff",
     "doc_dq_profile",
+    # ---- tail: r9-driver-green, operators untouched this round ----
+    "doc_hh_candidates",
+    "doc_hashing_tfidf",
+    "doc_corpus_pipeline",
+    "doc_split_corpus",
+    "doc_oov_ratio",
+    "doc_cross_corpus_dups",
+    "emb_cluster_assign",
+    "doc_media_features",
+    "doc_corpus_profile",
+    "doc_minhash_pairs",
+    "doc_neardup_clusters",
+    "doc_neardup_survivors",
+    "doc_regex_extract",
+    "doc_token_counts",
+    "doc_rolling_hash",
+    "doc_dedup_survivors",
+    "parts_brand_stats",
+    "supplier_balance_by_nation",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers",
+    "order_priority_semi",
+    "customers_without_orders",
+    "top_acctbal_per_nation",
+    "rollup_revenue",
+    "sessionize",
+    "asof_purchase_click",
+    "revenue_grouping_sets",
+    "doc_exact_dups",
+    "doc_simhash",
+    "doc_ngram_jaccard",
+    "doc_token_dim",
+    "doc_token_bridge",
+    "doc_clean_filters",
+    "events_props_struct",
+    "doc_pii_scrub",
+    "doc_repetition_stats",
+    "doc_domain_mix",
+    "doc_decontaminate",
+    "doc_pack_sequences",
+    "event_interval_join",
+    "doc_vocab_topk",
+    "doc_bpe_tokens",
+    "doc_heavy_hitters",
+    "host_pagerank",
+    "doc_bloom_screen",
+    "doc_normalize_dups",
+    "doc_pmi_collocations",
+    "doc_containment",
 ]
 
 assert sorted(ORDER) == sorted(_BY_NAME), (

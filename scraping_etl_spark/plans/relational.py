@@ -1005,7 +1005,11 @@ def q_part_avg_qty_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange is reused — AQE sees matching partitioning), then the tiny
     brand rollup. The boundary compare is deterministic: quantities are
     integer-valued, so ``avg`` is an exact-integer-sum / count in both
-    engines regardless of summation order.
+    engines regardless of summation order; the price rollup sums CENTS
+    (exact BIGINT, order-independent) and divides once at render, so
+    the rounded-2 output can't flip on a .005 boundary between Spark's
+    partial-agg order and DuckDB's (the ``customer_idle_rich``
+    convention).
     """
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
@@ -1015,7 +1019,8 @@ def q_part_avg_qty_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PART_AVG_QTY_OUTLIERS = """
 SELECT p.p_brand AS brand,
        CAST(count(*) AS BIGINT) AS n_outlier_lines,
-       round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+       round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0 / 7.0, 2) AS avg_yearly
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
                       FROM lineitem l2

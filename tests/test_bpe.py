@@ -297,3 +297,23 @@ def test_encode_eow_ids_present_and_decode_unknown_lossy(spark):
     assert bpe.UNK_ID in ids           # z not in training alphabet
     dec = bpe.decode_token_ids(enc, vocab).collect()[0].text_rt
     assert dec == "aa ��"  # each unknown char decodes to U+FFFD
+
+
+def test_encode_sentinel_collision_token_round_trips(spark):
+    """A corpus token equal to the internal EOW sentinel byte sequence
+    ('\\x00eow' — NUL bytes survive whitespace tokenization in scraped
+    text) must encode through the vocab path and round-trip, NOT be
+    mistaken for a word boundary: the marker is flagged positionally,
+    never by string equality."""
+    evil = "\x00eow"
+    df = spark.createDataFrame(
+        [(1, f"{evil} {evil} plain")], "doc_id LONG, text STRING"
+    )
+    merges = bpe.bpe_train(df, n_merges=8, min_pair_count=1)
+    seg = bpe.word_segment_table(df, merges)
+    vocab = bpe.bpe_vocab(seg)
+    enc = bpe.encode_token_ids(df, seg, vocab, append_eow=True)
+    ids = enc.collect()[0].token_ids
+    assert ids.count(bpe.EOW_ID) == 3  # exactly one per word, no extras
+    dec = bpe.decode_token_ids(enc, vocab).collect()[0].text_rt
+    assert dec == f"{evil} {evil} plain"

@@ -745,6 +745,53 @@ def test_allpairs_threshold_validation_and_determinism(spark):
     assert a == b and a  # non-empty: the planted pairs
 
 
+def test_allpairs_length_filter_engages_and_lossless(spark):
+    """PPJoin length filter (Xiao et al., WWW 2008): on a size-skewed
+    corpus it must strictly shrink the candidate set at a low
+    threshold (engagement), while the verified result stays exactly
+    the brute force (losslessness: J <= min/max, so size-incompatible
+    pairs can never verify)."""
+    from pyspark.sql import functions as F
+    from scraping_etl_spark.operators.dedup import (
+        _allpairs_candidates,
+        allpairs_jaccard,
+    )
+
+    # Each tiny doc is a single rare token that is also the RAREST
+    # token of one long doc (df=2, so it heads the long doc's prefix
+    # under the rarest-first order while the df=10 filler does not):
+    # the prefix join must emit the (tiny, long) candidate, but a
+    # 1-token set can never reach J >= 0.4 against a 41-token set, so
+    # the length filter prunes it and brute force never contains it.
+    filler = " ".join(f"f{j}" for j in range(40))
+    rows = [(i, f"rare{i} {filler}") for i in range(10)]   # 41 tokens
+    rows += [(100 + i, f"rare{i}") for i in range(10)]     # 1 token
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 0.4
+    sets = df.select(
+        F.col("doc_id").alias("_id"),
+        F.array_sort(F.array_distinct(F.split("text", " "))).alias("_set"),
+    ).localCheckpoint()
+    n_with = _allpairs_candidates(sets, t, length_filter=True).count()
+    n_without = _allpairs_candidates(sets, t, length_filter=False).count()
+    assert n_with < n_without, (n_with, n_without)
+    got = {(r.id_a, r.id_b, r.jacc)
+           for r in allpairs_jaccard(df, t, k=1).collect()}
+    assert got == _brute_jaccard(df.collect(), 1, t)
+
+
+def test_allpairs_low_threshold_warns(spark):
+    import warnings as _w
+
+    from scraping_etl_spark.operators.dedup import allpairs_jaccard
+
+    df = _ap_corpus(spark, n=8)
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        allpairs_jaccard(df, 0.2)  # plan construction is enough
+        assert any("floor" in str(c.message) for c in caught)
+
+
 # ---------------------------------------------------------------------------
 # IVF-PQ (IVFADC)
 # ---------------------------------------------------------------------------

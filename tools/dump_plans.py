@@ -44,6 +44,8 @@ def main() -> None:
     from scraping_etl_spark.plans import ml_ops as M
     from scraping_etl_spark.plans import pipeline_ops as P
     from scraping_etl_spark.plans import relational as R
+    from scraping_etl_spark.plans import screen_ops as SC
+    from scraping_etl_spark.plans import star_ops as ST
     from scraping_etl_spark.session import get_spark
 
     picks = [
@@ -150,6 +152,16 @@ def main() -> None:
          "distributed k-means final assignment: trained centroids as "
          "plan constants, per-row argmin, ZERO exchanges (training = "
          "4 map-side assign + k*d-bounded partial-agg rounds)"),
+        ("doc_allpairs", SC.q_doc_allpairs,
+         "exact similarity join: explode, df-count, rarest-first "
+         "prefix slice, prefix-token equi-join carrying the PPJoin "
+         "length predicate (min >= t*max pruned pre-distinct), "
+         "id-keyed verify — no BNLJ/cartesian at any threshold"),
+        ("star_pipeline", ST.q_star_pipeline,
+         "one-job star build: the shared cleaning lineage is "
+         "localCheckpointed once, so every rollup branch scans the "
+         "checkpoint instead of re-running the cleaning chain "
+         "(~30 exchanges -> one corpus scan + rollups)"),
     ]
 
     spark = get_spark()

@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Machine-readable rotation ledger (r9 verdict item 6).
+
+Reconstructs every registry entry's driver-verification history from
+the committed ``CORRECTNESS_r*.json`` artifacts plus the registry's
+current ``ORDER`` — generated, never hand-maintained — and writes
+``ROTATION.json`` at the repo root:
+
+    {"round": N,
+     "window": [...first 50 ORDER names...],
+     "entries": {name: {"first_seated": r | null,
+                        "last_driver_green": r | null,
+                        "seat": 1-based ORDER position,
+                        "status": "window" | "tail"}}}
+
+``first_seated`` is the first round whose driver CORRECTNESS file
+contains the entry; ``last_driver_green`` the latest round where its
+row was fully green (rows+schema+hash true, err null; rows-only
+entries count hash_match=null rows as green when rows_match holds and
+no oracle is registered). Usage: ``python tools/make_rotation.py
+<round>`` (the round number being generated for).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+WINDOW = 50
+
+
+def _green(row: dict, has_oracle: bool) -> bool:
+    if row.get("err"):
+        return False
+    if not row.get("rows_match"):
+        return False
+    if has_oracle:
+        return bool(row.get("schema_match")) and bool(row.get("hash_match"))
+    return True
+
+
+def main() -> int:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+
+    from scraping_etl_spark.plans.registry import ORDER, QUERIES
+
+    oracled = {q.name for q in QUERIES if q.oracle is not None}
+
+    history: dict[str, dict[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:  # skip CORRECTNESS_LOCAL_r*.json — driver rows only
+            continue
+        r = int(m.group(1))
+        with open(path) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            history.setdefault(name, {})[r] = _green(row, name in oracled)
+
+    entries = {}
+    for i, name in enumerate(ORDER):
+        seen = history.get(name, {})
+        greens = [r for r, ok in seen.items() if ok]
+        entries[name] = {
+            "first_seated": min(seen) if seen else None,
+            "last_driver_green": max(greens) if greens else None,
+            "seat": i + 1,
+            "status": "window" if i < WINDOW else "tail",
+        }
+
+    out = {"round": rnd, "window": ORDER[:WINDOW], "entries": entries}
+    dest = os.path.join(repo, "ROTATION.json")
+    with open(dest, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=False)
+        f.write("\n")
+
+    never = [n for n, e in entries.items() if e["first_seated"] is None]
+    stale = [
+        n for n, e in entries.items()
+        if e["last_driver_green"] is not None
+        and rnd - e["last_driver_green"] > 3
+    ]
+    print(
+        f"ROTATION.json: {len(entries)} entries, "
+        f"{len(never)} never seated, {len(stale)} older than trailing-3"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
