@@ -354,10 +354,10 @@ def bpe_vocab(seg: DataFrame) -> DataFrame:
 UNK_ID = -1
 
 #: Reserved end-of-word id (``append_eow=True``) and its internal
-#: marker symbol. The marker is recognized POSITIONALLY (a flag on the
-#: appended element, see ``encode_token_ids``), not by string equality,
-#: so even a corpus token containing this exact byte sequence encodes
-#: through the vocab path; the marker never reaches the output.
+#: marker symbol. The marker is recognized POSITIONALLY (it is always
+#: the appended LAST element, see ``encode_token_ids``), not by string
+#: equality, so even a corpus token containing this exact byte sequence
+#: encodes through the vocab path; the marker never reaches the output.
 EOW_ID = -2
 _EOW_SYM = "\x00eow"
 
@@ -396,32 +396,26 @@ def encode_token_ids(
         and s.limit(max_broadcast_words + 1).count() <= max_broadcast_words
     )
     syms = F.coalesce(F.col("_sym"), char_symbols(F.col("_w")))
-    # The word-boundary marker is flagged POSITIONALLY (a struct bool on
-    # the appended element), never by string equality: a corpus subword
-    # that happens to equal the sentinel byte sequence (NUL bytes survive
-    # whitespace tokenization in scraped text) must take the vocab-id
-    # path, not decode as a word break — string matching here would
-    # silently break the decode round trip for exactly those documents.
-    marked = F.transform(
-        syms, lambda x: F.struct(x.alias("s"), F.lit(False).alias("e"))
-    )
     if append_eow:
         # word-boundary sentinel: makes the id sequence decodable
         # (:func:`decode_token_ids`) — real tokenizers carry the same
         # information as </w> markers or byte-level space tokens
-        marked = F.concat(
-            marked,
-            F.array(F.struct(F.lit(_EOW_SYM).alias("s"), F.lit(True).alias("e"))),
-        )
+        syms = F.concat(syms, F.array(F.lit(_EOW_SYM)))
+    # The word-boundary marker is recognized POSITIONALLY — it is
+    # always the LAST element of the appended array — never by string
+    # equality: a corpus subword that happens to equal the sentinel
+    # byte sequence (NUL bytes survive whitespace tokenization in
+    # scraped text) must take the vocab-id path, not decode as a word
+    # break; string matching here would silently break the decode
+    # round trip for exactly those documents.
     segmented = (
         toks.join(F.broadcast(s) if fits else s, "_w", "left")
-        .select(id_col, "_pos", F.posexplode(marked).alias("_spos", "_m"))
+        .select(id_col, "_pos", syms.alias("_syms"))
         .select(
             id_col,
             "_pos",
-            "_spos",
-            F.col("_m.s").alias("subword"),
-            F.col("_m.e").alias("_eow"),
+            F.size("_syms").alias("_len"),
+            F.posexplode("_syms").alias("_spos", "subword"),
         )
     )
     v = vocab.select("subword", "token_id")
@@ -429,7 +423,10 @@ def encode_token_ids(
         id_col,
         "_pos",
         "_spos",
-        F.when(F.col("_eow"), F.lit(EOW_ID))
+        F.when(
+            F.lit(append_eow) & (F.col("_spos") == F.col("_len") - 1),
+            F.lit(EOW_ID),
+        )
         .otherwise(F.coalesce(F.col("token_id"), F.lit(UNK_ID)))
         .cast("int")
         .alias("_id"),
