@@ -42,11 +42,11 @@ def _green(row: dict, has_oracle: bool) -> bool:
     return True
 
 
-def main() -> int:
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+def build_ledger(repo: str) -> dict[str, dict]:
+    """Per-entry ``{first_seated, last_driver_green, seat, status}``
+    from the committed driver CORRECTNESS files + the registry ORDER.
+    Importable so tests can assert the rotation invariants directly."""
     sys.path.insert(0, repo)
-    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
-
     from scraping_etl_spark.plans.registry import ORDER, QUERIES
 
     oracled = {q.name for q in QUERIES if q.oracle is not None}
@@ -60,9 +60,11 @@ def main() -> int:
         with open(path) as f:
             rows = json.load(f)
         for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue  # summary fields (n_ok, sf_dir, ...)
             history.setdefault(name, {})[r] = _green(row, name in oracled)
 
-    entries = {}
+    entries: dict[str, dict] = {}
     for i, name in enumerate(ORDER):
         seen = history.get(name, {})
         greens = [r for r, ok in seen.items() if ok]
@@ -72,6 +74,16 @@ def main() -> int:
             "seat": i + 1,
             "status": "window" if i < WINDOW else "tail",
         }
+    return entries
+
+
+def main() -> int:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+
+    entries = build_ledger(repo)
+
+    from scraping_etl_spark.plans.registry import ORDER
 
     out = {"round": rnd, "window": ORDER[:WINDOW], "entries": entries}
     dest = os.path.join(repo, "ROTATION.json")
