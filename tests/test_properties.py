@@ -509,3 +509,54 @@ def test_ngram_novelty_matches_python_reference(spark, docs, k):
         novel = sum(1 for g in sh if first[g] == i)
         assert got[i][0] == len(sh)
         assert abs(got[i][1] - round(novel / len(sh), 6)) < 1e-9, (i, docs)
+
+
+# ---------------------------------------------------------------------------
+# AllPairs exact similarity join vs brute force (incl. the PPJoin
+# length filter and sub-floor thresholds)
+# ---------------------------------------------------------------------------
+
+_AP_THRESHOLDS = (0.25, 0.4, 0.55, 0.75, 1.0)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(  # token sets over a TINY alphabet -> heavy overlap,
+        st.sets(  # adversarial for both prefix and length filtering
+            st.sampled_from([f"t{i}" for i in range(9)]), min_size=0, max_size=7
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    st.sampled_from(_AP_THRESHOLDS),
+)
+def test_allpairs_sets_equal_brute_force(spark, sets_py, t):
+    """allpairs_jaccard_sets == the O(n²) loop oracle for ANY input
+    and ANY threshold, including below the documented floor (the
+    warning fires there; completeness must not depend on it) — the
+    prefix filter's completeness proof and the length filter's
+    losslessness, fuzzed together."""
+    import warnings as _w
+
+    from scraping_etl_spark.operators.dedup import allpairs_jaccard_sets
+
+    df = spark.createDataFrame(
+        [(i, sorted(s)) for i, s in enumerate(sets_py)],
+        "_id long, _set array<string>",
+    )
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")  # sub-floor thresholds warn by design
+        got = {
+            (r.id_a, r.id_b, r.jacc)
+            for r in allpairs_jaccard_sets(df, t).collect()
+        }
+    want = set()
+    for i, a in enumerate(sets_py):
+        for j in range(i + 1, len(sets_py)):
+            b = sets_py[j]
+            if not a or not b:
+                continue
+            jc = round(len(a & b) / len(a | b), 6)
+            if jc >= t:
+                want.add((i, j, jc))
+    assert got == want, (sets_py, t)
