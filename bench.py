@@ -1,9 +1,13 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the engine's headline queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints the JSON payload line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+followed by one SMALL final line of the same schema (slowest queries
+only, sized to survive the driver's last-2000-bytes stdout capture —
+see the comment at the print site).
 
 Each query is executed once as a warm-up-free timed run; the reported
 per-query time is wall-clock from plan construction to a count/collect
@@ -75,24 +79,49 @@ def main() -> None:
     if errors:
         payload["errors"] = errors
     print(json.dumps(payload))
-    # r8 verdict hygiene: the driver captures stdout and can truncate
-    # the tail on a long registry, leaving BENCH_r{N}.json unparsable —
-    # always persist the full payload to a file too, plus a compact
-    # {name: seconds} twin with total_s up front (r9 verdict item 7:
-    # the summary stays parseable even if a tail gets cut).
+    # The driver records only the LAST ~2000 bytes of stdout (observed
+    # in BENCH_r8-r10: "tail" holds the END of the payload line, its
+    # head cut, parsed=null). So after the full payload, print one
+    # SMALL final line — a miniature of the payload schema whose
+    # "queries" map holds as many entries as fit (slowest first: they
+    # dominate the total and are what round-over-round comparison
+    # reads), with an explicit omitted-count so the cap is never
+    # silent. The final line always fits the capture whole, so the
+    # driver's parse succeeds however long the registry grows.
+    mini = dict(payload)
+    mini.pop("errors", None)
+    mini["n_queries"] = len(timings)
+    mini["n_errors"] = len(errors)
+    by_cost = sorted(
+        timings, key=lambda k: (-(timings[k] or 0.0), k)
+    )
+    keep = len(by_cost)
+    while keep > 0:
+        mini["queries"] = {k: timings[k] for k in by_cost[:keep]}
+        mini["queries_omitted"] = len(by_cost) - keep
+        if len(json.dumps(mini)) <= 1500:
+            break
+        keep -= max(1, keep // 10)
+    print(json.dumps(mini))
+    # Persist the full payload to files too: BENCH_LOCAL.json verbatim
+    # plus a compact one-key-per-line twin whose head lines carry the
+    # summary — greppable from a cut file even though truncated JSON
+    # itself never parses (the parse-safe channel is the final stdout
+    # line above).
     try:
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
-        compact = {
+        summary = {
             "total_s": round(total, 4),
             "n_queries": len(timings),
             "n_errors": len(errors),
             "sf": payload["sf"],
         }
-        compact.update(
-            {k: timings[k] for k in sorted(timings, key=lambda k: k)}
-        )
+        compact = dict(summary)
+        for k in sorted(timings):
+            # a query named like a summary key must not overwrite it
+            compact[f"query:{k}" if k in summary else k] = timings[k]
         with open(os.path.join(here, "BENCH_LOCAL_COMPACT.json"), "w") as f:
             json.dump(compact, f, indent=0)
             f.write("\n")

@@ -992,19 +992,41 @@ def ccnet_buckets(
 # Sequence packing
 # ---------------------------------------------------------------------------
 
-def pack_sequences(
+def _check_pack_keys(n_shards: int, by: str, id_col: str) -> None:
+    """Shared up-front validation for the packing faces: the output
+    carries shard/seq_id/n_len columns ('_shard' while building); a
+    same-named key would make the window key ambiguous."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    reserved = {"shard", "_shard", "seq_id", "n_len"}
+    if by in reserved or id_col in reserved:
+        raise ValueError(
+            f"by/id_col may not be named {sorted(reserved)} "
+            f"(got by={by!r}, id_col={id_col!r})"
+        )
+
+
+def place_sequences(
     df: DataFrame,
     budget: int,
     id_col: str = "doc_id",
     text_col: str = "text",
     by: str = "lang",
     n_shards: int = 64,
+    len_col: str | None = None,
 ) -> DataFrame:
-    """Concat-and-chunk packing: within each (``by`` stratum, shard),
-    documents are laid end-to-end in ``id_col`` order and cut every
-    ``budget`` tokens; a doc belongs to the sequence its first token
-    lands in. Returns one row per (stratum, shard, seq_id): doc count,
-    token total, id span.
+    """Per-document sequence PLACEMENT — the doc → training-sequence
+    assignment an export actually materializes shards from (the
+    aggregated view is :func:`pack_sequences`). Within each (``by``
+    stratum, shard), documents are laid end-to-end in ``id_col`` order
+    and cut every ``budget`` tokens; a doc belongs to the sequence its
+    first token lands in. Returns the input columns + ``n_len`` (the
+    per-doc length used), ``shard`` and ``seq_id``.
+
+    ``len_col`` selects a precomputed length column (e.g. ``n_ids``
+    from :func:`bpe.encode_token_ids` — packing on REAL tokenizer ids,
+    not whitespace words, is what a train-ready export wants); when
+    None the length is the whitespace token count of ``text_col``.
 
     The window is partitioned by (stratum, shard) where ``shard`` is a
     deterministic md5 bucket of the id — NOT by the stratum alone: a
@@ -1020,43 +1042,65 @@ def pack_sequences(
     ``n_shards=1`` recovers the single-stream-per-stratum semantics
     (useful when ``by`` is already fine-grained). The md5-bucket shard
     term is the same base-16→10 trick as :func:`mix_bucket`, so the
-    DuckDB oracle reproduces placement bit-for-bit."""
-    if n_shards < 1:
-        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    if "shard" in (by, id_col) or "_shard" in (by, id_col):
-        # The output carries a 'shard' column ('_shard' while building);
-        # a same-named input would make the window key ambiguous.
-        raise ValueError(
-            f"by/id_col may not be named 'shard' or '_shard' "
-            f"(got by={by!r}, id_col={id_col!r})"
-        )
+    DuckDB oracle reproduces placement bit-for-bit.
+
+    Scale note: every input column rides the window exchange — project
+    df down to what the export needs BEFORE placing (the aggregated
+    :func:`pack_sequences` does exactly that)."""
+    _check_pack_keys(n_shards, by, id_col)
     shard = (
         md5_bucket(F.col(id_col), n_shards) if n_shards > 1
         else F.lit(0).cast("long")
+    )
+    n = (
+        F.col(len_col).cast("long") if len_col is not None
+        else F.size(tokens(text_col)).cast("long")
     )
     w = (
         Window.partitionBy(by, "_shard")
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    toks = df.select(
-        F.col(by),
-        shard.alias("_shard"),
-        F.col(id_col),
-        F.size(tokens(text_col)).cast("long").alias("_n"),
-    )
-    placed = toks.withColumn(
-        "seq_id", F.floor(F.coalesce(F.sum("_n").over(w), F.lit(0)) / budget)
-    )
-    return (
-        placed.groupBy(by, "_shard", "seq_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("_n").alias("seq_tokens"),
-            F.min(id_col).alias("first_doc"),
-            F.max(id_col).alias("last_doc"),
+    placed = (
+        df.withColumn("_shard", shard)
+        .withColumn("n_len", n)
+        .withColumn(
+            "seq_id",
+            F.floor(F.coalesce(F.sum("n_len").over(w), F.lit(0)) / budget),
         )
-        .withColumnRenamed("_shard", "shard")
+    )
+    return placed.withColumnRenamed("_shard", "shard")
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    by: str = "lang",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Concat-and-chunk packing: one row per (stratum, shard, seq_id)
+    with doc count, token total and id span — the rollup view of
+    :func:`place_sequences` (see there for the placement rule, the
+    shard-bounded window and the 100 TB sizing note). The window input
+    is projected to (stratum, id, length) first so the exchange never
+    carries document text."""
+    _check_pack_keys(n_shards, by, id_col)
+    slim = df.select(
+        F.col(by),
+        F.col(id_col),
+        F.size(tokens(text_col)).cast("long").alias("_plen"),
+    )
+    placed = place_sequences(
+        slim, budget, id_col=id_col, by=by, n_shards=n_shards,
+        len_col="_plen",
+    )
+    return placed.groupBy(by, "shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_len").alias("seq_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
     )
 
 

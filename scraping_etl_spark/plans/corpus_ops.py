@@ -1568,6 +1568,224 @@ FROM documents d LEFT JOIN agg USING (doc_id)
 
 
 # ---------------------------------------------------------------------------
+# Train-ready export pipeline (the tokenize-side composition gate)
+# ---------------------------------------------------------------------------
+
+#: Re-key offset for the planted duplicate copies (the synthetic
+#: corpus has no duplicate texts — same convention as chunk dedup).
+_TE_DUP_OFFSET = 1_000_000
+_TE_BUDGET = 512        # token IDS per training sequence
+_TE_PACK_SHARDS = 8     # window-bounding shards for the packer
+_TE_OUT_SHARDS = 8      # shuffled output shards
+_TE_SEED = "epoch0"
+
+
+def _te_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a re-keyed copy of every 5th doc, so the dedup
+    stage has real work (the synthetic corpus is duplicate-free)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    dups = d.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(_TE_DUP_OFFSET)
+    )
+    return d.unionByName(dups)
+
+
+def q_train_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole TOKENIZE-side export path as ONE query — what a
+    training-data team runs between "curated" and "bytes on disk",
+    end-to-end on this engine (the tokenize analog of
+    ``curation_pipeline``; reference anchor: the notebook's final
+    export cells, ``DB/ETL.ipynb`` raw 1457-1510):
+
+    exact dedup (min-id survivor per content hash, over a corpus with
+    planted re-keyed copies) → BPE-encode every survivor to its
+    ordered token-id sequence (``bpe.encode_token_ids``) → pack the
+    ID sequences into ``_TE_BUDGET``-id training sequences
+    (``corpus_prep.place_sequences`` on ``n_ids`` — REAL tokenizer
+    lengths, not whitespace words) → deterministic shuffled-shards
+    layout over the sequences (``curation.shuffle_to_shards``).
+
+    Every stage is an already-gated operator; this row gates their
+    COMPOSITION: packing boundaries depend on the trained merges,
+    shard layout depends on the packing, and the per-sequence id
+    checksum (``ids_sum``) rides all four stages. Plan: dedup is one
+    partial-agg shuffle + a semi join; encode is the audited
+    token-cardinality reassembly; packing is one shard-bounded window
+    over (doc_id, n_ids, ids_sum) slim rows; the shuffle is one
+    hash exchange + per-shard task-sized sorts."""
+    from scraping_etl_spark.operators.curation import shuffle_to_shards
+
+    _bpe_query_dirs.add(sf_dir)
+    merges, _ = _bpe_artifacts(sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    corpus = _te_corpus(spark, sf_dir)
+    # 1. curate: exact dedup, min-id survivor per content hash
+    surv = corpus.groupBy(F.md5("text").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    # slim spine through the rest of the pipeline; checkpoint once so
+    # the dedup lineage doesn't recompute under encode's two consumers
+    kept = (
+        corpus.join(surv.select("doc_id"), "doc_id", "left_semi")
+        .localCheckpoint()
+    )
+    # 2. encode: ordered subword ids (vocab trained on the raw corpus,
+    #    as _bpe_encode_artifacts embeds for the oracle)
+    seg = BPE.word_segment_table(d, list(merges))
+    vocab = BPE.bpe_vocab(seg)
+    enc = BPE.encode_token_ids(kept, seg, vocab).withColumn(
+        "ids_sum",
+        F.aggregate("token_ids", F.lit(0).cast("long"), lambda a, x: a + x),
+    )
+    enc = enc.join(kept.select("doc_id", "lang"), "doc_id")
+    # 3. pack: id-budget sequences, shard-bounded window
+    placed = CP.place_sequences(
+        enc.select("lang", "doc_id", "n_ids", "ids_sum"),
+        budget=_TE_BUDGET, len_col="n_ids", n_shards=_TE_PACK_SHARDS,
+    )
+    seqs = (
+        placed.groupBy("lang", "shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_ids").cast("long").alias("seq_ids"),
+            F.sum("ids_sum").cast("long").alias("ids_sum"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .withColumnRenamed("shard", "pack_shard")
+        .withColumn(
+            "seq_key", F.concat_ws("|", "lang", "pack_shard", "seq_id")
+        )
+    )
+    # 4. shuffled-shards layout over the packed sequences
+    out = shuffle_to_shards(
+        seqs, n_shards=_TE_OUT_SHARDS, seed=_TE_SEED, key_col="seq_key"
+    )
+    return out.select(
+        "shard", "shard_pos", "seq_key", "lang", "n_docs", "seq_ids",
+        "ids_sum", "first_doc", "last_doc",
+    ).orderBy("shard", "shard_pos")
+
+
+def oracle_train_export_pipeline(sf_dir: str | None = None) -> str:
+    """Lazy DuckDB twin of the export composition: the trained
+    segmentation + vocabulary embedded as plan constants (shared
+    ``_bpe_encode_artifacts`` — same artifacts the encode gate uses),
+    then dedup → per-doc (n_ids, ids_sum) → md5-shard window packing →
+    md5-perm shard ranking, each an exact relational mirror. Same
+    dir-pairing guard as the other lazy BPE oracles."""
+    if sf_dir is None:
+        if "SPARK_GRAFT_ORACLE_SF_DIR" in os.environ:
+            sf_dir = os.environ["SPARK_GRAFT_ORACLE_SF_DIR"]
+        elif len(_bpe_query_dirs) == 1:
+            sf_dir = next(iter(_bpe_query_dirs))
+        else:
+            sf_dir = _BPE_ORACLE_SF_DIR
+        if _bpe_query_dirs and sf_dir not in _bpe_query_dirs:
+            raise RuntimeError(
+                f"train_export_pipeline oracle: would train at {sf_dir!r} "
+                f"but the query ran at {sorted(_bpe_query_dirs)!r} — pass "
+                f"sf_dir or set SPARK_GRAFT_ORACLE_SF_DIR to pair them."
+            )
+    seg_rows, vocab_rows = _bpe_encode_artifacts(sf_dir)
+    seg_values = ",\n    ".join(
+        "('{}', '{}')".format(w.replace("'", "''"), s.replace("'", "''"))
+        for w, s in seg_rows
+    )
+    vocab_values = ",\n    ".join(
+        "('{}', {})".format(s.replace("'", "''"), i) for s, i in vocab_rows
+    )
+    return f"""
+WITH seg(word, syms) AS (VALUES
+    {seg_values}
+),
+vocab(subword, token_id) AS (VALUES
+    {vocab_values}
+),
+corpus AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_TE_DUP_OFFSET} AS doc_id, lang, text
+  FROM documents WHERE doc_id % 5 = 0
+),
+surv AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+kept AS (SELECT c.* FROM corpus c SEMI JOIN surv USING (doc_id)),
+tok AS (
+  SELECT doc_id, unnest(t) AS w
+  FROM (SELECT doc_id, {_LTOKS} AS t FROM kept)
+),
+segged AS (
+  SELECT tok.doc_id,
+         CASE WHEN seg.syms IS NOT NULL THEN string_split(seg.syms, ' ')
+              ELSE list_transform(generate_series(1, len(tok.w)),
+                                  i -> substr(tok.w, i, 1))
+         END AS sl
+  FROM tok LEFT JOIN seg ON tok.w = seg.word
+),
+subs AS (SELECT doc_id, unnest(sl) AS subword FROM segged),
+perdoc AS (
+  SELECT s.doc_id,
+         CAST(count(*) AS BIGINT) AS n_ids,
+         CAST(sum(COALESCE(v.token_id, -1)) AS BIGINT) AS ids_sum
+  FROM subs s LEFT JOIN vocab v ON s.subword = v.subword
+  GROUP BY 1
+),
+encd AS (
+  SELECT k.doc_id, k.lang,
+         COALESCE(p.n_ids, 0) AS n_ids,
+         COALESCE(p.ids_sum, 0) AS ids_sum
+  FROM kept k LEFT JOIN perdoc p USING (doc_id)
+),
+sharded AS (
+  SELECT lang, doc_id, n_ids, ids_sum,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % {_TE_PACK_SHARDS}) AS pack_shard
+  FROM encd
+),
+placed AS (
+  SELECT lang, pack_shard, doc_id, n_ids, ids_sum,
+         CAST(floor(coalesce(
+           sum(n_ids) OVER (PARTITION BY lang, pack_shard ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING),
+           0) / {_TE_BUDGET}) AS BIGINT) AS seq_id
+  FROM sharded
+),
+seqs AS (
+  SELECT lang, pack_shard, seq_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_ids) AS BIGINT) AS seq_ids,
+         CAST(sum(ids_sum) AS BIGINT) AS ids_sum,
+         min(doc_id) AS first_doc,
+         max(doc_id) AS last_doc
+  FROM placed
+  GROUP BY 1, 2, 3
+),
+keyed AS (
+  SELECT *,
+         lang || '|' || CAST(pack_shard AS VARCHAR)
+              || '|' || CAST(seq_id AS VARCHAR) AS seq_key
+  FROM seqs
+),
+permed AS (
+  SELECT *, md5('{_TE_SEED}' || '|' || seq_key) AS perm FROM keyed
+),
+laid AS (
+  SELECT *,
+         CAST((('0x' || substr(perm, 1, 15))::BIGINT % {_TE_OUT_SHARDS})
+              AS INTEGER) AS shard
+  FROM permed
+)
+SELECT shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY perm, seq_key) - 1
+            AS BIGINT) AS shard_pos,
+       seq_key, lang, n_docs, seq_ids, ids_sum, first_doc, last_doc
+FROM laid
+ORDER BY shard, shard_pos
+"""
+
+
+# ---------------------------------------------------------------------------
 # CCNet perplexity buckets (corpus_prep.ccnet_buckets gate)
 # ---------------------------------------------------------------------------
 

@@ -357,6 +357,29 @@ threshold floor; ``doc_token_ids`` / ``doc_bpe_roundtrip``'s encoder
 now flags the end-of-word sentinel positionally (a corpus token
 equal to the sentinel byte sequence encodes through the vocab path
 instead of breaking the decode round trip).
+
+Round-11 first amendment: ``train_export_pipeline`` (the
+tokenize-side end-to-end composition gate beside
+``curation_pipeline`` / ``rag_pipeline`` / ``star_pipeline``: exact
+dedup over a corpus with planted re-keyed copies → BPE token-id
+encode of the survivors → id-budget sequence packing on REAL
+tokenizer lengths (the new ``corpus_prep.place_sequences`` face,
+which ``pack_sequences`` now aggregates) → deterministic
+shuffled-shards layout over the sequences; per-sequence id checksum
+rides all four stages; one lazy plan-constants oracle) joins the r11
+window — 138 entries.
+
+Round-11 rotation: the window seats the 38 entries whose last driver
+row is r8 (the seniors the trailing-3 invariant owes seats by this
+round, in staleness-then-seat order), the new
+``train_export_pipeline`` gate, and the 11 most senior r9-green
+entries (``doc_hh_candidates`` … ``doc_neardup_clusters``). The tail
+leads with the remaining 38 r9-green entries (r12-priority order),
+then the 50 r10-green entries. Queue math after this round: r12 owes
+the 38 r9-green tail entries seats, leaving 12 for new/changed
+gates; ``tests/test_rotation_schedule.py`` now asserts the FORWARD
+invariant too (the checked-in window must pre-seat everything that
+would exceed trailing-3 at the next round).
 """
 
 from __future__ import annotations
@@ -1193,18 +1216,122 @@ _REGISTERED += [
     ),
 ]
 
+_REGISTERED += [
+    QuerySpec(
+        "train_export_pipeline", C.q_train_export_pipeline,
+        C.oracle_train_export_pipeline,
+        "train-ready export composition: exact dedup -> BPE token-id "
+        "encode -> id-budget sequence packing -> shuffled shards, "
+        "per-sequence id checksum end-to-end (lazy plan-constants "
+        "oracle)",
+    ),
+]
+
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 
-#: The round-10 verification schedule: the first 50 names are the
+#: The round-11 verification schedule: the first 50 names are the
 #: driver window, the rest the tail. Rotations from round 9 on edit
 #: THIS list (definition order above is append-only registration
 #: order); the module docstring records each round's moves and
 #: ``tools/make_rotation.py`` emits the machine-readable ledger
 #: (ROTATION.json: per entry first_seated / last_driver_green).
 ORDER: list[str] = [
-    # ---- r10 window seats 1-40: the entire never-driver-checked ----
-    # ---- r9 queue (all locally DuckDB-green since r9)            ----
+    # ---- r11 window seats 1-38: every entry whose last driver ----
+    # ---- row is r8 (trailing-3 owes each a seat this round),  ----
+    # ---- staleness-then-seat order                            ----
+    "doc_zip_bigrams",
+    "order_date_roundtrip",
+    "event_type_pivot",
+    "orders_by_month",
+    "union_counterparties",
+    "orderkeys_except_open",
+    "doc_lm_score_ref",
+    "doc_stream_gates",
+    "doc_bm25",
+    "doc_source_cap",
+    "emb_semantic_dedup",
+    "doc_dup_passages",
+    "doc_quality_classifier",
+    "doc_dsir_weights",
+    "emb_decontaminate",
+    "doc_temperature_mix",
+    "dim_scd2",
+    "doc_token_divergence",
+    "doc_length_quantiles_kll",
+    "doc_url_canonical",
+    "emb_cosine_topk",
+    "emb_ann_topk",
+    "doc_chunk_dedup",
+    "doc_lm_score",
+    "doc_length_quantiles",
+    "doc_stratified_sample",
+    "doc_corpus_profile_hll",
+    "emb_ivf_topk",
+    "emb_quantized_topk",
+    "emb_cosine_dups",
+    "doc_collapse_repeats",
+    "doc_adaptive_quality",
+    "doc_winnow_pairs",
+    "doc_gumbel_sample",
+    "emb_cluster_profile",
+    "doc_rag_chunks",
+    "snapshot_diff",
+    "doc_dq_profile",
+    # ---- r11 window seat 39: the round's new composition gate ----
+    "train_export_pipeline",
+    # ---- r11 window seats 40-50: the 11 most senior r9-green  ----
+    "doc_hh_candidates",
+    "doc_hashing_tfidf",
+    "doc_corpus_pipeline",
+    "doc_split_corpus",
+    "doc_oov_ratio",
+    "doc_cross_corpus_dups",
+    "emb_cluster_assign",
+    "doc_media_features",
+    "doc_corpus_profile",
+    "doc_minhash_pairs",
+    "doc_neardup_clusters",
+    # ---- tail: remaining r9-green in r12-priority order ...   ----
+    "doc_neardup_survivors",
+    "doc_regex_extract",
+    "doc_token_counts",
+    "doc_rolling_hash",
+    "doc_dedup_survivors",
+    "parts_brand_stats",
+    "supplier_balance_by_nation",
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers",
+    "order_priority_semi",
+    "customers_without_orders",
+    "top_acctbal_per_nation",
+    "rollup_revenue",
+    "sessionize",
+    "asof_purchase_click",
+    "revenue_grouping_sets",
+    "doc_exact_dups",
+    "doc_simhash",
+    "doc_ngram_jaccard",
+    "doc_token_dim",
+    "doc_token_bridge",
+    "doc_clean_filters",
+    "events_props_struct",
+    "doc_pii_scrub",
+    "doc_repetition_stats",
+    "doc_domain_mix",
+    "doc_decontaminate",
+    "doc_pack_sequences",
+    "event_interval_join",
+    "doc_vocab_topk",
+    "doc_bpe_tokens",
+    "doc_heavy_hitters",
+    "host_pagerank",
+    "doc_bloom_screen",
+    "doc_normalize_dups",
+    "doc_pmi_collocations",
+    "doc_containment",
+    # ---- ... then the r10-green entries                       ----
     "doc_line_dedup",
     "doc_line_quality",
     "doc_shuffle_shards",
@@ -1245,11 +1372,7 @@ ORDER: list[str] = [
     "doc_title_fuzzy_match",
     "session_window_agg",
     "event_value_quantiles_approx",
-    # -- seat 41: re-seat, operator changed this round (build_star
-    # -- checkpoint_clean + gate now passes it; plan shape changed) --
     "star_pipeline",
-    # -- seats 42-50: the nine most senior entries (last driver row
-    # -- r8) -- the trailing-3-round invariant's oldest cohort      --
     "hourly_event_rollup",
     "doc_text_stats",
     "doc_lang_id",
@@ -1259,97 +1382,6 @@ ORDER: list[str] = [
     "json_props",
     "event_lag_delta",
     "event_moving_avg",
-    # ---- tail head: the remaining 38 r8-green seniors, in r11 ----
-    # ---- window priority order (trailing-3 invariant: every   ----
-    # ---- one must have a driver row by r11)                   ----
-    "doc_zip_bigrams",
-    "order_date_roundtrip",
-    "event_type_pivot",
-    "orders_by_month",
-    "union_counterparties",
-    "orderkeys_except_open",
-    "doc_lm_score_ref",
-    "doc_stream_gates",
-    "doc_bm25",
-    "doc_source_cap",
-    "emb_semantic_dedup",
-    "doc_dup_passages",
-    "doc_quality_classifier",
-    "doc_dsir_weights",
-    "emb_decontaminate",
-    "doc_temperature_mix",
-    "dim_scd2",
-    "doc_token_divergence",
-    "doc_length_quantiles_kll",
-    "doc_url_canonical",
-    "emb_cosine_topk",
-    "emb_ann_topk",
-    "doc_chunk_dedup",
-    "doc_lm_score",
-    "doc_length_quantiles",
-    "doc_stratified_sample",
-    "doc_corpus_profile_hll",
-    "emb_ivf_topk",
-    "emb_quantized_topk",
-    "emb_cosine_dups",
-    "doc_collapse_repeats",
-    "doc_adaptive_quality",
-    "doc_winnow_pairs",
-    "doc_gumbel_sample",
-    "emb_cluster_profile",
-    "doc_rag_chunks",
-    "snapshot_diff",
-    "doc_dq_profile",
-    # ---- tail: r9-driver-green, operators untouched this round ----
-    "doc_hh_candidates",
-    "doc_hashing_tfidf",
-    "doc_corpus_pipeline",
-    "doc_split_corpus",
-    "doc_oov_ratio",
-    "doc_cross_corpus_dups",
-    "emb_cluster_assign",
-    "doc_media_features",
-    "doc_corpus_profile",
-    "doc_minhash_pairs",
-    "doc_neardup_clusters",
-    "doc_neardup_survivors",
-    "doc_regex_extract",
-    "doc_token_counts",
-    "doc_rolling_hash",
-    "doc_dedup_survivors",
-    "parts_brand_stats",
-    "supplier_balance_by_nation",
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_customers",
-    "order_priority_semi",
-    "customers_without_orders",
-    "top_acctbal_per_nation",
-    "rollup_revenue",
-    "sessionize",
-    "asof_purchase_click",
-    "revenue_grouping_sets",
-    "doc_exact_dups",
-    "doc_simhash",
-    "doc_ngram_jaccard",
-    "doc_token_dim",
-    "doc_token_bridge",
-    "doc_clean_filters",
-    "events_props_struct",
-    "doc_pii_scrub",
-    "doc_repetition_stats",
-    "doc_domain_mix",
-    "doc_decontaminate",
-    "doc_pack_sequences",
-    "event_interval_join",
-    "doc_vocab_topk",
-    "doc_bpe_tokens",
-    "doc_heavy_hitters",
-    "host_pagerank",
-    "doc_bloom_screen",
-    "doc_normalize_dups",
-    "doc_pmi_collocations",
-    "doc_containment",
 ]
 
 assert sorted(ORDER) == sorted(_BY_NAME), (

@@ -71,12 +71,40 @@ def test_trailing_three_round_invariant():
     assert not stale, f"tail entries older than trailing-3 at r{rnd}: {stale}"
 
 
+def test_forward_trailing_three_invariant():
+    """The checked-in window must PRE-seat every entry that would
+    otherwise exceed trailing-3 at the NEXT round (r11 verdict item
+    2): an entry whose last driver-green row is <= rnd-3 is stale at
+    rnd+1 unless it sits in the rnd window — so a stale schedule
+    fails at authoring time, not one round after the fact."""
+    rnd = _current_round()
+    ledger = _ledger()
+    owed = [
+        n for n, e in ledger.items()
+        if e["status"] != "window"
+        and (e["last_driver_green"] is None
+             or e["last_driver_green"] <= rnd - 3)
+    ]
+    assert not owed, (
+        f"entries owed an r{rnd} seat (stale at r{rnd + 1} otherwise) "
+        f"left in the tail: {owed}"
+    )
+
+
 def test_rotation_artifact_matches_the_registry_if_committed():
     """A committed ROTATION.json must be the generated one: same seat
-    assignment as the current ORDER (it is emitted, never edited)."""
+    assignment as the current ORDER (it is emitted, never edited),
+    and its per-entry ledger fields must reproduce from the driver
+    CORRECTNESS artifacts available when it was authored (rounds <
+    its recorded round) — a stale hand-carried ledger fails here."""
     path = os.path.join(REPO, "ROTATION.json")
     if not os.path.exists(path):
         return
+    import sys
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from make_rotation import build_ledger
+
     from scraping_etl_spark.plans.registry import ORDER
 
     with open(path) as f:
@@ -84,3 +112,9 @@ def test_rotation_artifact_matches_the_registry_if_committed():
     assert artifact["window"] == ORDER[:50]
     seats = {n: e["seat"] for n, e in artifact["entries"].items()}
     assert seats == {n: i + 1 for i, n in enumerate(ORDER)}
+    rebuilt = build_ledger(REPO, max_round=artifact["round"] - 1)
+    for name, entry in artifact["entries"].items():
+        assert entry["first_seated"] == rebuilt[name]["first_seated"], name
+        assert (
+            entry["last_driver_green"] == rebuilt[name]["last_driver_green"]
+        ), name

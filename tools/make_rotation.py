@@ -18,7 +18,10 @@ contains the entry; ``last_driver_green`` the latest round where its
 row was fully green (rows+schema+hash true, err null; rows-only
 entries count hash_match=null rows as green when rows_match holds and
 no oracle is registered). Usage: ``python tools/make_rotation.py
-<round>`` (the round number being generated for).
+[round]`` — when omitted, the round defaults to the one the schedule
+is being authored FOR: max committed ``CORRECTNESS_r*.json`` round +
+1 (the same derivation as ``tests/test_rotation_schedule.py``), so
+the staleness report is never vacuously computed against round 0.
 """
 
 from __future__ import annotations
@@ -42,10 +45,12 @@ def _green(row: dict, has_oracle: bool) -> bool:
     return True
 
 
-def build_ledger(repo: str) -> dict[str, dict]:
+def build_ledger(repo: str, max_round: int | None = None) -> dict[str, dict]:
     """Per-entry ``{first_seated, last_driver_green, seat, status}``
     from the committed driver CORRECTNESS files + the registry ORDER.
-    Importable so tests can assert the rotation invariants directly."""
+    Importable so tests can assert the rotation invariants directly.
+    ``max_round`` restricts the history to rounds <= it — what the
+    ledger looked like when a given round's schedule was authored."""
     sys.path.insert(0, repo)
     from scraping_etl_spark.plans.registry import ORDER, QUERIES
 
@@ -57,6 +62,8 @@ def build_ledger(repo: str) -> dict[str, dict]:
         if not m:  # skip CORRECTNESS_LOCAL_r*.json — driver rows only
             continue
         r = int(m.group(1))
+        if max_round is not None and r > max_round:
+            continue
         with open(path) as f:
             rows = json.load(f)
         for name, row in rows.items():
@@ -77,9 +84,22 @@ def build_ledger(repo: str) -> dict[str, dict]:
     return entries
 
 
+def current_round(repo: str) -> int:
+    """The round the checked-in ORDER is the schedule FOR: the driver
+    writes CORRECTNESS_r{N}.json at the END of round N, so the next
+    window to author is N+1. Shared derivation with
+    tests/test_rotation_schedule.py."""
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    return (max(rounds) + 1) if rounds else 1
+
+
 def main() -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else current_round(repo)
 
     entries = build_ledger(repo)
 
