@@ -770,7 +770,10 @@ ALLPAIRS_THRESHOLD_FLOOR = 0.4
 
 
 def _allpairs_candidates(
-    sets: DataFrame, threshold: float, length_filter: bool = True
+    sets: DataFrame,
+    threshold: float,
+    length_filter: bool = True,
+    positional_filter: bool = True,
 ) -> DataFrame:
     """Candidate ``(_ida, _idb)`` pairs for the AllPairs verify stage:
     the rarest-first prefix-token equi-join, optionally tightened by
@@ -781,8 +784,28 @@ def _allpairs_candidates(
     low-threshold regime: at small ``t`` most of each set is prefix
     and the token join alone trends quadratic; the size predicate
     prunes candidates before the distinct + verify join pays for them.
+
+    ``positional_filter`` adds PPJoin's POSITIONAL bound (ibid., §3):
+    ``J ≥ t`` needs overlap ``O ≥ ceil(t/(1+t)·(|a|+|b|))``, and for
+    any shared token at sorted positions ``(p_a, p_b)`` (0-based, in
+    the full rarest-first order) the overlap is capped by
+    ``min(p_a, p_b) + min(|a|-p_a, |b|-p_b)`` — at most ``min(p_a,
+    p_b)`` shared tokens can precede it, at most ``min(|a|-p_a,
+    |b|-p_b)`` can sit at-or-after it. Two lossless applications:
+    per candidate ROW before the pair aggregation (a pair with true
+    overlap ``O`` has EVERY row's cap ≥ O, so no qualifying pair
+    loses all its rows), then the TIGHT form on the pair's
+    minimum-position row — that row is the globally smallest shared
+    token, nothing shared precedes it, so its cap drops to
+    ``min(|a|-p_a, |b|-p_b)``; the min over rows of ``p_a`` and of
+    ``p_b`` belong to that same row because prefix positions are
+    monotone in the global token order. The pair aggregation itself
+    replaces the candidate ``distinct()`` (same shuffle key, same
+    width), so the tight filter costs nothing extra — the r10 watch
+    item on the widest relation at floor thresholds.
+
     ``sets`` must be the checkpointed ``(_id, _set)`` relation.
-    Exposed separately so tests can prove the filter engages."""
+    Exposed separately so tests can prove the filters engage."""
     exploded = sets.select("_id", F.explode("_set").alias("_t"))
     dfreq = exploded.groupBy("_t").agg(F.count(F.lit(1)).alias("_df"))
     prefixes = (
@@ -805,24 +828,53 @@ def _allpairs_candidates(
                 ),
             ).alias("_pref"),
         )
-        .select("_id", "_n", F.explode("_pref").alias("_p"))
-        .select("_id", "_n", F.col("_p._t").alias("_t"))
+        .select("_id", "_n", F.posexplode("_pref").alias("_pos", "_p"))
+        .select("_id", "_n", "_pos", F.col("_p._t").alias("_t"))
     )
     a, b = prefixes.alias("a"), prefixes.alias("b")
+    na, nb = F.col("a._n"), F.col("b._n")
+    pa, pb = F.col("a._pos"), F.col("b._pos")
     cond = (F.col("a._t") == F.col("b._t")) & (F.col("a._id") < F.col("b._id"))
+    # 1e-9 slack on every float comparison: sizes/positions are exact
+    # ints, the true bounds are rationals.
     if length_filter:
-        # 1e-9 slack absorbs float round-up in t·max (sizes are exact
-        # ints; the true bound is the rational min/max ≥ t).
         cond = cond & (
-            F.least(F.col("a._n"), F.col("b._n")).cast("double")
-            >= F.lit(threshold) * F.greatest(F.col("a._n"), F.col("b._n"))
+            F.least(na, nb).cast("double")
+            >= F.lit(threshold) * F.greatest(na, nb) - F.lit(1e-9)
+        )
+    # overlap needed for J >= t: O >= t/(1+t) * (|a|+|b|)  (int O, so
+    # >= the rational bound == >= its ceil)
+    alpha = F.lit(threshold / (1.0 + threshold)) * (na + nb) - F.lit(1e-9)
+    if positional_filter:
+        cond = cond & (
+            (F.least(pa, pb) + F.least(na - pa, nb - pb)).cast("double")
+            >= alpha
+        )
+    joined = a.join(b, cond).select(
+        F.col("a._id").alias("_ida"),
+        F.col("b._id").alias("_idb"),
+        pa.alias("_pa"),
+        pb.alias("_pb"),
+        na.alias("_na"),
+        nb.alias("_nb"),
+    )
+    pairs = joined.groupBy("_ida", "_idb").agg(
+        F.min("_pa").alias("_pa"),
+        F.min("_pb").alias("_pb"),
+        F.first("_na").alias("_na"),
+        F.first("_nb").alias("_nb"),
+    )
+    if positional_filter:
+        tight = F.least(
+            F.col("_na") - F.col("_pa"), F.col("_nb") - F.col("_pb")
+        ).cast("double")
+        talpha = (
+            F.lit(threshold / (1.0 + threshold))
+            * (F.col("_na") + F.col("_nb"))
             - F.lit(1e-9)
         )
-    return (
-        a.join(b, cond)
-        .select(F.col("a._id").alias("_ida"), F.col("b._id").alias("_idb"))
-        .distinct()
-    )
+        pairs = pairs.filter(tight >= talpha)
+    return pairs.select("_ida", "_idb")
 
 
 def allpairs_jaccard_sets(sets: DataFrame, threshold: float) -> DataFrame:

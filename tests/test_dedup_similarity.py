@@ -772,9 +772,54 @@ def test_allpairs_length_filter_engages_and_lossless(spark):
         F.col("doc_id").alias("_id"),
         F.array_sort(F.array_distinct(F.split("text", " "))).alias("_set"),
     ).localCheckpoint()
-    n_with = _allpairs_candidates(sets, t, length_filter=True).count()
-    n_without = _allpairs_candidates(sets, t, length_filter=False).count()
+    # positional filter off on both sides: it would prune this
+    # scenario too (a 1-token set's positional cap is 1), masking
+    # whether the LENGTH predicate itself engages
+    n_with = _allpairs_candidates(
+        sets, t, length_filter=True, positional_filter=False
+    ).count()
+    n_without = _allpairs_candidates(
+        sets, t, length_filter=False, positional_filter=False
+    ).count()
     assert n_with < n_without, (n_with, n_without)
+    got = {(r.id_a, r.id_b, r.jacc)
+           for r in allpairs_jaccard(df, t, k=1).collect()}
+    assert got == _brute_jaccard(df.collect(), 1, t)
+
+
+def test_allpairs_positional_filter_engages_and_lossless(spark):
+    """PPJoin positional filter: docs A and B share token S at
+    position 5 of both prefixes (5 rarer unique tokens head each
+    prefix) plus 4 post-prefix high-df tokens — equal sizes, so the
+    LENGTH filter can't prune, but the tight positional cap
+    ``min(|a|-p_a, |b|-p_b)`` = 5 is below the ``ceil(t/(1+t)·20)``
+    = 7 overlap a J >= 0.5 pair needs, so the positional filter
+    must; and the verified result must stay exactly brute force."""
+    from pyspark.sql import functions as F
+    from scraping_etl_spark.operators.dedup import (
+        _allpairs_candidates,
+        allpairs_jaccard,
+    )
+
+    common = "c1 c2 c3 c4"
+    rows = [
+        (0, "u1 u2 u3 u4 u5 s " + common),
+        (1, "v1 v2 v3 v4 v5 s " + common),
+    ]
+    # filler docs push the c-tokens' df high so they sort AFTER the
+    # unique tokens and S (rarest-first order)
+    rows += [
+        (10 + i, f"j{i}a j{i}b j{i}c j{i}d " + common) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 0.5
+    sets = df.select(
+        F.col("doc_id").alias("_id"),
+        F.array_sort(F.array_distinct(F.split("text", " "))).alias("_set"),
+    ).localCheckpoint()
+    n_pos = _allpairs_candidates(sets, t, positional_filter=True).count()
+    n_nopos = _allpairs_candidates(sets, t, positional_filter=False).count()
+    assert n_pos < n_nopos, (n_pos, n_nopos)
     got = {(r.id_a, r.id_b, r.jacc)
            for r in allpairs_jaccard(df, t, k=1).collect()}
     assert got == _brute_jaccard(df.collect(), 1, t)

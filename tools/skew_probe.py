@@ -3,22 +3,28 @@
 verdict item 6).
 
 Builds a deliberately Zipf-skewed corpus — sf0.1 documents with ONE
-shared boilerplate line prepended to 30% of docs (the "of the"/footer
-regime real crawls have) — and measures the worst gram join,
+shared boilerplate line prepended to ~30% of docs (the "of the"/
+footer regime real crawls have) — and measures the worst gram join,
 ``dedup.containment_pairs``, WITH its too-common filter (the
 documented skew guard: grams shared by > ``max_docs_per_gram`` docs
 are dropped before the pair join) and WITHOUT it (guard threshold
-lifted above the corpus size, AQE skew-join left on, so whatever AQE
+lifted above the corpus size; AQE skew-join left on, so whatever AQE
 can do it does).
 
-The quantity that matters is the candidate-pair relation: a gram in
-``h`` docs fans out to ``h·(h-1)/2`` pairs, so one line in 30% of N
-docs costs O((0.3·N)²) rows PER boilerplate gram — quadratic in
-corpus size, which no partition-splitting (AQE's tool) repairs: AQE
-can split an oversized partition, but the rows still exist, shuffle,
-and aggregate. The guard removes them by construction.
+A single scale point can't show the failure mode — at 5k docs the
+hot grams cost ~13M join rows, which local[32] absorbs in seconds —
+so the probe runs at 1x/2x/4x corpus scale (id-shifted copies, the
+100x-probe convention) and reports, per scale:
 
-Prints a markdown table row per run; paste into PLANS.md.
+- candidate-join input rows = Σ_gram nd·(nd-1)/2 (computed exactly
+  from gram document frequencies; this is the quantity AQE cannot
+  reduce — splitting an oversized partition re-buckets the rows, but
+  they still exist, shuffle and aggregate), and
+- end-to-end wall clock of ``containment_pairs``.
+
+Guard-off candidate rows grow QUADRATICALLY in the hot-doc count
+(4x corpus → 16x rows); guard-on stays linear. That growth table is
+the 100 TB argument in measured form.
 
 Usage: ``python tools/skew_probe.py [sf_dir] [boilerplate_frac]``
 """
@@ -44,6 +50,7 @@ def main() -> int:
 
     from pyspark.sql import functions as F
 
+    from scraping_etl_spark.operators.corpus_prep import word_grams
     from scraping_etl_spark.operators.dedup import containment_pairs
     from scraping_etl_spark.session import get_spark
     from scraping_etl_spark.sources.readers import load_table
@@ -51,38 +58,69 @@ def main() -> int:
     spark = get_spark(app_name="skew-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
-    n_docs = d.count()
+    base = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    n_base = base.count()
     bucket = int(FRAC * 100)
-    skewed = d.select(
-        "doc_id",
-        F.when(
-            F.pmod(F.xxhash64("doc_id"), F.lit(100)) < bucket,
-            F.concat(F.lit(BOILER + " "), F.col("text")),
+
+    print(f"base corpus: {n_base} docs; boilerplate planted in "
+          f"~{FRAC:.0%} of docs (hash-selected)")
+    print("\n| scale | docs | hot docs | cand rows (guard ON) | "
+          "cand rows (guard OFF) | wall ON (s) | wall OFF (s) |")
+    print("|---|---|---|---|---|---|---|")
+
+    for mult in (1, 2, 4):
+        d = base
+        for i in range(1, mult):
+            d = d.unionByName(
+                base.select(
+                    (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                    "text",
+                )
+            )
+        skewed = d.select(
+            "doc_id",
+            F.when(
+                F.pmod(F.xxhash64("doc_id"), F.lit(100)) < bucket,
+                F.concat(F.lit(BOILER + " "), F.col("text")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        ).localCheckpoint()  # all runs read identical materialized input
+        n_docs = skewed.count()
+        n_hot = skewed.filter(F.col("text").startswith(BOILER)).count()
+
+        # exact candidate-join input rows from gram doc-frequencies
+        dfreq = (
+            skewed.select(
+                "doc_id",
+                F.explode(word_grams(F.lower(F.col("text")), 5)).alias("gram"),
+            )
+            .distinct()
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("nd"))
         )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    ).localCheckpoint()  # both runs read identical materialized input
-    n_hot = skewed.filter(F.col("text").startswith(BOILER)).count()
-    print(f"corpus: {n_docs} docs, {n_hot} carry the boilerplate line "
-          f"({100.0 * n_hot / n_docs:.1f}%)")
+        cand = dfreq.select(
+            F.sum(
+                F.when(F.col("nd") <= 64, F.col("nd") * (F.col("nd") - 1) / 2)
+                .otherwise(F.lit(0))
+            ).alias("on"),
+            F.sum(F.col("nd") * (F.col("nd") - 1) / 2).alias("off"),
+        ).collect()[0]
 
-    rows = []
-    for label, cap in [("guard ON (default 64)", 64),
-                       ("guard OFF (cap 2^31)", 1 << 31)]:
-        t0 = time.perf_counter()
-        out = containment_pairs(skewed, k=5, tau=0.5, max_docs_per_gram=cap)
-        n_pairs = out.count()
-        dt = time.perf_counter() - t0
-        rows.append((label, dt, n_pairs))
-        print(f"{label}: {dt:.1f} s, {n_pairs} result pairs")
+        walls = {}
+        for label, cap in [("on", 64), ("off", 1 << 31)]:
+            t0 = time.perf_counter()
+            containment_pairs(
+                skewed, k=5, tau=0.5, max_docs_per_gram=cap
+            ).count()
+            walls[label] = time.perf_counter() - t0
 
-    print("\n| run | wall (s) | result pairs |")
-    print("|---|---|---|")
-    for label, dt, n_pairs in rows:
-        print(f"| {label} | {dt:.1f} | {n_pairs} |")
-    on, off = rows[0][1], rows[1][1]
-    print(f"\nslowdown without the guard: {off / on:.1f}x")
+        print(
+            f"| {mult}x | {n_docs} | {n_hot} | {int(cand['on'])} | "
+            f"{int(cand['off'])} | {walls['on']:.1f} | {walls['off']:.1f} |",
+            flush=True,
+        )
+
     spark.stop()
     return 0
 
