@@ -232,6 +232,55 @@ def test_pack_sequences_exact_boundary(spark):
     assert placed[1].n_docs == 1 and placed[1].first_doc == 2
 
 
+def test_place_sequences_len_col_and_passthrough(spark):
+    """place_sequences on a precomputed length column: keeps the input
+    columns (the export joins per-doc payloads to placements), emits
+    n_len from len_col, and assigns the same seq ids the text path
+    would for equivalent lengths."""
+    rows = [(1, "x", 5, "en"), (2, "y", 25, "en"), (3, "z", 5, "en")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload string, n_ids long, lang string"
+    )
+    placed = {
+        r.doc_id: r
+        for r in CP.place_sequences(
+            df, budget=10, len_col="n_ids", n_shards=1
+        ).collect()
+    }
+    assert set(placed[1].asDict()) == {
+        "doc_id", "payload", "n_ids", "lang", "shard", "n_len", "seq_id"
+    }
+    assert placed[1].payload == "x" and placed[1].n_len == 5
+    assert (placed[1].seq_id, placed[2].seq_id, placed[3].seq_id) == (0, 0, 3)
+
+
+def test_pack_sequences_is_the_placement_rollup(spark):
+    """pack_sequences == groupBy over place_sequences: same seq ids,
+    doc counts and token sums under sharding (the refactor contract)."""
+    rows = [
+        (i, " ".join(["w"] * (3 + i % 7)), "en" if i % 2 else "fr")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    from pyspark.sql import functions as F
+
+    packed = {
+        (r.lang, r.shard, r.seq_id): (r.n_docs, r.seq_tokens)
+        for r in CP.pack_sequences(df, budget=16, n_shards=4).collect()
+    }
+    placed = CP.place_sequences(df, budget=16, n_shards=4)
+    rolled = {
+        (r.lang, r.shard, r.seq_id): (r.n_docs, r.seq_tokens)
+        for r in placed.groupBy("lang", "shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_len").alias("seq_tokens"),
+        )
+        .collect()
+    }
+    assert packed == rolled and packed
+
+
 def test_pack_sequences_strata_independent(spark):
     """Each stratum packs from zero — no cross-stratum running sum."""
     rows = [(1, "a a a", "en"), (2, "b b b", "fr")]

@@ -155,13 +155,22 @@ def main() -> None:
         ("doc_allpairs", SC.q_doc_allpairs,
          "exact similarity join: explode, df-count, rarest-first "
          "prefix slice, prefix-token equi-join carrying the PPJoin "
-         "length predicate (min >= t*max pruned pre-distinct), "
-         "id-keyed verify — no BNLJ/cartesian at any threshold"),
+         "length predicate (min >= t*max) AND the positional row "
+         "bound, pair groupBy (replacing distinct) with the tight "
+         "min-position cap, id-keyed verify — no BNLJ/cartesian at "
+         "any threshold"),
         ("star_pipeline", ST.q_star_pipeline,
          "one-job star build: the shared cleaning lineage is "
          "localCheckpointed once, so every rollup branch scans the "
          "checkpoint instead of re-running the cleaning chain "
          "(~30 exchanges -> one corpus scan + rollups)"),
+        ("train_export_pipeline", C.q_train_export_pipeline,
+         "tokenize-side export composition: dedup partial-agg + semi "
+         "join into one localCheckpoint spine; encode = broadcast seg/"
+         "vocab joins + ONE token-cardinality reassembly shuffle; "
+         "packing = one shard-bounded window over slim (id, n_ids, "
+         "ids_sum) rows; shuffled shards = one hash exchange + "
+         "task-sized per-shard sorts"),
     ]
 
     spark = get_spark()
