@@ -24,7 +24,20 @@ SF_DIR = os.environ.get("SPARK_GRAFT_LOCAL_SF", "/root/testdata/sf0.01")
 def main() -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
-    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    if len(sys.argv) > 1:
+        rnd = int(sys.argv[1])
+    else:
+        # same derivation as make_rotation: the round being verified is
+        # max committed driver round + 1, never a silent 0
+        import glob
+        import re as _re
+
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+            if (m := _re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+        ]
+        rnd = (max(rounds) + 1) if rounds else 1
 
     from pyspark.sql import SparkSession
 
