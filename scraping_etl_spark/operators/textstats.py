@@ -12,6 +12,10 @@ which stops at regex scrubbing — DB/ETL.ipynb cell 25, raw 846-868):
   mean token length (quality-scoring signals).
 - :func:`with_stopword_ratio` / :func:`with_lang_id` — n-gram-free
   language-ID heuristic via per-language stopword hit ratios.
+- :func:`char_ngram_profiles` / :func:`lang_id_ngram` — the canonical
+  N-GRAM language ID (Cavnar & Trenkle 1994 rank profiles +
+  out-of-place measure), the trainable tier above the stopword
+  heuristic.
 - :func:`with_fingerprint` — order-insensitive bag-of-words document
   fingerprint (md5 of the sorted distinct token set).
 - :func:`with_quality_score` — composite [0,1] quality heuristic.
@@ -132,6 +136,195 @@ def type_profile(df: DataFrame) -> DataFrame:
         .select("_e.column", "_e.sql_type", "_e.is_null")
         .groupBy("column", "sql_type", "is_null")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def char_ngrams(c: Column, n: int = 3) -> Column:
+    """Character ``n``-grams of a string column (every offset, length
+    ``n``); empty array below ``n`` chars. Guarded explicitly because
+    Spark's ``sequence(1, 0)`` yields the DESCENDING ``[1, 0]`` rather
+    than an empty range (DuckDB's ``generate_series(1, 0)`` is empty —
+    the oracle mirror relies on the guard making both sides agree)."""
+    spans = F.sequence(F.lit(1), F.length(c) - (n - 1))
+    return F.when(
+        F.length(c) >= n,
+        F.transform(spans, lambda i: c.substr(i, F.lit(n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _ct_norm(text_col: str) -> Column:
+    """Cavnar-Trenkle text normalization: lowercase, whitespace runs
+    collapsed to one space (so n-grams spanning word boundaries carry
+    exactly one separator — mirrored verbatim in the oracle)."""
+    return F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+
+
+def _ct_gram_rows(
+    df: DataFrame, keys: list[Column], text_col: str, n: int
+) -> DataFrame:
+    """``keys + (gram)`` rows for Cavnar-Trenkle profiling. The
+    normalized text is materialized as its OWN projection before the
+    n-gram transform: :func:`char_ngrams` references its input several
+    times inside a lambda, and inlining the regexp_replace expression
+    there would re-run the regex once per GRAM — O(len²) per document
+    (measured: 20 s for a 5k-doc corpus vs sub-second projected).
+    CollapseProject keeps the barrier because the reference is
+    non-cheap and multiply-used."""
+    normed = df.select(*keys, _ct_norm(text_col).alias("_txt"))
+    key_names = [c for c in normed.columns if c != "_txt"]
+    return normed.select(
+        *key_names,
+        F.explode(char_ngrams(F.col("_txt"), n)).alias("gram"),
+    )
+
+
+def char_ngram_profiles(
+    df: DataFrame,
+    n: int = 3,
+    top_m: int = 80,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-language character-n-gram RANK profiles (Cavnar & Trenkle
+    1994, "N-gram-based text categorization"): the ``top_m`` most
+    frequent char ``n``-grams of each language's text, ranked 1-based
+    by (count desc, gram asc — deterministic ties). Returns
+    ``(lang, gram, rank int)`` — a model of L·top_m rows, broadcast
+    material for :func:`lang_id_ngram`.
+
+    Plan: one explode + one (lang, gram) partial-agg shuffle; the
+    rank window partitions per LANGUAGE over its n-gram vocabulary —
+    bounded by the char-n-gram space (≲ a few 100k types for n=3),
+    model-scale, never corpus-scale."""
+    grams = _ct_gram_rows(df, [F.col(lang_col).alias("lang")], text_col, n)
+    counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("_c"), F.asc("gram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_m)
+        .select("lang", "gram", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def lang_id_ngram(
+    df: DataFrame,
+    n: int = 3,
+    top_m: int = 80,
+    doc_m: int = 40,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    profiles: DataFrame | None = None,
+) -> DataFrame:
+    """N-gram language ID (Cavnar & Trenkle 1994): rank the document's
+    own top ``doc_m`` char n-grams, compare against each language's
+    rank profile with the out-of-place measure — matched grams cost
+    ``|doc_rank − lang_rank|``, unmatched ones the maximum ``top_m`` —
+    and predict the argmin language (ties: language name asc; a
+    gramless doc is equidistant from every language and gets the
+    alphabetically first). All-integer arithmetic, so the gate hash is
+    exact. Pass ``profiles`` to score against a separately trained
+    model (the deployment shape); default trains on ``df`` itself via
+    its ``lang_col`` labels. Returns ``(id, pred_lang, dist long)``.
+
+    Plan: ONE explode + one (doc, gram) partial-agg shuffle feeds
+    both sides (the training counts are its (lang, gram) rollup —
+    lang rides the doc key for free since it is functionally
+    dependent); the doc profile is ranked ARRAY-side (sort_array +
+    slice over the doc's own ≤ a-few-hundred gram structs — no
+    per-doc rank window, so nothing serializes when AQE coalesces
+    test-scale shuffles to few partitions); the profile join
+    broadcasts L·top_m rows; the language axis is attached through a
+    broadcast hash join on a non-foldable always-zero key (the
+    :func:`~scraping_etl_spark.operators.corpus_prep.with_lm_score`
+    trick — a literal key would fold into a BroadcastNestedLoopJoin);
+    the argmin is ``min(struct(dist, lang))`` per doc — a partial agg,
+    not a window. Nothing corpus-quadratic, no skewed keys (every
+    wide key is doc- or (doc, lang)-grained; the training rollup is
+    char-n-gram-vocabulary-bounded)."""
+    counts = (
+        _ct_gram_rows(
+            df,
+            [
+                F.col(id_col).alias("_id"),
+                F.col(lang_col).alias("_lang") if profiles is None
+                else F.lit(None).alias("_lang"),
+            ],
+            text_col,
+            n,
+        )
+        .groupBy("_id", "_lang", "gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        # consumed by the trainer rollup AND the doc profile — cut the
+        # lineage so the explode+agg runs once, not per consumer
+        .localCheckpoint()
+    )
+    if profiles is None:
+        # the trainer is the (lang, gram) rollup of the SAME counts
+        # relation char_ngram_profiles would build from scratch
+        lcounts = counts.groupBy(F.col("_lang").alias("lang"), "gram").agg(
+            F.sum("_c").alias("_lc")
+        )
+        w = Window.partitionBy("lang").orderBy(F.desc("_lc"), F.asc("gram"))
+        profiles = (
+            lcounts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_m)
+            .select("lang", "gram", F.col("rank").cast("int").alias("rank"))
+        )
+    dp_arr = counts.groupBy("_id").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct((-F.col("_c")).alias("_nc"), "gram"))
+            ),
+            1,
+            doc_m,
+        ).alias("_top")
+    ).localCheckpoint()  # consumed by the profile explode AND the ng spine
+    dprof = dp_arr.select(
+        "_id", F.posexplode("_top").alias("_p", "_e")
+    ).select("_id", F.col("_e.gram").alias("gram"), (F.col("_p") + 1).alias("_dr"))
+    # non-foldable always-zero join keys: hashing an ATTRIBUTE (not a
+    # literal — FoldablePropagation would constant-fold a literal key
+    # and degrade the join to a BroadcastNestedLoopJoin)
+    ndocs = (
+        df.select(F.col(id_col).alias("_id"))
+        .join(dp_arr.select("_id", F.size("_top").alias("_ng")), "_id", "left")
+        .select("_id", F.coalesce("_ng", F.lit(0)).alias("_ng"))
+        .withColumn("_k", F.pmod(F.xxhash64(F.col("_ng")), F.lit(1)))
+    )
+    langs = (
+        profiles.select("lang")
+        .distinct()
+        .withColumn("_k", F.pmod(F.xxhash64(F.col("lang")), F.lit(1)))
+    )
+    matched = (
+        dprof.join(F.broadcast(profiles), "gram")
+        .groupBy("_id", "lang")
+        .agg(
+            F.sum(F.abs(F.col("_dr") - F.col("rank"))).alias("_s"),
+            F.count(F.lit(1)).alias("_m"),
+        )
+    )
+    dist = (
+        ndocs.join(F.broadcast(langs), "_k")
+        .join(matched, ["_id", "lang"], "left")
+        .select(
+            "_id",
+            "lang",
+            (
+                F.coalesce(F.col("_s"), F.lit(0))
+                + (F.col("_ng") - F.coalesce(F.col("_m"), F.lit(0)))
+                * F.lit(top_m)
+            ).cast("long").alias("dist"),
+        )
+    )
+    best = dist.groupBy("_id").agg(
+        F.min(F.struct("dist", "lang")).alias("_b")
+    )
+    return best.select(
+        F.col("_id").alias(id_col),
+        F.col("_b.lang").alias("pred_lang"),
+        F.col("_b.dist").alias("dist"),
     )
 
 

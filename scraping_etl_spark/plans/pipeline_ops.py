@@ -134,6 +134,108 @@ FROM scores
 """
 
 
+_CT_N, _CT_TOP_M, _CT_DOC_M = 3, 200, 20
+_CT_MARKER_REPS = 12
+
+
+def q_doc_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cavnar-Trenkle n-gram language ID over the documents table:
+    per-language char-trigram rank profiles trained from the corpus's
+    own labels, every doc scored by the out-of-place measure, argmin
+    language predicted (textstats.char_ngram_profiles +
+    lang_id_ngram). The synthetic corpus's text is language-AGNOSTIC
+    by construction (same token pool for every ``lang`` label), so
+    the gate appends a per-language marker phrase first — the same
+    planted-signal convention as the PII and chunk-dedup gates,
+    mirrored in the oracle — and the classifier then has real
+    discrimination to demonstrate (accuracy pinned by
+    ``tests/test_textstats.py``). Emits the true label beside the
+    prediction and the integer distance, so the hash gates the
+    profile ranks, the penalty arithmetic and the tie-breaks at
+    once."""
+    d = load_table(spark, sf_dir, "documents")
+    marker = F.array_join(
+        F.array_repeat(F.repeat(F.col("lang"), 3), _CT_MARKER_REPS),
+        " ",
+    )
+    corpus = d.select(
+        "doc_id", "lang",
+        F.concat(F.col("text"), F.lit(" "), marker).alias("text"),
+    )
+    pred = TS.lang_id_ngram(corpus, n=_CT_N, top_m=_CT_TOP_M, doc_m=_CT_DOC_M)
+    return corpus.select("doc_id", "lang").join(pred, "doc_id").select(
+        "doc_id", "lang", "pred_lang", "dist"
+    )
+
+
+ORACLE_DOC_LANG_ID_NGRAM = rf"""
+WITH corpus AS (
+  SELECT doc_id, lang,
+         text || ' ' || array_to_string(
+           list_transform(generate_series(1, {_CT_MARKER_REPS}),
+                          i -> repeat(lang, 3)), ' ') AS text
+  FROM documents
+),
+txt AS (
+  SELECT doc_id, lang,
+         regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+  FROM corpus
+),
+grams AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(
+           generate_series(1, len(t) - {_CT_N - 1}),
+           i -> substr(t, i, {_CT_N}))) AS g
+  FROM txt
+),
+lp AS (
+  SELECT lang, g, lr FROM (
+    SELECT lang, g,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY count(*) DESC, g) AS lr
+    FROM grams GROUP BY lang, g
+  ) WHERE lr <= {_CT_TOP_M}
+),
+dp AS (
+  SELECT doc_id, g, dr FROM (
+    SELECT doc_id, g,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY count(*) DESC, g) AS dr
+    FROM grams GROUP BY doc_id, g
+  ) WHERE dr <= {_CT_DOC_M}
+),
+nd AS (
+  SELECT d.doc_id, COALESCE(c.ng, 0) AS ng
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS ng FROM dp GROUP BY 1) c
+  USING (doc_id)
+),
+langs AS (SELECT DISTINCT lang FROM documents),
+matched AS (
+  SELECT dp.doc_id, lp.lang,
+         sum(abs(dp.dr - lp.lr)) AS s,
+         count(*) AS m
+  FROM dp JOIN lp ON dp.g = lp.g
+  GROUP BY 1, 2
+),
+dist AS (
+  SELECT nd.doc_id, l.lang AS pred,
+         COALESCE(m.s, 0) + (nd.ng - COALESCE(m.m, 0)) * {_CT_TOP_M} AS dist
+  FROM nd CROSS JOIN langs l
+  LEFT JOIN matched m ON m.doc_id = nd.doc_id AND m.lang = l.lang
+),
+best AS (
+  SELECT doc_id, pred, dist,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY dist, pred) AS rn
+  FROM dist
+)
+SELECT b.doc_id, d.lang, b.pred AS pred_lang, CAST(b.dist AS BIGINT) AS dist
+FROM best b JOIN documents d USING (doc_id)
+WHERE rn = 1
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return TS.with_fingerprint(d).select("doc_id", "fingerprint")

@@ -380,6 +380,16 @@ the 38 r9-green tail entries seats, leaving 12 for new/changed
 gates; ``tests/test_rotation_schedule.py`` now asserts the FORWARD
 invariant too (the checked-in window must pre-seat everything that
 would exceed trailing-3 at the next round).
+
+Round-11 second amendment: ``doc_lang_id_ngram`` (the canonical
+N-GRAM language ID the stopword-ratio ``doc_lang_id`` proxies:
+Cavnar & Trenkle 1994 per-language char-trigram rank profiles +
+out-of-place distance, argmin prediction with deterministic ties,
+all-integer arithmetic under one self-contained relational oracle —
+no plan constants; textstats.char_ngram_profiles / lang_id_ngram)
+takes window seat 50; ``doc_neardup_clusters`` (r9-green, owed by
+r12 anyway) moves to the tail head — 139 entries, r12 owes the 39
+r9-green tail heads, 11 seats of slack.
 """
 
 from __future__ import annotations
@@ -1225,6 +1235,13 @@ _REGISTERED += [
         "per-sequence id checksum end-to-end (lazy plan-constants "
         "oracle)",
     ),
+    QuerySpec(
+        "doc_lang_id_ngram", P.q_doc_lang_id_ngram,
+        P.ORACLE_DOC_LANG_ID_NGRAM,
+        "Cavnar-Trenkle n-gram language ID: per-language char-trigram "
+        "rank profiles + out-of-place distance, argmin prediction, "
+        "all-integer hash gate (textstats.lang_id_ngram)",
+    ),
 ]
 
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
@@ -1280,7 +1297,8 @@ ORDER: list[str] = [
     "doc_dq_profile",
     # ---- r11 window seat 39: the round's new composition gate ----
     "train_export_pipeline",
-    # ---- r11 window seats 40-50: the 11 most senior r9-green  ----
+    # ---- r11 window seats 40-49: the 10 most senior r9-green; ----
+    # ---- seat 50: the round's second new gate (n-gram lang ID) ----
     "doc_hh_candidates",
     "doc_hashing_tfidf",
     "doc_corpus_pipeline",
@@ -1291,8 +1309,9 @@ ORDER: list[str] = [
     "doc_media_features",
     "doc_corpus_profile",
     "doc_minhash_pairs",
-    "doc_neardup_clusters",
+    "doc_lang_id_ngram",
     # ---- tail: remaining r9-green in r12-priority order ...   ----
+    "doc_neardup_clusters",
     "doc_neardup_survivors",
     "doc_regex_extract",
     "doc_token_counts",

@@ -164,6 +164,13 @@ def main() -> None:
          "localCheckpointed once, so every rollup branch scans the "
          "checkpoint instead of re-running the cleaning chain "
          "(~30 exchanges -> one corpus scan + rollups)"),
+        ("doc_lang_id_ngram", P.q_doc_lang_id_ngram,
+         "Cavnar-Trenkle n-gram language ID: one explode feeding a "
+         "checkpointed (doc, gram) count relation, array-side doc "
+         "ranking (no per-doc window), vocabulary-bounded trainer "
+         "window, broadcast profile + zero-key language joins, "
+         "min(struct) argmin — see the plans_footer O(len^2) lambda-"
+         "inlining finding"),
         ("train_export_pipeline", C.q_train_export_pipeline,
          "tokenize-side export composition: dedup partial-agg + semi "
          "join into one localCheckpoint spine; encode = broadcast seg/"
