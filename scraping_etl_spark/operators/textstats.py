@@ -255,10 +255,14 @@ def lang_id_ngram(
         )
         .groupBy("_id", "_lang", "gram")
         .agg(F.count(F.lit(1)).alias("_c"))
-        # consumed by the trainer rollup AND the doc profile — cut the
-        # lineage so the explode+agg runs once, not per consumer
-        .localCheckpoint()
     )
+    if profiles is None:
+        # consumed by the trainer rollup AND the doc profile — cut the
+        # lineage so the explode+agg runs once, not per consumer. With
+        # pretrained profiles (the streaming/deployment shape) there is
+        # a single consumer and the checkpoint would only add a
+        # per-call materialization job.
+        counts = counts.localCheckpoint()
     if profiles is None:
         # the trainer is the (lang, gram) rollup of the SAME counts
         # relation char_ngram_profiles would build from scratch

@@ -386,6 +386,8 @@ def corpus_prep_stream(
     min_avg_logp: float = -10.0,
     clf_weights: list[float] | None = None,
     min_quality_prob: float = 0.5,
+    lang_profiles: DataFrame | None = None,
+    allowed_langs: tuple[str, ...] = (),
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
@@ -409,9 +411,15 @@ def corpus_prep_stream(
     ``min_avg_logp`` (the CCNet perplexity filter at ingest) → (when
     ``clf_weights`` is given) the trained logistic quality classifier
     (:mod:`~scraping_etl_spark.operators.classifier`), dropping docs
-    scoring under ``min_quality_prob`` — and lands only the documents
-    that pass every gate, with the scrubbed text and the quality
-    signals.
+    scoring under ``min_quality_prob`` → (when ``lang_profiles`` is
+    given) the Cavnar-Trenkle n-gram language screen
+    (:func:`~scraping_etl_spark.operators.textstats.lang_id_ngram`
+    against STATIC profiles trained offline via
+    :func:`~scraping_etl_spark.operators.textstats.char_ngram_profiles`
+    over the lake), keeping only docs whose predicted language is in
+    ``allowed_langs`` (the CCNet/C4 "keep these languages" door) —
+    and lands only the documents that pass every gate, with the
+    scrubbed text and the quality signals.
 
     Semantics: every gate is per-document (scrub and repetition are
     row-local projections; contamination and OOV test each doc against
@@ -467,6 +475,9 @@ def corpus_prep_stream(
         prepare_neardup_ref(dedup_ref) if dedup_ref is not None else None
     )
     lm_prepared = CP.prepare_lm(lm_ref) if lm_ref is not None else None
+    lang_static = (
+        lang_profiles.localCheckpoint() if lang_profiles is not None else None
+    )
 
     gate = build_corpus_gate(
         out_dir,
@@ -479,6 +490,8 @@ def corpus_prep_stream(
         dedup_threshold=dedup_threshold,
         min_avg_logp=min_avg_logp,
         min_quality_prob=min_quality_prob,
+        lang_profiles=lang_static,
+        allowed_langs=allowed_langs,
     )
 
     writer = (
@@ -502,6 +515,8 @@ def build_corpus_gate(
     dedup_threshold: float = 0.8,
     min_avg_logp: float = -10.0,
     min_quality_prob: float = 0.5,
+    lang_profiles: DataFrame | None = None,
+    allowed_langs: tuple[str, ...] = (),
 ):
     """The ``foreachBatch`` gate of :func:`corpus_prep_stream`, built
     from ALREADY-PREPARED side inputs (module-level so tests can drive
@@ -561,6 +576,19 @@ def build_corpus_gate(
                 .select("doc_id")
             )
             kept = kept.join(good, "doc_id", "left_semi")
+        if lang_profiles is not None:
+            # n-gram language screen against STATIC offline-trained
+            # profiles (textstats.char_ngram_profiles over the lake):
+            # per-doc scoring, so batch-local == global — the honest-
+            # twin property every other stage of this gate keeps
+            from scraping_etl_spark.operators.textstats import lang_id_ngram
+
+            right_lang = (
+                lang_id_ngram(kept, profiles=lang_profiles)
+                .filter(F.col("pred_lang").isin(*allowed_langs))
+                .select("doc_id")
+            )
+            kept = kept.join(right_lang, "doc_id", "left_semi")
         (
             kept.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")

@@ -1132,3 +1132,63 @@ def test_term_screen_stream_matches_batch_twin(spark, tmp_path):
     run_once()
     after = {tuple(r) for r in spark.read.parquet(out).drop("batch_id").collect()}
     assert after == before
+
+
+def test_corpus_prep_stream_lang_screen_keeps_allowed_languages(spark, tmp_path):
+    """The n-gram language screen at the door: profiles trained
+    OFFLINE on a labeled lake (textstats.char_ngram_profiles), each
+    incoming doc scored per micro-batch against the static side input
+    and kept only when its predicted language is allowed — and the
+    stream's verdict equals the batch twin's on the same rows."""
+    import os
+
+    import pyspark.sql.types as T2
+
+    from scraping_etl_spark.operators.textstats import (
+        char_ngram_profiles,
+        lang_id_ngram,
+    )
+    from scraping_etl_spark.streaming.pipeline import corpus_prep_stream
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    # labeled lake with clear per-language character signal
+    lake_rows = []
+    for i in range(6):
+        lake_rows.append((i, "aa", "common words here " + "aardvark " * 5))
+        lake_rows.append((10 + i, "bb", "common words here " + "bobolink " * 5))
+    lake = spark.createDataFrame(
+        lake_rows, "doc_id long, lang string, text string"
+    )
+    profiles = char_ngram_profiles(lake, top_m=60)
+
+    incoming = [
+        (101, "wholly novel aardvark aardvark aardvark content", "?"),
+        (102, "wholly novel bobolink bobolink bobolink content", "?"),
+    ]
+    spark.createDataFrame(
+        incoming, "doc_id long, text string, lang string"
+    ).write.parquet(f"{src}/f1")
+    schema = T2.StructType([
+        T2.StructField("doc_id", T2.LongType()),
+        T2.StructField("text", T2.StringType()),
+        T2.StructField("lang", T2.StringType()),
+    ])
+    q = corpus_prep_stream(
+        spark, f"{src}/*", out, ckpt, schema=schema,
+        lang_profiles=profiles, allowed_langs=("aa",),
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {101}
+    # batch twin over the same incoming rows and the same profiles
+    batch = spark.createDataFrame(
+        incoming, "doc_id long, text string, lang string"
+    )
+    twin = {
+        r.doc_id
+        for r in lang_id_ngram(batch, profiles=profiles)
+        .filter("pred_lang = 'aa'")
+        .collect()
+    }
+    assert twin == got
