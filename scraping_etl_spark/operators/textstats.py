@@ -265,7 +265,14 @@ def lang_id_ngram(
         counts = counts.localCheckpoint()
     if profiles is None:
         # the trainer is the (lang, gram) rollup of the SAME counts
-        # relation char_ngram_profiles would build from scratch
+        # relation char_ngram_profiles would build from scratch. The
+        # LABEL SPACE is the label column's distinct values, not just
+        # labels that yielded grams: a language whose training text is
+        # all sub-n-gram stays a candidate (its empty profile scores
+        # everything out-of-place — the property fuzz pinned this
+        # edge: an all-gramless corpus must still emit one prediction
+        # per doc, not zero rows).
+        label_space = df.select(F.col(lang_col).alias("lang")).distinct()
         lcounts = counts.groupBy(F.col("_lang").alias("lang"), "gram").agg(
             F.sum("_c").alias("_lc")
         )
@@ -275,6 +282,9 @@ def lang_id_ngram(
             .filter(F.col("rank") <= top_m)
             .select("lang", "gram", F.col("rank").cast("int").alias("rank"))
         )
+    else:
+        # pretrained mode: the caller's model defines the label space
+        label_space = profiles.select("lang").distinct()
     dp_arr = counts.groupBy("_id").agg(
         F.slice(
             F.sort_array(
@@ -296,10 +306,8 @@ def lang_id_ngram(
         .select("_id", F.coalesce("_ng", F.lit(0)).alias("_ng"))
         .withColumn("_k", F.pmod(F.xxhash64(F.col("_ng")), F.lit(1)))
     )
-    langs = (
-        profiles.select("lang")
-        .distinct()
-        .withColumn("_k", F.pmod(F.xxhash64(F.col("lang")), F.lit(1)))
+    langs = label_space.withColumn(
+        "_k", F.pmod(F.xxhash64(F.col("lang")), F.lit(1))
     )
     matched = (
         dprof.join(F.broadcast(profiles), "gram")

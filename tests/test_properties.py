@@ -560,3 +560,76 @@ def test_allpairs_sets_equal_brute_force(spark, sets_py, t):
             if jc >= t:
                 want.add((i, j, jc))
     assert got == want, (sets_py, t)
+
+
+# ---------------------------------------------------------------------------
+# Cavnar-Trenkle n-gram language ID vs a pure-Python oracle
+# ---------------------------------------------------------------------------
+
+_ct_text = st.text(
+    alphabet=st.sampled_from(list("abcdefg \n\tXY")), max_size=30
+)
+
+
+def _ct_oracle(rows, n=3, top_m=10, doc_m=6):
+    """Loop oracle for lang_id_ngram's default self-training mode:
+    same normalization, rarest-first... rather frequency-ranked
+    profiles with (count desc, gram asc) ties, out-of-place distance
+    with top_m penalty, (dist, lang) lexicographic argmin."""
+    import re
+    from collections import Counter, defaultdict
+
+    def grams(s):
+        t = re.sub(r"\s+", " ", s.lower())
+        return [t[i:i + n] for i in range(len(t) - n + 1)]
+
+    lc = defaultdict(Counter)
+    for _id, lang, text in rows:
+        lc[lang].update(grams(text))
+    lp = {}
+    for lang, c in lc.items():
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:top_m]
+        lp[lang] = {g: i + 1 for i, (g, _) in enumerate(ranked)}
+    langs = sorted(lp)
+    out = {}
+    for _id, _lang, text in rows:
+        dc = Counter(grams(text))
+        dranked = sorted(dc.items(), key=lambda kv: (-kv[1], kv[0]))[:doc_m]
+        dp = {g: i + 1 for i, (g, _) in enumerate(dranked)}
+        best = min(
+            (
+                sum(
+                    abs(dr - lp[L][g]) if g in lp[L] else top_m
+                    for g, dr in dp.items()
+                ),
+                L,
+            )
+            for L in langs
+        )
+        out[_id] = best
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(_ct_text, min_size=2, max_size=8),
+    st.lists(_ct_text, min_size=0, max_size=6),
+)
+def test_lang_id_ngram_matches_loop_oracle(spark, texts_a, texts_b):
+    """lang_id_ngram (self-training mode) == the loop oracle for ANY
+    ascii corpus: profiles, doc ranking, penalties, and BOTH tie-break
+    levels (gram asc inside ranks, lang asc at the argmin) — including
+    empty/short texts whose gram set is empty."""
+    from scraping_etl_spark.operators.textstats import lang_id_ngram
+
+    rows = [(i, "aa", t) for i, t in enumerate(texts_a)]
+    rows += [(100 + i, "bb", t) for i, t in enumerate(texts_b)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r.doc_id: (r.dist, r.pred_lang)
+        for r in lang_id_ngram(df, top_m=10, doc_m=6).collect()
+    }
+    want = _ct_oracle(rows, top_m=10, doc_m=6)
+    assert got == want, (texts_a, texts_b)
