@@ -90,3 +90,15 @@ def test_lang_id_plan_has_no_bnlj(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lang_id_ngram_stable_under_repartition(spark):
+    """Deterministic under any physical partitioning: ranks use total
+    orders (count desc, gram asc / dist asc, lang asc), so predictions
+    and distances must be bit-identical on a repartitioned input."""
+    df = _toy(spark)
+    a = {(r.doc_id, r.pred_lang, r.dist)
+         for r in TS.lang_id_ngram(df, top_m=50, doc_m=20).collect()}
+    b = {(r.doc_id, r.pred_lang, r.dist)
+         for r in TS.lang_id_ngram(df.repartition(17), top_m=50, doc_m=20).collect()}
+    assert a == b and a
