@@ -523,6 +523,14 @@ def build_corpus_gate(
     it synchronously and pin the per-micro-batch Spark-job count —
     every prepare probe runs before this, never inside). Returns the
     ``(batch_df, batch_id) -> None`` callable."""
+    if lang_profiles is not None and not allowed_langs:
+        # fail at build time, not inside the Nth micro-batch: a
+        # language screen with an empty allow-list would drop the
+        # whole stream (and isin() with zero args errors at plan time)
+        raise ValueError(
+            "lang_profiles given but allowed_langs is empty — pass the "
+            "languages the screen should keep"
+        )
     from scraping_etl_spark.operators import classifier as CLF
     from scraping_etl_spark.operators import corpus_prep as CP
     from scraping_etl_spark.operators.dedup import cross_corpus_neardup_pairs

@@ -1192,3 +1192,17 @@ def test_corpus_prep_stream_lang_screen_keeps_allowed_languages(spark, tmp_path)
         .collect()
     }
     assert twin == got
+
+
+def test_corpus_gate_rejects_lang_screen_without_allowlist(spark):
+    """A language screen with an empty allow-list would silently drop
+    the whole stream — rejected at gate-build time."""
+    import pytest as _pt
+
+    from scraping_etl_spark.streaming.pipeline import build_corpus_gate
+
+    profiles = spark.createDataFrame(
+        [("aa", "aar", 1)], "lang string, gram string, rank int"
+    )
+    with _pt.raises(ValueError, match="allowed_langs"):
+        build_corpus_gate("/tmp/x", lang_profiles=profiles)
