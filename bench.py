@@ -95,6 +95,10 @@ def main() -> None:
     by_cost = sorted(
         timings, key=lambda k: (-(timings[k] or 0.0), k)
     )
+    # all-errored runs skip the shrink loop — the mini line must keep
+    # its schema in exactly that failure case
+    mini["queries"] = {}
+    mini["queries_omitted"] = 0
     keep = len(by_cost)
     while keep > 0:
         mini["queries"] = {k: timings[k] for k in by_cost[:keep]}

@@ -992,17 +992,27 @@ def ccnet_buckets(
 # Sequence packing
 # ---------------------------------------------------------------------------
 
-def _check_pack_keys(n_shards: int, by: str, id_col: str) -> None:
+def _check_pack_keys(
+    n_shards: int, by: str, id_col: str,
+    columns: list[str] | None = None,
+) -> None:
     """Shared up-front validation for the packing faces: the output
     carries shard/seq_id/n_len columns ('_shard' while building); a
-    same-named key would make the window key ambiguous."""
+    same-named key would make the window key ambiguous. Since
+    place_sequences passes EVERY input column through, the reserved
+    set is checked against the whole schema (``columns``) when given —
+    a payload column named ``shard`` would otherwise surface as a
+    duplicate after the rename, and ``n_len``/``seq_id`` would be
+    silently overwritten by withColumn."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     reserved = {"shard", "_shard", "seq_id", "n_len"}
-    if by in reserved or id_col in reserved:
+    clash = sorted(reserved & set(columns if columns is not None
+                                  else (by, id_col)))
+    if clash:
         raise ValueError(
-            f"by/id_col may not be named {sorted(reserved)} "
-            f"(got by={by!r}, id_col={id_col!r})"
+            f"input columns may not be named {sorted(reserved)}: the "
+            f"packing output adds them (colliding: {clash})"
         )
 
 
@@ -1047,7 +1057,7 @@ def place_sequences(
     Scale note: every input column rides the window exchange — project
     df down to what the export needs BEFORE placing (the aggregated
     :func:`pack_sequences` does exactly that)."""
-    _check_pack_keys(n_shards, by, id_col)
+    _check_pack_keys(n_shards, by, id_col, columns=df.columns)
     shard = (
         md5_bucket(F.col(id_col), n_shards) if n_shards > 1
         else F.lit(0).cast("long")

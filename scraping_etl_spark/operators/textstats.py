@@ -215,11 +215,15 @@ def lang_id_ngram(
     lang_col: str = "lang",
     text_col: str = "text",
     profiles: DataFrame | None = None,
+    trained_m: int | None = None,
 ) -> DataFrame:
     """N-gram language ID (Cavnar & Trenkle 1994): rank the document's
     own top ``doc_m`` char n-grams, compare against each language's
     rank profile with the out-of-place measure — matched grams cost
-    ``|doc_rank − lang_rank|``, unmatched ones the maximum ``top_m`` —
+    ``|doc_rank − lang_rank|``, unmatched ones the profile depth
+    (``top_m`` when self-training; with pretrained ``profiles`` the
+    model's own ``max(rank)``, so a model trained at a different depth
+    keeps matched ≤ unmatched) —
     and predict the argmin language (ties: language name asc; a
     gramless doc is equidistant from every language and gets the
     alphabetically first). All-integer arithmetic, so the gate hash is
@@ -284,7 +288,19 @@ def lang_id_ngram(
         )
     else:
         # pretrained mode: the caller's model defines the label space
+        # AND the unmatched-gram penalty. Cavnar-Trenkle's out-of-place
+        # maximum is the model's profile depth, not this call's top_m —
+        # if the profiles were trained with a larger top_m, a matched
+        # low-rank gram must never cost more than an unmatched one, so
+        # derive the penalty from max(rank) (one scalar off the
+        # broadcast-sized model; empty model falls back to top_m). A
+        # caller scoring MANY times against one model (the streaming
+        # per-micro-batch shape) hoists the scalar once and passes
+        # ``trained_m`` to skip the per-call driver action.
         label_space = profiles.select("lang").distinct()
+        if trained_m is None:
+            trained_m = profiles.agg(F.max("rank")).first()[0]
+        top_m = int(trained_m) if trained_m is not None else top_m
     dp_arr = counts.groupBy("_id").agg(
         F.slice(
             F.sort_array(

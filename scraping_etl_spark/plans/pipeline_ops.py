@@ -136,6 +136,11 @@ FROM scores
 
 _CT_N, _CT_TOP_M, _CT_DOC_M = 3, 200, 20
 _CT_MARKER_REPS = 12
+# pretrained-branch model depth — DELIBERATELY != the scoring call's
+# top_m, so the penalty-derivation semantics (unmatched cost = the
+# model's own max rank, not the call-site top_m) are what the hash
+# pins (r11 ADVICE item 1).
+_CT_PRE_M = 150
 
 
 def q_doc_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -152,7 +157,18 @@ def q_doc_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_textstats.py``). Emits the true label beside the
     prediction and the integer distance, so the hash gates the
     profile ranks, the penalty arithmetic and the tie-breaks at
-    once."""
+    once.
+
+    The gate exercises BOTH branches (r11 verdict item 5): ``self``
+    rows train on the whole corpus's own labels; ``pretrained`` rows
+    score the docs with ``doc_id % 4 != 0`` against a model trained
+    ONLY on the disjoint ``% 4 == 0`` split — the deployment shape
+    (train once offline, score many), reference anchor the
+    train-once-enrich-many pattern of ``SD_Upd.py:10-61``. The model
+    is trained at depth ``_CT_PRE_M`` ≠ the scoring call's ``top_m``,
+    so the unmatched-gram penalty MUST come from the model's own
+    max rank for the hashes to agree — pinning the Cavnar-Trenkle
+    matched ≤ unmatched invariant under depth mismatch."""
     d = load_table(spark, sf_dir, "documents")
     marker = F.array_join(
         F.array_repeat(F.repeat(F.col("lang"), 3), _CT_MARKER_REPS),
@@ -163,9 +179,24 @@ def q_doc_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" "), marker).alias("text"),
     )
     pred = TS.lang_id_ngram(corpus, n=_CT_N, top_m=_CT_TOP_M, doc_m=_CT_DOC_M)
-    return corpus.select("doc_id", "lang").join(pred, "doc_id").select(
-        "doc_id", "lang", "pred_lang", "dist"
+    self_rows = corpus.select("doc_id", "lang").join(pred, "doc_id").select(
+        "doc_id", F.lit("self").alias("mode"), "lang", "pred_lang", "dist"
     )
+    train = corpus.filter(F.col("doc_id") % 4 == 0)
+    score = corpus.filter(F.col("doc_id") % 4 != 0)
+    model = TS.char_ngram_profiles(train, n=_CT_N, top_m=_CT_PRE_M)
+    pred_pre = TS.lang_id_ngram(
+        score, n=_CT_N, top_m=_CT_TOP_M, doc_m=_CT_DOC_M, profiles=model
+    )
+    pre_rows = (
+        score.select("doc_id", "lang")
+        .join(pred_pre, "doc_id")
+        .select(
+            "doc_id", F.lit("pretrained").alias("mode"),
+            "lang", "pred_lang", "dist",
+        )
+    )
+    return self_rows.unionByName(pre_rows)
 
 
 ORACLE_DOC_LANG_ID_NGRAM = rf"""
@@ -229,9 +260,53 @@ best AS (
          row_number() OVER (PARTITION BY doc_id
                             ORDER BY dist, pred) AS rn
   FROM dist
+),
+-- pretrained branch: model trained ONLY on the doc_id % 4 = 0 split
+-- at depth {_CT_PRE_M}; docs % 4 != 0 scored against it. Per-doc
+-- profiles (dp/nd) are doc-local, so the score side is just the
+-- restriction. The unmatched-gram penalty is the MODEL'S max rank
+-- (scalar subquery), not the scoring call's top_m — the depth
+-- mismatch is the thing under test.
+lp_pre AS (
+  SELECT lang, g, lr FROM (
+    SELECT lang, g,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY count(*) DESC, g) AS lr
+    FROM grams WHERE doc_id % 4 = 0 GROUP BY lang, g
+  ) WHERE lr <= {_CT_PRE_M}
+),
+pen_pre AS (SELECT max(lr) AS p FROM lp_pre),
+langs_pre AS (SELECT DISTINCT lang FROM lp_pre),
+matched_pre AS (
+  SELECT dp.doc_id, lp_pre.lang,
+         sum(abs(dp.dr - lp_pre.lr)) AS s,
+         count(*) AS m
+  FROM dp JOIN lp_pre ON dp.g = lp_pre.g
+  WHERE dp.doc_id % 4 <> 0
+  GROUP BY 1, 2
+),
+dist_pre AS (
+  SELECT nd.doc_id, l.lang AS pred,
+         COALESCE(m.s, 0)
+           + (nd.ng - COALESCE(m.m, 0)) * (SELECT p FROM pen_pre) AS dist
+  FROM nd CROSS JOIN langs_pre l
+  LEFT JOIN matched_pre m ON m.doc_id = nd.doc_id AND m.lang = l.lang
+  WHERE nd.doc_id % 4 <> 0
+),
+best_pre AS (
+  SELECT doc_id, pred, dist,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY dist, pred) AS rn
+  FROM dist_pre
 )
-SELECT b.doc_id, d.lang, b.pred AS pred_lang, CAST(b.dist AS BIGINT) AS dist
+SELECT b.doc_id, 'self' AS mode, d.lang,
+       b.pred AS pred_lang, CAST(b.dist AS BIGINT) AS dist
 FROM best b JOIN documents d USING (doc_id)
+WHERE rn = 1
+UNION ALL
+SELECT b.doc_id, 'pretrained' AS mode, d.lang,
+       b.pred AS pred_lang, CAST(b.dist AS BIGINT) AS dist
+FROM best_pre b JOIN documents d USING (doc_id)
 WHERE rn = 1
 """
 

@@ -390,6 +390,15 @@ no plan constants; textstats.char_ngram_profiles / lang_id_ngram)
 takes window seat 50; ``doc_neardup_clusters`` (r9-green, owed by
 r12 anyway) moves to the tail head — 139 entries, r12 owes the 39
 r9-green tail heads, 11 seats of slack.
+
+Round-12 rotation (structural change, r11 verdict item 3): ``ORDER``
+is now GENERATED — ``tools/make_rotation.py --write`` derives the
+schedule from the committed driver CORRECTNESS ledger (owed entries
+stalest-first, then the most senior still-green re-seats, tail in
+staleness order) and emits ``plans/rotation_order.py``, which this
+module imports. The reseat is one command per round; hand edits to
+the schedule are gone. The r12 window seats all 39 r9-last-green
+entries plus 11 senior r10-green re-seats.
 """
 
 from __future__ import annotations
@@ -1240,168 +1249,28 @@ _REGISTERED += [
         P.ORACLE_DOC_LANG_ID_NGRAM,
         "Cavnar-Trenkle n-gram language ID: per-language char-trigram "
         "rank profiles + out-of-place distance, argmin prediction, "
-        "all-integer hash gate (textstats.lang_id_ngram)",
+        "all-integer hash gate over BOTH branches — self-trained and "
+        "pretrained-on-a-disjoint-split at a mismatched model depth "
+        "(textstats.lang_id_ngram)",
     ),
 ]
 
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 
-#: The round-11 verification schedule: the first 50 names are the
-#: driver window, the rest the tail. Rotations from round 9 on edit
-#: THIS list (definition order above is append-only registration
-#: order); the module docstring records each round's moves and
-#: ``tools/make_rotation.py`` emits the machine-readable ledger
-#: (ROTATION.json: per entry first_seated / last_driver_green).
-ORDER: list[str] = [
-    # ---- r11 window seats 1-38: every entry whose last driver ----
-    # ---- row is r8 (trailing-3 owes each a seat this round),  ----
-    # ---- staleness-then-seat order                            ----
-    "doc_zip_bigrams",
-    "order_date_roundtrip",
-    "event_type_pivot",
-    "orders_by_month",
-    "union_counterparties",
-    "orderkeys_except_open",
-    "doc_lm_score_ref",
-    "doc_stream_gates",
-    "doc_bm25",
-    "doc_source_cap",
-    "emb_semantic_dedup",
-    "doc_dup_passages",
-    "doc_quality_classifier",
-    "doc_dsir_weights",
-    "emb_decontaminate",
-    "doc_temperature_mix",
-    "dim_scd2",
-    "doc_token_divergence",
-    "doc_length_quantiles_kll",
-    "doc_url_canonical",
-    "emb_cosine_topk",
-    "emb_ann_topk",
-    "doc_chunk_dedup",
-    "doc_lm_score",
-    "doc_length_quantiles",
-    "doc_stratified_sample",
-    "doc_corpus_profile_hll",
-    "emb_ivf_topk",
-    "emb_quantized_topk",
-    "emb_cosine_dups",
-    "doc_collapse_repeats",
-    "doc_adaptive_quality",
-    "doc_winnow_pairs",
-    "doc_gumbel_sample",
-    "emb_cluster_profile",
-    "doc_rag_chunks",
-    "snapshot_diff",
-    "doc_dq_profile",
-    # ---- r11 window seat 39: the round's new composition gate ----
-    "train_export_pipeline",
-    # ---- r11 window seats 40-49: the 10 most senior r9-green; ----
-    # ---- seat 50: the round's second new gate (n-gram lang ID) ----
-    "doc_hh_candidates",
-    "doc_hashing_tfidf",
-    "doc_corpus_pipeline",
-    "doc_split_corpus",
-    "doc_oov_ratio",
-    "doc_cross_corpus_dups",
-    "emb_cluster_assign",
-    "doc_media_features",
-    "doc_corpus_profile",
-    "doc_minhash_pairs",
-    "doc_lang_id_ngram",
-    # ---- tail: remaining r9-green in r12-priority order ...   ----
-    "doc_neardup_clusters",
-    "doc_neardup_survivors",
-    "doc_regex_extract",
-    "doc_token_counts",
-    "doc_rolling_hash",
-    "doc_dedup_survivors",
-    "parts_brand_stats",
-    "supplier_balance_by_nation",
-    "pricing_summary",
-    "revenue_by_nation",
-    "top_customers",
-    "order_priority_semi",
-    "customers_without_orders",
-    "top_acctbal_per_nation",
-    "rollup_revenue",
-    "sessionize",
-    "asof_purchase_click",
-    "revenue_grouping_sets",
-    "doc_exact_dups",
-    "doc_simhash",
-    "doc_ngram_jaccard",
-    "doc_token_dim",
-    "doc_token_bridge",
-    "doc_clean_filters",
-    "events_props_struct",
-    "doc_pii_scrub",
-    "doc_repetition_stats",
-    "doc_domain_mix",
-    "doc_decontaminate",
-    "doc_pack_sequences",
-    "event_interval_join",
-    "doc_vocab_topk",
-    "doc_bpe_tokens",
-    "doc_heavy_hitters",
-    "host_pagerank",
-    "doc_bloom_screen",
-    "doc_normalize_dups",
-    "doc_pmi_collocations",
-    "doc_containment",
-    # ---- ... then the r10-green entries                       ----
-    "doc_line_dedup",
-    "doc_line_quality",
-    "doc_shuffle_shards",
-    "doc_token_ids",
-    "doc_host_boilerplate",
-    "doc_budget_mix",
-    "emb_pq_topk",
-    "doc_ccnet_buckets",
-    "doc_blocklist",
-    "doc_phrase_search",
-    "doc_allpairs",
-    "doc_bpe_fertility",
-    "doc_zorder",
-    "curation_pipeline",
-    "emb_ivfpq_topk",
-    "doc_html_extract",
-    "event_funnel",
-    "event_cohort_retention",
-    "part_avg_qty_outliers",
-    "doc_char_entropy",
-    "doc_kn_lm",
-    "doc_hashed_classifier",
-    "emb_kmeans_train",
-    "supplier_sole_late",
-    "doc_keywords",
-    "doc_ngram_novelty",
-    "doc_bpe_roundtrip",
-    "event_time_range_avg",
-    "event_rank_metrics",
-    "customer_idle_rich",
-    "doc_dedup_spans",
-    "doc_hybrid_search",
-    "dim_scd2_asof",
-    "doc_term_screen",
-    "emb_jl_project",
-    "rag_pipeline",
-    "doc_datasheet",
-    "doc_title_fuzzy_match",
-    "session_window_agg",
-    "event_value_quantiles_approx",
-    "star_pipeline",
-    "hourly_event_rollup",
-    "doc_text_stats",
-    "doc_lang_id",
-    "doc_fingerprint",
-    "doc_quality",
-    "string_functions",
-    "json_props",
-    "event_lag_delta",
-    "event_moving_avg",
-]
+#: The verification schedule: the first 50 names are the driver
+#: window, the rest the tail. GENERATED by ``tools/make_rotation.py
+#: --write`` from the committed CORRECTNESS ledger (r12 on) — never
+#: hand-edited. A gate registered after the last ``--write`` prepends
+#: to the window (never-seated entries MUST seat) until the schedule
+#: is regenerated; ROTATION.json's committed-artifact test then
+#: forces the regeneration before the round ships.
+from scraping_etl_spark.plans.rotation_order import ORDER as _SCHEDULED
+
+ORDER: list[str] = (
+    [q.name for q in _REGISTERED if q.name not in set(_SCHEDULED)]
+    + [n for n in _SCHEDULED if n in _BY_NAME]
+)
 
 assert sorted(ORDER) == sorted(_BY_NAME), (
     "ORDER must be a permutation of the registered names; missing="

@@ -535,6 +535,14 @@ def build_corpus_gate(
     from scraping_etl_spark.operators import corpus_prep as CP
     from scraping_etl_spark.operators.dedup import cross_corpus_neardup_pairs
 
+    # hoist the model's unmatched-gram penalty (its max rank) ONCE at
+    # gate build — scoring inside the per-micro-batch closure would
+    # re-run the model scan every trigger
+    lang_trained_m = (
+        lang_profiles.agg(F.max("rank")).first()[0]
+        if lang_profiles is not None else None
+    )
+
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         keep_cols = [c for c in batch_df.columns if c != "text"]
         scrubbed = CP.scrub_pii(batch_df, with_counts=False).select(
@@ -592,7 +600,9 @@ def build_corpus_gate(
             from scraping_etl_spark.operators.textstats import lang_id_ngram
 
             right_lang = (
-                lang_id_ngram(kept, profiles=lang_profiles)
+                lang_id_ngram(
+                    kept, profiles=lang_profiles, trained_m=lang_trained_m
+                )
                 .filter(F.col("pred_lang").isin(*allowed_langs))
                 .select("doc_id")
             )

@@ -49,23 +49,59 @@ def test_lang_id_ngram_gramless_doc_ties_to_first_language(spark):
     assert got[999] == ("aa", 0)
 
 
-def test_lang_id_ngram_unmatched_gram_costs_top_m(spark):
+def test_lang_id_ngram_unmatched_gram_costs_model_depth(spark):
     """A doc whose grams appear in no profile scores exactly
-    ng * top_m against every language."""
+    ng * penalty against every language, where the penalty in
+    pretrained mode is the MODEL'S max rank (Cavnar-Trenkle's
+    out-of-place maximum is the profile depth it was trained with,
+    not the scoring call's top_m — r11 ADVICE item 1)."""
     base = _toy(spark)
     extra = base.sparkSession.createDataFrame(
         [(998, "bb", "qqqq")], "doc_id long, lang string, text string"
     )
     # train profiles WITHOUT the alien doc, score WITH it
     profiles = TS.char_ngram_profiles(base, top_m=50)
+    depth = profiles.agg(F.max("rank")).first()[0]
+    assert depth < 50  # the toy vocab is shallower than top_m
     got = {
         r.doc_id: (r.pred_lang, r.dist)
         for r in TS.lang_id_ngram(
             base.unionByName(extra), top_m=50, doc_m=20, profiles=profiles
         ).collect()
     }
-    # "qqqq" -> grams qqq, qqq -> distinct 'qqq' only: ng=1, dist=50
-    assert got[998] == ("aa", 50)
+    # "qqqq" -> grams qqq, qqq -> distinct 'qqq' only: ng=1
+    assert got[998] == ("aa", depth)
+
+
+def test_lang_id_ngram_depth_mismatch_keeps_matched_le_unmatched(spark):
+    """Scoring with a top_m SMALLER than the training depth must not
+    invert the semantics: a matched gram's cost |dr - rank| is bounded
+    by the model depth, never more than an unmatched gram's penalty.
+    The penalty must therefore come from the model (max rank), not the
+    call-site top_m — with the call-site value, rank-40 matches would
+    cost up to ~39 while unmatched cost only 10."""
+    base = _toy(spark)
+    profiles = TS.char_ngram_profiles(base, top_m=50)
+    depth = profiles.agg(F.max("rank")).first()[0]
+    got = {
+        r.doc_id: r.dist
+        for r in TS.lang_id_ngram(
+            base, top_m=10, doc_m=20, profiles=profiles
+        ).collect()
+    }
+    ng = 20  # doc_m cap; every toy doc has >= 20 distinct grams or fewer
+    # distance can never exceed all-unmatched at the model depth
+    for doc_id, dist in got.items():
+        assert dist <= ng * depth, (doc_id, dist, depth)
+    # and self-consistency: identical calls with call-site top_m 10 vs
+    # 80 give identical results because the model fixes the penalty
+    again = {
+        r.doc_id: r.dist
+        for r in TS.lang_id_ngram(
+            base, top_m=80, doc_m=20, profiles=profiles
+        ).collect()
+    }
+    assert got == again
 
 
 def test_gate_accuracy_on_marked_corpus(spark):

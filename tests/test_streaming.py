@@ -1194,6 +1194,90 @@ def test_corpus_prep_stream_lang_screen_keeps_allowed_languages(spark, tmp_path)
     assert twin == got
 
 
+def test_corpus_prep_stream_lang_screen_replay_converges(spark, tmp_path):
+    """The realistic deployment of the language screen (r11 verdict
+    item 6): the model is trained OFFLINE on a labeled lake that is
+    DISJOINT from the stream, broadcast as a static side input, and
+    applied per micro-batch. Two micro-batches (one file each), then a
+    checkpoint reset + replay with identical slicing must land the
+    bit-identical relation (the batch_id partition-overwrite
+    convention) — and the stream's verdict equals the batch twin's on
+    the union of the incoming rows, micro-batch slicing invisible."""
+    import os
+    import shutil
+
+    import pyspark.sql.types as T2
+
+    from scraping_etl_spark.operators.textstats import (
+        char_ngram_profiles,
+        lang_id_ngram,
+    )
+    from scraping_etl_spark.streaming.pipeline import corpus_prep_stream
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    lake_rows = []
+    for i in range(6):
+        lake_rows.append((i, "aa", "common words here " + "aardvark " * 5))
+        lake_rows.append((10 + i, "bb", "common words here " + "bobolink " * 5))
+    lake = spark.createDataFrame(
+        lake_rows, "doc_id long, lang string, text string"
+    )
+    # trained at depth 60, scored by the gate at its default top_m —
+    # the penalty must come from the MODEL (max rank), pinned by the
+    # twin equality below
+    profiles = char_ngram_profiles(lake, top_m=60)
+
+    b1 = [
+        (101, "novel aardvark aardvark aardvark report", "?"),
+        (102, "novel bobolink bobolink bobolink report", "?"),
+    ]
+    b2 = [
+        (103, "more aardvark aardvark aardvark text", "?"),
+        (104, "more bobolink bobolink bobolink text", "?"),
+    ]
+    schema_str = "doc_id long, text string, lang string"
+    spark.createDataFrame(b1, schema_str).coalesce(1).write.parquet(f"{src}/f1")
+    spark.createDataFrame(b2, schema_str).coalesce(1).write.parquet(f"{src}/f2")
+    schema = T2.StructType([
+        T2.StructField("doc_id", T2.LongType()),
+        T2.StructField("text", T2.StringType()),
+        T2.StructField("lang", T2.StringType()),
+    ])
+
+    def run_once():
+        q = corpus_prep_stream(
+            spark, f"{src}/*", out, ckpt, schema=schema,
+            lang_profiles=profiles, allowed_langs=("aa",),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.select("batch_id").distinct().count() == 2
+    before = {tuple(r) for r in got.drop("batch_id").collect()}
+    assert {r.doc_id for r in got.collect()} == {101, 103}
+
+    # batch twin over the union, same pretrained model
+    batch = spark.createDataFrame(b1 + b2, schema_str)
+    twin = {
+        r.doc_id
+        for r in lang_id_ngram(batch, profiles=profiles)
+        .filter("pred_lang = 'aa'")
+        .collect()
+    }
+    assert twin == {r[0] for r in before}
+
+    shutil.rmtree(ckpt)
+    run_once()
+    after = {
+        tuple(r)
+        for r in spark.read.parquet(out).drop("batch_id").collect()
+    }
+    assert after == before
+
+
 def test_corpus_gate_rejects_lang_screen_without_allowlist(spark):
     """A language screen with an empty allow-list would silently drop
     the whole stream — rejected at gate-build time."""

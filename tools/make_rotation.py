@@ -97,15 +97,102 @@ def current_round(repo: str) -> int:
     return (max(rounds) + 1) if rounds else 1
 
 
+def author_order(entries: dict[str, dict], rnd: int) -> list[str]:
+    """Compute the round-``rnd`` verification schedule from the ledger
+    (r11 verdict item 3 — the reseat is derived, not hand-edited).
+
+    Seats, in order: every entry OWED a seat (never driver-green, or
+    last green <= rnd-3 so it would violate trailing-3 at rnd+1 if
+    left in the tail), stalest first; then the most senior
+    still-green entries fill the window to 50. The tail is sorted by
+    the same staleness key so next round's owed group is contiguous
+    at its head. Ties break on the previous seat, so the schedule is
+    deterministic and stable under regeneration."""
+
+    def staleness(name: str) -> tuple[int, int]:
+        e = entries[name]
+        green = e["last_driver_green"]
+        return (green if green is not None else -1, e["seat"])
+
+    owed = sorted(
+        (
+            n for n, e in entries.items()
+            if e["last_driver_green"] is None
+            or e["last_driver_green"] <= rnd - 3
+        ),
+        key=staleness,
+    )
+    if len(owed) > WINDOW:
+        raise SystemExit(
+            f"cannot author r{rnd}: {len(owed)} entries owed a seat "
+            f"but the window holds {WINDOW} — the trailing-3 cadence "
+            "needs a wider window or an extra round"
+        )
+    rest = sorted((n for n in entries if n not in set(owed)), key=staleness)
+    fill = rest[: WINDOW - len(owed)]
+    return owed + fill + rest[WINDOW - len(owed):]
+
+
+_GENERATED_HEADER = '''"""GENERATED by ``tools/make_rotation.py --write`` — do not hand-edit.
+
+Round-{rnd} verification schedule (the driver checks seats 1-{window}).
+Derived from the committed ``CORRECTNESS_r*.json`` ledger: seats
+1-{n_owed} are the {n_owed} entries owed a seat at r{rnd} (last
+driver-green <= r{prev3} or never seated), stalest first; seats
+{fill_from}-{window} re-seat the most senior still-green entries; the
+tail is staleness-ordered so the r{next_rnd} owed group is contiguous
+at its head. Regenerate with ``python tools/make_rotation.py --write``
+after each round's driver artifacts land.
+"""
+
+ORDER: list[str] = [
+'''
+
+
+def write_order(repo: str, rnd: int, entries: dict[str, dict]) -> list[str]:
+    order = author_order(entries, rnd)
+    n_owed = sum(
+        1 for n, e in entries.items()
+        if e["last_driver_green"] is None or e["last_driver_green"] <= rnd - 3
+    )
+    dest = os.path.join(
+        repo, "scraping_etl_spark", "plans", "rotation_order.py"
+    )
+    with open(dest, "w") as f:
+        f.write(_GENERATED_HEADER.format(
+            rnd=rnd, window=WINDOW, n_owed=n_owed, prev3=rnd - 3,
+            fill_from=n_owed + 1, next_rnd=rnd + 1,
+        ))
+        for name in order:
+            f.write(f'    "{name}",\n')
+        f.write("]\n")
+    return order
+
+
 def main() -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    rnd = int(sys.argv[1]) if len(sys.argv) > 1 else current_round(repo)
+    args = [a for a in sys.argv[1:] if a != "--write"]
+    write = "--write" in sys.argv[1:]
+    rnd = int(args[0]) if args else current_round(repo)
 
     entries = build_ledger(repo)
 
+    if write:
+        new_order = write_order(repo, rnd, entries)
+        # Re-derive seats/status against the freshly written ORDER so
+        # ROTATION.json and rotation_order.py are emitted in lockstep.
+        entries = {
+            name: {**entries[name],
+                   "seat": i + 1,
+                   "status": "window" if i < WINDOW else "tail"}
+            for i, name in enumerate(new_order)
+        }
+        print(f"rotation_order.py: authored r{rnd} schedule")
+
     from scraping_etl_spark.plans.registry import ORDER
 
-    out = {"round": rnd, "window": ORDER[:WINDOW], "entries": entries}
+    order = new_order if write else ORDER
+    out = {"round": rnd, "window": order[:WINDOW], "entries": entries}
     dest = os.path.join(repo, "ROTATION.json")
     with open(dest, "w") as f:
         json.dump(out, f, indent=1, sort_keys=False)
