@@ -215,6 +215,61 @@ def token_chunks(text_col: Column | str, chunk_len: int = 10) -> Column:
     return _bind(tokens(text_col), _chunks)
 
 
+def cdc_chunks(
+    text_col: Column | str, window: int = 4, divisor: int = 8
+) -> Column:
+    """CONTENT-DEFINED chunk boundaries (the Rabin/FastCDC idea at the
+    token level, Muthitacharoen et al. SOSP 2001 "LBFS"): cut after
+    token ``i`` whenever the hash of the ``window``-token context
+    ending at ``i`` is ≡ 0 (mod ``divisor``) — expected chunk length
+    ``divisor`` tokens. Because a boundary depends only on its local
+    window, inserting or deleting a token perturbs boundaries within
+    ``window`` tokens of the edit and every other chunk survives
+    verbatim — the property fixed-stride :func:`token_chunks` lacks
+    (one inserted token shifts EVERY downstream window, zero chunks
+    survive). That is what makes CDC the dedup primitive for corpora
+    with boilerplate prefixes/suffixes or lightly edited mirrors.
+
+    The window hash is the md5-hex-prefix 60-bit integer (the module's
+    standard engine-mirrorable hash), so the DuckDB oracle reproduces
+    boundaries bit-for-bit. Pure array expressions — per-document,
+    zero shuffle; the boundary-position array is lambda-bound so the
+    md5 filter evaluates once (single-evaluation hazard)."""
+    if window < 1 or divisor < 1:
+        raise ValueError(f"window/divisor must be >= 1, got {window}/{divisor}")
+
+    def _cdc(t: Column) -> Column:
+        n = F.size(t)
+
+        def _h(i: Column) -> Column:
+            win = F.array_join(F.slice(t, i - (window - 1), window), " ")
+            return F.conv(F.substring(F.md5(win), 1, 15), 16, 10).cast("long")
+
+        bpos = F.when(
+            n - 1 >= window,
+            F.filter(
+                F.sequence(F.lit(window), n - 1),
+                lambda i: _h(i) % divisor == 0,
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+
+        def _cut(b: Column) -> Column:
+            starts = F.concat(
+                F.array(F.lit(1)), F.transform(b, lambda p: p + 1)
+            )
+            ends = F.concat(b, F.array(n))
+            return F.zip_with(
+                starts, ends,
+                lambda s, e: F.array_join(F.slice(t, s, e - s + 1), " "),
+            )
+
+        return F.when(n > 0, _bind(bpos, _cut)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return _bind(tokens(text_col), _cdc)
+
+
 #: A chunk shared by more docs than this is "viral": its pair rows are
 #: flagged via a broadcast join instead of riding the shuffle join. The
 #: hot SET is small by definition (≤ total_pairs / threshold distinct
@@ -228,10 +283,14 @@ def chunk_dedup_stats(
     text_col: str = "text",
     chunk_len: int = 10,
     hot_threshold: int = HOT_CHUNK_DOCS,
+    chunks: Column | None = None,
 ) -> DataFrame:
     """For every document: how many of its distinct chunks also occur
-    in at least one OTHER document, and the shared fraction. The plan
-    is explode → per-(doc, chunk) distinct → per-chunk distinct-doc
+    in at least one OTHER document, and the shared fraction. Chunking
+    defaults to fixed ``chunk_len``-token strides; pass ``chunks`` (an
+    ``array<string>`` column, e.g. :func:`cdc_chunks`) to supply a
+    different chunker — the stats plumbing is chunker-agnostic. The
+    plan is explode → per-(doc, chunk) distinct → per-chunk distinct-doc
     count → flag each (doc, chunk) pair as shared → per-doc aggregate:
     all shuffles keyed on high-cardinality values (chunk md5, doc id).
 
@@ -258,8 +317,11 @@ def chunk_dedup_stats(
     dynamic-allocation cluster swap for reliable ``checkpoint()``."""
     if hot_threshold < 1:
         raise ValueError(f"hot_threshold must be >= 1, got {hot_threshold}")
+    chunk_expr = (
+        chunks if chunks is not None else token_chunks(text_col, chunk_len)
+    )
     pairs = (
-        df.select(F.col(id_col), F.explode(token_chunks(text_col, chunk_len)).alias("_c"))
+        df.select(F.col(id_col), F.explode(chunk_expr).alias("_c"))
         .select(id_col, F.md5("_c").alias("_h"))
         .distinct()
         .localCheckpoint()

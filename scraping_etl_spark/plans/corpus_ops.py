@@ -224,6 +224,71 @@ GROUP BY 1
 """
 
 
+_CDC_W, _CDC_D = 4, 8
+
+
+def q_doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup gate: documents ∪ an EDITED copy
+    of the doc_id ≡ 0 (mod 3) slice (three boilerplate tokens
+    prepended, re-keyed +1e6). Fixed-stride chunking shares ~zero
+    chunks across such a shifted pair; CDC boundaries re-synchronize
+    within one window of the edit, so the copies share most chunks —
+    the property the hash pins (corpus_prep.cdc_chunks +
+    chunk_dedup_stats with a custom chunker)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edited = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat(F.lit("mirror site boilerplate "), F.col("text")).alias("text"),
+    )
+    return CP.chunk_dedup_stats(
+        d.unionByName(edited),
+        chunks=CP.cdc_chunks("text", window=_CDC_W, divisor=_CDC_D),
+    ).select("doc_id", "n_chunks", "n_shared", "shared_frac")
+
+
+ORACLE_DOC_CDC_CHUNKS = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, 'mirror site boilerplate ' || text
+  FROM documents WHERE doc_id % 3 = 0
+),
+tok AS (SELECT doc_id, {_TOKS} AS t FROM corpus),
+geo AS (
+  SELECT doc_id, t, len(t) AS n,
+         list_filter(
+           generate_series({_CDC_W}, len(t) - 1),
+           i -> (('0x' || substr(md5(array_to_string(
+                   list_slice(t, i - {_CDC_W - 1}, i), ' ')), 1, 15)
+                )::BIGINT % {_CDC_D}) = 0
+         ) AS bpos
+  FROM tok WHERE len(t) > 0
+),
+cuts AS (
+  SELECT doc_id, t,
+         [1] || list_transform(bpos, p -> p + 1) AS starts,
+         bpos || [n] AS ends
+  FROM geo
+),
+chunks AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(starts)),
+           j -> md5(array_to_string(list_slice(t, starts[j], ends[j]), ' '))
+         )) AS h
+  FROM cuts
+),
+dpc AS (SELECT h, count(*) AS docs FROM chunks GROUP BY 1)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       round(sum(CASE WHEN docs > 1 THEN 1 ELSE 0 END) / count(*), 6)
+         AS shared_frac
+FROM chunks JOIN dpc USING (h)
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Decontamination
 # ---------------------------------------------------------------------------
@@ -962,6 +1027,108 @@ agg AS (
 SELECT d.doc_id,
        CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
        CAST(coalesce(n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece) tokenizer (operators/unigram.py gate)
+# ---------------------------------------------------------------------------
+
+#: Gate-scale unigram model: the synthetic ~31-word vocabulary plus
+#: language markers; 48 pieces with a 6-char cap leave real multi-piece
+#: segmentations (words longer than 6 chars can never be one piece).
+_UNI_VOCAB, _UNI_SEED, _UNI_ITERS, _UNI_MAXLEN = 48, 300, 2, 6
+
+#: sf_dirs the unigram query ran at in this process — the same
+#: oracle-pairing guard as ``_bpe_query_dirs``.
+_uni_query_dirs: set[str] = set()
+
+
+@functools.lru_cache(maxsize=4)
+def _uni_artifacts(sf_dir: str) -> tuple:
+    """Train-once unigram artifacts per scale dir: the piece-count
+    model and the collected word→n_sub segmentation (both model-scale;
+    the ``ivf_train`` plan-constants convention)."""
+    from scraping_etl_spark.operators import unigram as UNI
+    from scraping_etl_spark.session import get_spark
+
+    spark = SparkSession.getActiveSession() or get_spark()
+    d = load_table(spark, sf_dir, "documents")
+    model = UNI.train_unigram(
+        d, vocab_size=_UNI_VOCAB, seed_size=_UNI_SEED,
+        n_iters=_UNI_ITERS, max_piece_len=_UNI_MAXLEN,
+    )
+    seg = UNI.word_segment_unigram(d, model, max_piece_len=_UNI_MAXLEN)
+    table = tuple(
+        (r["word"], int(r["n_sub"]))
+        for r in seg.select("word", "n_sub").collect()
+    )
+    return model, table
+
+
+def q_doc_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained unigram-LM tokenization gate (operators/unigram.py —
+    the SentencePiece-style counterpart of ``doc_bpe_tokens``): learn
+    the piece vocabulary by Viterbi-EM over the corpus (once per
+    sf_dir, cached), Viterbi-segment the distinct-word vocabulary,
+    then tokenize every document through the same broadcast
+    word→segmentation join the BPE gate uses
+    (:func:`bpe.bpe_token_counts` — the segmentation-cache contract is
+    the interface, the trainer is pluggable)."""
+    _uni_query_dirs.add(sf_dir)
+    model, _ = _uni_artifacts(sf_dir)
+    from scraping_etl_spark.operators import unigram as UNI
+
+    d = load_table(spark, sf_dir, "documents")
+    seg = UNI.word_segment_unigram(d, model, max_piece_len=_UNI_MAXLEN)
+    return BPE.bpe_token_counts(d, seg).select(
+        "doc_id", "n_tokens",
+        F.col("n_bpe_tokens").alias("n_uni_tokens"),
+    )
+
+
+def oracle_doc_unigram_tokens(sf_dir: str | None = None) -> str:
+    """Lazy DuckDB twin of :func:`q_doc_unigram_tokens` — identical
+    shape to :func:`oracle_doc_bpe_tokens`: the learned word→piece-
+    count table rides in as VALUES plan constants (training is
+    deterministic — integer counts, total-order tie-breaks — so both
+    engines share one model); tokenization is the exact relational
+    mirror."""
+    if sf_dir is None:
+        if "SPARK_GRAFT_ORACLE_SF_DIR" in os.environ:
+            sf_dir = os.environ["SPARK_GRAFT_ORACLE_SF_DIR"]
+        elif len(_uni_query_dirs) == 1:
+            sf_dir = next(iter(_uni_query_dirs))
+        else:
+            sf_dir = _BPE_ORACLE_SF_DIR
+        if _uni_query_dirs and sf_dir not in _uni_query_dirs:
+            raise RuntimeError(
+                f"doc_unigram_tokens oracle: would train at {sf_dir!r} but "
+                f"the query ran at {sorted(_uni_query_dirs)!r} — pass sf_dir "
+                "or set SPARK_GRAFT_ORACLE_SF_DIR to pair them."
+            )
+    _, table = _uni_artifacts(sf_dir)
+    values = ",\n    ".join(
+        "('{}', {})".format(w.replace("'", "''"), n) for w, n in table
+    )
+    return f"""
+WITH seg(word, n_sub) AS (VALUES
+    {values}
+),
+tok AS (
+  SELECT doc_id, unnest({_LTOKS}) AS w FROM documents
+),
+agg AS (
+  SELECT tok.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(coalesce(seg.n_sub, len(tok.w))) AS BIGINT) AS n_uni_tokens
+  FROM tok LEFT JOIN seg ON tok.w = seg.word
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(n_uni_tokens, 0) AS BIGINT) AS n_uni_tokens
 FROM documents d LEFT JOIN agg USING (doc_id)
 """
 

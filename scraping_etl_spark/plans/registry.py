@@ -1255,6 +1255,28 @@ _REGISTERED += [
     ),
 ]
 
+# round-12 gate: content-defined chunking (LBFS/FastCDC at the token
+# level) — the insertion-robust dedup primitive fixed-stride chunking
+# can't provide; boundaries re-synchronize within one window of an
+# edit, pinned against an edited-mirror corpus.
+_REGISTERED += [
+    QuerySpec(
+        "doc_cdc_chunks", C.q_doc_cdc_chunks, C.ORACLE_DOC_CDC_CHUNKS,
+        "content-defined chunk dedup: md5-window CDC boundaries "
+        "(expected 8-token chunks), shared-chunk stats over an "
+        "edited-mirror corpus (corpus_prep.cdc_chunks + "
+        "chunk_dedup_stats custom chunker)",
+    ),
+    QuerySpec(
+        "doc_unigram_tokens", C.q_doc_unigram_tokens,
+        C.oracle_doc_unigram_tokens,
+        "unigram-LM (SentencePiece) tokenizer: Viterbi-EM piece "
+        "vocabulary trained at corpus scale, per-doc subword counts "
+        "through the shared segmentation-cache join (lazy "
+        "plan-constants oracle; operators/unigram.py)",
+    ),
+]
+
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 

@@ -116,6 +116,50 @@ def test_chunk_dedup_partial_overlap(spark):
     assert got[1].shared_frac == 0.5
 
 
+def test_cdc_chunks_boundaries_are_content_defined(spark):
+    """The same text yields the same chunks wherever it appears, and
+    chunk concatenation reconstructs the token stream (a partition,
+    not a sample)."""
+    text = " ".join(f"w{i * 7 % 23}" for i in range(60))
+    df = _docs(spark, [(1, text), (2, text)])
+    rows = df.select(
+        "doc_id", CP.cdc_chunks("text").alias("c")
+    ).collect()
+    by_id = {r.doc_id: r.c for r in rows}
+    assert by_id[1] == by_id[2]
+    assert " ".join(by_id[1]).split() == text.split()
+    assert len(by_id[1]) > 1  # the divisor actually cuts this text
+
+
+def test_cdc_chunks_survive_a_prefix_edit_where_fixed_stride_does_not(spark):
+    """THE CDC property: prepend one boilerplate token and the chunk
+    boundaries re-synchronize within one window — most chunks are
+    shared with the original. Fixed-stride chunking shifts every
+    window and shares nothing."""
+    text = " ".join(f"w{i}" for i in range(120))  # position-unique tokens
+    df = _docs(spark, [(1, text), (2, "inserted " + text)])
+    cdc = {
+        r.doc_id: r
+        for r in CP.chunk_dedup_stats(
+            df, chunks=CP.cdc_chunks("text")
+        ).collect()
+    }
+    fixed = {r.doc_id: r for r in CP.chunk_dedup_stats(df).collect()}
+    assert cdc[1].shared_frac >= 0.5, cdc[1]
+    assert fixed[1].n_shared == 0, fixed[1]
+
+
+def test_cdc_chunks_edge_inputs(spark):
+    """Empty text -> no chunks; text shorter than the hash window ->
+    one whole-document chunk."""
+    df = _docs(spark, [(1, ""), (2, "a b"), (3, "   ")])
+    got = {r.doc_id: r.c for r in df.select(
+        "doc_id", CP.cdc_chunks("text").alias("c")
+    ).collect()}
+    assert got[1] == [] and got[3] == []
+    assert got[2] == ["a b"]
+
+
 # ---------------------------------------------------------------------------
 # Decontamination
 # ---------------------------------------------------------------------------
