@@ -259,3 +259,134 @@ def payload_dup_groups(
         "n_family",
         (F.col(id_col) == F.col("_min_id")).alias("is_canonical"),
     )
+
+
+def payload_simhash(
+    payload_col: Column | str = "payload",
+    chunk_bytes: int = 32,
+    bits: int = 16,
+) -> Column:
+    """Byte-level SimHash over the binary payload — near-dup signature
+    for media assets WITHOUT decoding (the asset tier of the text
+    SimHash: an image served with touched-up EXIF bytes or a re-muxed
+    clip shares most byte chunks, so its signature lands at small
+    Hamming distance; Charikar 2002 applied to fixed-stride byte
+    chunks, the Dropbox/backup-dedup convention).
+
+    The payload is carried through its HEX encoding (2 chars/byte) so
+    the chunk hashing is plain string md5 — bit-for-bit mirrorable in
+    DuckDB (``hex(encode(...))`` parity is pinned by the gate); chunks
+    are ``chunk_bytes``-byte (=2·chunk_bytes hex chars) fixed strides,
+    tail kept. Pure per-row array expressions over the shared
+    :func:`~scraping_etl_spark.operators.dedup.simhash_of_hashes` vote
+    core — zero shuffle to sign a corpus."""
+    from scraping_etl_spark.operators.dedup import _bind, simhash_of_hashes
+
+    col = F.col(payload_col) if isinstance(payload_col, str) else payload_col
+    step = 2 * chunk_bytes
+
+    def _chunks(hx: Column) -> Column:
+        n = F.length(hx)
+        starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(step))).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(starts, lambda i: hx.substr(i, F.lit(step)))
+
+    def _hashes(chunks: Column) -> Column:
+        return F.transform(
+            chunks,
+            lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long"),
+        )
+
+    return _bind(
+        _bind(F.hex(col), lambda hx: _hashes(_chunks(hx))),
+        lambda hashed: simhash_of_hashes(hashed, bits),
+    )
+
+
+def payload_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    chunk_bytes: int = 8,
+    bits: int = 60,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate binary-asset pairs at Hamming distance ≤
+    ``max_hamming`` on the byte-chunk SimHash, found by signature
+    BANDING instead of an all-pairs scan: split the ``bits``-bit
+    signature into ``bands`` equal slices; by pigeonhole any pair
+    within ``max_hamming < bands`` differing bits agrees on at least
+    one whole band, so the per-band equi-join is a COMPLETE candidate
+    generator (the Manku/Jarvelin-style multi-table SimHash lookup as
+    one self-join). Verify re-attaches both signatures and keeps
+    ``bit_count(a XOR b) <= max_hamming``.
+
+    Plan: per-row signature (zero shuffle) → explode to ``bands`` rows
+    → band-keyed equi-join → pair agg (dedup of multi-band collisions,
+    same key as the join) → id-keyed verify carrying two LONGs (not
+    payloads). Returns ``(id_a, id_b, hamming)``.
+
+    Sizing: band width = bits/bands is the collision exponent — random
+    signatures collide per band at ~n²/2^width, so the default 60/4
+    (15-bit bands, 32k buckets) keeps the candidate join linear-ish up
+    to ~10⁵-10⁶ assets per band bucket-space; at larger corpora raise
+    ``bits``/``bands`` together (64-bit signatures with 16-bit bands is
+    the classic Manku web-dedup geometry — bits ≤ 62 here, the vote
+    combiner packs into one signed long). ``chunk_bytes`` trades edit
+    robustness (smaller = an edit touches fewer chunks = fewer flipped
+    bits) against signature cost (more chunks per payload)."""
+    if not 0 < max_hamming < bands:
+        raise ValueError(
+            f"need 0 < max_hamming < bands for the pigeonhole guarantee, "
+            f"got max_hamming={max_hamming}, bands={bands}"
+        )
+    if bits % bands != 0:
+        raise ValueError(f"bands must divide bits, got {bits}/{bands}")
+    width = bits // bands
+    mask = (1 << width) - 1
+    sigs = df.select(
+        F.col(id_col).alias("_id"),
+        payload_simhash(payload_col, chunk_bytes, bits).alias("_sig"),
+    ).localCheckpoint()  # consumed by the band explode AND verify ×2
+    banded = sigs.select(
+        "_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("_band"),
+                    F.shiftright("_sig", b * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("_val"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("_e"),
+    ).select("_id", "_e._band", "_e._val")
+    a, b2 = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._val") == F.col("b._val"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("_nb"))
+        .drop("_nb")
+    )
+    va = sigs.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa"))
+    vb = sigs.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

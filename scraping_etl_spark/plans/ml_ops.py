@@ -854,6 +854,91 @@ FROM documents
 """
 
 
+_MEDIA_CHUNK, _MEDIA_BITS, _MEDIA_BANDS, _MEDIA_HAM = 8, 60, 4, 3
+
+
+def q_doc_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-asset near-dup pairs WITHOUT decoding: byte-chunk SimHash
+    over the payload column, banded Hamming-ball lookup
+    (multimodal.payload_simhash / payload_neardup_pairs). Corpus =
+    payload-attached documents ∪ exact re-keyed copies (doc_id ≡ 0 mod
+    7, +2e6 — the re-hosted-asset case, Hamming 0) ∪ single-byte-tail
+    edits (doc_id ≡ 0 mod 5, +1e6, one '~' appended — the touched-up-
+    metadata case: one edited chunk among ~len/8, small but nonzero
+    Hamming, so the ≤ max_hamming verify genuinely bites per doc).
+    The oracle mirrors the hex/md5/vote/band/bit_count arithmetic
+    bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(2000000)).alias("doc_id"), "text"
+    )
+    edited = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("~")).alias("text"),
+    )
+    corpus = MM.attach_payload(d.unionByName(exact).unionByName(edited))
+    return MM.payload_neardup_pairs(
+        corpus, chunk_bytes=_MEDIA_CHUNK, bits=_MEDIA_BITS,
+        bands=_MEDIA_BANDS, max_hamming=_MEDIA_HAM,
+    )
+
+
+def _media_votes_sql() -> str:
+    """The 60-bit vote combiner as SQL (generated, not hand-typed)."""
+    terms = []
+    for i in range(_MEDIA_BITS):
+        terms.append(
+            "CASE WHEN list_aggregate(list_transform(hs, x -> CASE WHEN "
+            f"(x >> {i}) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0 "
+            f"THEN (1::BIGINT << {i}) ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+def oracle_doc_media_dedup(sf_dir: str | None = None) -> str:
+    """Callable-oracle contract takes the scale dir; this oracle has
+    no plan constants, so it is accepted and ignored."""
+    width = _MEDIA_BITS // _MEDIA_BANDS
+    mask = (1 << width) - 1
+    step = 2 * _MEDIA_CHUNK
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, text || '~' FROM documents WHERE doc_id % 5 = 0
+),
+hx AS (SELECT doc_id, hex(encode(text)) AS h FROM corpus),
+ch AS (
+  SELECT doc_id,
+         list_transform(
+           CASE WHEN len(h) > 0 THEN generate_series(1, len(h), {step})
+                ELSE [] END,
+           i -> ('0x' || substr(md5(substring(h, i, {step})), 1, 15))::BIGINT
+         ) AS hs
+  FROM hx
+),
+sig AS (SELECT doc_id, ({_media_votes_sql()}) AS s FROM ch),
+banded AS (
+  SELECT g.doc_id, b.band, (g.s >> (b.band * {width})) & {mask} AS val
+  FROM sig g, (SELECT unnest(generate_series(0, {_MEDIA_BANDS - 1})) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM banded a
+  JOIN banded b2 ON a.band = b2.band AND a.val = b2.val
+                AND a.doc_id < b2.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(sa.s, sb.s)) AS INT) AS hamming
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.id_a
+JOIN sig sb ON sb.doc_id = c.id_b
+WHERE bit_count(xor(sa.s, sb.s)) <= {_MEDIA_HAM}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Star-schema shapes on the scale tables (J2/J3/A2/A3 driver coverage)
 # ---------------------------------------------------------------------------

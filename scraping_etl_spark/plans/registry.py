@@ -1275,6 +1275,13 @@ _REGISTERED += [
         "through the shared segmentation-cache join (lazy "
         "plan-constants oracle; operators/unigram.py)",
     ),
+    QuerySpec(
+        "doc_media_dedup", M.q_doc_media_dedup, M.oracle_doc_media_dedup,
+        "binary-asset near-dup pairs without decoding: byte-chunk "
+        "SimHash + banded Hamming-ball lookup over re-hosted and "
+        "tail-edited payload copies (multimodal.payload_simhash / "
+        "payload_neardup_pairs)",
+    ),
 ]
 
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}

@@ -570,6 +570,66 @@ def test_payload_signature_validates_stride(spark):
         )
 
 
+def test_payload_simhash_exact_copies_at_hamming_zero(spark):
+    """Identical payloads sign identically; the banded lookup finds
+    the pair at Hamming 0; an unrelated payload pairs with neither."""
+    text = " ".join(f"tok{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, "entirely unrelated byte content here")],
+        "doc_id long, text string",
+    )
+    p = MM.attach_payload(docs)
+    pairs = {(r.id_a, r.id_b, r.hamming)
+             for r in MM.payload_neardup_pairs(p).collect()}
+    assert (1, 2, 0) in pairs
+    assert all(3 not in (a, b) for a, b, _ in pairs)
+
+
+def test_payload_simhash_small_edit_small_hamming(spark):
+    """A one-byte tail edit on a many-chunk payload flips few
+    signature bits (the SimHash robustness property); a fully
+    different payload lands far away."""
+    from pyspark.sql import functions as F
+
+    base = " ".join(f"tok{i * 13 % 97}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + "~"), (3, "x " * 200)],
+        "doc_id long, text string",
+    )
+    sigs = {
+        r.doc_id: r.s
+        for r in MM.attach_payload(docs)
+        .select("doc_id", MM.payload_simhash(bits=60).alias("s"))
+        .collect()
+    }
+    ham_edit = bin(sigs[1] ^ sigs[2]).count("1")
+    ham_far = bin(sigs[1] ^ sigs[3]).count("1")
+    assert ham_edit <= 6, ham_edit
+    assert ham_far > 15, ham_far
+
+
+def test_payload_neardup_pairs_validates_geometry(spark):
+    import pytest as _pt
+
+    p = MM.attach_payload(
+        spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    )
+    with _pt.raises(ValueError, match="pigeonhole"):
+        MM.payload_neardup_pairs(p, bands=4, max_hamming=4)
+    with _pt.raises(ValueError, match="divide"):
+        MM.payload_neardup_pairs(p, bits=50, bands=4, max_hamming=2)
+
+
+def test_payload_simhash_empty_payload_signs_zero(spark):
+    docs = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    got = (
+        MM.attach_payload(docs)
+        .select(MM.payload_simhash(bits=60).alias("s"))
+        .first()[0]
+    )
+    assert got == 0
+
+
 # ---------------------------------------------------------------------------
 # product quantization (round 9)
 # ---------------------------------------------------------------------------

@@ -178,6 +178,19 @@ def main() -> None:
          "packing = one shard-bounded window over slim (id, n_ids, "
          "ids_sum) rows; shuffled shards = one hash exchange + "
          "task-sized per-shard sorts"),
+        ("doc_cdc_chunks", C.q_doc_cdc_chunks,
+         "content-defined chunking: boundaries + chunks are per-doc "
+         "array expressions (zero shuffle to chunk); stats ride the "
+         "chunk_dedup hot/cold broadcast decomposition"),
+        ("doc_unigram_tokens", C.q_doc_unigram_tokens,
+         "unigram-LM tokenize: trained model as broadcast word-"
+         "segmentation cache, explode + left join + partial-agg "
+         "groupBy — corpus touched once, Viterbi only at vocabulary "
+         "scale"),
+        ("doc_media_dedup", M.q_doc_media_dedup,
+         "binary-asset near-dup: per-row byte-chunk SimHash (one-pass "
+         "vote aggregate, zero shuffle), 4-band Hamming-ball self-"
+         "join, id-keyed verify carrying two longs"),
     ]
 
     spark = get_spark()
