@@ -270,6 +270,88 @@ def cdc_chunks(
     return _bind(tokens(text_col), _cdc)
 
 
+#: Broadcast the reference CDC-chunk store only below this many hashes
+#: (~50 B/row serialized) — a 100 TB lake's chunk store is billions of
+#: rows, far past any sane broadcast; over the cap the membership join
+#: runs as a shuffle equi-join on the chunk hash.
+MAX_BROADCAST_CHUNKS = 2_000_000
+
+
+def prepare_cdc_ref(
+    lake: DataFrame,
+    text_col: str = "text",
+    window: int = 4,
+    divisor: int = 8,
+) -> DataFrame:
+    """Materialize the lake's distinct CDC-chunk hash store — the
+    prepared side input of :func:`cdc_seen_fraction` (the
+    ``prepare_neardup_ref`` convention: a streaming gate screening
+    every micro-batch against the lake must not re-chunk the lake per
+    trigger). Chunk geometry is baked in at prepare time."""
+    return (
+        lake.select(
+            F.explode(cdc_chunks(text_col, window, divisor)).alias("_c")
+        )
+        .select(F.md5("_c").alias("_h"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+
+def cdc_seen_fraction(
+    df: DataFrame,
+    ref_prepared: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 4,
+    divisor: int = 8,
+    max_broadcast_chunks: int = MAX_BROADCAST_CHUNKS,
+) -> DataFrame:
+    """Per-document fraction of CDC chunks already present in a
+    reference chunk store — the "have we ingested most of this
+    already?" door (content-defined, so a boilerplate-prefixed or
+    lightly edited mirror of lake content still reads as seen; the
+    fixed-stride version would miss every shifted copy). Per-doc
+    decision against a static side input, so batch-local equals
+    global — the honest-twin property the streaming gate needs.
+
+    Plan: per-doc chunking (zero shuffle) → distinct (doc, chunk-hash)
+    partial agg → membership left join against ``ref_prepared``
+    (broadcast only under a measured cardinality probe, the
+    ``bpe_token_counts`` convention) → per-doc partial-agg rollup.
+    Returns ``(id, n_chunks, n_seen, seen_frac)``; chunkless docs
+    (empty text) carry ``seen_frac`` 0.0."""
+    chunks = (
+        df.select(
+            F.col(id_col),
+            F.explode_outer(cdc_chunks(text_col, window, divisor)).alias("_c"),
+        )
+        .select(id_col, F.md5("_c").alias("_h"))
+        .distinct()
+    )
+    ref = ref_prepared.select("_h", F.lit(1).alias("_seen"))
+    fits = (
+        max_broadcast_chunks > 0
+        and ref.limit(max_broadcast_chunks + 1).count() <= max_broadcast_chunks
+    )
+    return (
+        chunks.join(F.broadcast(ref) if fits else ref, "_h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("_h").alias("n_chunks"),
+            F.sum(F.coalesce("_seen", F.lit(0))).cast("long").alias("n_seen"),
+        )
+        .select(
+            id_col,
+            "n_chunks",
+            "n_seen",
+            F.round(
+                F.col("n_seen") / F.greatest(F.col("n_chunks"), F.lit(1)), 6
+            ).alias("seen_frac"),
+        )
+    )
+
+
 #: A chunk shared by more docs than this is "viral": its pair rows are
 #: flagged via a broadcast join instead of riding the shuffle join. The
 #: hot SET is small by definition (≤ total_pairs / threshold distinct

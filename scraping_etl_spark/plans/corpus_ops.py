@@ -1031,6 +1031,91 @@ FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
 
+def q_doc_cdc_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC ingest-screen gate (corpus_prep.prepare_cdc_ref +
+    cdc_seen_fraction — the batch face of the streaming
+    ``cdc_chunk_screen_stream``): the 'lake' is the doc_id ≡ 0 (mod 4)
+    slice; incoming = the rest ∪ boilerplate-prefixed mirrors of lake
+    docs (re-keyed +3e6), which must read as mostly-seen DESPITE the
+    shift — the content-defined property under one exact oracle."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lake = d.filter(F.col("doc_id") % 4 == 0)
+    incoming = d.filter(F.col("doc_id") % 4 != 0).unionByName(
+        lake.select(
+            (F.col("doc_id") + F.lit(3000000)).alias("doc_id"),
+            F.concat(F.lit("shifted mirror "), F.col("text")).alias("text"),
+        )
+    )
+    ref = CP.prepare_cdc_ref(lake)
+    return CP.cdc_seen_fraction(incoming, ref)
+
+
+ORACLE_DOC_CDC_SCREEN = f"""
+WITH lake AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+incoming AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0
+  UNION ALL
+  SELECT doc_id + 3000000, 'shifted mirror ' || text FROM lake
+),
+ltok AS (SELECT doc_id, {_TOKS} AS t FROM lake),
+itok AS (SELECT doc_id, {_TOKS} AS t FROM incoming),
+lgeo AS (
+  SELECT doc_id, t, len(t) AS n,
+         list_filter(
+           generate_series({_CDC_W}, len(t) - 1),
+           i -> (('0x' || substr(md5(array_to_string(
+                   list_slice(t, i - {_CDC_W - 1}, i), ' ')), 1, 15)
+                )::BIGINT % {_CDC_D}) = 0
+         ) AS bpos
+  FROM ltok WHERE len(t) > 0
+),
+igeo AS (
+  SELECT doc_id, t, len(t) AS n,
+         list_filter(
+           generate_series({_CDC_W}, len(t) - 1),
+           i -> (('0x' || substr(md5(array_to_string(
+                   list_slice(t, i - {_CDC_W - 1}, i), ' ')), 1, 15)
+                )::BIGINT % {_CDC_D}) = 0
+         ) AS bpos
+  FROM itok WHERE len(t) > 0
+),
+ref AS (
+  SELECT DISTINCT
+         unnest(list_transform(
+           generate_series(1, len(bpos) + 1),
+           j -> md5(array_to_string(list_slice(t,
+                  ([1] || list_transform(bpos, p -> p + 1))[j],
+                  (bpos || [n])[j]), ' '))
+         )) AS h
+  FROM lgeo
+),
+ich AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(bpos) + 1),
+           j -> md5(array_to_string(list_slice(t,
+                  ([1] || list_transform(bpos, p -> p + 1))[j],
+                  (bpos || [n])[j]), ' '))
+         )) AS h
+  FROM igeo
+),
+agg AS (
+  SELECT i.doc_id,
+         CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(CASE WHEN r.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_seen
+  FROM ich i LEFT JOIN ref r ON i.h = r.h
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(coalesce(a.n_seen, 0) AS BIGINT) AS n_seen,
+       round(coalesce(a.n_seen, 0) / greatest(coalesce(a.n_chunks, 0), 1), 6)
+         AS seen_frac
+FROM incoming d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Unigram-LM (SentencePiece) tokenizer (operators/unigram.py gate)
 # ---------------------------------------------------------------------------

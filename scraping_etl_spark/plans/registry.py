@@ -1282,6 +1282,13 @@ _REGISTERED += [
         "tail-edited payload copies (multimodal.payload_simhash / "
         "payload_neardup_pairs)",
     ),
+    QuerySpec(
+        "doc_cdc_screen", C.q_doc_cdc_screen, C.ORACLE_DOC_CDC_SCREEN,
+        "CDC ingest screen: per-doc fraction of content-defined "
+        "chunks already in the lake chunk store — shifted mirrors "
+        "read as seen (corpus_prep.prepare_cdc_ref / "
+        "cdc_seen_fraction; streaming face cdc_chunk_screen_stream)",
+    ),
 ]
 
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}

@@ -1327,3 +1327,68 @@ def term_screen_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def cdc_chunk_screen_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    ref_prepared: DataFrame,
+    schema: T.StructType = schemas.DOCUMENTS,
+    max_seen_frac: float = 0.5,
+    window: int = 4,
+    divisor: int = 8,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Content-defined-chunk ingest screen — the streaming face of
+    :func:`~scraping_etl_spark.operators.corpus_prep.cdc_seen_fraction`:
+    each micro-batch is CDC-chunked and tested against the STATIC lake
+    chunk store (:func:`~...corpus_prep.prepare_cdc_ref` — prepared
+    ONCE, never per trigger); a document lands only when at most
+    ``max_seen_frac`` of its chunks are already in the lake. Because
+    the boundaries are content-defined, a boilerplate-prefixed or
+    lightly edited mirror of already-ingested content still reads as
+    seen — the door the fixed-stride or whole-hash screens
+    (:func:`incremental_append_stream`, :func:`bloom_screen_stream`)
+    structurally miss on shifted copies.
+
+    Per-document decision against a static side input ⇒ batch-local
+    equals global, so any micro-batch slicing lands exactly the batch
+    twin's survivors; landed rows carry the seen stats. Idempotency is
+    the ``batch_id`` dynamic partition overwrite of
+    :func:`corpus_prep_stream` (same replay caveat: keep the slicing
+    config with the checkpoint). The chunk geometry must match the
+    geometry ``ref_prepared`` was built with — it is baked into the
+    store."""
+    from scraping_etl_spark.operators import corpus_prep as CP
+
+    ref_static = ref_prepared.localCheckpoint()
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        stats = CP.cdc_seen_fraction(
+            batch_df, ref_static, window=window, divisor=divisor
+        )
+        kept = batch_df.join(
+            stats.filter(F.col("seen_frac") <= max_seen_frac), "doc_id"
+        )
+        (
+            kept.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    writer = stream.writeStream.foreachBatch(gate).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -160,6 +160,38 @@ def test_cdc_chunks_edge_inputs(spark):
     assert got[2] == ["a b"]
 
 
+def test_cdc_seen_fraction_catches_shifted_lake_copy(spark):
+    """An incoming doc that is lake content behind a boilerplate
+    prefix still reads as mostly-seen (the content-defined property);
+    a novel doc reads 0; an empty doc is chunkless with frac 0."""
+    lake_text = " ".join(f"w{i}" for i in range(120))
+    lake = _docs(spark, [(1, lake_text)])
+    ref = CP.prepare_cdc_ref(lake)
+    incoming = _docs(spark, [
+        (10, "mirror prefix " + lake_text),
+        (11, " ".join(f"novel{i}" for i in range(60))),
+        (12, ""),
+    ])
+    got = {r.doc_id: r for r in CP.cdc_seen_fraction(incoming, ref).collect()}
+    assert got[10].seen_frac >= 0.5, got[10]
+    assert got[11].n_seen == 0 and got[11].seen_frac == 0.0
+    assert got[12].n_chunks == 0 and got[12].seen_frac == 0.0
+
+
+def test_cdc_seen_fraction_shuffle_join_equals_broadcast(spark):
+    """Forcing the over-cap shuffle path (max_broadcast_chunks=0)
+    must not change a single row — the guard is a strategy choice,
+    never a semantics choice."""
+    lake = _docs(spark, [(1, " ".join(f"w{i}" for i in range(80)))])
+    ref = CP.prepare_cdc_ref(lake)
+    inc = _docs(spark, [(10, " ".join(f"w{i}" for i in range(40))),
+                        (11, "unrelated words only here")])
+    a = {tuple(r) for r in CP.cdc_seen_fraction(inc, ref).collect()}
+    b = {tuple(r) for r in CP.cdc_seen_fraction(
+        inc, ref, max_broadcast_chunks=0).collect()}
+    assert a == b
+
+
 # ---------------------------------------------------------------------------
 # Decontamination
 # ---------------------------------------------------------------------------

@@ -1278,6 +1278,72 @@ def test_corpus_prep_stream_lang_screen_replay_converges(spark, tmp_path):
     assert after == before
 
 
+def test_cdc_chunk_screen_stream_matches_batch_twin_and_replays(spark, tmp_path):
+    """The CDC ingest screen: the lake's chunk store is prepared once
+    offline; each micro-batch lands only docs with at most
+    max_seen_frac of their content-defined chunks already in the lake
+    — so a boilerplate-prefixed mirror of lake content is refused at
+    the door while novel docs pass. Two micro-batches, batch-twin
+    equality on the union, checkpoint-reset replay converges."""
+    import os
+    import shutil
+
+    import pyspark.sql.types as T2
+
+    from scraping_etl_spark.operators import corpus_prep as CP
+    from scraping_etl_spark.streaming.pipeline import cdc_chunk_screen_stream
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    os.makedirs(src)
+    lake_text = " ".join(f"w{i}" for i in range(150))
+    lake = spark.createDataFrame([(1, lake_text)], "doc_id long, text string")
+    ref = CP.prepare_cdc_ref(lake)
+
+    b1 = [(101, "mirror prefix " + lake_text),          # shifted lake copy
+          (102, " ".join(f"fresh{i}" for i in range(80)))]
+    b2 = [(103, lake_text + " tiny tail"),              # suffixed lake copy
+          (104, " ".join(f"new{i}" for i in range(80)))]
+    schema_str = "doc_id long, text string"
+    spark.createDataFrame(b1, schema_str).coalesce(1).write.parquet(f"{src}/f1")
+    spark.createDataFrame(b2, schema_str).coalesce(1).write.parquet(f"{src}/f2")
+    schema = T2.StructType([
+        T2.StructField("doc_id", T2.LongType()),
+        T2.StructField("text", T2.StringType()),
+    ])
+
+    def run_once():
+        q = cdc_chunk_screen_stream(
+            spark, f"{src}/*", out, ckpt, ref_prepared=ref, schema=schema,
+            max_seen_frac=0.5, max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.select("batch_id").distinct().count() == 2
+    landed = {r.doc_id for r in got.collect()}
+    # batch twin over the union
+    union = spark.createDataFrame(b1 + b2, schema_str)
+    twin = {
+        r.doc_id
+        for r in CP.cdc_seen_fraction(union, ref)
+        .filter("seen_frac <= 0.5")
+        .collect()
+    }
+    assert landed == twin
+    assert {102, 104} <= landed          # novel docs pass
+    assert {101, 103}.isdisjoint(landed)  # shifted lake copies refused
+    assert {"n_chunks", "n_seen", "seen_frac"} <= set(got.columns)
+
+    before = {tuple(r) for r in got.drop("batch_id").collect()}
+    shutil.rmtree(ckpt)
+    run_once()
+    after = {
+        tuple(r) for r in spark.read.parquet(out).drop("batch_id").collect()
+    }
+    assert after == before
+
+
 def test_corpus_gate_rejects_lang_screen_without_allowlist(spark):
     """A language screen with an empty allow-list would silently drop
     the whole stream — rejected at gate-build time."""

@@ -191,6 +191,10 @@ def main() -> None:
          "binary-asset near-dup: per-row byte-chunk SimHash (one-pass "
          "vote aggregate, zero shuffle), 4-band Hamming-ball self-"
          "join, id-keyed verify carrying two longs"),
+        ("doc_cdc_screen", C.q_doc_cdc_screen,
+         "CDC ingest screen: per-doc chunking (zero shuffle), "
+         "distinct (doc, chunk) partial agg, guarded-broadcast "
+         "membership join vs the prepared lake store, per-doc rollup"),
     ]
 
     spark = get_spark()
