@@ -1850,6 +1850,136 @@ def q_doc_title_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_er_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution composition — the record-linkage end-to-end a
+    catalog/author/domain table needs: fuzzy candidate pairs
+    (dedup.fuzzy_string_pairs — char-5-gram Jaccard under the AllPairs
+    prefix filter, never all-pairs) → connected components
+    (dedup.dedup_clusters — hash-min label propagation) → min-id
+    canonical entity + family size. Entities: 40-char document
+    'titles' (doc_id ≡ 0 mod 5), each with TWO independently corrupted
+    variants (one md5-positioned char dropped; different salt per
+    variant) — true 3-member families the transitive closure must
+    reassemble even when the two variants' mutual similarity dips
+    below threshold (the reason ER needs components, not just pairs).
+    Composes three already-gated operators under ONE exact oracle
+    (brute-force pairs + recursive-CTE reachability)."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.substring("text", 1, 40).alias("_s")
+    ).filter(F.length("_s") >= 10)
+    plen = F.length("_s")
+
+    def _dropped(salt: str):
+        p = (
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("doc_id").cast("string"),
+                                       F.lit(salt))),
+                        1, 15,
+                    ), 16, 10,
+                ).cast("long"),
+                plen - 2,
+            )
+            + 2
+        )
+        return F.concat(
+            F.col("_s").substr(F.lit(1), (p - 1).cast("int")),
+            F.col("_s").substr((p + 1).cast("int"), plen),
+        )
+
+    ents = (
+        base.select((F.col("doc_id") * 4).alias("_eid"), "_s")
+        .unionByName(base.select(
+            (F.col("doc_id") * 4 + 1).alias("_eid"),
+            _dropped("a").alias("_s"),
+        ))
+        .unionByName(base.select(
+            (F.col("doc_id") * 4 + 2).alias("_eid"),
+            _dropped("b").alias("_s"),
+        ))
+    )
+    pairs = DD.fuzzy_string_pairs(
+        ents, _FM_T, id_col="_eid", string_col="_s", n=_FM_N
+    )
+    comp = DD.dedup_clusters(pairs)
+    labeled = ents.join(
+        comp, ents["_eid"] == comp["doc_id"], "left"
+    ).select(
+        F.col("_eid").alias("entity_id"),
+        F.coalesce("cluster_id", "_eid").alias("canonical_id"),
+    )
+    sizes = labeled.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return labeled.join(sizes, "canonical_id").select(
+        "entity_id",
+        "canonical_id",
+        (F.col("entity_id") == F.col("canonical_id")).alias("is_canonical"),
+        "n_members",
+    )
+
+
+ORACLE_ER_PIPELINE = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, substr(text, 1, 40) AS s
+  FROM documents
+  WHERE doc_id % 5 = 0 AND len(substr(text, 1, 40)) >= 10
+), ents AS (
+  SELECT doc_id * 4 AS id, s FROM base
+  UNION ALL
+  SELECT doc_id * 4 + 1 AS id,
+         substr(s, 1, CAST(p - 1 AS INTEGER))
+           || substr(s, CAST(p + 1 AS INTEGER)) AS s
+  FROM (SELECT doc_id, s,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'a'), 1, 15))::BIGINT
+                 % (len(s) - 2) + 2 AS p
+        FROM base)
+  UNION ALL
+  SELECT doc_id * 4 + 2 AS id,
+         substr(s, 1, CAST(p - 1 AS INTEGER))
+           || substr(s, CAST(p + 1 AS INTEGER)) AS s
+  FROM (SELECT doc_id, s,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'b'), 1, 15))::BIGINT
+                 % (len(s) - 2) + 2 AS p
+        FROM base)
+), sets AS (
+  SELECT id,
+         list_distinct(list_transform(
+           generate_series(1, len(lower(s)) - {_FM_N - 1}),
+           i -> substr(lower(s), CAST(i AS INTEGER), {_FM_N}))) AS g
+  FROM ents WHERE len(s) >= {_FM_N}
+), pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sets a JOIN sets b ON a.id < b.id
+  WHERE round(len(list_intersect(a.g, b.g))
+              / greatest(len(list_distinct(list_concat(a.g, b.g))), 1),
+              6) >= {_FM_T}
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), walk (node, reach) AS (
+  SELECT src AS node, src AS reach FROM edges
+  UNION
+  SELECT e.src AS node, w.reach FROM edges e JOIN walk w ON w.node = e.dst
+), comp AS (
+  SELECT node AS id, min(reach) AS cluster_id FROM walk GROUP BY node
+), labeled AS (
+  SELECT e.id AS entity_id, coalesce(c.cluster_id, e.id) AS canonical_id
+  FROM ents e LEFT JOIN comp c ON c.id = e.id
+), sizes AS (
+  SELECT canonical_id, CAST(count(*) AS BIGINT) AS n_members
+  FROM labeled GROUP BY 1
+)
+SELECT l.entity_id, l.canonical_id,
+       (l.entity_id = l.canonical_id) AS is_canonical,
+       s.n_members
+FROM labeled l JOIN sizes s USING (canonical_id)
+"""
+
+
 ORACLE_DOC_TITLE_FUZZY_MATCH = f"""
 WITH base AS (
   SELECT doc_id, substr(text, 1, 40) AS s

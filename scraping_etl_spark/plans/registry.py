@@ -1289,6 +1289,13 @@ _REGISTERED += [
         "read as seen (corpus_prep.prepare_cdc_ref / "
         "cdc_seen_fraction; streaming face cdc_chunk_screen_stream)",
     ),
+    QuerySpec(
+        "er_pipeline", M.q_er_pipeline, M.ORACLE_ER_PIPELINE,
+        "entity-resolution composition: fuzzy candidate pairs "
+        "(AllPairs char-5-gram) -> connected components -> min-id "
+        "canonical + family size, one exact recursive-CTE oracle "
+        "(dedup.fuzzy_string_pairs + dedup_clusters)",
+    ),
 ]
 
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}

@@ -195,6 +195,10 @@ def main() -> None:
          "CDC ingest screen: per-doc chunking (zero shuffle), "
          "distinct (doc, chunk) partial agg, guarded-broadcast "
          "membership join vs the prepared lake store, per-doc rollup"),
+        ("er_pipeline", M.q_er_pipeline,
+         "entity resolution: AllPairs-filtered fuzzy pairs feed the "
+         "hash-min component rounds (per-round localCheckpoint), "
+         "min-id canonical via one labeled join + size rollup"),
     ]
 
     spark = get_spark()
