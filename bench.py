@@ -95,8 +95,9 @@ def main() -> None:
     by_cost = sorted(
         timings, key=lambda k: (-(timings[k] or 0.0), k)
     )
-    # all-errored runs skip the shrink loop — the mini line must keep
-    # its schema in exactly that failure case
+    # only an EMPTY registry skips the shrink loop (an all-errored run
+    # still has timing keys, with None values) — this init keeps the
+    # mini line's schema in exactly that empty/degenerate case
     mini["queries"] = {}
     mini["queries_omitted"] = 0
     keep = len(by_cost)

@@ -306,6 +306,7 @@ def cdc_seen_fraction(
     window: int = 4,
     divisor: int = 8,
     max_broadcast_chunks: int = MAX_BROADCAST_CHUNKS,
+    ref_fits_broadcast: bool | None = None,
 ) -> DataFrame:
     """Per-document fraction of CDC chunks already present in a
     reference chunk store — the "have we ingested most of this
@@ -320,7 +321,13 @@ def cdc_seen_fraction(
     (broadcast only under a measured cardinality probe, the
     ``bpe_token_counts`` convention) → per-doc partial-agg rollup.
     Returns ``(id, n_chunks, n_seen, seen_frac)``; chunkless docs
-    (empty text) carry ``seen_frac`` 0.0."""
+    (empty text) carry ``seen_frac`` 0.0.
+
+    The probe is one driver action against ``ref_prepared``; a caller
+    scoring MANY batches against ONE store (the streaming
+    per-micro-batch shape) probes once at build time and passes the
+    verdict via ``ref_fits_broadcast`` — same hoist as
+    ``lang_id_ngram(trained_m=...)``."""
     chunks = (
         df.select(
             F.col(id_col),
@@ -330,10 +337,14 @@ def cdc_seen_fraction(
         .distinct()
     )
     ref = ref_prepared.select("_h", F.lit(1).alias("_seen"))
-    fits = (
-        max_broadcast_chunks > 0
-        and ref.limit(max_broadcast_chunks + 1).count() <= max_broadcast_chunks
-    )
+    if ref_fits_broadcast is not None:
+        fits = ref_fits_broadcast
+    else:
+        fits = (
+            max_broadcast_chunks > 0
+            and ref.limit(max_broadcast_chunks + 1).count()
+            <= max_broadcast_chunks
+        )
     return (
         chunks.join(F.broadcast(ref) if fits else ref, "_h", "left")
         .groupBy(id_col)

@@ -510,10 +510,17 @@ def simhash_of_hashes(hashed: Column, bits: int = 16) -> Column:
     constant powers array (bit test = ``h & 2^i != 0`` — the Python
     ``shiftright`` wrapper only takes literal shift amounts, and
     ``bits`` separate ArrayAggregate nodes each re-scanning the array
-    measured 3.5× slower than this single traversal; ``bits ≤ 62`` so
-    every power packs into one signed long)."""
-    if not 0 < bits <= 62:
-        raise ValueError(f"bits must be in 1..62, got {bits}")
+    measured 3.5× slower than this single traversal). ``bits`` is
+    capped at 60 — the element-hash width (both callers hash to 60-bit
+    values: 15 md5 hex chars via ``conv``) — because positions ≥ 60
+    would always vote −1, producing dead signature bits that deflate
+    Hamming distances and hand
+    :func:`~scraping_etl_spark.operators.multimodal.payload_neardup_pairs`
+    constant (useless) bands."""
+    if not 0 < bits <= 60:
+        raise ValueError(
+            f"bits must be in 1..60 (the 60-bit element-hash width), got {bits}"
+        )
     powers = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
     votes = F.aggregate(
         hashed,

@@ -220,10 +220,12 @@ def lang_id_ngram(
     """N-gram language ID (Cavnar & Trenkle 1994): rank the document's
     own top ``doc_m`` char n-grams, compare against each language's
     rank profile with the out-of-place measure — matched grams cost
-    ``|doc_rank − lang_rank|``, unmatched ones the profile depth
-    (``top_m`` when self-training; with pretrained ``profiles`` the
-    model's own ``max(rank)``, so a model trained at a different depth
-    keeps matched ≤ unmatched) —
+    ``|doc_rank − lang_rank|``, unmatched ones
+    ``max(profile_depth, doc_m)`` (profile depth = ``top_m`` when
+    self-training, the model's own ``max(rank)`` with pretrained
+    ``profiles``; the ``doc_m`` arm keeps matched ≤ unmatched even
+    when the document profile is DEEPER than the model — a matched
+    gram's cost is at most ``max(doc_m, depth) − 1``) —
     and predict the argmin language (ties: language name asc; a
     gramless doc is equidistant from every language and gets the
     alphabetically first). All-integer arithmetic, so the gate hash is
@@ -301,6 +303,11 @@ def lang_id_ngram(
         if trained_m is None:
             trained_m = profiles.agg(F.max("rank")).first()[0]
         top_m = int(trained_m) if trained_m is not None else top_m
+    # out-of-place penalty: a matched gram costs |_dr − rank| ≤
+    # max(doc_m, depth) − 1, so the unmatched penalty must take the
+    # doc_m arm too or a deep doc profile against a shallow model
+    # would price matches ABOVE misses (advice r12).
+    penalty = max(top_m, doc_m)
     dp_arr = counts.groupBy("_id").agg(
         F.slice(
             F.sort_array(
@@ -342,7 +349,7 @@ def lang_id_ngram(
             (
                 F.coalesce(F.col("_s"), F.lit(0))
                 + (F.col("_ng") - F.coalesce(F.col("_m"), F.lit(0)))
-                * F.lit(top_m)
+                * F.lit(penalty)
             ).cast("long").alias("dist"),
         )
     )

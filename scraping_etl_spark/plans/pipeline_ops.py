@@ -267,9 +267,12 @@ best AS (
 -- pretrained branch: model trained ONLY on the doc_id % 4 = 0 split
 -- at depth {_CT_PRE_M}; docs % 4 != 0 scored against it. Per-doc
 -- profiles (dp/nd) are doc-local, so the score side is just the
--- restriction. The unmatched-gram penalty is the MODEL'S max rank
--- (scalar subquery), not the scoring call's top_m — the depth
--- mismatch is the thing under test.
+-- restriction. The unmatched-gram penalty is
+-- greatest(model max rank, doc_m) (scalar subquery), not the scoring
+-- call's top_m — the depth mismatch is the thing under test, and the
+-- doc_m arm keeps matched <= unmatched when the doc profile is the
+-- deeper side (r12 advice; at this gate's geometry the model arm
+-- wins, so the arithmetic is exercised, not just the literal).
 lp_pre AS (
   SELECT lang, g, lr FROM (
     SELECT lang, g,
@@ -278,7 +281,7 @@ lp_pre AS (
     FROM grams WHERE doc_id % 4 = 0 GROUP BY lang, g
   ) WHERE lr <= {_CT_PRE_M}
 ),
-pen_pre AS (SELECT max(lr) AS p FROM lp_pre),
+pen_pre AS (SELECT greatest(max(lr), {_CT_DOC_M}) AS p FROM lp_pre),
 langs_pre AS (SELECT DISTINCT lang FROM lp_pre),
 matched_pre AS (
   SELECT dp.doc_id, lp_pre.lang,

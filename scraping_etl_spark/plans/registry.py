@@ -397,8 +397,10 @@ schedule from the committed driver CORRECTNESS ledger (owed entries
 stalest-first, then the most senior still-green re-seats, tail in
 staleness order) and emits ``plans/rotation_order.py``, which this
 module imports. The reseat is one command per round; hand edits to
-the schedule are gone. The r12 window seats all 39 r9-last-green
-entries plus 11 senior r10-green re-seats.
+the schedule are gone. The r12 window seated the 5 new r12 gates plus
+all 39 then-owed r9-last-green entries plus 6 senior r10-green
+re-seats; the r13 window (generated this round) seats the 44 entries
+whose last driver-green is r10, stalest first, plus 6 re-seats.
 """
 
 from __future__ import annotations

@@ -1334,37 +1334,77 @@ def cdc_chunk_screen_stream(
     source_dir: str,
     out_dir: str,
     checkpoint_dir: str,
-    ref_prepared: DataFrame,
+    ref_prepared: DataFrame | None = None,
     schema: T.StructType = schemas.DOCUMENTS,
     max_seen_frac: float = 0.5,
     window: int = 4,
     divisor: int = 8,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    seen_dir: str | None = None,
 ) -> StreamingQuery:
     """Content-defined-chunk ingest screen — the streaming face of
     :func:`~scraping_etl_spark.operators.corpus_prep.cdc_seen_fraction`:
-    each micro-batch is CDC-chunked and tested against the STATIC lake
-    chunk store (:func:`~...corpus_prep.prepare_cdc_ref` — prepared
-    ONCE, never per trigger); a document lands only when at most
-    ``max_seen_frac`` of its chunks are already in the lake. Because
-    the boundaries are content-defined, a boilerplate-prefixed or
-    lightly edited mirror of already-ingested content still reads as
-    seen — the door the fixed-stride or whole-hash screens
+    each micro-batch is CDC-chunked and tested against the lake chunk
+    store; a document lands only when at most ``max_seen_frac`` of its
+    chunks are already in the lake. Because the boundaries are
+    content-defined, a boilerplate-prefixed or lightly edited mirror of
+    already-ingested content still reads as seen — the door the
+    fixed-stride or whole-hash screens
     (:func:`incremental_append_stream`, :func:`bloom_screen_stream`)
     structurally miss on shifted copies.
 
-    Per-document decision against a static side input ⇒ batch-local
-    equals global, so any micro-batch slicing lands exactly the batch
-    twin's survivors; landed rows carry the seen stats. Idempotency is
-    the ``batch_id`` dynamic partition overwrite of
-    :func:`corpus_prep_stream` (same replay caveat: keep the slicing
-    config with the checkpoint). The chunk geometry must match the
-    geometry ``ref_prepared`` was built with — it is baked into the
-    store."""
+    The lake store has two tiers, either or both:
+
+    - ``ref_prepared`` — a STATIC store
+      (:func:`~...corpus_prep.prepare_cdc_ref` — prepared ONCE at
+      build, never per trigger) for content ingested before the stream
+      started. Its broadcast-cardinality probe is hoisted to build
+      time too — one driver action per gate, not per trigger (the
+      ``lang_id_ngram(trained_m=...)`` hoist; r12 advice).
+    - ``seen_dir`` — a GROWING parquet lake of landed-chunk hashes, the
+      :func:`line_dedup_stream` state convention: each batch screens
+      against STRICTLY EARLIER partitions (``batch_id < N``,
+      partition-pruned) plus the static tier, and the chunk hashes of
+      the docs it LANDS append under ``batch_id=N``. That closes the
+      intra-stream door the static tier alone leaves open — a doc in
+      batch 1 and its shifted mirror in batch 5 (neither in the static
+      store): the mirror is now refused. Without ``seen_dir`` both
+      land (per-doc decision against a fixed side input ⇒ batch-local
+      equals global — the honest but weaker static contract). The
+      probe on the combined relation re-runs per trigger only while it
+      still fits — lake growth is monotone, so the first over-cap
+      verdict is pinned False for the stream's life.
+
+    Semantics with ``seen_dir``: arrival order wins (earlier-landed
+    content screens later arrivals); within one micro-batch, mirrors
+    are NOT screened against each other (the
+    :func:`neardup_screen_stream` convention — the batch operator's
+    in-corpus pairing is a different tool), so shard-ordered ingest
+    reproduces the batch twin folded over its predecessors. Replay is
+    idempotent: a replayed batch reads only ``batch_id < N`` lake
+    partitions — never its own previous output — and dynamic-overwrites
+    exactly its own ``batch_id=N`` partitions in both dirs. Landed rows
+    carry the seen stats. The chunk geometry must match the geometry
+    ``ref_prepared`` was built with — it is baked into the store."""
     from scraping_etl_spark.operators import corpus_prep as CP
 
-    ref_static = ref_prepared.localCheckpoint()
+    if ref_prepared is None and seen_dir is None:
+        raise ValueError(
+            "cdc_chunk_screen_stream needs a lake: pass ref_prepared "
+            "(static store), seen_dir (growing store), or both"
+        )
+    ref_static = (
+        ref_prepared.localCheckpoint() if ref_prepared is not None else None
+    )
+    cap = CP.MAX_BROADCAST_CHUNKS
+    static_fits = (
+        ref_static is not None
+        and ref_static.limit(cap + 1).count() <= cap
+    )
+    # growing mode: the combined relation only ever grows, so one
+    # over-cap probe verdict holds forever
+    state = {"fits": True}
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -1372,12 +1412,43 @@ def cdc_chunk_screen_stream(
     stream = reader.parquet(source_dir)
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        refs = []
+        if ref_static is not None:
+            refs.append(ref_static.select("_h"))
+        has_lake = (
+            seen_dir is not None
+            and os.path.isdir(seen_dir)
+            and any(e.startswith("batch_id=") for e in os.listdir(seen_dir))
+        )
+        if has_lake:
+            refs.append(
+                spark.read.parquet(seen_dir)
+                .filter(F.col("batch_id") < batch_id)
+                .select("_h")
+            )
+        if len(refs) == 2:
+            ref = refs[0].unionByName(refs[1])
+        elif refs:
+            ref = refs[0]
+        else:
+            ref = spark.createDataFrame([], "_h string")
+        if seen_dir is None:
+            fits = static_fits  # hoisted: static store never changes
+        else:
+            if state["fits"]:
+                state["fits"] = ref.limit(cap + 1).count() <= cap
+            fits = state["fits"]
         stats = CP.cdc_seen_fraction(
-            batch_df, ref_static, window=window, divisor=divisor
+            batch_df, ref, window=window, divisor=divisor,
+            ref_fits_broadcast=fits,
         )
         kept = batch_df.join(
             stats.filter(F.col("seen_frac") <= max_seen_frac), "doc_id"
         )
+        if seen_dir is not None:
+            kept = kept.localCheckpoint()  # out write + lake append
         (
             kept.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
@@ -1385,6 +1456,22 @@ def cdc_chunk_screen_stream(
             .partitionBy("batch_id")
             .parquet(out_dir)
         )
+        if seen_dir is not None:
+            (
+                kept.select(
+                    F.explode_outer(
+                        CP.cdc_chunks("text", window, divisor)
+                    ).alias("_c")
+                )
+                .filter(F.col("_c").isNotNull())
+                .select(F.md5("_c").alias("_h"))
+                .distinct()
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(seen_dir)
+            )
 
     writer = stream.writeStream.foreachBatch(gate).option(
         "checkpointLocation", checkpoint_dir

@@ -112,6 +112,20 @@ def test_simhash_order_insensitive(spark):
     assert out[1] != out[3]          # different vocab → different hash (16-bit: collisions possible but not for this pair)
 
 
+def test_simhash_bits_capped_at_hash_width():
+    """Element hashes carry 60 bits (15 md5 hex chars), so signature
+    positions >= 60 would always vote -1 — dead bits that deflate
+    Hamming distances and give banding constant bands (r12 advice).
+    Rejected at the vote core."""
+    import pytest as _pt
+
+    for bad in (0, 61, 62):
+        with _pt.raises(ValueError, match="1..60"):
+            DD.simhash_of_hashes(F.array(F.lit(1).cast("long")), bits=bad)
+    # 60 is the legal ceiling
+    DD.simhash_of_hashes(F.array(F.lit(1).cast("long")), bits=60)
+
+
 def test_cosine_topk(spark):
     emb = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],

@@ -52,9 +52,11 @@ def test_lang_id_ngram_gramless_doc_ties_to_first_language(spark):
 def test_lang_id_ngram_unmatched_gram_costs_model_depth(spark):
     """A doc whose grams appear in no profile scores exactly
     ng * penalty against every language, where the penalty in
-    pretrained mode is the MODEL'S max rank (Cavnar-Trenkle's
-    out-of-place maximum is the profile depth it was trained with,
-    not the scoring call's top_m — r11 ADVICE item 1)."""
+    pretrained mode is max(model max rank, doc_m): the model depth is
+    Cavnar-Trenkle's out-of-place maximum (trained depth, not the
+    scoring call's top_m — r11 ADVICE item 1), and the doc_m arm keeps
+    matched <= unmatched when the doc profile is the deeper side
+    (r12 ADVICE item 1)."""
     base = _toy(spark)
     extra = base.sparkSession.createDataFrame(
         [(998, "bb", "qqqq")], "doc_id long, lang string, text string"
@@ -70,7 +72,7 @@ def test_lang_id_ngram_unmatched_gram_costs_model_depth(spark):
         ).collect()
     }
     # "qqqq" -> grams qqq, qqq -> distinct 'qqq' only: ng=1
-    assert got[998] == ("aa", depth)
+    assert got[998] == ("aa", max(depth, 20))
 
 
 def test_lang_id_ngram_depth_mismatch_keeps_matched_le_unmatched(spark):
@@ -102,6 +104,48 @@ def test_lang_id_ngram_depth_mismatch_keeps_matched_le_unmatched(spark):
         ).collect()
     }
     assert got == again
+
+
+def test_lang_id_ngram_doc_deeper_than_model_keeps_matched_le_unmatched(spark):
+    """The converse depth mismatch (r12 ADVICE item 1): when the DOC
+    profile is deeper than the model (doc_m > trained depth), a matched
+    gram at doc rank dr can cost |dr - rank| up to doc_m - 1, which
+    exceeds a model-depth penalty. The penalty must be
+    max(depth, doc_m), so a doc matching a language's entire profile
+    still scores strictly below an equal-length doc matching nothing."""
+    base = _toy(spark)
+    # shallow model: depth <= 4 << doc_m = 20
+    profiles = TS.char_ngram_profiles(base, top_m=4)
+    depth = profiles.agg(F.max("rank")).first()[0]
+    assert depth <= 4
+    alien = base.sparkSession.createDataFrame(
+        [(997, "bb", "qqqq")], "doc_id long, lang string, text string"
+    )
+    got = {
+        r.doc_id: (r.pred_lang, r.dist)
+        for r in TS.lang_id_ngram(
+            base.unionByName(alien), top_m=4, doc_m=20, profiles=profiles
+        ).collect()
+    }
+    # alien: ng = 1 (only gram 'qqq'), unmatched -> penalty = max(depth, 20)
+    assert got[997] == ("aa", max(depth, 20))
+    # every real doc matches its own language's grams; with the doc_m
+    # arm in the penalty no match can be priced above a miss, so each
+    # doc's distance stays under all-unmatched at the same gram count
+    ng_by_doc = {
+        r._id: r._ng
+        for r in base.select(
+            F.col("doc_id").alias("_id"),
+            F.least(
+                F.size(F.array_distinct(TS.char_ngrams(F.col("text"), 3))),
+                F.lit(20),
+            ).alias("_ng"),
+        ).collect()
+    }
+    for doc_id, (_, dist) in got.items():
+        if doc_id == 997:
+            continue
+        assert dist < ng_by_doc[doc_id] * max(depth, 20), (doc_id, dist)
 
 
 def test_gate_accuracy_on_marked_corpus(spark):

@@ -1344,6 +1344,95 @@ def test_cdc_chunk_screen_stream_matches_batch_twin_and_replays(spark, tmp_path)
     assert after == before
 
 
+def test_cdc_chunk_screen_stream_growing_lake_refuses_intra_stream_mirror(
+    spark, tmp_path
+):
+    """The growing-lake tier (seen_dir): a doc lands in batch 1 and its
+    boilerplate-prefixed mirror arrives in batch 2 — NEITHER is in any
+    static store, so the static contract would land both; the growing
+    lake refuses the mirror because batch 1's landed chunks screen
+    batch 2. Equals the batch twin folded over predecessors; replay
+    from a wiped checkpoint converges (a replayed batch never screens
+    against its own previous lake partition)."""
+    import os
+    import shutil
+
+    import pyspark.sql.types as T2
+
+    from scraping_etl_spark.operators import corpus_prep as CP
+    from scraping_etl_spark.streaming.pipeline import cdc_chunk_screen_stream
+
+    src, out, ckpt, seen = (
+        str(tmp_path / d) for d in ("src", "out", "ckpt", "seen")
+    )
+    os.makedirs(src)
+    body = " ".join(f"w{i}" for i in range(150))
+    b1 = [(1, body), (2, " ".join(f"a{i}" for i in range(80)))]
+    b2 = [(3, "mirror prefix " + body),                 # shifted b1 copy
+          (4, " ".join(f"b{i}" for i in range(80)))]
+    schema_str = "doc_id long, text string"
+    spark.createDataFrame(b1, schema_str).coalesce(1).write.parquet(f"{src}/f1")
+    spark.createDataFrame(b2, schema_str).coalesce(1).write.parquet(f"{src}/f2")
+    schema = T2.StructType([
+        T2.StructField("doc_id", T2.LongType()),
+        T2.StructField("text", T2.StringType()),
+    ])
+
+    def run_once():
+        q = cdc_chunk_screen_stream(
+            spark, f"{src}/*", out, ckpt, schema=schema,
+            max_seen_frac=0.5, max_files_per_trigger=1, seen_dir=seen,
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = spark.read.parquet(out)
+    landed = {r.doc_id for r in got.collect()}
+    assert {1, 2, 4} <= landed
+    assert 3 not in landed  # intra-stream shifted mirror refused
+    # batch-twin fold: batch 2 against a ref prepared from batch 1's
+    # SURVIVORS must give exactly batch 2's landed set
+    survivors_b1 = spark.createDataFrame(
+        [r for r in b1], schema_str
+    )  # batch 1 has no predecessors; everything lands
+    ref = CP.prepare_cdc_ref(survivors_b1)
+    twin_b2 = {
+        r.doc_id
+        for r in CP.cdc_seen_fraction(
+            spark.createDataFrame(b2, schema_str), ref
+        )
+        .filter("seen_frac <= 0.5")
+        .collect()
+    }
+    assert twin_b2 == landed & {3, 4}
+    # the lake grew: one partition per batch, chunk hashes only
+    lake = spark.read.parquet(seen)
+    assert set(lake.columns) == {"_h", "batch_id"}
+    assert lake.select("batch_id").distinct().count() == 2
+
+    before = {tuple(r) for r in got.drop("batch_id").collect()}
+    shutil.rmtree(ckpt)
+    run_once()
+    after = {
+        tuple(r) for r in spark.read.parquet(out).drop("batch_id").collect()
+    }
+    assert after == before
+
+
+def test_cdc_chunk_screen_stream_requires_a_lake(spark, tmp_path):
+    """No static store and no growing lake is a configuration error —
+    the gate would screen against nothing and land everything."""
+    import pytest as _pt
+
+    from scraping_etl_spark.streaming.pipeline import cdc_chunk_screen_stream
+
+    with _pt.raises(ValueError, match="lake"):
+        cdc_chunk_screen_stream(
+            spark, str(tmp_path / "src"), str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+
+
 def test_corpus_gate_rejects_lang_screen_without_allowlist(spark):
     """A language screen with an empty allow-list would silently drop
     the whole stream — rejected at gate-build time."""
