@@ -37,6 +37,13 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 
+def _bind(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` once and pass it to ``fn`` as a lambda-bound
+    variable (the single-evaluation hazard — same helper as
+    ``dedup._bind``, local copy because dedup imports this module)."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def tokens(text: Column | str, lowercase: bool = False) -> Column:
     """Whitespace tokens with empties removed (split on runs of space)."""
     c = F.col(text) if isinstance(text, str) else text
@@ -178,6 +185,50 @@ def _ct_gram_rows(
     )
 
 
+def _gram_top(grams: Column, doc_m: int) -> Column:
+    """Per-row top-``doc_m`` gram structs ``(_nc = −count, gram)``,
+    ordered (count desc, gram asc) — the document rank profile WITHOUT
+    a (doc, gram) shuffle: sort the gram array, run-length encode with
+    expressions (run starts = positions whose gram differs from the
+    previous; run length = next start − start), sort the run structs,
+    slice. Per-row cost is O(len·log len) in the doc's own gram count;
+    at corpus scale this replaces what was a corpus-wide (doc, gram)
+    exploded aggregation — the hottest shuffle in the lang-ID plan
+    (measured 6.6 s of an 8.5 s gate at sf0.1). Every array is
+    lambda-bound (single-evaluation hazard)."""
+    empty = F.array().cast("array<struct<_nc:bigint,gram:string>>")
+
+    def _runs(s: Column) -> Column:
+        starts = F.filter(
+            F.sequence(F.lit(1), F.size(s)),
+            lambda i: (i == 1)
+            | (F.element_at(s, i - 1) != F.element_at(s, i)),
+        )
+
+        def _structs(st: Column) -> Column:
+            nxt = F.concat(
+                F.slice(st, 2, F.size(st) - 1), F.array(F.size(s) + 1)
+            )
+            return F.zip_with(
+                st,
+                nxt,
+                lambda a, b: F.struct(
+                    (a - b).cast("long").alias("_nc"),
+                    F.element_at(s, a).alias("gram"),
+                ),
+            )
+
+        return _bind(starts, _structs)
+
+    return _bind(
+        grams,
+        lambda g: F.when(
+            F.size(g) > 0,
+            F.slice(F.sort_array(_bind(F.array_sort(g), _runs)), 1, doc_m),
+        ).otherwise(empty),
+    )
+
+
 def char_ngram_profiles(
     df: DataFrame,
     n: int = 3,
@@ -233,13 +284,16 @@ def lang_id_ngram(
     model (the deployment shape); default trains on ``df`` itself via
     its ``lang_col`` labels. Returns ``(id, pred_lang, dist long)``.
 
-    Plan: ONE explode + one (doc, gram) partial-agg shuffle feeds
-    both sides (the training counts are its (lang, gram) rollup —
-    lang rides the doc key for free since it is functionally
-    dependent); the doc profile is ranked ARRAY-side (sort_array +
-    slice over the doc's own ≤ a-few-hundred gram structs — no
-    per-doc rank window, so nothing serializes when AQE coalesces
-    test-scale shuffles to few partitions); the profile join
+    Plan: the doc profile is built ENTIRELY array-side per row
+    (:func:`_gram_top`: sort the doc's own gram array, run-length
+    encode with expressions, sort the run structs, slice doc_m) — no
+    (doc, gram) exploded aggregation anywhere, which was the plan's
+    hottest shuffle AND its largest materialization (measured 6.6 s of
+    an 8.5 s gate at sf0.1; also nothing serializes when AQE coalesces
+    test-scale shuffles to few partitions). Self-training adds the one
+    remaining explode: corpus grams straight into a (lang, gram)
+    partial-agg rollup — vocabulary-bounded after map-side combine,
+    far smaller than the old (doc, lang, gram) key. The profile join
     broadcasts L·top_m rows; the language axis is attached through a
     broadcast hash join on a non-foldable always-zero key (the
     :func:`~scraping_etl_spark.operators.corpus_prep.with_lm_score`
@@ -248,45 +302,44 @@ def lang_id_ngram(
     not a window. Nothing corpus-quadratic, no skewed keys (every
     wide key is doc- or (doc, lang)-grained; the training rollup is
     char-n-gram-vocabulary-bounded)."""
-    counts = (
-        _ct_gram_rows(
-            df,
-            [
-                F.col(id_col).alias("_id"),
-                F.col(lang_col).alias("_lang") if profiles is None
-                else F.lit(None).alias("_lang"),
-            ],
-            text_col,
-            n,
-        )
-        .groupBy("_id", "_lang", "gram")
-        .agg(F.count(F.lit(1)).alias("_c"))
+    dist = _ct_dist_relation(
+        df, n, top_m, doc_m, id_col, lang_col, text_col, profiles, trained_m
     )
+    best = dist.groupBy("_id").agg(
+        F.min(F.struct("dist", "lang")).alias("_b")
+    )
+    return best.select(
+        F.col("_id").alias(id_col),
+        F.col("_b.lang").alias("pred_lang"),
+        F.col("_b.dist").alias("dist"),
+    )
+
+
+def _ct_dist_relation(
+    df: DataFrame,
+    n: int,
+    top_m: int,
+    doc_m: int,
+    id_col: str,
+    lang_col: str,
+    text_col: str,
+    profiles: DataFrame | None,
+    trained_m: int | None,
+) -> DataFrame:
+    """The Cavnar-Trenkle out-of-place DISTANCE relation ``(_id, lang,
+    dist long)`` — one row per (doc, candidate language) — shared by
+    :func:`lang_id_ngram` (argmin) and :func:`lang_id_ngram_margin`
+    (top-2 + abstain). Plan documented on :func:`lang_id_ngram`."""
     if profiles is None:
-        # consumed by the trainer rollup AND the doc profile — cut the
-        # lineage so the explode+agg runs once, not per consumer. With
-        # pretrained profiles (the streaming/deployment shape) there is
-        # a single consumer and the checkpoint would only add a
-        # per-call materialization job.
-        counts = counts.localCheckpoint()
-    if profiles is None:
-        # the trainer is the (lang, gram) rollup of the SAME counts
-        # relation char_ngram_profiles would build from scratch. The
-        # LABEL SPACE is the label column's distinct values, not just
-        # labels that yielded grams: a language whose training text is
-        # all sub-n-gram stays a candidate (its empty profile scores
-        # everything out-of-place — the property fuzz pinned this
-        # edge: an all-gramless corpus must still emit one prediction
-        # per doc, not zero rows).
+        # the LABEL SPACE is the label column's distinct values, not
+        # just labels that yielded grams: a language whose training
+        # text is all sub-n-gram stays a candidate (its empty profile
+        # scores everything out-of-place — the property fuzz pinned
+        # this edge: an all-gramless corpus must still emit one
+        # prediction per doc, not zero rows).
         label_space = df.select(F.col(lang_col).alias("lang")).distinct()
-        lcounts = counts.groupBy(F.col("_lang").alias("lang"), "gram").agg(
-            F.sum("_c").alias("_lc")
-        )
-        w = Window.partitionBy("lang").orderBy(F.desc("_lc"), F.asc("gram"))
-        profiles = (
-            lcounts.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= top_m)
-            .select("lang", "gram", F.col("rank").cast("int").alias("rank"))
+        profiles = char_ngram_profiles(
+            df, n=n, top_m=top_m, lang_col=lang_col, text_col=text_col
         )
     else:
         # pretrained mode: the caller's model defines the label space
@@ -308,27 +361,25 @@ def lang_id_ngram(
     # doc_m arm too or a deep doc profile against a shallow model
     # would price matches ABOVE misses (advice r12).
     penalty = max(top_m, doc_m)
-    dp_arr = counts.groupBy("_id").agg(
-        F.slice(
-            F.sort_array(
-                F.collect_list(F.struct((-F.col("_c")).alias("_nc"), "gram"))
-            ),
-            1,
-            doc_m,
-        ).alias("_top")
-    ).localCheckpoint()  # consumed by the profile explode AND the ng spine
+    dp_arr = (
+        df.select(F.col(id_col).alias("_id"), _ct_norm(text_col).alias("_txt"))
+        .select(
+            "_id",
+            _gram_top(char_ngrams(F.col("_txt"), n), doc_m).alias("_top"),
+        )
+        .localCheckpoint()  # consumed by the profile explode AND the ng spine
+    )
     dprof = dp_arr.select(
         "_id", F.posexplode("_top").alias("_p", "_e")
     ).select("_id", F.col("_e.gram").alias("gram"), (F.col("_p") + 1).alias("_dr"))
     # non-foldable always-zero join keys: hashing an ATTRIBUTE (not a
     # literal — FoldablePropagation would constant-fold a literal key
-    # and degrade the join to a BroadcastNestedLoopJoin)
-    ndocs = (
-        df.select(F.col(id_col).alias("_id"))
-        .join(dp_arr.select("_id", F.size("_top").alias("_ng")), "_id", "left")
-        .select("_id", F.coalesce("_ng", F.lit(0)).alias("_ng"))
-        .withColumn("_k", F.pmod(F.xxhash64(F.col("_ng")), F.lit(1)))
-    )
+    # and degrade the join to a BroadcastNestedLoopJoin). dp_arr has a
+    # row for EVERY doc (gramless -> empty _top), so the spine reads
+    # straight off it — no join back to df.
+    ndocs = dp_arr.select(
+        "_id", F.size("_top").alias("_ng")
+    ).withColumn("_k", F.pmod(F.xxhash64(F.col("_ng")), F.lit(1)))
     langs = label_space.withColumn(
         "_k", F.pmod(F.xxhash64(F.col("lang")), F.lit(1))
     )
@@ -340,7 +391,7 @@ def lang_id_ngram(
             F.count(F.lit(1)).alias("_m"),
         )
     )
-    dist = (
+    return (
         ndocs.join(F.broadcast(langs), "_k")
         .join(matched, ["_id", "lang"], "left")
         .select(
@@ -353,13 +404,57 @@ def lang_id_ngram(
             ).cast("long").alias("dist"),
         )
     )
-    best = dist.groupBy("_id").agg(
-        F.min(F.struct("dist", "lang")).alias("_b")
+
+
+def lang_id_ngram_margin(
+    df: DataFrame,
+    n: int = 3,
+    top_m: int = 80,
+    doc_m: int = 40,
+    min_margin: int = 1,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    text_col: str = "text",
+    profiles: DataFrame | None = None,
+    trained_m: int | None = None,
+) -> DataFrame:
+    """:func:`lang_id_ngram` with a CONFIDENCE MARGIN and abstention —
+    the deployment-grade shape: a corpus screen that routes documents
+    by language wants "don't know" on ambiguous text, not a coin-flip
+    between two near-tied profiles (the CLD2/fastText `und` convention).
+
+    Per doc, the two smallest out-of-place distances (tie order =
+    (dist, lang) struct sort, same total order as the argmin);
+    ``margin = dist₂ − dist₁``. The prediction abstains to ``'und'``
+    when ``margin < min_margin``. A single-language label space has no
+    second distance: ``margin`` is NULL and the prediction stands (no
+    competitor to be confused with). Returns
+    ``(id, pred_lang, dist, margin)``, all-integer so the gate hash is
+    exact.
+
+    Plan: the shared distance relation (see :func:`lang_id_ngram` —
+    nothing corpus-quadratic), then ONE partial agg per doc:
+    ``slice(sort_array(collect_list(struct(dist, lang))), 1, 2)`` —
+    the collected list is L rows (the language axis, model-scale), so
+    the agg state is bounded by the label space, never the corpus."""
+    dist = _ct_dist_relation(
+        df, n, top_m, doc_m, id_col, lang_col, text_col, profiles, trained_m
     )
-    return best.select(
+    top2 = dist.groupBy("_id").agg(
+        F.slice(
+            F.sort_array(F.collect_list(F.struct("dist", "lang"))), 1, 2
+        ).alias("_t")
+    )
+    first = F.element_at("_t", 1)
+    second = F.element_at("_t", 2)  # NULL when only one language
+    margin = (second["dist"] - first["dist"]).cast("long")
+    return top2.select(
         F.col("_id").alias(id_col),
-        F.col("_b.lang").alias("pred_lang"),
-        F.col("_b.dist").alias("dist"),
+        F.when(margin < min_margin, F.lit("und"))
+        .otherwise(first["lang"])
+        .alias("pred_lang"),
+        first["dist"].cast("long").alias("dist"),
+        margin.alias("margin"),
     )
 
 

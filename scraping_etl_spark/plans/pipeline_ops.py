@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from scraping_etl_spark.operators import textstats as TS
 from scraping_etl_spark.operators.asof import asof_join
-from scraping_etl_spark.sources.readers import load_table
+from scraping_etl_spark.sources.readers import load_table, spread_narrow_scan
 
 
 # ---------------------------------------------------------------------------
@@ -169,7 +169,9 @@ def q_doc_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the unmatched-gram penalty MUST come from the model's own
     max rank for the hashes to agree — pinning the Cavnar-Trenkle
     matched ≤ unmatched invariant under depth mismatch."""
-    d = load_table(spark, sf_dir, "documents")
+    # the gram explodes below are the map-heaviest stage in the whole
+    # registry; a one-row-group parquet scan would serialize them
+    d = spread_narrow_scan(load_table(spark, sf_dir, "documents"))
     marker = F.array_join(
         F.array_repeat(F.repeat(F.col("lang"), 3), _CT_MARKER_REPS),
         " ",
@@ -314,6 +316,129 @@ SELECT b.doc_id, 'pretrained' AS mode, d.lang,
        b.pred AS pred_lang, CAST(b.dist AS BIGINT) AS dist
 FROM best_pre b JOIN documents d USING (doc_id)
 WHERE rn = 1
+"""
+
+
+# sits between the marked docs' margin floor (~86 at sf0.01) and the
+# ambiguous slice's median (~138 overall, ~33 at its 10th pct), so the
+# driver corpus exercises BOTH the predict and the abstain branch
+_CT_MIN_MARGIN = 60
+
+
+def q_doc_lang_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID with a confidence margin and abstention
+    (textstats.lang_id_ngram_margin): per doc the two smallest
+    out-of-place distances; predictions whose runner-up is within
+    ``_CT_MIN_MARGIN`` abstain to ``'und'`` — the deployment-grade
+    screen shape (route by language, 'don't know' on ambiguous text)
+    above the plain argmin of ``doc_lang_id_ngram``.
+
+    The corpus plants BOTH outcomes: docs with ``doc_id % 5 != 0``
+    carry the per-language marker phrase (separable — real prediction,
+    large margin); ``% 5 == 0`` docs keep their language-AGNOSTIC raw
+    text (near-tied profiles — the abstain path). The hash therefore
+    pins the top-2 ordering, the margin arithmetic AND the abstain
+    threshold at once. Self-trained on the corpus's own labels."""
+    d = spread_narrow_scan(load_table(spark, sf_dir, "documents"))
+    marker = F.array_join(
+        F.array_repeat(F.repeat(F.col("lang"), 3), _CT_MARKER_REPS),
+        " ",
+    )
+    corpus = d.select(
+        "doc_id", "lang",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.col("text")
+        ).otherwise(
+            F.concat(F.col("text"), F.lit(" "), marker)
+        ).alias("text"),
+    )
+    pred = TS.lang_id_ngram_margin(
+        corpus, n=_CT_N, top_m=_CT_TOP_M, doc_m=_CT_DOC_M,
+        min_margin=_CT_MIN_MARGIN,
+    )
+    return corpus.select("doc_id", "lang").join(pred, "doc_id").select(
+        "doc_id", "lang", "pred_lang", "dist", "margin"
+    )
+
+
+ORACLE_DOC_LANG_MARGIN = rf"""
+WITH corpus AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 5 = 0 THEN text
+              ELSE text || ' ' || array_to_string(
+                list_transform(generate_series(1, {_CT_MARKER_REPS}),
+                               i -> repeat(lang, 3)), ' ')
+         END AS text
+  FROM documents
+),
+txt AS (
+  SELECT doc_id, lang,
+         regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+  FROM corpus
+),
+grams AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(
+           generate_series(1, len(t) - {_CT_N - 1}),
+           i -> substr(t, i, {_CT_N}))) AS g
+  FROM txt
+),
+lp AS (
+  SELECT lang, g, lr FROM (
+    SELECT lang, g,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY count(*) DESC, g) AS lr
+    FROM grams GROUP BY lang, g
+  ) WHERE lr <= {_CT_TOP_M}
+),
+dp AS (
+  SELECT doc_id, g, dr FROM (
+    SELECT doc_id, g,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY count(*) DESC, g) AS dr
+    FROM grams GROUP BY doc_id, g
+  ) WHERE dr <= {_CT_DOC_M}
+),
+nd AS (
+  SELECT d.doc_id, COALESCE(c.ng, 0) AS ng
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS ng FROM dp GROUP BY 1) c
+  USING (doc_id)
+),
+langs AS (SELECT DISTINCT lang FROM documents),
+matched AS (
+  SELECT dp.doc_id, lp.lang,
+         sum(abs(dp.dr - lp.lr)) AS s,
+         count(*) AS m
+  FROM dp JOIN lp ON dp.g = lp.g
+  GROUP BY 1, 2
+),
+dist AS (
+  SELECT nd.doc_id, l.lang AS cand,
+         COALESCE(m.s, 0) + (nd.ng - COALESCE(m.m, 0)) * {_CT_TOP_M} AS dist
+  FROM nd CROSS JOIN langs l
+  LEFT JOIN matched m ON m.doc_id = nd.doc_id AND m.lang = l.lang
+),
+ranked AS (
+  SELECT doc_id, cand, dist,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY dist, cand) AS rn
+  FROM dist
+),
+top2 AS (
+  SELECT a.doc_id,
+         a.cand AS best_lang, a.dist AS best_dist,
+         b.dist AS second_dist
+  FROM ranked a
+  LEFT JOIN ranked b ON b.doc_id = a.doc_id AND b.rn = 2
+  WHERE a.rn = 1
+)
+SELECT t.doc_id, d.lang,
+       CASE WHEN t.second_dist - t.best_dist < {_CT_MIN_MARGIN}
+            THEN 'und' ELSE t.best_lang END AS pred_lang,
+       CAST(t.best_dist AS BIGINT) AS dist,
+       CAST(t.second_dist - t.best_dist AS BIGINT) AS margin
+FROM top2 t JOIN documents d USING (doc_id)
 """
 
 

@@ -1298,6 +1298,13 @@ _REGISTERED += [
         "canonical + family size, one exact recursive-CTE oracle "
         "(dedup.fuzzy_string_pairs + dedup_clusters)",
     ),
+    QuerySpec(
+        "doc_lang_margin", P.q_doc_lang_margin, P.ORACLE_DOC_LANG_MARGIN,
+        "language ID with a confidence margin: top-2 out-of-place "
+        "distances per doc, abstain to 'und' when the runner-up is "
+        "within the margin — planted ambiguous slice pins both the "
+        "predict and abstain paths (textstats.lang_id_ngram_margin)",
+    ),
 ]
 
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}

@@ -158,6 +158,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_narrow_scan(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition ``df`` ONLY when its scan yields fewer
+    partitions than the session's parallelism — small parquet files are
+    one row group, so the file reader cannot split them and every
+    per-row-heavy map stage (gram explodes, shingle hashing, chunking)
+    serializes on one core. At real scale the scan has >= cores splits
+    and this is a driver-side partition-count check followed by a
+    no-op — no job, no shuffle. Callers are partitioning-invariant
+    operators (pinned by the repartition-stability tests), so results
+    are unchanged. Use at the top of gates whose map side dominates;
+    NOT a load_table default — for cheap gates the extra exchange
+    costs more than the map stage it spreads."""
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load all scale tables and register each as a temp view."""
     out: dict[str, DataFrame] = {}
