@@ -1060,3 +1060,128 @@ def fuzzy_string_pairs(
         char_ngrams(F.col(string_col), n).alias("_set"),
     )
     return allpairs_jaccard_sets(sets, threshold)
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    k: int,
+    id_col: str,
+    string_col: str,
+    q: int = 3,
+    check_min_len: bool = True,
+) -> DataFrame:
+    """EXACT bounded edit-distance self-join: all id pairs whose
+    Levenshtein distance is at most ``k`` — the approximate-string-join
+    a catalog/title/author table needs where :func:`fuzzy_string_pairs`'
+    set-Jaccard semantics are too loose (Jaccard ignores order and
+    counts; edit distance is the contract record-linkage rules are
+    usually written against).
+
+    Plan (Ed-Join, Xiao/Wang/Lin VLDB 2008; q-gram bound Gravano et al.
+    VLDB 2001) — never an all-pairs scan:
+
+    1. positional ``q``-grams per string (per-row expression — ``len``
+       bounded substrs, no shuffle);
+    2. global gram document frequency (one vocabulary-scale partial-agg
+       shuffle) joined back, then each string keeps only the first
+       ``k*q + 1`` occurrences in (df ASC, gram, pos) order — the
+       PREFIX. Two strings within distance ``k`` share a matched gram
+       occurrence inside both prefixes: ed <= k destroys at most ``q``
+       grams per edit, so the pair's positional-gram matching has size
+       >= t = max(len_a, len_b) - q + 1 - k*q, and a prefix of length
+       |G| - t + 1 <= k*q + 1 must carry one matched element (the
+       AllPairs prefix theorem, same argument as
+       :func:`_allpairs_candidates`).
+    3. band equi-join on the prefix gram with the location filter
+       |pos_a - pos_b| <= k (an edit shifts positions by at most 1)
+       and the length filter |len_a - len_b| <= k;
+    4. verify candidates with the banded-DP ``levenshtein(a, b, k)``
+       (O(k*len), returns -1 past the threshold) — so candidate slop
+       costs time, never correctness.
+
+    The prefix theorem needs t >= 1, i.e. every string at least
+    ``q*(k+1)`` chars; shorter strings can sit within ``k`` edits while
+    sharing ZERO q-grams. ``check_min_len`` probes that precondition
+    with one cheap action and raises (pick a smaller ``q`` — at q=1
+    the floor is k+1 chars) instead of silently dropping pairs.
+
+    Returns ``(id_a, id_b, dist)`` with ``id_a < id_b``. 100 TB: the
+    shuffles are the gram-df agg, the per-string prefix rebuild, and
+    the band join keyed on (gram) — rare-first df ordering keeps
+    stopword-gram fan-out out of the prefix, the same reason AllPairs
+    orders by frequency; skewed residues are AQE's skew-join case.
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    if q < 1:
+        raise ValueError(f"q must be >= 1, got {q}")
+    s = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(string_col).alias("_s"),
+        F.length(string_col).cast("int").alias("_len"),
+    )
+    if check_min_len:
+        floor = q * (k + 1)
+        short = s.filter(F.col("_len") < floor).limit(1).count()
+        if short:
+            raise ValueError(
+                f"edit_distance_pairs: strings shorter than q*(k+1)="
+                f"{floor} chars break the q-gram prefix bound (a pair "
+                "can be within k edits sharing no q-gram) — filter "
+                "them or lower q."
+            )
+
+    def _occ(t: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.length(t) - q + 1, F.lit(0)))
+        return F.transform(
+            idx, lambda i: F.struct(t.substr(i, F.lit(q)).alias("g"),
+                                    i.cast("int").alias("p"))
+        )
+
+    occ = s.select(
+        "_id", "_len", F.explode(_bind(F.col("_s"), _occ)).alias("o")
+    ).select("_id", "_len", F.col("o.g").alias("_g"), F.col("o.p").alias("_p"))
+    gdf = occ.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    prefix = (
+        occ.join(gdf, "_g")
+        .groupBy("_id", "_len")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct("_df", "_g", "_p"))
+                ),
+                1,
+                k * q + 1,
+            ).alias("_pre")
+        )
+        .select(
+            "_id", "_len", F.explode("_pre").alias("o")
+        )
+        .select("_id", "_len", F.col("o._g").alias("_g"),
+                F.col("o._p").alias("_p"))
+    )
+    a = prefix.select(F.col("_id").alias("id_a"), F.col("_len").alias("_la"),
+                      "_g", F.col("_p").alias("_pa"))
+    b = prefix.select(F.col("_id").alias("id_b"), F.col("_len").alias("_lb"),
+                      "_g", F.col("_p").alias("_pb"))
+    cand = (
+        a.join(b, "_g")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("_pa") - F.col("_pb")) <= k)
+            & (F.abs(F.col("_la") - F.col("_lb")) <= k)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = s.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa"))
+    sb = s.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            F.levenshtein("_sa", "_sb", k).alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
+    )

@@ -776,3 +776,82 @@ def keyword_extract(
         .filter(F.col("rank") <= top_k)
         .select(id_col, F.col("rank").cast("long").alias("rank"), "token", "tfidf")
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    strata_col: str = "lang",
+    top_r: int = 200,
+) -> DataFrame:
+    """Per-stratum Zipf's-law fit — the corpus-health law a datasheet
+    reports (Zipf 1949; natural-language corpora fit ln(freq) ≈ a +
+    b·ln(rank) with b ≈ −1 over the head of the vocabulary; spam,
+    boilerplate floods, template expansions and encoding junk all bend
+    the slope or kill the linear fit, so (slope, r²) is a cheap
+    corpus-drift alarm per language slice).
+
+    Plan: one (stratum, word) partial-agg shuffle, a per-stratum
+    row_number over (count DESC, word) — vocabulary-scale, the
+    deterministic total order every rank gate here uses — then the
+    least-squares closed form over the top ``top_r`` ranks as plain
+    aggregate arithmetic (no MLlib, no collect). Type/token counts
+    come from the same word-count relation before the rank cut.
+
+    Returns ``(stratum, n_tokens, n_types, zipf_slope, zipf_intercept,
+    zipf_r2)`` with the fit columns rounded to 6 (the oracle-hash
+    convention); a stratum with fewer than two distinct head
+    frequencies fits a degenerate line and reports nulls.
+    """
+    if top_r < 2:
+        raise ValueError(f"top_r must be >= 2, got {top_r}")
+    wc = (
+        df.select(
+            F.col(strata_col).alias("_g"),
+            F.explode(tokens(text_col, lowercase=True)).alias("_w"),
+        )
+        .groupBy("_g", "_w")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    totals = wc.groupBy("_g").agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    w = Window.partitionBy("_g").orderBy(F.col("_c").desc(), F.col("_w"))
+    head = (
+        wc.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= top_r)
+        .select(
+            "_g",
+            F.log(F.col("_r").cast("double")).alias("_x"),
+            F.log(F.col("_c").cast("double")).alias("_y"),
+        )
+    )
+    n = F.count(F.lit(1)).cast("double")
+    fit = head.groupBy("_g").agg(
+        n.alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    dxx = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    dyy = F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    dxy = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    slope = dxy / F.nullif(dxx, F.lit(0.0))
+    return (
+        totals.join(fit, "_g")
+        .select(
+            F.col("_g").alias(strata_col),
+            "n_tokens",
+            "n_types",
+            F.round(slope, 6).alias("zipf_slope"),
+            F.round(
+                (F.col("_sy") - slope * F.col("_sx")) / F.col("_n"), 6
+            ).alias("zipf_intercept"),
+            F.round(
+                (dxy * dxy) / F.nullif(dxx * dyy, F.lit(0.0)), 6
+            ).alias("zipf_r2"),
+        )
+    )

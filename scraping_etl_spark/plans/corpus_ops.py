@@ -1218,6 +1218,159 @@ FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
 
+def q_doc_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-family fertility comparison (bpe.tokenizer_fertility
+    over BOTH trained vocabularies): per-language subwords-per-word of
+    the BPE merges vs the unigram-LM pieces, side by side — the report
+    a multilingual vocabulary decision actually reads (which trainer
+    serves which language slice better, Ács 2019). Same train-once
+    artifacts as ``doc_bpe_tokens`` / ``doc_unigram_tokens``; the
+    corpus collapses to (lang, word) counts once per branch and both
+    rollups are language-count rows, so the join is trivially
+    broadcast-able."""
+    _bpe_query_dirs.add(sf_dir)
+    _uni_query_dirs.add(sf_dir)
+    from scraping_etl_spark.operators import unigram as UNI
+
+    merges, _ = _bpe_artifacts(sf_dir)
+    model, _ = _uni_artifacts(sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    seg_b = BPE.word_segment_table(d, list(merges))
+    seg_u = UNI.word_segment_unigram(d, model, max_piece_len=_UNI_MAXLEN)
+    fb = BPE.tokenizer_fertility(d, seg_b).select(
+        "lang", "n_words", "n_chars",
+        F.col("fertility").alias("bpe_fertility"),
+    )
+    fu = BPE.tokenizer_fertility(d, seg_u).select(
+        "lang", F.col("fertility").alias("uni_fertility")
+    )
+    return fb.join(fu, "lang").select(
+        "lang", "n_words", "n_chars", "bpe_fertility", "uni_fertility",
+        F.round(F.col("uni_fertility") / F.col("bpe_fertility"), 6).alias(
+            "uni_over_bpe"
+        ),
+    )
+
+
+def oracle_doc_unigram_fertility(sf_dir: str | None = None) -> str:
+    """Lazy DuckDB twin of :func:`q_doc_unigram_fertility`: both
+    learned word→n_sub tables ride in as VALUES plan constants (the
+    ``oracle_doc_bpe_fertility`` convention, same pairing guard) and
+    the two per-language rollups are exact relational mirrors. The
+    ratio divides the ROUNDED fertilities, exactly as the Spark side
+    does, so it hashes."""
+    if sf_dir is None:
+        if "SPARK_GRAFT_ORACLE_SF_DIR" in os.environ:
+            sf_dir = os.environ["SPARK_GRAFT_ORACLE_SF_DIR"]
+        elif len(_uni_query_dirs) == 1:
+            sf_dir = next(iter(_uni_query_dirs))
+        else:
+            sf_dir = _BPE_ORACLE_SF_DIR
+        if _uni_query_dirs and sf_dir not in _uni_query_dirs:
+            raise RuntimeError(
+                f"doc_unigram_fertility oracle: would train at {sf_dir!r} "
+                f"but the query ran at {sorted(_uni_query_dirs)!r} — pass "
+                "sf_dir or set SPARK_GRAFT_ORACLE_SF_DIR to pair them."
+            )
+    _, table_b = _bpe_artifacts(sf_dir)
+    _, table_u = _uni_artifacts(sf_dir)
+    vb = ",\n    ".join(
+        "('{}', {})".format(w.replace("'", "''"), n) for w, n in table_b
+    )
+    vu = ",\n    ".join(
+        "('{}', {})".format(w.replace("'", "''"), n) for w, n in table_u
+    )
+    return f"""
+WITH segb(word, n_sub) AS (VALUES
+    {vb}
+),
+segu(word, n_sub) AS (VALUES
+    {vu}
+),
+tok AS (
+  SELECT lang, unnest({_LTOKS}) AS w FROM documents
+),
+wc AS (SELECT lang, w, count(*) AS c FROM tok GROUP BY 1, 2),
+fb AS (
+  SELECT wc.lang,
+         CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(sum(c * len(wc.w)) AS BIGINT) AS n_chars,
+         round(sum(c * coalesce(segb.n_sub, len(wc.w))) / sum(c), 6)
+           AS bpe_fertility
+  FROM wc LEFT JOIN segb ON wc.w = segb.word
+  GROUP BY 1
+),
+fu AS (
+  SELECT wc.lang,
+         round(sum(c * coalesce(segu.n_sub, len(wc.w))) / sum(c), 6)
+           AS uni_fertility
+  FROM wc LEFT JOIN segu ON wc.w = segu.word
+  GROUP BY 1
+)
+SELECT fb.lang, fb.n_words, fb.n_chars, fb.bpe_fertility, fu.uni_fertility,
+       round(fu.uni_fertility / fb.bpe_fertility, 6) AS uni_over_bpe
+FROM fb JOIN fu USING (lang)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Zipf's-law corpus profile (textstats.zipf_fit gate)
+# ---------------------------------------------------------------------------
+
+_ZIPF_R = 200
+
+
+def q_doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Zipf fit (textstats.zipf_fit): least-squares
+    ln(freq) ~ ln(rank) over the top-200 vocabulary head plus
+    type/token counts — the corpus-drift alarm a datasheet carries
+    (slope bends when spam/template floods distort the frequency
+    law). Entirely aggregate arithmetic; the oracle is the exact
+    closed-form mirror."""
+    from scraping_etl_spark.operators.textstats import zipf_fit
+
+    d = load_table(spark, sf_dir, "documents")
+    return zipf_fit(d, top_r=_ZIPF_R)
+
+
+ORACLE_DOC_ZIPF_FIT = f"""
+WITH tok AS (
+  SELECT lang, unnest({_LTOKS}) AS w FROM documents
+),
+wc AS (SELECT lang, w, count(*) AS c FROM tok GROUP BY 1, 2),
+totals AS (
+  SELECT lang,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types
+  FROM wc GROUP BY 1
+),
+head AS (
+  SELECT lang, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+  FROM (
+    SELECT lang, c,
+           row_number() OVER (PARTITION BY lang ORDER BY c DESC, w) AS r
+    FROM wc
+  ) WHERE r <= {_ZIPF_R}
+),
+fit AS (
+  SELECT lang,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM head GROUP BY 1
+)
+SELECT t.lang, t.n_tokens, t.n_types,
+       round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0), 6)
+         AS zipf_slope,
+       round((sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0) * sx)
+             / n, 6) AS zipf_intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0), 6)
+         AS zipf_r2
+FROM totals t JOIN fit USING (lang)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Stratified bottom-N sample (corpus_prep.stratified_sample_n gate)
 # ---------------------------------------------------------------------------

@@ -1982,6 +1982,116 @@ FROM labeled l JOIN sizes s USING (canonical_id)
 """
 
 
+
+# ---------------------------------------------------------------------------
+# Bounded edit-distance join gate (dedup.edit_distance_pairs)
+# ---------------------------------------------------------------------------
+
+#: Edit threshold / q-gram width of the edit-join gate. 40-char
+#: titles give len - q + 1 - k*q = 32 >= 1, so the Ed-Join prefix
+#: bound is live (and the short-string guard never fires).
+_EJ_K, _EJ_Q = 2, 3
+
+
+def q_doc_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded edit-distance self-join gate (dedup.edit_distance_pairs
+    — Ed-Join positional-q-gram prefix filtering + banded-DP
+    levenshtein verify, never all-pairs; the ORACLE is the brute-force
+    all-pairs, so candidate COMPLETENESS is what hashes). Corpus:
+    ASCII 40-char document titles (doc_id = 0 mod 5), each with a
+    1-substitution variant and a 2-substitution variant at
+    md5-positioned offsets — (base, v1) links at dist <= 1, (base, v2)
+    at dist <= 2, and (v1, v2) only where the planted positions
+    collide, so the threshold boundary itself is exercised. ASCII
+    filter because DuckDB's levenshtein is byte-based on multi-byte
+    text while Spark's is codepoint-based (measured: 4 vs 2 on the
+    same pair) — the mirrored guard keeps both engines on the same
+    metric."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.substring("text", 1, 40).alias("_s")
+    ).filter(F.col("_s").rlike("^[ -~]{12,}$"))
+    plen = F.length("_s")
+
+    def _pos(salt: str) -> Column:
+        return (
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("doc_id").cast("string"),
+                                       F.lit(salt))),
+                        1, 15,
+                    ), 16, 10,
+                ).cast("long"),
+                plen - 2,
+            )
+            + 2
+        )
+
+    def _sub_at(s: Column, p: Column, ch: str) -> Column:
+        return F.concat(
+            s.substr(F.lit(1), (p - 1).cast("int")),
+            F.lit(ch),
+            s.substr((p + 1).cast("int"), plen),
+        )
+
+    v1 = _sub_at(F.col("_s"), _pos("x"), "~")
+    v2 = _sub_at(_sub_at(F.col("_s"), _pos("x"), "~"), _pos("y"), "#")
+    ents = (
+        base.select((F.col("doc_id") * 4).alias("_eid"), "_s")
+        .unionByName(base.select((F.col("doc_id") * 4 + 1).alias("_eid"),
+                                 v1.alias("_s")))
+        .unionByName(base.select((F.col("doc_id") * 4 + 2).alias("_eid"),
+                                 v2.alias("_s")))
+    )
+    pairs = DD.edit_distance_pairs(
+        ents, _EJ_K, id_col="_eid", string_col="_s", q=_EJ_Q
+    )
+    return pairs.select(
+        "id_a", "id_b", "dist",
+        (
+            F.floor(F.col("id_a") / 4) == F.floor(F.col("id_b") / 4)
+        ).alias("same_doc"),
+    )
+
+
+ORACLE_DOC_EDIT_JOIN = f"""
+WITH base AS (
+  SELECT doc_id, substr(text, 1, 40) AS s
+  FROM documents
+  WHERE doc_id % 5 = 0 AND regexp_matches(substr(text, 1, 40), '^[ -~]{{12,}}$')
+), px AS (
+  SELECT doc_id, s,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'x'), 1, 15))::BIGINT
+           % (len(s) - 2) + 2 AS p1,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'y'), 1, 15))::BIGINT
+           % (len(s) - 2) + 2 AS p2
+  FROM base
+), ents AS (
+  SELECT doc_id * 4 AS id, s FROM base
+  UNION ALL
+  SELECT doc_id * 4 + 1 AS id,
+         substr(s, 1, CAST(p1 - 1 AS INTEGER)) || '~'
+           || substr(s, CAST(p1 + 1 AS INTEGER)) AS s
+  FROM px
+  UNION ALL
+  SELECT doc_id * 4 + 2 AS id,
+         substr(v1, 1, CAST(p2 - 1 AS INTEGER)) || '#'
+           || substr(v1, CAST(p2 + 1 AS INTEGER)) AS s
+  FROM (SELECT doc_id, p2,
+               substr(s, 1, CAST(p1 - 1 AS INTEGER)) || '~'
+                 || substr(s, CAST(p1 + 1 AS INTEGER)) AS v1
+        FROM px)
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist,
+       (a.id // 4 = b.id // 4) AS same_doc
+FROM ents a JOIN ents b
+  ON a.id < b.id AND abs(len(a.s) - len(b.s)) <= {_EJ_K}
+WHERE levenshtein(a.s, b.s) <= {_EJ_K}
+"""
+
+
 ORACLE_DOC_TITLE_FUZZY_MATCH = f"""
 WITH base AS (
   SELECT doc_id, substr(text, 1, 40) AS s

@@ -1305,6 +1305,27 @@ _REGISTERED += [
         "within the margin — planted ambiguous slice pins both the "
         "predict and abstain paths (textstats.lang_id_ngram_margin)",
     ),
+    QuerySpec(
+        "doc_unigram_fertility", C.q_doc_unigram_fertility,
+        C.oracle_doc_unigram_fertility,
+        "tokenizer-family fertility report: per-language subwords-"
+        "per-word of the trained BPE merges vs the trained unigram-LM "
+        "pieces side by side, ratio column (bpe.tokenizer_fertility "
+        "over both segmentation caches; lazy plan-constants oracle)",
+    ),
+    QuerySpec(
+        "doc_edit_join", M.q_doc_edit_join, M.ORACLE_DOC_EDIT_JOIN,
+        "bounded edit-distance self-join: Ed-Join positional q-gram "
+        "prefix candidates + banded-DP levenshtein verify over planted "
+        "1- and 2-substitution title variants; brute-force all-pairs "
+        "oracle pins candidate completeness (dedup.edit_distance_pairs)",
+    ),
+    QuerySpec(
+        "doc_zipf_fit", C.q_doc_zipf_fit, C.ORACLE_DOC_ZIPF_FIT,
+        "per-language Zipf's-law fit: least-squares ln(freq)~ln(rank) "
+        "over the vocabulary head + type/token counts, closed-form "
+        "aggregate arithmetic (textstats.zipf_fit)",
+    ),
 ]
 
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}

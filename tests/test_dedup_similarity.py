@@ -1149,3 +1149,87 @@ def test_char_ngrams_distinct_lowercase_and_short_strings(spark):
     out = {r.i: r.g for r in df.select("i", char_ngrams(F.col("s")).alias("g")).collect()}
     assert sorted(out[1]) == ["aba", "bab"]  # lowered + distinct
     assert out[2] == []                      # below n -> empty
+
+
+# ---------------------------------------------------------------------------
+# edit_distance_pairs (Ed-Join: positional q-gram prefix filter + verify)
+# ---------------------------------------------------------------------------
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _brute_pairs(rows, k):
+    out = {}
+    for i, a in rows:
+        for j, b in rows:
+            if i < j and abs(len(a) - len(b)) <= k:
+                d = _lev(a, b)
+                if d <= k:
+                    out[(i, j)] = d
+    return out
+
+
+def test_edit_distance_pairs_matches_brute_force(spark):
+    rows = [
+        (1, "journal of marine biology"),
+        (2, "journal of marine biologyy"),    # 1 insert
+        (3, "journal of marinE biolog"),      # vs 1: 1 sub + 1 del = 2
+        (4, "journal of martime biolog"),     # near 3
+        (5, "proceedings of the royal soc"),
+        (6, "proceedings of the royal soc"),  # exact dup of 5 -> dist 0
+        (7, "acta mathematica sinica eng"),
+    ]
+    df = spark.createDataFrame(rows, "rid LONG, s STRING")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in DD.edit_distance_pairs(df, 2, "rid", "s").collect()
+    }
+    assert got == _brute_pairs(rows, 2)
+
+
+def test_edit_distance_pairs_fuzz_vs_loop_oracle(spark):
+    """Candidate completeness is the proof obligation (verify fixes
+    precision): fuzz dense near-dup families over a tiny alphabet so
+    frequent grams, repeated grams and multi-edit chains all occur."""
+    import random as _r
+
+    rng = _r.Random(13)
+    base = ["abcabcabcabc", "aabbccddeeff", "abcdefghijkl", "aaaaaabbbbbb"]
+    rows, rid = [], 0
+    for b in base:
+        for _ in range(4):
+            s = list(b)
+            for _ in range(rng.randrange(0, 3)):
+                op = rng.choice("sid")
+                p = rng.randrange(len(s))
+                if op == "s":
+                    s[p] = rng.choice("abcdef")
+                elif op == "i" and len(s) < 16:
+                    s.insert(p, rng.choice("abcdef"))
+                elif op == "d" and len(s) > 9:
+                    del s[p]
+            rows.append((rid, "".join(s)))
+            rid += 1
+    df = spark.createDataFrame(rows, "rid LONG, s STRING")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in DD.edit_distance_pairs(df, 2, "rid", "s").collect()
+    }
+    assert got == _brute_pairs(rows, 2)
+
+
+def test_edit_distance_pairs_short_string_guard(spark):
+    df = spark.createDataFrame([(1, "abcdefghi"), (2, "ab")], "rid LONG, s STRING")
+    with pytest.raises(ValueError, match="q\\*\\(k\\+1\\)"):
+        DD.edit_distance_pairs(df, 2, "rid", "s")
+    # q=1 lowers the floor to k+1 chars -> no raise, exact result
+    got = DD.edit_distance_pairs(df.filter("rid = 1"), 2, "rid", "s", q=1)
+    assert got.count() == 0

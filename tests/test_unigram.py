@@ -168,3 +168,21 @@ def test_gate_runs_and_every_doc_appears(spark):
     # the character floor for at least some docs
     joined = out.filter(F.col("n_uni_tokens") > 0)
     assert joined.count() > 0
+
+
+def test_fertility_gate_compares_both_tokenizers(spark):
+    """doc_unigram_fertility: one row per language, fertility >= 1 on
+    both branches (a word is never fewer than one piece), and the
+    ratio column is the quotient of the two ROUNDED fertilities —
+    the exact arithmetic the oracle mirrors."""
+    from scraping_etl_spark.plans.corpus_ops import q_doc_unigram_fertility
+
+    out = q_doc_unigram_fertility(spark, "/root/testdata/sf0.001").collect()
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_langs = d.select("lang").distinct().count()
+    assert len(out) == n_langs
+    for r in out:
+        assert r.bpe_fertility >= 1.0 and r.uni_fertility >= 1.0
+        assert r.uni_over_bpe == round(
+            round(r.uni_fertility, 6) / round(r.bpe_fertility, 6), 6
+        )
