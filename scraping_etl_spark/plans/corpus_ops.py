@@ -1314,6 +1314,106 @@ FROM fb JOIN fu USING (lang)
 
 
 # ---------------------------------------------------------------------------
+# WordPiece tokenizer (operators/wordpiece.py gate)
+# ---------------------------------------------------------------------------
+
+#: Gate-scale WordPiece model: enough merges that multi-char pieces
+#: dominate real words while the expression budget stays test-sized.
+_WP_MERGES = 24
+
+#: sf_dirs the WordPiece query ran at — same oracle-pairing guard as
+#: ``_bpe_query_dirs`` / ``_uni_query_dirs``.
+_wp_query_dirs: set[str] = set()
+
+
+@functools.lru_cache(maxsize=4)
+def _wp_artifacts(sf_dir: str) -> tuple:
+    """Train-once WordPiece artifacts per scale dir: the merge list,
+    the encoder vocabulary, and the collected word→n_sub segmentation
+    (all model-scale; the ``ivf_train`` plan-constants convention)."""
+    from scraping_etl_spark.operators import wordpiece as WP
+    from scraping_etl_spark.session import get_spark
+
+    spark = SparkSession.getActiveSession() or get_spark()
+    d = load_table(spark, sf_dir, "documents")
+    merges = WP.wordpiece_train(d, n_merges=_WP_MERGES)
+    vocab = WP.wordpiece_vocab(d, merges)
+    seg = WP.word_segment_wordpiece(d, vocab)
+    table = tuple(
+        (r["word"], int(r["n_sub"]))
+        for r in seg.select("word", "n_sub").collect()
+    )
+    return merges, vocab, table
+
+
+def q_doc_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained WordPiece tokenization gate (operators/wordpiece.py —
+    the BERT-style counterpart of ``doc_bpe_tokens`` /
+    ``doc_unigram_tokens``, completing the tokenizer family): learn
+    the merge list by LIKELIHOOD score (count(ab)/(count(a)·count(b)),
+    once per sf_dir, cached), greedy-longest-match-segment the
+    distinct-word vocabulary against the position-aware piece vocab,
+    then tokenize every document through the same broadcast
+    word→segmentation join all three tokenizers share
+    (:func:`bpe.bpe_token_counts`)."""
+    _wp_query_dirs.add(sf_dir)
+    _, vocab, _ = _wp_artifacts(sf_dir)
+    from scraping_etl_spark.operators import wordpiece as WP
+
+    d = load_table(spark, sf_dir, "documents")
+    seg = WP.word_segment_wordpiece(d, vocab)
+    return BPE.bpe_token_counts(d, seg).select(
+        "doc_id", "n_tokens",
+        F.col("n_bpe_tokens").alias("n_wp_tokens"),
+    )
+
+
+def oracle_doc_wordpiece_tokens(sf_dir: str | None = None) -> str:
+    """Lazy DuckDB twin of :func:`q_doc_wordpiece_tokens` — identical
+    shape to :func:`oracle_doc_unigram_tokens`: the learned word→
+    piece-count table rides in as VALUES plan constants (training is
+    deterministic — integer counts with exact-fraction argmax ties
+    broken lexicographically, greedy matching is a pure function of
+    the vocab); tokenization is the exact relational mirror."""
+    if sf_dir is None:
+        if "SPARK_GRAFT_ORACLE_SF_DIR" in os.environ:
+            sf_dir = os.environ["SPARK_GRAFT_ORACLE_SF_DIR"]
+        elif len(_wp_query_dirs) == 1:
+            sf_dir = next(iter(_wp_query_dirs))
+        else:
+            sf_dir = _BPE_ORACLE_SF_DIR
+        if _wp_query_dirs and sf_dir not in _wp_query_dirs:
+            raise RuntimeError(
+                f"doc_wordpiece_tokens oracle: would train at {sf_dir!r} "
+                f"but the query ran at {sorted(_wp_query_dirs)!r} — pass "
+                "sf_dir or set SPARK_GRAFT_ORACLE_SF_DIR to pair them."
+            )
+    _, _, table = _wp_artifacts(sf_dir)
+    values = ",\n    ".join(
+        "('{}', {})".format(w.replace("'", "''"), n) for w, n in table
+    )
+    return f"""
+WITH seg(word, n_sub) AS (VALUES
+    {values}
+),
+tok AS (
+  SELECT doc_id, unnest({_LTOKS}) AS w FROM documents
+),
+agg AS (
+  SELECT tok.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(coalesce(seg.n_sub, len(tok.w))) AS BIGINT) AS n_wp_tokens
+  FROM tok LEFT JOIN seg ON tok.w = seg.word
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(n_wp_tokens, 0) AS BIGINT) AS n_wp_tokens
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Zipf's-law corpus profile (textstats.zipf_fit gate)
 # ---------------------------------------------------------------------------
 

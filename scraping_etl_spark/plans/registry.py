@@ -1326,6 +1326,15 @@ _REGISTERED += [
         "over the vocabulary head + type/token counts, closed-form "
         "aggregate arithmetic (textstats.zipf_fit)",
     ),
+    QuerySpec(
+        "doc_wordpiece_tokens", C.q_doc_wordpiece_tokens,
+        C.oracle_doc_wordpiece_tokens,
+        "WordPiece (BERT) tokenizer completing the family: likelihood-"
+        "scored merge training, greedy longest-match encoding with "
+        "##-continuation pieces and whole-word [UNK], per-doc subword "
+        "counts through the shared segmentation-cache join (lazy "
+        "plan-constants oracle; operators/wordpiece.py)",
+    ),
 ]
 
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
