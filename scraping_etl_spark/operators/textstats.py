@@ -855,3 +855,119 @@ def zipf_fit(
             ).alias("zipf_r2"),
         )
     )
+
+
+def _ls_fit(n: Column, sx: Column, sy: Column, sxx: Column, syy: Column,
+            sxy: Column) -> tuple[Column, Column, Column]:
+    """Closed-form least-squares (slope, intercept, r²) from the five
+    moment sums — shared by the corpus-law fits (:func:`zipf_fit`,
+    :func:`heaps_fit`); degenerate spreads (all x equal) yield nulls
+    via ``nullif``."""
+    dxx = n * sxx - sx * sx
+    dyy = n * syy - sy * sy
+    dxy = n * sxy - sx * sy
+    slope = dxy / F.nullif(dxx, F.lit(0.0))
+    intercept = (sy - slope * sx) / n
+    r2 = (dxy * dxy) / F.nullif(dxx * dyy, F.lit(0.0))
+    return slope, intercept, r2
+
+
+def heaps_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Per-stratum Heaps'-law fit — the other corpus growth law a
+    datasheet carries (Heaps 1978: vocabulary grows as V ≈ K·N^β with
+    β ≈ 0.4-0.6 for natural text; template floods and boilerplate
+    clones push β toward 0, OCR noise and encoding junk toward 1, so
+    the exponent is a second cheap corpus-drift alarm alongside
+    :func:`zipf_fit`'s slope).
+
+    Measuring V(N) needs nested corpus prefixes. A global document
+    sort is a single-partition window — wrong at scale — so prefixes
+    come from the md5-bucket trick instead (:func:`corpus_prep.
+    md5_bucket`, the ``split_corpus`` convention): every document maps
+    to one of ``n_buckets`` deterministic buckets, prefix k = buckets
+    0..k. The hash order is also exactly the random document order
+    Heaps measurement wants (a crawl-date order would confound the law
+    with topic drift). The plan is then all partial-agg shuffles: per
+    (stratum, word) min-bucket (a word first enters the vocabulary at
+    its smallest bucket), per (stratum, bucket) token counts, a
+    constant-width cumulative window (``n_buckets`` rows per stratum),
+    and the shared closed-form fit over the ln-ln points.
+
+    Returns one row per (stratum, bucket): the cumulative corpus point
+    ``(n_tokens_cum, n_types_cum)`` plus the per-stratum fit
+    ``(heaps_beta, heaps_logk, heaps_r2)`` repeated on each row (fit
+    columns rounded to 6, the oracle-hash convention). Buckets whose
+    cumulative prefix is still empty carry zeros and are excluded from
+    the fit.
+    """
+    from scraping_etl_spark.operators.corpus_prep import md5_bucket
+
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    toks = df.select(
+        F.col(strata_col).alias("_g"),
+        md5_bucket(F.col(key_col), n_buckets).alias("_b"),
+        F.explode(tokens(text_col, lowercase=True)).alias("_w"),
+    )
+    first_seen = (
+        toks.groupBy("_g", "_w")
+        .agg(F.min("_b").alias("_b"))
+        .groupBy("_g", "_b")
+        .agg(F.count(F.lit(1)).alias("_new_types"))
+    )
+    tok_counts = toks.groupBy("_g", "_b").agg(
+        F.count(F.lit(1)).alias("_n_tokens")
+    )
+    grid = (
+        df.select(F.col(strata_col).alias("_g"))
+        .distinct()
+        .select("_g", F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("_b"))
+    )
+    w = (
+        Window.partitionBy("_g")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pts = (
+        grid.join(first_seen, ["_g", "_b"], "left")
+        .join(tok_counts, ["_g", "_b"], "left")
+        .select(
+            "_g", "_b",
+            F.sum(F.coalesce("_n_tokens", F.lit(0))).over(w)
+            .cast("long").alias("n_tokens_cum"),
+            F.sum(F.coalesce("_new_types", F.lit(0))).over(w)
+            .cast("long").alias("n_types_cum"),
+        )
+    )
+    xy = pts.filter(F.col("n_tokens_cum") > 0).select(
+        "_g",
+        F.log(F.col("n_tokens_cum").cast("double")).alias("_x"),
+        F.log(F.col("n_types_cum").cast("double")).alias("_y"),
+    )
+    fit = xy.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    slope, intercept, r2 = _ls_fit(
+        F.col("_n"), F.col("_sx"), F.col("_sy"),
+        F.col("_sxx"), F.col("_syy"), F.col("_sxy"),
+    )
+    return pts.join(fit, "_g").select(
+        F.col("_g").alias(strata_col),
+        F.col("_b").alias("bucket"),
+        "n_tokens_cum",
+        "n_types_cum",
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round(intercept, 6).alias("heaps_logk"),
+        F.round(r2, 6).alias("heaps_r2"),
+    )

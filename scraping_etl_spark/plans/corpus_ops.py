@@ -1472,6 +1472,80 @@ FROM totals t JOIN fit USING (lang)
 
 
 # ---------------------------------------------------------------------------
+# Heaps'-law corpus profile (textstats.heaps_fit gate)
+# ---------------------------------------------------------------------------
+
+_HEAPS_B = 10
+
+
+def q_doc_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Heaps'-law fit (textstats.heaps_fit): cumulative
+    (tokens, types) points over md5-bucket corpus prefixes — no global
+    document sort — plus the closed-form ln-ln fit, the vocabulary-
+    growth companion of ``doc_zipf_fit``. One row per (lang, bucket);
+    the oracle is the exact bucket/window/fit mirror."""
+    from scraping_etl_spark.operators.textstats import heaps_fit
+
+    d = load_table(spark, sf_dir, "documents")
+    return heaps_fit(d, n_buckets=_HEAPS_B)
+
+
+ORACLE_DOC_HEAPS_FIT = f"""
+WITH tok AS (
+  SELECT lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+           % {_HEAPS_B} AS b,
+         unnest({_LTOKS}) AS w
+  FROM documents
+),
+first_seen AS (
+  SELECT lang, b, count(*) AS new_types
+  FROM (SELECT lang, w, min(b) AS b FROM tok GROUP BY 1, 2)
+  GROUP BY 1, 2
+),
+tok_counts AS (
+  SELECT lang, b, count(*) AS n_tokens FROM tok GROUP BY 1, 2
+),
+grid AS (
+  SELECT lang, b
+  FROM (SELECT DISTINCT lang FROM documents)
+  CROSS JOIN (SELECT unnest(generate_series(0, {_HEAPS_B} - 1)) AS b)
+),
+pts AS (
+  SELECT g.lang, g.b,
+         CAST(sum(coalesce(t.n_tokens, 0)) OVER
+              (PARTITION BY g.lang ORDER BY g.b) AS BIGINT) AS n_tokens_cum,
+         CAST(sum(coalesce(f.new_types, 0)) OVER
+              (PARTITION BY g.lang ORDER BY g.b) AS BIGINT) AS n_types_cum
+  FROM grid g
+  LEFT JOIN first_seen f ON f.lang = g.lang AND f.b = g.b
+  LEFT JOIN tok_counts t ON t.lang = g.lang AND t.b = g.b
+),
+xy AS (
+  SELECT lang, ln(CAST(n_tokens_cum AS DOUBLE)) AS x,
+         ln(CAST(n_types_cum AS DOUBLE)) AS y
+  FROM pts WHERE n_tokens_cum > 0
+),
+fit AS (
+  SELECT lang,
+         CAST(count(*) AS DOUBLE) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM xy GROUP BY 1
+)
+SELECT p.lang, p.b AS bucket, p.n_tokens_cum, p.n_types_cum,
+       round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0), 6)
+         AS heaps_beta,
+       round((sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0) * sx)
+             / n, 6) AS heaps_logk,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0.0), 6)
+         AS heaps_r2
+FROM pts p JOIN fit USING (lang)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Stratified bottom-N sample (corpus_prep.stratified_sample_n gate)
 # ---------------------------------------------------------------------------
 

@@ -1335,6 +1335,13 @@ _REGISTERED += [
         "counts through the shared segmentation-cache join (lazy "
         "plan-constants oracle; operators/wordpiece.py)",
     ),
+    QuerySpec(
+        "doc_heaps_fit", C.q_doc_heaps_fit, C.ORACLE_DOC_HEAPS_FIT,
+        "per-language Heaps'-law fit: cumulative (tokens, types) over "
+        "md5-bucket corpus prefixes (no global sort) + closed-form "
+        "ln-ln fit — vocabulary-growth drift alarm paired with "
+        "doc_zipf_fit (textstats.heaps_fit)",
+    ),
 ]
 
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}

@@ -182,3 +182,53 @@ def test_lang_id_ngram_stable_under_repartition(spark):
     b = {(r.doc_id, r.pred_lang, r.dist)
          for r in TS.lang_id_ngram(df.repartition(17), top_m=50, doc_m=20).collect()}
     assert a == b and a
+
+
+# ---------------------------------------------------------------------------
+# Corpus-law fits (textstats.zipf_fit / heaps_fit)
+# ---------------------------------------------------------------------------
+
+def test_zipf_fit_recovers_a_planted_power_law(spark):
+    """Words planted with freq = round(1000 / rank) fit slope ~ -1
+    with r2 ~ 1 — the law the operator exists to detect."""
+    import pyspark.sql.functions as F
+    from scraping_etl_spark.operators.textstats import zipf_fit
+
+    words = []
+    for r in range(1, 21):
+        words += [f"w{r:02d}"] * round(1000 / r)
+    df = spark.createDataFrame(
+        [(1, " ".join(words), "xx")], "doc_id long, text string, lang string"
+    )
+    out = zipf_fit(df, top_r=20).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.n_types == 20
+    assert -1.05 <= row.zipf_slope <= -0.95
+    assert row.zipf_r2 > 0.99
+
+
+def test_heaps_fit_exponent_brackets_growth(spark):
+    """A corpus whose docs each add fresh vocabulary grows types with
+    tokens (beta > 0); cumulative points are monotone; a saturated
+    one-word corpus pins beta = 0."""
+    from scraping_etl_spark.operators.textstats import heaps_fit
+
+    fresh = [
+        (i, " ".join(f"tok{i}_{j}" for j in range(20)), "xx")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(fresh, "doc_id long, text string, lang string")
+    out = sorted(heaps_fit(df).collect(), key=lambda r: r.bucket)
+    assert [r.bucket for r in out] == list(range(10))
+    for a, b in zip(out, out[1:]):
+        assert b.n_tokens_cum >= a.n_tokens_cum
+        assert b.n_types_cum >= a.n_types_cum
+    # every token is a fresh type here -> V = N exactly -> beta = 1
+    assert out[0].heaps_beta == 1.0 and out[0].heaps_r2 == 1.0
+
+    flat = [(i, "same same same", "yy") for i in range(40)]
+    df2 = spark.createDataFrame(flat, "doc_id long, text string, lang string")
+    out2 = heaps_fit(df2).collect()
+    assert all(r.heaps_beta == 0.0 for r in out2)
+    assert all(r.n_types_cum in (0, 1) for r in out2)
