@@ -44,7 +44,7 @@ from __future__ import annotations
 import random
 import warnings
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from scraping_etl_spark.operators.textstats import tokens
@@ -1062,6 +1062,53 @@ def fuzzy_string_pairs(
     return allpairs_jaccard_sets(sets, threshold)
 
 
+def ed_gram_occurrences(s: DataFrame, q: int) -> DataFrame:
+    """All positional ``q``-gram occurrences of a ``(_id, _s, _len)``
+    string relation: ``(_id, _len, _g, _p)``, one row per occurrence —
+    a per-row expression explode, no shuffle. Shared by
+    :func:`edit_distance_pairs` and the streaming edit screen."""
+
+    def _occ(t: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.length(t) - q + 1, F.lit(0)))
+        return F.transform(
+            idx, lambda i: F.struct(t.substr(i, F.lit(q)).alias("g"),
+                                    i.cast("int").alias("p"))
+        )
+
+    return s.select(
+        "_id", "_len", F.explode(_bind(F.col("_s"), _occ)).alias("o")
+    ).select("_id", "_len", F.col("o.g").alias("_g"), F.col("o.p").alias("_p"))
+
+
+def ed_gram_prefix(occ: DataFrame, k: int, q: int) -> DataFrame:
+    """The Ed-Join PREFIX of every string: its first ``k*q + 1`` gram
+    occurrences in (document frequency ASC, gram, pos) order, computed
+    over ``occ``'s own gram statistics. Completeness does not depend
+    on WHICH ``k*q + 1`` occurrences are kept (at most ``k*q`` of a
+    string's occurrences lack a match partner under ed ≤ k, so any
+    such subset contains a matched one — the pigeonhole the streaming
+    screen relies on when lake prefixes were fixed at insertion time
+    under an older df order); rarest-first merely minimizes join
+    fan-out."""
+    gdf = occ.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        occ.join(gdf, "_g")
+        .groupBy("_id", "_len")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct("_df", "_g", "_p"))
+                ),
+                1,
+                k * q + 1,
+            ).alias("_pre")
+        )
+        .select("_id", "_len", F.explode("_pre").alias("o"))
+        .select("_id", "_len", F.col("o._g").alias("_g"),
+                F.col("o._p").alias("_p"))
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     k: int,
@@ -1131,35 +1178,8 @@ def edit_distance_pairs(
                 "them or lower q."
             )
 
-    def _occ(t: Column) -> Column:
-        idx = F.sequence(F.lit(1), F.greatest(F.length(t) - q + 1, F.lit(0)))
-        return F.transform(
-            idx, lambda i: F.struct(t.substr(i, F.lit(q)).alias("g"),
-                                    i.cast("int").alias("p"))
-        )
-
-    occ = s.select(
-        "_id", "_len", F.explode(_bind(F.col("_s"), _occ)).alias("o")
-    ).select("_id", "_len", F.col("o.g").alias("_g"), F.col("o.p").alias("_p"))
-    gdf = occ.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
-    prefix = (
-        occ.join(gdf, "_g")
-        .groupBy("_id", "_len")
-        .agg(
-            F.slice(
-                F.sort_array(
-                    F.collect_list(F.struct("_df", "_g", "_p"))
-                ),
-                1,
-                k * q + 1,
-            ).alias("_pre")
-        )
-        .select(
-            "_id", "_len", F.explode("_pre").alias("o")
-        )
-        .select("_id", "_len", F.col("o._g").alias("_g"),
-                F.col("o._p").alias("_p"))
-    )
+    occ = ed_gram_occurrences(s, q)
+    prefix = ed_gram_prefix(occ, k, q)
     a = prefix.select(F.col("_id").alias("id_a"), F.col("_len").alias("_la"),
                       "_g", F.col("_p").alias("_pa"))
     b = prefix.select(F.col("_id").alias("id_b"), F.col("_len").alias("_lb"),
@@ -1184,4 +1204,106 @@ def edit_distance_pairs(
             F.levenshtein("_sa", "_sb", k).alias("dist"),
         )
         .filter(F.col("dist") >= 0)
+    )
+
+
+def allpairs_cosine_weighted(
+    vecs: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """EXACT all-pairs cosine-similarity join over SPARSE WEIGHTED
+    vectors (Bayardo, Ma & Srikant, WWW 2007 "Scaling up all pairs
+    similarity search") — the TF-IDF-vector counterpart of
+    :func:`allpairs_jaccard_sets`, and the primitive behind
+    duplicate-news / plagiarism / product-matching joins where token
+    WEIGHTS carry the signal that set Jaccard throws away.
+
+    Input: ``(_id, _vec)`` with ``_vec: array<struct<t, w>>`` — sparse
+    (feature, weight) entries, weights > 0, features distinct per row.
+    Vectors are L2-normalized internally, so ``cos(x, y) = dot(x̂, ŷ)``
+    and the threshold compares against the true cosine.
+
+    Plan — never an all-pairs scan:
+
+    1. one vocabulary-scale aggregation computes each feature's global
+       MAX normalized weight and document frequency;
+    2. per vector, features sort rarest-first and the PREFIX keeps
+       exactly the features ``j`` whose inclusive suffix bound
+       ``S_j = Σ_{i>=j} x̂_i·maxw_i`` still reaches the threshold
+       (``S_j >= t``). Completeness: for a qualifying pair consider the
+       first shared feature ``i*`` in the global order — if ``i*`` is
+       outside either side's prefix then EVERY shared feature sits in
+       that side's suffix (prefixes are heads of one order), so
+       ``dot <= S < t``, a contradiction; hence ``i*`` is in BOTH
+       prefixes and the prefix-prefix equi-join finds the pair.
+    3. band equi-join on prefix features → distinct candidate pairs →
+       exact dot-product verify as a per-row expression (one side as a
+       map literal via ``map_from_entries``, folded against the other)
+       — candidate slop costs time, never correctness.
+
+    Returns ``(id_a, id_b, cos_sim)`` with ``id_a < id_b`` and
+    ``cos_sim`` rounded to 6 BEFORE the threshold compare (the engine-
+    parity convention every similarity gate here uses). 100 TB: the
+    shuffles are the maxw aggregation, the prefix rebuild and the
+    feature-keyed candidate join; rarest-first prefixes keep stopword
+    features out of the join exactly as AllPairs orders by frequency.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    norm = F.sqrt(
+        F.aggregate(
+            "_vec", F.lit(0.0), lambda a, x: a + x["w"] * x["w"]
+        )
+    )
+    unit = vecs.select(
+        "_id",
+        F.transform(
+            "_vec",
+            lambda x: F.struct(
+                x["t"].alias("t"), (x["w"] / F.nullif(norm, F.lit(0.0))).alias("w")
+            ),
+        ).alias("_vec"),
+    ).filter(F.size("_vec") > 0)
+    feat = unit.select(
+        "_id", F.explode("_vec").alias("e")
+    ).select("_id", F.col("e.t").alias("_t"), F.col("e.w").alias("_w"))
+    stats = feat.groupBy("_t").agg(
+        F.max("_w").alias("_maxw"), F.count(F.lit(1)).alias("_df")
+    )
+    w = Window.partitionBy("_id").orderBy(F.col("_df"), F.col("_t"))
+    wsuf = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    prefix = (
+        feat.join(stats, "_t")
+        .withColumn("_suf", F.sum(F.col("_w") * F.col("_maxw")).over(wsuf))
+        .filter(F.col("_suf") >= threshold)
+        .select("_id", "_t")
+    )
+    cand = (
+        prefix.select(F.col("_id").alias("id_a"), "_t")
+        .join(prefix.select(F.col("_id").alias("id_b"), "_t"), "_t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = unit.select(F.col("_id").alias("id_a"), F.col("_vec").alias("_va"))
+    vb = unit.select(
+        F.col("_id").alias("id_b"),
+        F.map_from_entries(
+            F.transform("_vec", lambda x: F.struct(x["t"], x["w"]))
+        ).alias("_mb"),
+    )
+    # try_element_at: a missing map key is a 0-contribution feature,
+    # and plain element_at THROWS on missing keys under ANSI mode
+    dot = F.aggregate(
+        "_va",
+        F.lit(0.0),
+        lambda a, x: a
+        + F.coalesce(F.try_element_at(F.col("_mb"), x["t"]), F.lit(0.0))
+        * x["w"],
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(dot, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
     )

@@ -1479,3 +1479,150 @@ def cdc_chunk_screen_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def edit_screen_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    strings_dir: str,
+    grams_dir: str,
+    checkpoint_dir: str,
+    k: int = 2,
+    q: int = 3,
+    schema: T.StructType = schemas.DOCUMENTS,
+    id_col: str = "doc_id",
+    string_col: str = "text",
+    string_len: int = 40,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming twin of ``dedup.edit_distance_pairs`` — "is this
+    record within ``k`` edits of one we already hold?" AT INGEST (the
+    record-linkage screen a catalog/author/title feed needs). Lake
+    state is two parquet relations partitioned by ``batch_id``: the
+    raw strings (``strings_dir``: what the levenshtein verify reads)
+    and each string's Ed-Join PREFIX grams (``grams_dir``: k·q+1
+    positional occurrences per string, fixed at insertion time).
+
+    Per micro-batch: the batch keeps ALL its positional grams (it is
+    the small side) and joins them against the lake's PREFIX grams
+    from STRICTLY EARLIER partitions (``batch_id < N`` —
+    partition-pruned; replay-idempotent). One-sided prefixing is
+    provably complete — any k·q+1 occurrences of a lake string include
+    at least one with a match partner when ed ≤ k (pigeonhole; see
+    ``dedup.ed_gram_prefix``) and that partner is in the batch's FULL
+    gram list by construction — so the lake prefix never needs
+    recomputing as the global df order drifts, which is what makes
+    lake-as-state exact here, not approximate. Candidates then verify
+    with the banded-DP ``levenshtein(new, ref, k)``; matches land in
+    ``out_dir`` and the batch's strings + prefix grams append to the
+    lakes under ``batch_id=N`` (dynamic partition overwrite
+    throughout). Strings are truncated to ``string_len`` and rows
+    shorter than ``q·(k+1)`` (the completeness floor) are dropped on
+    BOTH sides — the batch operator's documented precondition, applied
+    symmetrically so the stream equals the batch screen of each shard
+    against the union of its predecessors (the twin test's pinned
+    setting). Within-batch pairs are deliberately NOT emitted (that is
+    the batch operator's job at rest)."""
+    import os
+
+    from scraping_etl_spark.operators.dedup import (
+        ed_gram_occurrences,
+        ed_gram_prefix,
+    )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+    floor = q * (k + 1)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        s = (
+            batch_df.select(
+                F.col(id_col).alias("_id"),
+                F.substring(string_col, 1, string_len).alias("_s"),
+            )
+            .withColumn("_len", F.length("_s").cast("int"))
+            .filter(F.col("_len") >= floor)
+            .localCheckpoint()
+        )
+        occ_all = ed_gram_occurrences(s, q)
+        has_lake = os.path.isdir(grams_dir) and any(
+            e.startswith("batch_id=") for e in os.listdir(grams_dir)
+        )
+        if has_lake:
+            ref_pre = (
+                spark.read.parquet(grams_dir)
+                .filter(F.col("batch_id") < batch_id)
+                .select(
+                    F.col("_id").alias("ref_id"),
+                    F.col("_len").alias("_lr"),
+                    "_g",
+                    F.col("_p").alias("_pr"),
+                )
+            )
+            cand = (
+                occ_all.select(
+                    F.col("_id").alias("new_id"),
+                    F.col("_len").alias("_ln"),
+                    "_g",
+                    F.col("_p").alias("_pn"),
+                )
+                .join(ref_pre, "_g")
+                .filter(
+                    (F.abs(F.col("_pn") - F.col("_pr")) <= k)
+                    & (F.abs(F.col("_ln") - F.col("_lr")) <= k)
+                )
+                .select("new_id", "ref_id")
+                .distinct()
+            )
+            sn = s.select(F.col("_id").alias("new_id"), F.col("_s").alias("_sn"))
+            sr = (
+                spark.read.parquet(strings_dir)
+                .filter(F.col("batch_id") < batch_id)
+                .select(F.col("_id").alias("ref_id"), F.col("_s").alias("_sr"))
+            )
+            pairs = (
+                cand.join(sn, "new_id")
+                .join(sr, "ref_id")
+                .select(
+                    "new_id", "ref_id",
+                    F.levenshtein("_sn", "_sr", k).alias("dist"),
+                )
+                .filter(F.col("dist") >= 0)
+            )
+        else:
+            pairs = spark.createDataFrame(
+                [], "new_id long, ref_id long, dist int"
+            )
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+        (
+            ed_gram_prefix(occ_all, k, q)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(grams_dir)
+        )
+        (
+            s.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(strings_dir)
+        )
+
+    writer = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

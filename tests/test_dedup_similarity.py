@@ -1233,3 +1233,78 @@ def test_edit_distance_pairs_short_string_guard(spark):
     # q=1 lowers the floor to k+1 chars -> no raise, exact result
     got = DD.edit_distance_pairs(df.filter("rid = 1"), 2, "rid", "s", q=1)
     assert got.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# allpairs_cosine_weighted (Bayardo 2007 weighted prefix filter + verify)
+# ---------------------------------------------------------------------------
+
+def _brute_cosine_pairs(rows, t):
+    import math
+
+    out = {}
+    units = {}
+    for i, vec in rows:
+        n = math.sqrt(sum(w * w for _, w in vec))
+        units[i] = {f: w / n for f, w in vec} if n else {}
+    ids = sorted(units)
+    for x in ids:
+        for y in ids:
+            if x < y:
+                d = round(sum(w * units[y].get(f, 0.0)
+                              for f, w in units[x].items()), 6)
+                if d >= t:
+                    out[(x, y)] = d
+    return out
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, [(f, float(w)) for f, w in vec]) for i, vec in rows],
+        "_id LONG, _vec ARRAY<STRUCT<t: LONG, w: DOUBLE>>",
+    )
+
+
+def test_allpairs_cosine_weighted_matches_brute_force(spark):
+    rows = [
+        (1, [(10, 3.0), (11, 1.0), (12, 0.5)]),
+        (2, [(10, 3.0), (11, 1.0)]),              # close to 1
+        (3, [(10, 0.1), (20, 5.0)]),               # weight, not set, decides
+        (4, [(10, 0.1), (20, 4.5), (21, 0.2)]),    # close to 3
+        (5, [(30, 1.0)]),                          # orphan feature
+        (6, [(10, 1.0), (11, 1.0), (12, 1.0)]),    # same SET as 1, other weights
+    ]
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in DD.allpairs_cosine_weighted(_vec_df(spark, rows), 0.8).collect()
+    }
+    assert got == _brute_cosine_pairs(rows, 0.8)
+    assert (1, 2) in got and (3, 4) in got
+
+
+def test_allpairs_cosine_weighted_fuzz_vs_loop_oracle(spark):
+    """Completeness of the weighted prefix filter is the proof
+    obligation: fuzz dense families over FEW features so shared
+    prefixes, stopword-like features and sub-threshold near-misses all
+    occur."""
+    import random as _r
+
+    rng = _r.Random(7)
+    rows = []
+    for i in range(40):
+        nnz = rng.randrange(2, 6)
+        feats = rng.sample(range(8), nnz)
+        rows.append((i, [(f, rng.uniform(0.1, 3.0)) for f in feats]))
+    for t in (0.6, 0.9):
+        got = {
+            (r.id_a, r.id_b): r.cos_sim
+            for r in DD.allpairs_cosine_weighted(
+                _vec_df(spark, rows), t
+            ).collect()
+        }
+        assert got == _brute_cosine_pairs(rows, t), f"t={t}"
+
+
+def test_allpairs_cosine_weighted_threshold_validation(spark):
+    with pytest.raises(ValueError):
+        DD.allpairs_cosine_weighted(_vec_df(spark, [(1, [(0, 1.0)])]), 0.0)

@@ -1445,3 +1445,103 @@ def test_corpus_gate_rejects_lang_screen_without_allowlist(spark):
     )
     with _pt.raises(ValueError, match="allowed_langs"):
         build_corpus_gate("/tmp/x", lang_profiles=profiles)
+
+
+def test_edit_screen_stream_matches_batch_twin_and_replays(spark, tmp_path):
+    """Streaming edit-distance screen: with shards arriving in order,
+    the union of per-batch outputs equals, per shard, the cross-side
+    restriction of the batch edit_distance_pairs over (shard ∪ its
+    predecessors); planted 1-edit mirrors across batches hit; a replay
+    (checkpoint wiped, lakes kept) converges because each batch
+    screens only STRICTLY earlier lake partitions."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from scraping_etl_spark.operators.dedup import edit_distance_pairs
+    from scraping_etl_spark.streaming.pipeline import edit_screen_stream
+
+    src, out, strs, grams, ckpt = (
+        str(tmp_path / d) for d in ("src", "out", "strs", "grams", "ckpt")
+    )
+    os.makedirs(src)
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .filter(F.col("text").rlike("^[ -~]{12,}"))
+        .limit(24)
+        .localCheckpoint()
+    )
+    # shard 2: 1-substitution mirrors of shard-1 docs (id-shifted) plus
+    # fresh docs; shard 3: mirrors of shard-2's fresh docs -> hits must
+    # reference BATCH-2 lake rows, proving the lake grows per batch
+    s1 = base.filter("doc_id % 3 = 0")
+    fresh2 = base.filter("doc_id % 3 = 1").selectExpr(
+        "doc_id + 500 AS doc_id", "text", "lang", "source", "n_chars"
+    )
+    mir2 = s1.selectExpr(
+        "doc_id + 1000 AS doc_id",
+        "concat('~', substr(substr(text, 1, 40), 2)) AS text",
+        "lang", "source", "n_chars",
+    )
+    s2 = fresh2.unionByName(mir2)
+    mir3 = fresh2.selectExpr(
+        "doc_id + 2000 AS doc_id",
+        "concat('~', substr(substr(text, 1, 40), 2)) AS text",
+        "lang", "source", "n_chars",
+    )
+    for i, sh in enumerate((s1, s2, mir3)):
+        sh.coalesce(1).write.parquet(f"{src}/f{i + 1}")
+
+    def run_once():
+        q = edit_screen_stream(
+            spark, f"{src}/*", out, strs, grams, ckpt,
+            k=2, q=3, max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    got = {
+        (r.new_id, r.ref_id, r.dist)
+        for r in spark.read.parquet(out).collect()
+    }
+
+    # batch reference: union every prefix, run the batch operator with
+    # the same truncation/floor, keep cross pairs (new side = the later
+    # shard). Shard ids are disjoint ranges so "later" = larger id.
+    def prep(df):
+        return df.select(
+            "doc_id", F.substring("text", 1, 40).alias("s")
+        ).withColumn("_l", F.length("s")).filter("_l >= 9").drop("_l")
+
+    want = set()
+    seen = None
+    for sh in (s1, s2, mir3):
+        cur = prep(sh).localCheckpoint()
+        if seen is not None:
+            both = seen.unionByName(cur)
+            pairs = edit_distance_pairs(both, 2, "doc_id", "s", q=3)
+            cur_ids = {r.doc_id for r in cur.collect()}
+            seen_ids = {r.doc_id for r in seen.collect()}
+            for r in pairs.collect():
+                a, b = r.id_a, r.id_b
+                if a in seen_ids and b in cur_ids:
+                    want.add((b, a, r.dist))
+                elif b in seen_ids and a in cur_ids:
+                    want.add((a, b, r.dist))
+            seen = both.localCheckpoint()
+        else:
+            seen = cur
+    assert got == want
+    # the planted cross-batch mirrors actually hit, including one whose
+    # lake side entered at batch 2 (the growing-lake proof)
+    assert any(n == r + 1000 for (n, r, _) in got)
+    assert any(n == r + 2000 for (n, r, _) in got)
+
+    shutil.rmtree(ckpt)
+    run_once()
+    again = {
+        (r.new_id, r.ref_id, r.dist)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == want
