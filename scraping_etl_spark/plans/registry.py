@@ -1344,6 +1344,16 @@ _REGISTERED += [
     ),
 ]
 
+# STAGED FOR r14 (the r13 window is exactly full — 44 owed + 6 new):
+# two operators ship this round pytest-pinned but seatless; give them
+# QuerySpecs here once the r13 driver sheet lands and the r14 rotation
+# regenerates. See PLANS.md "Round-13 staged surface":
+#   - dedup.allpairs_cosine_weighted -> gate over TF-IDF doc vectors
+#     with planted weight-only near-dups; brute-force DuckDB oracle
+#     (explode-join dot product), cos rounded 6 pre-threshold.
+#   - streaming.edit_screen_stream -> if gated, the batch face is the
+#     cross-side restriction of doc_edit_join's corpus (the
+#     neardup_screen convention); otherwise stays replay-pytest-only.
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 
