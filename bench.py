@@ -44,12 +44,16 @@ def main() -> None:
 
     timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
-    # Two passes, min per query: single-pass numbers on a shared host
-    # mix query cost with neighbor noise (observed 9x swings on a 5-row
-    # aggregation); the per-query minimum is the standard
-    # noise-resistant estimator and stays honest (plan construction +
-    # full materialization every pass, nothing cached between passes).
-    for _pass in range(2):
+    # Pass count: the DRIVER's measurement stays the default single
+    # cold pass (round-over-round comparability with every BENCH_r{N}
+    # so far — the r12 verdict's explicit ask); local floor/headline
+    # runs set SPARK_GRAFT_BENCH_PASSES=2 for the min-of-2 estimator
+    # (PLANS documents ±20% host drift on untouched queries; the
+    # per-query minimum is the standard noise-resistant choice and
+    # stays honest — plan construction + full materialization every
+    # pass, nothing cached between passes).
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "1")))
+    for _pass in range(passes):
         for spec in QUERIES:
             # Fault-isolated: one broken query must never zero out the
             # whole benchmark surface — report it as null and keep going.

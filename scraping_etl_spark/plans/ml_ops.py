@@ -20,7 +20,7 @@ from __future__ import annotations
 import functools
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from scraping_etl_spark.operators import dedup as DD
@@ -2123,4 +2123,109 @@ WITH base AS (
 SELECT id_a, id_b, jacc,
        (id_b - id_a = 1 AND id_a % 2 = 0) AS same_doc
 FROM pairs WHERE jacc >= {_FM_T}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Weighted-cosine all-pairs gate (dedup.allpairs_cosine_weighted) —
+# STAGED for r14: built and pytest-pinned this round, QuerySpec next
+# round (the r13 window is full). See plans/registry.py staging note.
+# ---------------------------------------------------------------------------
+
+_WC_T = 0.9
+
+
+def q_doc_weighted_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-cosine all-pairs gate (dedup.allpairs_cosine_weighted
+    — Bayardo 2007 prefix filter; the ORACLE is the brute-force
+    token-join dot product, so candidate completeness is what hashes).
+    Corpus: per-doc TF-IDF vectors over lowercased whitespace tokens,
+    plus a re-keyed copy of every fifth doc with its FIRST 5 DISTINCT
+    tokens' counts doubled — the same token SET under shifted weights,
+    cosine high but below 1: the pair Jaccard cannot separate and
+    weighted cosine must. Vectors sort by feature before the fold so
+    the verify's float sum order is deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.explode(tokens("text", lowercase=True)).alias("w"))
+    tf = base.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    # the boosted copy: every 5th doc, first 5 distinct tokens (by
+    # token order) get tf*2 — mirrored exactly in the oracle
+    boosted = (
+        tf.filter(F.col("doc_id") % 5 == 0)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("w")
+            ),
+        )
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            "w",
+            F.when(F.col("rk") <= 5, F.col("tf") * 2).otherwise(F.col("tf")).alias("tf"),
+        )
+    )
+    alltf = tf.unionByName(boosted)
+    n_docs = alltf.select("doc_id").distinct().count()
+    idf = alltf.groupBy("w").agg(
+        (
+            F.log(
+                F.lit(float(n_docs + 1))
+                / (F.count(F.lit(1)).cast("double") + F.lit(1.0))
+            )
+            + F.lit(1.0)
+        ).alias("idf")
+    )
+    vecs = (
+        alltf.join(idf, "w")
+        .select(
+            F.col("doc_id").alias("_id"),
+            F.struct(F.col("w").alias("t"),
+                     (F.col("tf") * F.col("idf")).alias("w")).alias("e"),
+        )
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_list("e")).alias("_vec"))
+    )
+    pairs = DD.allpairs_cosine_weighted(vecs, _WC_T)
+    return pairs.select(
+        "id_a", "id_b", "cos_sim",
+        (F.col("id_b") - F.col("id_a") == 1_000_000).alias("same_doc"),
+    )
+
+
+ORACLE_DOC_WEIGHTED_COSINE = f"""
+WITH base AS (
+  SELECT doc_id, unnest({_MLLTOKS}) AS w FROM documents
+),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM base GROUP BY 1, 2),
+boosted AS (
+  SELECT doc_id + 1000000 AS doc_id, w,
+         CASE WHEN rk <= 5 THEN tf * 2 ELSE tf END AS tf
+  FROM (SELECT doc_id, w, tf,
+               row_number() OVER (PARTITION BY doc_id ORDER BY w) AS rk
+        FROM tf WHERE doc_id % 5 = 0)
+),
+alltf AS (SELECT * FROM tf UNION ALL SELECT * FROM boosted),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM alltf),
+idf AS (
+  SELECT w, ln((n + 1.0) / (count(*) + 1.0)) + 1.0 AS idf
+  FROM alltf CROSS JOIN nd GROUP BY w, n
+),
+wv AS (
+  SELECT a.doc_id, a.w, a.tf * i.idf AS x
+  FROM alltf a JOIN idf i USING (w)
+),
+nrm AS (SELECT doc_id, sqrt(sum(x * x)) AS nn FROM wv GROUP BY 1),
+unit AS (
+  SELECT wv.doc_id, wv.w, wv.x / nrm.nn AS x
+  FROM wv JOIN nrm USING (doc_id)
+),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(sum(a.x * b.x), 6) AS cos_sim
+  FROM unit a JOIN unit b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, cos_sim,
+       (id_b - id_a = 1000000) AS same_doc
+FROM dots WHERE cos_sim >= {_WC_T}
 """

@@ -1308,3 +1308,29 @@ def test_allpairs_cosine_weighted_fuzz_vs_loop_oracle(spark):
 def test_allpairs_cosine_weighted_threshold_validation(spark):
     with pytest.raises(ValueError):
         DD.allpairs_cosine_weighted(_vec_df(spark, [(1, [(0, 1.0)])]), 0.0)
+
+
+def test_weighted_cosine_gate_matches_oracle_staged_for_r14(spark):
+    """The staged doc_weighted_cosine gate (no r13 seat — window full)
+    hashes against its DuckDB oracle end-to-end, and the planted
+    boosted-weight copies (same token SET, shifted weights) are found
+    — the separation set-Jaccard cannot make."""
+    import duckdb
+
+    from scraping_etl_spark.plans import ml_ops as M
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.id_a, r.id_b): (r.cos_sim, r.same_doc)
+        for r in M.q_doc_weighted_cosine(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(M.ORACLE_DOC_WEIGHTED_COSINE).fetchall()
+    }
+    assert got == want
+    assert any(same for (_, same) in got.values())
