@@ -390,3 +390,107 @@ def payload_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def payload_chunk_hashes(
+    payload_col: Column | str = "payload",
+    chunk_bytes: int = 8,
+) -> Column:
+    """DISTINCT 60-bit md5 hashes of the payload's fixed-stride byte
+    chunks — the set representation :func:`payload_containment_pairs`
+    compares (the hex-encoding trick of :func:`payload_simhash`, but
+    keeping the chunk SET instead of folding it into one signature).
+    LONGs, not strings, so every downstream exchange is ~2.5x smaller
+    (the ``doc_allpairs`` lesson); collisions (~n²/2^61) would show as
+    an oracle hash mismatch, detected not silent."""
+    from scraping_etl_spark.operators.dedup import _bind
+
+    col = F.col(payload_col) if isinstance(payload_col, str) else payload_col
+    step = 2 * chunk_bytes
+
+    def _chunks(hx: Column) -> Column:
+        n = F.length(hx)
+        starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(step))).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.array_distinct(
+            F.transform(
+                starts,
+                lambda i: F.conv(
+                    F.substring(F.md5(hx.substr(i, F.lit(step))), 1, 15), 16, 10
+                ).cast("long"),
+            )
+        )
+
+    return _bind(F.hex(col), _chunks)
+
+
+def payload_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    chunk_bytes: int = 8,
+    tau: float = 0.6,
+    max_docs_per_chunk: int = 64,
+) -> DataFrame:
+    """One-sided CONTAINMENT pairs over binary assets WITHOUT decoding
+    (Broder 1997 containment on byte-chunk sets): catches the
+    asymmetric asset dups the SimHash tier structurally misses — a
+    small file archived whole inside a concatenated shard or a
+    prefix-extended container has tiny resemblance (the big side
+    dominates the union) but containment ≈ 1.
+
+    ``c(A, B) = |C_A ∩ C_B| / min(|C_A|, |C_B|)`` over distinct
+    fixed-stride chunk-hash sets; pairs with ``c >= tau`` survive.
+    ALIGNMENT CAVEAT (honest domain boundary): fixed strides detect
+    the contained file only at stride-aligned offsets — prefix
+    containment and shard concatenation at chunk-multiple boundaries,
+    which is how shard writers lay files out; an arbitrary-offset
+    embedding needs a content-defined chunker to re-sync (the
+    ``corpus_prep.cdc_chunks`` tier, byte-level variant future work).
+
+    Plan mirrors :func:`dedup.containment_pairs` exactly: distinct
+    (id, chunk-long) relation, the too-common-chunk filter that is
+    simultaneously the skew guard (every join key's fan-out bounded by
+    ``max_docs_per_chunk`` — zero-runs and shared headers are the
+    binary boilerplate), one ``localCheckpoint`` feeding both join
+    sides, equi-join + partial-agg count, min()-denominator from the
+    UNFILTERED set sizes. Returns ``(id_a, id_b, n_shared, n_a, n_b,
+    containment)`` with ``id_a < id_b``, containment rounded to 6.
+    """
+    if not 0.0 < tau <= 1.0:
+        raise ValueError(f"tau must be in (0, 1], got {tau}")
+    chunks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(payload_chunk_hashes(payload_col, chunk_bytes)).alias("_c"),
+    )
+    sizes = chunks.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks")
+    )
+    common = (
+        chunks.groupBy("_c")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") > max_docs_per_chunk)
+        .select("_c")
+    )
+    kept = chunks.join(common, "_c", "left_anti").localCheckpoint()
+    a = kept.select(F.col("_id").alias("id_a"), "_c")
+    b = kept.select(F.col("_id").alias("id_b"), "_c")
+    shared = (
+        a.join(b, "_c")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        shared.join(sizes.select(F.col("_id").alias("id_a"),
+                                 F.col("n_chunks").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"),
+                           F.col("n_chunks").alias("n_b")), "id_b")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_shared") / F.least("n_a", "n_b").cast("double"), 6),
+        )
+        .filter(F.col("containment") >= tau)
+        .select("id_a", "id_b", "n_shared", "n_a", "n_b", "containment")
+    )

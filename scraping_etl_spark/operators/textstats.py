@@ -971,3 +971,95 @@ def heaps_fit(
         F.round(intercept, 6).alias("heaps_logk"),
         F.round(r2, 6).alias("heaps_r2"),
     )
+
+
+def lang_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    langs: tuple[str, ...] = ("en", "de", "es", "fr"),
+    chunk_tokens: int = 16,
+) -> DataFrame:
+    """Within-document language segmentation — the code-switching
+    detector a multilingual corpus needs (CCNet splits crawl documents
+    before per-language filtering because one page often carries an
+    English boilerplate frame around native content; a doc-level label
+    mislabels every such page and a doc-level filter throws away the
+    good half). Fixed windows of ``chunk_tokens`` tokens get the
+    stopword-hit language vote (:func:`with_lang_id`'s argmax, same
+    tie-break, 'unknown' when nothing hits), and consecutive same-label
+    windows collapse into segments.
+
+    Plan: per-row token posexplode → one (doc, chunk) partial-agg
+    shuffle carrying a hit-count column per language (plan constants,
+    no joins) → the lag/running-sum segment collapse over a per-doc
+    window (rows per doc = its chunk count — bounded by doc length,
+    never corpus-wide). Everything is integer/string arithmetic an
+    exact SQL mirror reproduces.
+
+    Returns one row per segment: ``(doc_id, seg_idx, lang,
+    start_chunk, end_chunk, n_tokens)`` with ``seg_idx`` 0-based in
+    chunk order. Docs with no tokens yield no rows.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(text_col, lowercase=True)).alias("_pos", "_tok"),
+    ).select(
+        id_col,
+        F.floor(F.col("_pos") / chunk_tokens).cast("long").alias("_chunk"),
+        "_tok",
+    )
+    hits = toks.groupBy(id_col, "_chunk").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_tokens"),
+        *[
+            F.sum(
+                F.when(F.col("_tok").isin(*STOPWORDS[lang]), 1).otherwise(0)
+            ).cast("long").alias(f"_h_{lang}")
+            for lang in langs
+        ],
+    )
+    best = F.lit("unknown")
+    best_score = F.lit(0).cast("long")
+    for lang in reversed(langs):
+        s = F.col(f"_h_{lang}")
+        take = (s > 0) & (s >= best_score)
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, s).otherwise(best_score)
+    labeled = hits.select(
+        id_col, "_chunk", "_n_tokens", best.alias("_lang")
+    )
+    w = Window.partitionBy(id_col).orderBy("_chunk")
+    segs = (
+        labeled.withColumn(
+            "_new",
+            F.when(
+                F.lag("_lang").over(w).isNull()
+                | (F.lag("_lang").over(w) != F.col("_lang")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "_seg",
+            F.sum("_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - 1,
+        )
+    )
+    return segs.groupBy(id_col, "_seg").agg(
+        # _lang is constant within a segment by construction; min() is
+        # the determinism-safe way to say "the" value
+        F.min("_lang").alias("lang"),
+        F.min("_chunk").alias("start_chunk"),
+        F.max("_chunk").alias("end_chunk"),
+        F.sum("_n_tokens").cast("long").alias("n_tokens"),
+    ).select(
+        id_col,
+        F.col("_seg").cast("long").alias("seg_idx"),
+        "lang",
+        "start_chunk",
+        "end_chunk",
+        "n_tokens",
+    )

@@ -2229,3 +2229,88 @@ SELECT id_a, id_b, cos_sim,
        (id_b - id_a = 1000000) AS same_doc
 FROM dots WHERE cos_sim >= {_WC_T}
 """
+
+
+# ---------------------------------------------------------------------------
+# Payload containment gate (multimodal.payload_containment_pairs) —
+# STAGED for r14 (see plans/registry.py staging note).
+# ---------------------------------------------------------------------------
+
+_PC_TAU = 0.9
+_PC_CHUNK = 8
+_PC_MAXDOCS = 64
+_PC_LEN = 48
+
+
+def q_doc_payload_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset-containment gate (multimodal.payload_containment_pairs —
+    Broder containment on byte-chunk sets, no decoding; the oracle is
+    the exact hex/md5/set mirror including the too-common-chunk skew
+    filter). Corpus: 48-byte ASCII text prefixes as payloads, plus
+    planted CONTAINERS — for adjacent qualifying docs (i, i+1), asset
+    id i+3e6 carries payload(i) || payload(i+1), a chunk-aligned
+    concatenation by construction — so both halves read containment
+    1.0 against their container while the SimHash resemblance tier
+    would score the big container as distant from each small half."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", F.substring("text", 1, _PC_LEN).alias("_t")
+    ).filter(F.col("_t").rlike(rf"^[ -~]{{{_PC_LEN}}}$"))
+    nxt = base.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("_t").alias("_tn")
+    )
+    containers = (
+        base.join(nxt, "doc_id")
+        .filter(F.col("doc_id") % 6 == 0)
+        .select(
+            (F.col("doc_id") + 3_000_000).alias("doc_id"),
+            F.concat("_t", "_tn").alias("_t"),
+        )
+    )
+    corpus = MM.attach_payload(
+        base.unionByName(containers), text_col="_t"
+    )
+    return MM.payload_containment_pairs(
+        corpus, chunk_bytes=_PC_CHUNK, tau=_PC_TAU,
+        max_docs_per_chunk=_PC_MAXDOCS,
+    )
+
+
+ORACLE_DOC_PAYLOAD_CONTAINMENT = rf"""
+WITH base AS (
+  SELECT doc_id, substr(text, 1, {_PC_LEN}) AS t
+  FROM documents
+  WHERE regexp_matches(substr(text, 1, {_PC_LEN}), '^[ -~]{{{_PC_LEN}}}$')
+),
+corpus AS (
+  SELECT doc_id, t FROM base
+  UNION ALL
+  SELECT a.doc_id + 3000000 AS doc_id, a.t || b.t AS t
+  FROM base a JOIN base b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 6 = 0
+),
+ch AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(substring(hex(encode(t)), i, {2 * _PC_CHUNK})), 1, 15))::BIGINT AS c
+  FROM corpus,
+       unnest(generate_series(1, len(hex(encode(t))), {2 * _PC_CHUNK})) AS u(i)
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ch GROUP BY 1),
+common AS (
+  SELECT c FROM ch GROUP BY c HAVING count(*) > {_PC_MAXDOCS}
+),
+kept AS (SELECT * FROM ch WHERE c NOT IN (SELECT c FROM common)),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM kept a JOIN kept b ON a.c = b.c AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.id_a, s.id_b, s.n_shared,
+       na.n AS n_a, nb.n AS n_b,
+       round(s.n_shared / least(na.n, nb.n), 6) AS containment
+FROM shared s
+JOIN sizes na ON na.doc_id = s.id_a
+JOIN sizes nb ON nb.doc_id = s.id_b
+WHERE round(s.n_shared / least(na.n, nb.n), 6) >= {_PC_TAU}
+"""

@@ -615,3 +615,120 @@ SELECT n_docs, n_tokens, n_langs, n_sources, avg_chars, frac_ge_20_tokens,
        round(1.0 - CAST(n_distinct_texts AS DOUBLE) / n_docs, 6) AS dup_frac
 FROM base, dups
 """
+
+
+# ---------------------------------------------------------------------------
+# Language segmentation gate (textstats.lang_segments) — STAGED for
+# r14: built and pytest-pinned this round, QuerySpec next round (the
+# r13 window is full). See plans/registry.py staging note.
+# ---------------------------------------------------------------------------
+
+_SEG_CHUNK = 16
+_SEG_LANGS = ("en", "de", "es", "fr")
+
+
+def q_doc_lang_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switch segmentation gate (textstats.lang_segments): fixed
+    16-token windows voted by stopword hits, consecutive same-label
+    windows collapsed to segments. Corpus: documents plus PLANTED
+    code-switched composites — every doc with doc_id % 10 == 0 is
+    paired with the next doc of a DIFFERENT language (doc_id + 1 when
+    its lang differs) as first-32-tokens(a) ++ first-32-tokens(b), so
+    the composite must split into >= 2 segments while monolingual docs
+    stay single-segment. The oracle is the exact relational mirror
+    (stopword lists inline, same argmax tie-break, same lag/running-sum
+    collapse)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = TS.tokens("text", lowercase=True)
+    head = F.array_join(F.slice(toks, 1, 32), " ")
+    a = d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", head.alias("_ha"), F.col("lang").alias("_la")
+    )
+    b = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        head.alias("_hb"),
+        F.col("lang").alias("_lb"),
+    )
+    planted = (
+        a.join(b, "doc_id")
+        .filter(F.col("_la") != F.col("_lb"))
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.concat_ws(" ", "_ha", "_hb").alias("text"),
+        )
+    )
+    corpus = d.select("doc_id", "text").unionByName(planted)
+    return TS.lang_segments(
+        corpus, langs=_SEG_LANGS, chunk_tokens=_SEG_CHUNK
+    )
+
+
+def _sw_list(lang: str) -> str:
+    from scraping_etl_spark.operators.textstats import STOPWORDS
+
+    return ", ".join("'{}'".format(w.replace("'", "''")) for w in STOPWORDS[lang])
+
+
+def _oracle_doc_lang_segments() -> str:
+    hits = ",\n         ".join(
+        f"CAST(sum(CASE WHEN _tok IN ({_sw_list(lang)}) THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS h_{lang}"
+        for lang in _SEG_LANGS
+    )
+    # the argmax mirror: the Spark fold (right-to-left, >=) selects the
+    # FIRST lang in _SEG_LANGS order among the positive maxima
+    g = "greatest({})".format(", ".join(f"h_{l}" for l in _SEG_LANGS))
+    lang_case = "CASE "
+    for lang in _SEG_LANGS:
+        lang_case += f"WHEN h_{lang} > 0 AND h_{lang} = {g} THEN '{lang}' "
+    lang_case += "ELSE 'unknown' END"
+    return rf"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT a.doc_id + 1000000 AS doc_id,
+         array_to_string(list_slice(list_filter(
+             string_split_regex(lower(a.text), '\s+'), x -> x <> ''), 1, 32), ' ')
+         || ' ' ||
+         array_to_string(list_slice(list_filter(
+             string_split_regex(lower(b.text), '\s+'), x -> x <> ''), 1, 32), ' ')
+         AS text
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 10 = 0 AND a.lang <> b.lang
+),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS _tok,
+         generate_subscripts(list_filter(string_split_regex(lower(text), '\s+'),
+                                         x -> x <> ''), 1) - 1 AS _pos
+  FROM base
+),
+hits AS (
+  SELECT doc_id, _pos // {_SEG_CHUNK} AS _chunk,
+         CAST(count(*) AS BIGINT) AS _n_tokens,
+         {hits}
+  FROM tok GROUP BY 1, 2
+),
+labeled AS (
+  SELECT doc_id, _chunk, _n_tokens, {lang_case} AS _lang
+  FROM hits
+),
+segged AS (
+  SELECT doc_id, _chunk, _n_tokens, _lang,
+         CAST(sum(CASE WHEN _prev IS NULL OR _prev <> _lang THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY _chunk) AS BIGINT) - 1 AS _seg
+  FROM (
+    SELECT doc_id, _chunk, _n_tokens, _lang,
+           lag(_lang) OVER (PARTITION BY doc_id ORDER BY _chunk) AS _prev
+    FROM labeled
+  )
+)
+SELECT doc_id, _seg AS seg_idx, min(_lang) AS lang,
+       min(_chunk) AS start_chunk, max(_chunk) AS end_chunk,
+       CAST(sum(_n_tokens) AS BIGINT) AS n_tokens
+FROM segged GROUP BY 1, 2
+"""
+
+
+ORACLE_DOC_LANG_SEGMENTS = _oracle_doc_lang_segments()

@@ -1354,6 +1354,12 @@ _REGISTERED += [
 #   - streaming.edit_screen_stream -> if gated, the batch face is the
 #     cross-side restriction of doc_edit_join's corpus (the
 #     neardup_screen convention); otherwise stays replay-pytest-only.
+#   - pipeline_ops.q_doc_lang_segments + ORACLE_DOC_LANG_SEGMENTS
+#     (code-switch segmentation) -> oracle-READY, pytest-pinned end to
+#     end; r14 adds only the QuerySpec.
+#   - multimodal.payload_containment_pairs (asset subset-dup without
+#     decoding) -> loop-oracle fuzzed; gate corpus = attach_payload
+#     docs + chunk-aligned concat containers (ASCII slice).
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 

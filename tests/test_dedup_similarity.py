@@ -1334,3 +1334,102 @@ def test_weighted_cosine_gate_matches_oracle_staged_for_r14(spark):
     }
     assert got == want
     assert any(same for (_, same) in got.values())
+
+
+# ---------------------------------------------------------------------------
+# payload_containment_pairs (asset subset-dup without decoding)
+# ---------------------------------------------------------------------------
+
+def _payload_df(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    return MM.attach_payload(df)
+
+
+def test_payload_containment_finds_prefix_and_concat(spark):
+    """A shard that concatenates two assets at chunk-aligned offsets
+    contains both (c ~ 1); unrelated assets score 0; resemblance-style
+    pairs stay below a high tau. ASCII texts so chars == bytes and the
+    8-byte alignment is by construction."""
+    a = "abcdefgh" * 6              # 48 bytes = 6 chunks
+    b = "01234567" * 4              # 32 bytes = 4 chunks
+    rows = [
+        (1, a),
+        (2, b),
+        (3, a + b),                 # aligned concat container
+        (4, "zzzzzzzz" * 5),        # unrelated
+        (5, a[:16]),                # 2-chunk prefix of a
+    ]
+    got = {
+        (r.id_a, r.id_b): (r.n_shared, r.containment)
+        for r in MM.payload_containment_pairs(
+            _payload_df(spark, rows), tau=0.9
+        ).collect()
+    }
+    # chunk sets: a -> {abcdefgh} (1 distinct!), so use n_shared from
+    # DISTINCT sets: a has 1 distinct chunk, b 1, container 2
+    assert (1, 3) in got and got[(1, 3)][1] == 1.0
+    assert (2, 3) in got and got[(2, 3)][1] == 1.0
+    assert (1, 5) in got and got[(1, 5)][1] == 1.0
+    assert not any(4 in k for k in got)
+
+
+def test_payload_containment_loop_oracle_fuzz(spark):
+    import hashlib
+    import random as _r
+
+    rng = _r.Random(3)
+    alphabet = ["aaaaaaaa", "bbbbbbbb", "cccccccc", "dddddddd", "eeeeeeee"]
+    rows = []
+    for i in range(24):
+        rows.append((i, "".join(rng.choice(alphabet)
+                                for _ in range(rng.randrange(1, 7)))))
+
+    def chunks(t):
+        bs = t.encode()
+        hx = bs.hex().upper()
+        out = set()
+        for j in range(0, len(hx), 16):
+            c = hx[j:j + 16]
+            out.add(int(hashlib.md5(c.encode()).hexdigest()[:15], 16))
+        return out
+
+    want = {}
+    sets = {i: chunks(t) for i, t in rows}
+    for x in sets:
+        for y in sets:
+            if x < y and sets[x] and sets[y]:
+                c = round(len(sets[x] & sets[y]) / min(len(sets[x]), len(sets[y])), 6)
+                if c >= 0.5:
+                    want[(x, y)] = c
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in MM.payload_containment_pairs(
+            _payload_df(spark, rows), tau=0.5
+        ).collect()
+    }
+    assert got == want
+
+
+def test_payload_containment_gate_matches_oracle_staged_for_r14(spark):
+    """The staged doc_payload_containment gate hashes against its
+    DuckDB oracle end-to-end (hex/md5/set/skew-filter mirror), and the
+    planted chunk-aligned containers are found."""
+    import duckdb
+
+    from scraping_etl_spark.plans import ml_ops as M
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.id_a, r.id_b): (r.n_shared, r.n_a, r.n_b, r.containment)
+        for r in M.q_doc_payload_containment(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = {
+        (r[0], r[1]): (r[2], r[3], r[4], r[5])
+        for r in con.execute(M.ORACLE_DOC_PAYLOAD_CONTAINMENT).fetchall()
+    }
+    assert got == want
+    assert any(b >= 3_000_000 for (_, b) in got)

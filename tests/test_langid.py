@@ -232,3 +232,63 @@ def test_heaps_fit_exponent_brackets_growth(spark):
     out2 = heaps_fit(df2).collect()
     assert all(r.heaps_beta == 0.0 for r in out2)
     assert all(r.n_types_cum in (0, 1) for r in out2)
+
+
+# ---------------------------------------------------------------------------
+# Language segmentation (textstats.lang_segments) — staged r14 gate
+# ---------------------------------------------------------------------------
+
+def test_lang_segments_splits_a_planted_code_switch(spark):
+    from scraping_etl_spark.operators.textstats import lang_segments
+
+    en = "the cat and the dog went to the market in town " * 4
+    de = "der hund und die katze ist nicht im haus und das " * 4
+    rows = [
+        (1, en),                 # monolingual -> one segment
+        (2, en + de),            # code-switched -> two segments
+        (3, de + en + de),       # three segments
+        (4, ""),                 # empty -> no rows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = lang_segments(df, chunk_tokens=16)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 4 not in by_doc
+    assert [s.lang for s in sorted(by_doc[1], key=lambda r: r.seg_idx)] == ["en"]
+    assert [s.lang for s in sorted(by_doc[2], key=lambda r: r.seg_idx)] == ["en", "de"]
+    assert [s.lang for s in sorted(by_doc[3], key=lambda r: r.seg_idx)] == ["de", "en", "de"]
+    # segment geometry: contiguous, ordered, token counts add up
+    segs = sorted(by_doc[3], key=lambda r: r.seg_idx)
+    for a, b in zip(segs, segs[1:]):
+        assert b.start_chunk == a.end_chunk + 1
+    assert sum(s.n_tokens for s in segs) == len((de + en + de).split())
+
+
+def test_lang_segments_gate_matches_oracle_staged_for_r14(spark):
+    """The staged doc_lang_segments gate hashes against its DuckDB
+    oracle end-to-end (planted cross-language composites included)."""
+    import duckdb
+
+    from scraping_etl_spark.plans import pipeline_ops as P
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.doc_id, r.seg_idx): (r.lang, r.start_chunk, r.end_chunk, r.n_tokens)
+        for r in P.q_doc_lang_segments(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = {
+        (r[0], r[1]): (r[2], r[3], r[4], r[5])
+        for r in con.execute(P.ORACLE_DOC_LANG_SEGMENTS).fetchall()
+    }
+    assert got == want
+    # at least one planted composite genuinely splits
+    n_segs = {}
+    for (d, s) in got:
+        if d >= 1_000_000:
+            n_segs[d] = max(n_segs.get(d, 0), s + 1)
+    assert n_segs and max(n_segs.values()) >= 2
