@@ -633,3 +633,54 @@ def test_lang_id_ngram_matches_loop_oracle(spark, texts_a, texts_b):
     }
     want = _ct_oracle(rows, top_m=10, doc_m=6)
     assert got == want, (texts_a, texts_b)
+
+
+# ---------------------------------------------------------------------------
+# edit_distance_pairs: Ed-Join candidate completeness vs a DP oracle
+# ---------------------------------------------------------------------------
+
+def _lev_dp(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=4, max_size=12),
+        min_size=2,
+        max_size=10,
+        unique=True,
+    ),
+    st.integers(1, 2),
+)
+def test_edit_distance_pairs_complete_vs_dp_oracle(spark, strings, k):
+    """Tiny alphabet + short strings: repeated grams, shared prefixes
+    and every near-tie the prefix filter could get wrong. q=1 keeps
+    the length floor at k+1 so hypothesis's short strings stay in
+    domain; verify-by-levenshtein means any mismatch is a CANDIDATE
+    COMPLETENESS bug, the theorem under test."""
+    from scraping_etl_spark.operators.dedup import edit_distance_pairs
+
+    rows = [(i, s) for i, s in enumerate(strings) if len(s) >= k + 1]
+    if len(rows) < 2:
+        return
+    df = spark.createDataFrame(rows, "rid LONG, s STRING")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_pairs(df, k, "rid", "s", q=1).collect()
+    }
+    want = {}
+    for i, a in rows:
+        for j, b in rows:
+            if i < j and abs(len(a) - len(b)) <= k:
+                d = _lev_dp(a, b)
+                if d <= k:
+                    want[(i, j)] = d
+    assert got == want
