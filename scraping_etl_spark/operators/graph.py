@@ -128,3 +128,102 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+#: HITS fixed-point scale: hub/authority weights are BIGINT multiples
+#: of 1e-9. Chosen SMALLER than PR_SCALE so the per-round inflow sum
+#: Σ_edges h(src) <= |E|·SCALE stays inside BIGINT for |E| up to ~9e9
+#: edges — the documented capacity bound of this implementation.
+HITS_SCALE = 1_000_000_000
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Hubs-and-authorities (Kleinberg 1999, HITS) over ``edges`` —
+    the crawl-frontier complement of :func:`pagerank`: PageRank finds
+    globally endorsed hosts, HITS separates DIRECTORY hosts (hubs:
+    link to many good authorities — where a crawler harvests fresh
+    URLs) from CONTENT hosts (authorities: linked by many good hubs —
+    where the documents are). Duplicate edges count as parallel links,
+    matching :func:`pagerank`.
+
+    Per iteration (the mutual recursion, as pure DataFrame algebra):
+    ``auth_raw(v) = Σ_{u→v} hub(u)`` then ``hub_raw(u) = Σ_{u→v}
+    auth(v)`` — each ONE hash equi-join plus ONE partial-agg groupBy,
+    ``localCheckpoint`` truncating lineage per round. Each vector is
+    then L1-renormalized to total ≈ ``HITS_SCALE`` in INTEGER
+    arithmetic: ``x_norm = x_raw div max(total div HITS_SCALE, 1)`` —
+    floor-div by the floor-divided total avoids the
+    ``x_raw * SCALE`` product that would overflow BIGINT at web-graph
+    edge counts. Quantization: each round's total lands in
+    ``[SCALE - |V|, SCALE + total div SCALE]`` units of 1e-9 —
+    deterministic (integer ops are associative-commutative), so the
+    result is bit-identical across partitionings and engines and a
+    DuckDB oracle reproduces the fixpoint EXACTLY (the
+    :func:`pagerank` contract).
+
+    Returns ``(node, hub_fx, auth_fx)`` — BIGINT weights in 1e-9
+    units; nodes with no out-links have hub 0, no in-links auth 0.
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    e = edges.select(
+        F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .unionByName(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()  # O(1)-row scalar, driver-safe
+    if n_nodes == 0:
+        raise ValueError(
+            "hits: edges is empty (no nodes to score); filter the "
+            "degenerate input or skip the call"
+        )
+
+    def _renorm(raw: DataFrame, col: str) -> DataFrame:
+        # 1-row total joined through the non-foldable always-0 key
+        # (BHJ, never a cross join — the pagerank convention)
+        total = (
+            raw.agg(F.coalesce(F.sum(col), F.lit(1)).alias("_t"))
+            .withColumn("_q", F.expr(f"greatest(_t div {HITS_SCALE}, 1)"))
+            .withColumn("_k", F.pmod(F.xxhash64(F.col("_t")), F.lit(1)))
+        )
+        return (
+            raw.withColumn("_k", F.pmod(F.xxhash64("node"), F.lit(1)))
+            .join(F.broadcast(total), "_k")
+            .select("node", F.expr(f"{col} div _q").alias(col))
+        )
+
+    hub = nodes.withColumn("hub_fx", F.lit(HITS_SCALE).cast("long"))
+    auth = None
+    for _ in range(n_iter):
+        auth_raw = (
+            hub.join(e, hub["node"] == e["_src"])
+            .select(F.col("_dst").alias("node"), F.col("hub_fx").alias("_x"))
+            .groupBy("node")
+            .agg(F.sum("_x").alias("auth_fx"))
+        )
+        auth = _renorm(auth_raw, "auth_fx").localCheckpoint()
+        hub_raw = (
+            auth.join(e, auth["node"] == e["_dst"])
+            .select(F.col("_src").alias("node"), F.col("auth_fx").alias("_x"))
+            .groupBy("node")
+            .agg(F.sum("_x").alias("hub_fx"))
+        )
+        hub = _renorm(hub_raw, "hub_fx").localCheckpoint()
+    return (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub_fx", F.lit(0)).cast("long").alias("hub_fx"),
+            F.coalesce("auth_fx", F.lit(0)).cast("long").alias("auth_fx"),
+        )
+    )

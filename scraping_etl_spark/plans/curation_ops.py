@@ -1354,3 +1354,117 @@ chunks_d AS (SELECT min(doc_id) AS doc_id, text FROM cd GROUP BY text),
 
 
 ORACLE_RAG_PIPELINE = _rag_pipeline_oracle()
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities gate (operators/graph.hits) — STAGED for r14
+# (see plans/registry.py staging note).
+# ---------------------------------------------------------------------------
+
+_HITS_ITER = 4
+
+
+def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub/authority gate: Kleinberg HITS over the SAME deterministic
+    host multigraph as ``host_pagerank`` (every third doc links host 0
+    — host 0 becomes the strong authority, its habitual linkers the
+    strong hubs, so the two roles genuinely separate and the hash has
+    teeth). Integer fixed-point with per-round floor-div L1
+    renormalization (operators/graph.hits) makes the 4-round fixpoint
+    bit-identical on both engines."""
+    from pyspark.sql.window import Window
+
+    from scraping_etl_spark.operators.graph import HITS_SCALE, hits
+
+    d = load_table(spark, sf_dir, "documents")
+    hosts = (
+        d.select("source").distinct()
+        .withColumn(
+            "idx",
+            F.row_number().over(Window.orderBy("source")) - 1,
+        )
+    )
+    n_hosts = hosts.count()
+    edges = d.select(
+        F.col("source").alias("src"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(0))
+        .otherwise(F.col("doc_id") % n_hosts)
+        .cast("int")
+        .alias("_i"),
+    ).join(
+        F.broadcast(hosts), F.col("_i") == F.col("idx")
+    ).select("src", F.col("source").alias("dst"))
+    out = hits(edges, n_iter=_HITS_ITER)
+    return out.select(
+        F.col("node").alias("host"),
+        "hub_fx",
+        "auth_fx",
+        F.round(F.col("hub_fx") / F.lit(float(HITS_SCALE)), 8).alias("hub"),
+        F.round(F.col("auth_fx") / F.lit(float(HITS_SCALE)), 8).alias("auth"),
+    )
+
+
+def _hits_oracle_sql(n_iter: int) -> str:
+    """Unrolled-CTE DuckDB twin of q_host_hits: identical integer
+    algebra (BIGINT weights in 1e-9 units, floor-div L1 renorm by the
+    floor-divided total), one CTE pair per iteration."""
+    from scraping_etl_spark.operators.graph import HITS_SCALE
+
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    # reference, and this chain references each level several times
+    # (expression + scalar-total subquery) — inlined, the 4-iteration
+    # unroll re-evaluates the base exponentially and never finishes
+    parts = [f"""
+WITH hosts AS MATERIALIZED (
+  SELECT source AS node,
+         row_number() OVER (ORDER BY source) - 1 AS idx
+  FROM (SELECT DISTINCT source FROM documents)
+),
+nn AS MATERIALIZED (SELECT count(*) AS n FROM hosts),
+edges AS MATERIALIZED (
+  SELECT d.source AS src, h.node AS dst
+  FROM documents d
+  JOIN hosts h
+    ON h.idx = CASE WHEN d.doc_id % 3 = 0 THEN 0
+                    ELSE d.doc_id % (SELECT n FROM nn) END
+),
+h0 AS MATERIALIZED (SELECT node, CAST({HITS_SCALE} AS BIGINT) AS hub_fx FROM hosts)"""]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(f""",
+ar{i} AS MATERIALIZED (
+  SELECT e.dst AS node, sum(h.hub_fx) AS x
+  FROM h{p} h JOIN edges e ON e.src = h.node
+  GROUP BY 1
+),
+a{i} AS MATERIALIZED (
+  SELECT node,
+         x // greatest((SELECT coalesce(sum(x), 1) FROM ar{i})
+                         // {HITS_SCALE}, 1) AS auth_fx
+  FROM ar{i}
+),
+hr{i} AS MATERIALIZED (
+  SELECT e.src AS node, sum(a.auth_fx) AS x
+  FROM a{i} a JOIN edges e ON e.dst = a.node
+  GROUP BY 1
+),
+h{i} AS MATERIALIZED (
+  SELECT node,
+         x // greatest((SELECT coalesce(sum(x), 1) FROM hr{i})
+                         // {HITS_SCALE}, 1) AS hub_fx
+  FROM hr{i}
+)""")
+    parts.append(f"""
+SELECT n.node AS host,
+       CAST(coalesce(h.hub_fx, 0) AS BIGINT) AS hub_fx,
+       CAST(coalesce(a.auth_fx, 0) AS BIGINT) AS auth_fx,
+       round(coalesce(h.hub_fx, 0) / {float(HITS_SCALE)!r}, 8) AS hub,
+       round(coalesce(a.auth_fx, 0) / {float(HITS_SCALE)!r}, 8) AS auth
+FROM hosts n
+LEFT JOIN h{n_iter} h ON h.node = n.node
+LEFT JOIN a{n_iter} a ON a.node = n.node
+""")
+    return "".join(parts)
+
+
+ORACLE_HOST_HITS = _hits_oracle_sql(_HITS_ITER)

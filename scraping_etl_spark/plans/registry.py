@@ -1358,8 +1358,11 @@ _REGISTERED += [
 #     (code-switch segmentation) -> oracle-READY, pytest-pinned end to
 #     end; r14 adds only the QuerySpec.
 #   - multimodal.payload_containment_pairs (asset subset-dup without
-#     decoding) -> loop-oracle fuzzed; gate corpus = attach_payload
-#     docs + chunk-aligned concat containers (ASCII slice).
+#     decoding) -> oracle-READY (ml_ops.q_doc_payload_containment +
+#     ORACLE_DOC_PAYLOAD_CONTAINMENT), pytest-pinned end to end.
+#   - graph.hits (Kleinberg hubs/authorities, integer fixed-point) ->
+#     oracle-READY (curation_ops.q_host_hits + ORACLE_HOST_HITS,
+#     MATERIALIZED unrolled CTEs), loop-oracle + repartition units.
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 

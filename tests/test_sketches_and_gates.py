@@ -470,3 +470,104 @@ def test_keyword_extract_ranks_rare_terms_first(spark):
 
     with _pt.raises(ValueError):
         keyword_extract(df, top_k=0)
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities (graph.hits)
+# ---------------------------------------------------------------------------
+
+def _ref_hits(edges, n_iter, scale):
+    """Pure-Python loop oracle with the SAME integer arithmetic."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    hub = {n: scale for n in nodes}
+    auth = {}
+    for _ in range(n_iter):
+        auth_raw = {}
+        for u, v in edges:
+            auth_raw[v] = auth_raw.get(v, 0) + hub.get(u, 0)
+        t = sum(auth_raw.values()) or 1
+        q = max(t // scale, 1)
+        auth = {v: x // q for v, x in auth_raw.items()}
+        hub_raw = {}
+        for u, v in edges:
+            hub_raw[u] = hub_raw.get(u, 0) + auth.get(v, 0)
+        t = sum(hub_raw.values()) or 1
+        q = max(t // scale, 1)
+        hub = {u: x // q for u, x in hub_raw.items()}
+    return {n: (hub.get(n, 0), auth.get(n, 0)) for n in nodes}
+
+
+def test_hits_matches_loop_oracle_and_separates_roles(spark):
+    from scraping_etl_spark.operators.graph import HITS_SCALE, hits
+
+    # two directory hosts each linking three content hosts; one content
+    # host also links back out (mixed role); one stray edge
+    edges = [
+        ("hub1", "art1"), ("hub1", "art2"), ("hub1", "art3"),
+        ("hub2", "art1"), ("hub2", "art2"), ("hub2", "art3"),
+        ("art1", "misc"), ("stray", "misc"),
+    ]
+    df = spark.createDataFrame(edges, "src STRING, dst STRING")
+    got = {
+        r.node: (r.hub_fx, r.auth_fx)
+        for r in hits(df, n_iter=4).collect()
+    }
+    assert got == _ref_hits(edges, 4, HITS_SCALE)
+    # role separation: directories out-hub everything, articles out-auth
+    assert got["hub1"][0] == got["hub2"][0] > got["art1"][0]
+    assert got["art1"][1] == got["art2"][1] == got["art3"][1] > got["hub1"][1]
+    assert got["hub1"][1] == 0          # nothing links the directories
+    assert got["stray"][1] == 0
+
+
+def test_hits_deterministic_under_repartition(spark):
+    import random as _r
+
+    from scraping_etl_spark.operators.graph import hits
+
+    rng = _r.Random(5)
+    edges = [(f"h{rng.randrange(12)}", f"h{rng.randrange(12)}")
+             for _ in range(80)]
+    df = spark.createDataFrame(edges, "src STRING, dst STRING")
+    a = {r.node: (r.hub_fx, r.auth_fx)
+         for r in hits(df, n_iter=3).collect()}
+    b = {r.node: (r.hub_fx, r.auth_fx)
+         for r in hits(df.repartition(13), n_iter=3).collect()}
+    assert a == b
+
+
+def test_hits_empty_edges_raises(spark):
+    import pyspark.sql.types as T
+
+    from scraping_etl_spark.operators.graph import hits
+
+    empty = spark.createDataFrame([], "src STRING, dst STRING")
+    with pytest.raises(ValueError, match="empty"):
+        hits(empty)
+
+
+def test_hits_gate_matches_oracle_staged_for_r14(spark):
+    """The staged host_hits gate hashes against its unrolled-CTE
+    DuckDB oracle (MATERIALIZED CTEs — DuckDB inlines plain CTEs per
+    reference and the chain would re-evaluate exponentially), and the
+    planted host-0 authority dominates."""
+    import duckdb
+
+    from scraping_etl_spark.plans import curation_ops as CR
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.host: (r.hub_fx, r.auth_fx, r.hub, r.auth)
+        for r in CR.q_host_hits(spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(CR.ORACLE_HOST_HITS).fetchall()
+    }
+    assert got == want
+    top = max(got.items(), key=lambda kv: kv[1][1])
+    assert top[1][1] > 0
