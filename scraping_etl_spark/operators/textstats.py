@@ -813,6 +813,19 @@ def zipf_fit(
         .groupBy("_g", "_w")
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
     )
+    return zipf_fit_from_counts(wc, strata_col=strata_col, top_r=top_r)
+
+
+def zipf_fit_from_counts(
+    wc: DataFrame,
+    strata_col: str = "lang",
+    top_r: int = 200,
+) -> DataFrame:
+    """:func:`zipf_fit` from an already-aggregated ``(_g, _w, _c)``
+    word-count relation — the entry point MERGEABLE state uses: per-
+    batch word counts sum across micro-batches (the streaming drift
+    monitor's lake), then this fit runs over the cumulative counts.
+    Identical arithmetic to :func:`zipf_fit` (which delegates here)."""
     totals = wc.groupBy("_g").agg(
         F.sum("_c").cast("long").alias("n_tokens"),
         F.count(F.lit(1)).cast("long").alias("n_types"),

@@ -1626,3 +1626,91 @@ def edit_screen_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def corpus_law_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    counts_dir: str,
+    checkpoint_dir: str,
+    top_r: int = 200,
+    schema: T.StructType = schemas.DOCUMENTS,
+    strata_col: str = "lang",
+    text_col: str = "text",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming corpus-law DRIFT MONITOR — the observability twin of
+    ``doc_zipf_fit``: after every ingested micro-batch, re-fit Zipf's
+    law (slope, r², type/token counts per language) over the
+    cumulative corpus TO DATE and land one row per (batch, language).
+    A pipeline alarms on the trajectory in EITHER direction: a
+    repeated-template flood concentrates mass in its few pasted words
+    and STEEPENS the slope (measured in the twin test: −0.208 → −0.224
+    the batch the flood lands), a diverse-junk flood flattens it, and
+    r² collapsing means the frequency law itself broke (encoding junk,
+    wrong-language shard) — caught at the batch that caused it, not in
+    a post-hoc audit.
+
+    Lake-as-state, MERGEABLE: ``counts_dir`` holds per-batch (lang,
+    word, count) partial aggregates partitioned by ``batch_id`` — word
+    counts sum across batches, so the cumulative relation is one
+    partial-agg groupBy over ALL partitions ``<= N`` (including the
+    current batch: the monitor reports the corpus as of now;
+    re-aggregating its own replayed partition is idempotent because
+    partition overwrite replaced it, not appended). The fit itself is
+    :func:`textstats.zipf_fit_from_counts` — the SAME arithmetic the
+    batch gate hashes, so the batch-twin test compares against
+    ``zipf_fit`` over the union of shards exactly. State is
+    vocabulary-scale per language, not corpus-scale.
+    """
+    import os
+
+    from scraping_etl_spark.operators.textstats import (
+        tokens,
+        zipf_fit_from_counts,
+    )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        wc = (
+            batch_df.select(
+                F.col(strata_col).alias("_g"),
+                F.explode(tokens(text_col, lowercase=True)).alias("_w"),
+            )
+            .groupBy("_g", "_w")
+            .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+        )
+        (
+            wc.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(counts_dir)
+        )
+        cum = (
+            spark.read.parquet(counts_dir)
+            .filter(F.col("batch_id") <= batch_id)
+            .groupBy("_g", "_w")
+            .agg(F.sum("_c").cast("long").alias("_c"))
+        )
+        fit = zipf_fit_from_counts(cum, strata_col=strata_col, top_r=top_r)
+        (
+            fit.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    writer = stream.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1545,3 +1545,79 @@ def test_edit_screen_stream_matches_batch_twin_and_replays(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert again == want
+
+
+def test_corpus_law_stream_matches_batch_fit_and_replays(spark, tmp_path):
+    """Corpus-law drift monitor: after each micro-batch, the landed
+    (batch, lang) Zipf rows equal the batch zipf_fit over the union of
+    shards so far — the same hashed arithmetic as doc_zipf_fit; the
+    trajectory reflects a planted batch-2 template flood (slope moves
+    toward 0 for the flooded language); replay converges."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from scraping_etl_spark.operators.textstats import zipf_fit
+    from scraping_etl_spark.streaming.pipeline import corpus_law_stream
+
+    src, out, counts, ckpt = (
+        str(tmp_path / d) for d in ("src", "out", "counts", "ckpt")
+    )
+    os.makedirs(src)
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .localCheckpoint()
+    )
+    s1 = base.filter("doc_id % 2 = 0")
+    # batch 2: a template flood in one language — one sentence pasted
+    # over and over, the drift the monitor exists to catch
+    flood = spark.range(30).select(
+        (F.col("id") + 5000).alias("doc_id"),
+        F.lit("buy now click here limited offer " * 8).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("flood").alias("source"),
+        F.lit(256).alias("n_chars"),
+    )
+    s2 = base.filter("doc_id % 2 = 1").unionByName(
+        flood.select(*base.columns)
+    )
+    s1.coalesce(1).write.parquet(f"{src}/f1")
+    s2.coalesce(1).write.parquet(f"{src}/f2")
+
+    def run_once():
+        q = corpus_law_stream(
+            spark, f"{src}/*", out, counts, ckpt,
+            top_r=50, max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    got = {
+        (r.batch_id, r.lang): (r.n_tokens, r.n_types, r.zipf_slope,
+                               r.zipf_intercept, r.zipf_r2)
+        for r in spark.read.parquet(out).collect()
+    }
+    # batch twin per prefix
+    want = {}
+    seen = None
+    for i, sh in enumerate((s1, s2)):
+        seen = sh if seen is None else seen.unionByName(sh)
+        for r in zipf_fit(seen, top_r=50).collect():
+            want[(i, r.lang)] = (r.n_tokens, r.n_types, r.zipf_slope,
+                                 r.zipf_intercept, r.zipf_r2)
+    assert got == want
+    # the template flood CONCENTRATES mass in its few pasted words, so
+    # the English head gets steeper: |slope| strictly increases (a
+    # diverse-junk flood would flatten it instead — either direction
+    # of drift is the alarm; the monitor reports the trajectory)
+    assert abs(got[(1, "en")][2]) > abs(got[(0, "en")][2])
+
+    shutil.rmtree(ckpt)
+    run_once()
+    again = {
+        (r.batch_id, r.lang): (r.n_tokens, r.n_types, r.zipf_slope,
+                               r.zipf_intercept, r.zipf_r2)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == want
