@@ -9,9 +9,12 @@ followed by one SMALL final line of the same schema (slowest queries
 only, sized to survive the driver's last-2000-bytes stdout capture —
 see the comment at the print site).
 
-Each query is executed once as a warm-up-free timed run; the reported
-per-query time is wall-clock from plan construction to a count/collect
-action (the realistic end-to-end latency the driver measures).
+The payload's ``queries`` map holds two kinds of rows: ``train:*``
+rows (one-time per-sf-dir model training — tokenizer vocabularies,
+classifier weights, ANN codebooks — warmed and timed up front so the
+cost is booked where it belongs) and query rows (serve-time wall-clock
+from plan construction to full materialization, ``passes`` runs with
+the per-query minimum kept). Both count toward the total.
 """
 
 from __future__ import annotations
@@ -44,14 +47,59 @@ def main() -> None:
 
     timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
-    # Pass count: the DRIVER's measurement stays the default single
-    # cold pass (round-over-round comparability with every BENCH_r{N}
-    # so far — the r12 verdict's explicit ask); local floor/headline
-    # runs set SPARK_GRAFT_BENCH_PASSES=2 for the min-of-2 estimator
-    # (PLANS documents ±20% host drift on untouched queries; the
-    # per-query minimum is the standard noise-resistant choice and
-    # stays honest — plan construction + full materialization every
-    # pass, nothing cached between passes).
+    # Train/serve split (r13 verdict item 3): several gate families
+    # serve against lru-cached per-sf-dir model artifacts (tokenizer
+    # vocabularies, classifier weights, ANN codebooks). In a cold
+    # process that one-time training cost used to land on whichever
+    # scoring gate ran first — unreadable round over round. So the
+    # bench warms each cache HERE, as its own explicitly-named
+    # ``train:*`` row: training stays inside the total (it is real
+    # work) but is visible as its own line, and every query row below
+    # measures SERVE time on every pass.
+    trainers = [
+        ("train:bpe_vocab", "scraping_etl_spark.plans.corpus_ops",
+         "_bpe_artifacts"),
+        ("train:bpe_encode", "scraping_etl_spark.plans.corpus_ops",
+         "_bpe_encode_artifacts"),
+        ("train:unigram_lm", "scraping_etl_spark.plans.corpus_ops",
+         "_uni_artifacts"),
+        ("train:wordpiece", "scraping_etl_spark.plans.corpus_ops",
+         "_wp_artifacts"),
+        ("train:semdedup_centroids", "scraping_etl_spark.plans.curation_ops",
+         "_sem_centroids"),
+        ("train:quality_classifier", "scraping_etl_spark.plans.curation_ops",
+         "_clf_weights"),
+        ("train:hashed_classifier", "scraping_etl_spark.plans.curation_ops",
+         "_fclf_model"),
+        ("train:ivf_index", "scraping_etl_spark.plans.ml_ops", "_ivf_index"),
+        ("train:kmeans_centroids", "scraping_etl_spark.plans.ml_ops",
+         "_km_centroids"),
+        ("train:pq_index", "scraping_etl_spark.plans.screen_ops", "_pq_index"),
+        ("train:ivfpq_index", "scraping_etl_spark.plans.screen_ops",
+         "_ivfpq_index"),
+    ]
+    import importlib
+
+    for row_name, mod_name, fn_name in trainers:
+        try:
+            fn = getattr(importlib.import_module(mod_name), fn_name)
+            t0 = time.perf_counter()
+            fn(SF_DIR)
+            timings[row_name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001 - same isolation as queries
+            timings[row_name] = None
+            errors[row_name] = f"{type(exc).__name__}: {exc}"[:300]
+    # Pass count: the DRIVER's measurement is the default single pass
+    # (now a clean serve-time pass — the train rows above absorbed the
+    # cold model costs; BENCH_r14 is the first sheet with this split,
+    # so compare totals with r13 but per-query serve times only within
+    # the split era). Local floor/headline runs set
+    # SPARK_GRAFT_BENCH_PASSES=2 for the min-of-2 estimator (PLANS
+    # documents ±20% host drift on untouched queries); with training
+    # hoisted into its own rows, extra passes re-measure serving only
+    # — model artifacts stay cached BY DESIGN and their cost is
+    # already booked on the train rows, while plan construction + full
+    # materialization still happen every pass.
     passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "1")))
     for _pass in range(passes):
         for spec in QUERIES:
@@ -78,6 +126,8 @@ def main() -> None:
         "value": round(total, 4),
         "unit": "sec",
         "queries": timings,
+        "passes": passes,
+        "n_train_rows": len(trainers),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

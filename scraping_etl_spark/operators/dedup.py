@@ -1207,6 +1207,95 @@ def edit_distance_pairs(
     )
 
 
+def edit_screen_pairs(
+    new_df: DataFrame,
+    lake_df: DataFrame,
+    k: int,
+    id_col: str,
+    string_col: str,
+    q: int = 3,
+    check_min_len: bool = True,
+) -> DataFrame:
+    """CROSS-side bounded edit-distance screen — "which incoming
+    records sit within ``k`` edits of one the corpus already holds?"
+    The batch face of ``streaming.pipeline.edit_screen_stream``, with
+    the same one-sided prefix plan: the LAKE side keeps only its
+    Ed-Join prefix (:func:`ed_gram_prefix` — first ``k*q + 1``
+    positional gram occurrences, df-rarest first), the NEW side keeps
+    ALL its positional occurrences. Completeness is the pigeonhole in
+    ``ed_gram_prefix``'s docstring: under ed ≤ k at most ``k*q`` of a
+    lake string's occurrences lack a match partner, so any kept
+    ``k*q + 1`` include a matched one — whose partner is in the new
+    side's FULL gram list by construction. That one-sidedness is what
+    lets a lake prefix be FIXED at insertion time (df drift never
+    breaks it), which is the streaming lake-as-state contract; the
+    batch operator uses the identical shape so stream ≡ per-shard
+    batch screen against the union of its predecessors.
+
+    Within-side pairs are deliberately NOT emitted — in-corpus pairing
+    at rest is :func:`edit_distance_pairs`' job. Returns
+    ``(new_id, ref_id, dist)``. 100 TB: the lake-side df agg is
+    vocabulary-scale, the candidate join is keyed on grams with the
+    position/length band filters, and the verify is the banded-DP
+    ``levenshtein(new, ref, k)`` — candidate slop costs time, never
+    correctness."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    if q < 1:
+        raise ValueError(f"q must be >= 1, got {q}")
+
+    def _strings(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.col(string_col).alias("_s"),
+            F.length(string_col).cast("int").alias("_len"),
+        )
+
+    new_s, lake_s = _strings(new_df), _strings(lake_df)
+    if check_min_len:
+        floor = q * (k + 1)
+        short = (
+            new_s.select("_len").unionByName(lake_s.select("_len"))
+            .filter(F.col("_len") < floor).limit(1).count()
+        )
+        if short:
+            raise ValueError(
+                f"edit_screen_pairs: strings shorter than q*(k+1)="
+                f"{floor} chars break the q-gram prefix bound — filter "
+                "them or lower q (the streaming twin drops them on "
+                "both sides for the same reason)."
+            )
+    ref_pre = ed_gram_prefix(ed_gram_occurrences(lake_s, q), k, q).select(
+        F.col("_id").alias("ref_id"), F.col("_len").alias("_lr"),
+        "_g", F.col("_p").alias("_pr"),
+    )
+    cand = (
+        ed_gram_occurrences(new_s, q)
+        .select(
+            F.col("_id").alias("new_id"), F.col("_len").alias("_ln"),
+            "_g", F.col("_p").alias("_pn"),
+        )
+        .join(ref_pre, "_g")
+        .filter(
+            (F.abs(F.col("_pn") - F.col("_pr")) <= k)
+            & (F.abs(F.col("_ln") - F.col("_lr")) <= k)
+        )
+        .select("new_id", "ref_id")
+        .distinct()
+    )
+    sn = new_s.select(F.col("_id").alias("new_id"), F.col("_s").alias("_sn"))
+    sr = lake_s.select(F.col("_id").alias("ref_id"), F.col("_s").alias("_sr"))
+    return (
+        cand.join(sn, "new_id")
+        .join(sr, "ref_id")
+        .select(
+            "new_id", "ref_id",
+            F.levenshtein("_sn", "_sr", k).alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
+    )
+
+
 def allpairs_cosine_weighted(
     vecs: DataFrame,
     threshold: float,

@@ -800,8 +800,11 @@ def zipf_fit(
 
     Returns ``(stratum, n_tokens, n_types, zipf_slope, zipf_intercept,
     zipf_r2)`` with the fit columns rounded to 6 (the oracle-hash
-    convention); a stratum with fewer than two distinct head
-    frequencies fits a degenerate line and reports nulls.
+    convention). Degeneracy: the fit's x values are ln(rank) — always
+    distinct — so ``dxx`` only collapses for a single head row
+    (one-type stratum), which reports nulls; r² additionally nulls
+    when every head FREQUENCY ties (``dyy = 0``, a flat line with no
+    variance to explain).
     """
     if top_r < 2:
         raise ValueError(f"top_r must be >= 2, got {top_r}")
@@ -849,10 +852,10 @@ def zipf_fit_from_counts(
         F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
         F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
     )
-    dxx = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
-    dyy = F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
-    dxy = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
-    slope = dxy / F.nullif(dxx, F.lit(0.0))
+    slope, intercept, r2 = _ls_fit(
+        F.col("_n"), F.col("_sx"), F.col("_sy"),
+        F.col("_sxx"), F.col("_syy"), F.col("_sxy"),
+    )
     return (
         totals.join(fit, "_g")
         .select(
@@ -860,12 +863,8 @@ def zipf_fit_from_counts(
             "n_tokens",
             "n_types",
             F.round(slope, 6).alias("zipf_slope"),
-            F.round(
-                (F.col("_sy") - slope * F.col("_sx")) / F.col("_n"), 6
-            ).alias("zipf_intercept"),
-            F.round(
-                (dxy * dxy) / F.nullif(dxx * dyy, F.lit(0.0)), 6
-            ).alias("zipf_r2"),
+            F.round(intercept, 6).alias("zipf_intercept"),
+            F.round(r2, 6).alias("zipf_r2"),
         )
     )
 

@@ -1253,12 +1253,14 @@ GROUP BY n_name
 def q_doc_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analysis-surface rollup (SURVEY §2.4 extension): per-language
     corpus profile with *exact* distinct counts — deterministic, so it
-    carries a full DuckDB hash gate. The HLL-sketch variant of the same
-    profile (the single-pass mergeable estimate that replaces the exact
-    distinct's full key shuffle at 100 TB) lives in
-    :func:`q_doc_corpus_profile_hll`; this split exists so the
-    engine-specific sketch doesn't drag the whole profile down to a
-    rows-only check."""
+    carries a full DuckDB hash gate.
+
+    RETIRED as a standalone driver gate at r14 (window-saturation fold,
+    r13 verdict item 2): :func:`q_doc_corpus_profile_hll` now emits
+    every column of this profile (n_docs, n_sources, n_distinct_texts,
+    avg_chars) PLUS the sketch-tolerance verdicts, so the seated gate
+    strictly subsumes this one. Kept as the library query
+    (pytest-covered); the driver seat belongs to the superset."""
     d = load_table(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1300,7 +1302,12 @@ def q_doc_corpus_profile_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     this a full value-checked row: the sketch must land within its own
     documented error bound at every scale, not merely return 5 rows.
     (The exact columns here are the verification harness; the
-    production query is the approx-only projection.)"""
+    production query is the approx-only projection.)
+
+    Since r14 this gate also carries the full exact profile (n_docs,
+    avg_chars — the ``q_doc_corpus_profile`` columns), folding the
+    retired standalone exact gate into this one seat (r13 verdict
+    item 2: window-saturation fold)."""
     d = load_table(spark, sf_dir, "documents")
     tol = lambda exact: F.greatest(  # noqa: E731 — local alias
         F.ceil(3 * _HLL_RSD * F.col(exact)), F.lit(1)
@@ -1308,15 +1315,19 @@ def q_doc_corpus_profile_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.groupBy("lang")
         .agg(
+            F.count(F.lit(1)).alias("n_docs"),
             F.countDistinct("source").alias("n_sources"),
             F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+            F.avg("n_chars").alias("avg_chars"),
             F.approx_count_distinct("source", _HLL_RSD).alias("_as"),
             F.approx_count_distinct(F.md5("text"), _HLL_RSD).alias("_at"),
         )
         .select(
             "lang",
+            "n_docs",
             "n_sources",
             "n_distinct_texts",
+            "avg_chars",
             (F.abs(F.col("_as") - F.col("n_sources")) <= tol("n_sources"))
             .alias("sources_within_tol"),
             (F.abs(F.col("_at") - F.col("n_distinct_texts")) <= tol("n_distinct_texts"))
@@ -1327,8 +1338,10 @@ def q_doc_corpus_profile_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DOC_CORPUS_PROFILE_HLL = """
 SELECT lang,
+       count(*) AS n_docs,
        count(DISTINCT source) AS n_sources,
        count(DISTINCT md5(text)) AS n_distinct_texts,
+       avg(n_chars) AS avg_chars,
        true AS sources_within_tol,
        true AS texts_within_tol
 FROM documents
@@ -2007,7 +2020,23 @@ def q_doc_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     text while Spark's is codepoint-based (measured: 4 vs 2 on the
     same pair) — the mirrored guard keeps both engines on the same
     metric."""
-    d = load_table(spark, sf_dir, "documents")
+    ents = _edit_join_entities(load_table(spark, sf_dir, "documents"))
+    pairs = DD.edit_distance_pairs(
+        ents, _EJ_K, id_col="_eid", string_col="_s", q=_EJ_Q
+    )
+    return pairs.select(
+        "id_a", "id_b", "dist",
+        (
+            F.floor(F.col("id_a") / 4) == F.floor(F.col("id_b") / 4)
+        ).alias("same_doc"),
+    )
+
+
+def _edit_join_entities(d: DataFrame) -> DataFrame:
+    """The shared edit-gate corpus (see :func:`q_doc_edit_join`):
+    40-char ASCII titles of the doc_id ≡ 0 (mod 5) slice as ``_eid =
+    doc_id*4``, plus a 1-substitution variant (``*4+1``) and a
+    2-substitution variant (``*4+2``) at md5-positioned offsets."""
     base = d.filter(F.col("doc_id") % 5 == 0).select(
         "doc_id", F.substring("text", 1, 40).alias("_s")
     ).filter(F.col("_s").rlike("^[ -~]{12,}$"))
@@ -2037,26 +2066,44 @@ def q_doc_edit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v1 = _sub_at(F.col("_s"), _pos("x"), "~")
     v2 = _sub_at(_sub_at(F.col("_s"), _pos("x"), "~"), _pos("y"), "#")
-    ents = (
+    return (
         base.select((F.col("doc_id") * 4).alias("_eid"), "_s")
         .unionByName(base.select((F.col("doc_id") * 4 + 1).alias("_eid"),
                                  v1.alias("_s")))
         .unionByName(base.select((F.col("doc_id") * 4 + 2).alias("_eid"),
                                  v2.alias("_s")))
     )
-    pairs = DD.edit_distance_pairs(
-        ents, _EJ_K, id_col="_eid", string_col="_s", q=_EJ_Q
+
+
+def q_doc_edit_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-side edit-distance screen gate (dedup.edit_screen_pairs —
+    the batch face of ``streaming.edit_screen_stream``, seated so the
+    streaming screen has a driver-checkable twin; r13 verdict item 5).
+    Corpus: the :func:`q_doc_edit_join` entities split by role — the
+    LAKE holds the base titles (``_eid ≡ 0 mod 4``), the INCOMING
+    batch holds both planted variants (``1``/``2`` mod 4) — so every
+    incoming row has a true cross match at dist 1 or 2 and the
+    within-incoming (v1, v2) pairs are deliberately ABSENT from the
+    output (the screen's contract: in-corpus pairing at rest is the
+    self-join's job). The ORACLE is the brute-force cross join, so
+    one-sided-prefix candidate completeness is what hashes."""
+    ents = _edit_join_entities(load_table(spark, sf_dir, "documents"))
+    lake = ents.filter(F.col("_eid") % 4 == 0)
+    incoming = ents.filter(F.col("_eid") % 4 != 0)
+    pairs = DD.edit_screen_pairs(
+        incoming, lake, _EJ_K, id_col="_eid", string_col="_s", q=_EJ_Q
     )
     return pairs.select(
-        "id_a", "id_b", "dist",
+        "new_id", "ref_id", "dist",
         (
-            F.floor(F.col("id_a") / 4) == F.floor(F.col("id_b") / 4)
+            F.floor(F.col("new_id") / 4) == F.floor(F.col("ref_id") / 4)
         ).alias("same_doc"),
     )
 
 
-ORACLE_DOC_EDIT_JOIN = f"""
-WITH base AS (
+#: The shared edit-gate corpus CTEs (DuckDB twin of
+#: :func:`_edit_join_entities`) — used by both edit-gate oracles.
+_EJ_ENTS_CTE = f"""base AS (
   SELECT doc_id, substr(text, 1, 40) AS s
   FROM documents
   WHERE doc_id % 5 = 0 AND regexp_matches(substr(text, 1, 40), '^[ -~]{{12,}}$')
@@ -2082,13 +2129,27 @@ WITH base AS (
                substr(s, 1, CAST(p1 - 1 AS INTEGER)) || '~'
                  || substr(s, CAST(p1 + 1 AS INTEGER)) AS v1
         FROM px)
-)
+)"""
+
+ORACLE_DOC_EDIT_JOIN = f"""
+WITH {_EJ_ENTS_CTE}
 SELECT a.id AS id_a, b.id AS id_b,
        CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist,
        (a.id // 4 = b.id // 4) AS same_doc
 FROM ents a JOIN ents b
   ON a.id < b.id AND abs(len(a.s) - len(b.s)) <= {_EJ_K}
 WHERE levenshtein(a.s, b.s) <= {_EJ_K}
+"""
+
+ORACLE_DOC_EDIT_SCREEN = f"""
+WITH {_EJ_ENTS_CTE}
+SELECT n.id AS new_id, r.id AS ref_id,
+       CAST(levenshtein(n.s, r.s) AS INTEGER) AS dist,
+       (n.id // 4 = r.id // 4) AS same_doc
+FROM (SELECT * FROM ents WHERE id % 4 <> 0) n
+JOIN (SELECT * FROM ents WHERE id % 4 = 0) r
+  ON abs(len(n.s) - len(r.s)) <= {_EJ_K}
+WHERE levenshtein(n.s, r.s) <= {_EJ_K}
 """
 
 
@@ -2214,14 +2275,26 @@ wv AS (
   SELECT a.doc_id, a.w, a.tf * i.idf AS x
   FROM alltf a JOIN idf i USING (w)
 ),
-nrm AS (SELECT doc_id, sqrt(sum(x * x)) AS nn FROM wv GROUP BY 1),
+-- accumulation order pinned to the Spark side's fold (r13 ADVICE):
+-- the query sorts each vector by feature before the sequential
+-- F.aggregate, so both the norm and the dot product below fold in
+-- feature-ascending order via list_reduce (left fold; the Spark
+-- fold's extra +0.0 init and 0-contribution misses are IEEE no-ops
+-- because every weight is > 0)
+nrm AS (
+  SELECT doc_id,
+         sqrt(list_reduce(list(x * x ORDER BY w),
+                          (acc, v) -> acc + v)) AS nn
+  FROM wv GROUP BY 1
+),
 unit AS (
   SELECT wv.doc_id, wv.w, wv.x / nrm.nn AS x
   FROM wv JOIN nrm USING (doc_id)
 ),
 dots AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         round(sum(a.x * b.x), 6) AS cos_sim
+         round(list_reduce(list(a.x * b.x ORDER BY a.w),
+                           (acc, v) -> acc + v), 6) AS cos_sim
   FROM unit a JOIN unit b ON a.w = b.w AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )

@@ -610,18 +610,6 @@ _REGISTERED: list[QuerySpec] = [
         "(corpus_prep.chunk_dedup_stats)",
     ),
     QuerySpec(
-        "doc_lm_score", C.q_doc_lm_score, C.ORACLE_DOC_LM_SCORE,
-        "corpus-bigram-LM mean log-prob per doc (CCNet-style quality "
-        "filter, add-one smoothing; corpus_prep.with_lm_score)",
-    ),
-    QuerySpec(
-        "doc_length_quantiles", C.q_doc_length_quantiles,
-        C.ORACLE_DOC_LENGTH_QUANTILES,
-        "exact per-stratum token-length quantiles via value-histogram "
-        "CDF, all quantiles in one conditional-agg pass "
-        "(corpus_prep.stratified_quantiles)",
-    ),
-    QuerySpec(
         "doc_stratified_sample", C.q_doc_stratified_sample,
         C.ORACLE_DOC_STRATIFIED_SAMPLE,
         "deterministic bottom-N-by-hash eval sample per stratum via "
@@ -630,9 +618,9 @@ _REGISTERED: list[QuerySpec] = [
     QuerySpec(
         "doc_corpus_profile_hll", M.q_doc_corpus_profile_hll,
         M.ORACLE_DOC_CORPUS_PROFILE_HLL,
-        "HLL sketch tier of the corpus profile as a bounded-tolerance "
-        "gate: exact counts hash-checked, sketch estimates asserted "
-        "within 3x their documented rsd",
+        "per-lang corpus profile (full exact columns — subsumes the "
+        "retired doc_corpus_profile gate, r14 fold) + HLL sketch "
+        "estimates asserted within 3x their documented rsd",
     ),
     # ---- stable window entries ----
     QuerySpec(
@@ -697,17 +685,11 @@ _REGISTERED: list[QuerySpec] = [
         "(corpus_prep.sliding_chunks)",
     ),
     QuerySpec(
-        "snapshot_diff", R.q_snapshot_diff, R.ORACLE_SNAPSHOT_DIFF,
-        "keyed snapshot diff (added/removed/changed) via fixed-width "
-        "null-flagged fingerprints — only (key, hash) crosses the "
-        "shuffle; independent construction-derived oracle "
-        "(operators/snapshot.snapshot_diff)",
-    ),
-    QuerySpec(
         "doc_dq_profile", R.q_doc_dq_profile, R.ORACLE_DOC_DQ_PROFILE,
-        "data-quality rule profile in one map-side partial-agg pass; "
-        "null rule results count as violations "
-        "(operators/snapshot.dq_profile)",
+        "ingest DQ gate: rule profile in one map-side partial-agg "
+        "pass (null rule results count as violations) + the keyed "
+        "snapshot-diff status rollup folded to the same shape at r14 "
+        "(operators/snapshot.dq_profile + snapshot_diff)",
     ),
     # ---- tail: rotated out of the driver window this round (still ----
     # ---- verified every round by the local DuckDB-oracle suite)   ----
@@ -750,19 +732,8 @@ _REGISTERED: list[QuerySpec] = [
         "via cross-corpus banded LSH, Jaccard-verified",
     ),
     QuerySpec(
-        "emb_cluster_assign", M.q_emb_cluster_assign, M.oracle_emb_cluster_assign,
-        "semantic clustering: nearest trained IVF centroid per vector, "
-        "map-side over centroid plan constants (lazy oracle embeds the "
-        "trained centroids; full hash gate)",
-    ),
-    QuerySpec(
         "doc_media_features", M.q_doc_media_features, M.ORACLE_DOC_MEDIA_FEATURES,
         "binary-payload feature extraction via Arrow mapInPandas",
-    ),
-    QuerySpec(
-        "doc_corpus_profile", M.q_doc_corpus_profile, M.ORACLE_DOC_CORPUS_PROFILE,
-        "per-lang corpus profile with exact distinct counts (hash-gated "
-        "twin of the HLL tier)",
     ),
     QuerySpec(
         "doc_minhash_pairs", M.q_doc_minhash_pairs, M.ORACLE_DOC_MINHASH_PAIRS,
@@ -1342,27 +1313,54 @@ _REGISTERED += [
         "ln-ln fit — vocabulary-growth drift alarm paired with "
         "doc_zipf_fit (textstats.heaps_fit)",
     ),
+    # ---- new at r14: the r13-staged surface, seated under the
+    # ---- window-saturation fold (r13 verdict item 2 — five owed
+    # ---- near-duplicate gates retired/folded into their supersets:
+    # ---- doc_corpus_profile -> doc_corpus_profile_hll,
+    # ---- doc_length_quantiles -> doc_length_quantiles_kll,
+    # ---- snapshot_diff -> doc_dq_profile, doc_lm_score ->
+    # ---- doc_lm_score_ref, emb_cluster_assign ->
+    # ---- emb_cluster_profile — so the registry stays at the
+    # ---- 50-seat/trailing-3 steady-state capacity of 150)
+    QuerySpec(
+        "doc_weighted_cosine", M.q_doc_weighted_cosine,
+        M.ORACLE_DOC_WEIGHTED_COSINE,
+        "weighted-cosine all-pairs join over TF-IDF doc vectors "
+        "(Bayardo WWW'07 prefix filter, never all-pairs) — planted "
+        "weight-only near-dups that set Jaccard cannot separate; "
+        "brute-force oracle with the float fold order pinned on both "
+        "engines (dedup.allpairs_cosine_weighted)",
+    ),
+    QuerySpec(
+        "doc_lang_segments", P.q_doc_lang_segments,
+        P.ORACLE_DOC_LANG_SEGMENTS,
+        "within-document code-switch segmentation: 16-token windows "
+        "voted by stopword hits, same-label runs collapsed via the "
+        "lag/running-sum idiom (textstats.lang_segments)",
+    ),
+    QuerySpec(
+        "doc_payload_containment", M.q_doc_payload_containment,
+        M.ORACLE_DOC_PAYLOAD_CONTAINMENT,
+        "Broder containment over fixed-stride byte-chunk hashes of "
+        "binary payloads — subset-duplicate assets (small file inside "
+        "a concatenated shard) the SimHash resemblance tier misses "
+        "(multimodal.payload_containment_pairs)",
+    ),
+    QuerySpec(
+        "host_hits", CR.q_host_hits, CR.ORACLE_HOST_HITS,
+        "Kleinberg HITS hubs/authorities over the host link graph, "
+        "integer fixed-point with floor-div L1 renormalization — "
+        "crawl-frontier complement of host_pagerank; MATERIALIZED "
+        "unrolled-CTE oracle (operators/graph.hits)",
+    ),
+    QuerySpec(
+        "doc_edit_screen", M.q_doc_edit_screen, M.ORACLE_DOC_EDIT_SCREEN,
+        "cross-side bounded edit-distance screen (incoming batch vs "
+        "lake, one-sided Ed-Join prefix) — the batch face of "
+        "streaming.edit_screen_stream (dedup.edit_screen_pairs)",
+    ),
 ]
 
-# STAGED FOR r14 (the r13 window is exactly full — 44 owed + 6 new):
-# two operators ship this round pytest-pinned but seatless; give them
-# QuerySpecs here once the r13 driver sheet lands and the r14 rotation
-# regenerates. See PLANS.md "Round-13 staged surface":
-#   - dedup.allpairs_cosine_weighted -> gate over TF-IDF doc vectors
-#     with planted weight-only near-dups; brute-force DuckDB oracle
-#     (explode-join dot product), cos rounded 6 pre-threshold.
-#   - streaming.edit_screen_stream -> if gated, the batch face is the
-#     cross-side restriction of doc_edit_join's corpus (the
-#     neardup_screen convention); otherwise stays replay-pytest-only.
-#   - pipeline_ops.q_doc_lang_segments + ORACLE_DOC_LANG_SEGMENTS
-#     (code-switch segmentation) -> oracle-READY, pytest-pinned end to
-#     end; r14 adds only the QuerySpec.
-#   - multimodal.payload_containment_pairs (asset subset-dup without
-#     decoding) -> oracle-READY (ml_ops.q_doc_payload_containment +
-#     ORACLE_DOC_PAYLOAD_CONTAINMENT), pytest-pinned end to end.
-#   - graph.hits (Kleinberg hubs/authorities, integer fixed-point) ->
-#     oracle-READY (curation_ops.q_host_hits + ORACLE_HOST_HITS,
-#     MATERIALIZED unrolled CTEs), loop-oracle + repartition units.
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 

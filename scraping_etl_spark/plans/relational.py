@@ -768,20 +768,47 @@ SELECT c_custkey + 10000000, 'added' FROM customer WHERE c_custkey % 11 = 0
 
 
 def q_doc_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-quality gate profile (snapshot.dq_profile): four ingest
-    rules over documents evaluated in one map-side partial-agg pass —
-    two structurally-true rules (exercising the zero-violation path)
-    and two with real violation mass at every sf."""
+    """Ingest data-quality gate (snapshot.dq_profile +
+    snapshot.snapshot_diff, one seat since r14 — the r13 verdict's
+    window-saturation fold): four ingest rules over documents
+    evaluated in one map-side partial-agg pass — two structurally-true
+    rules (exercising the zero-violation path) and two with real
+    violation mass at every sf — UNIONED with the keyed snapshot-diff
+    rollup (the retired ``snapshot_diff`` gate's corpus: yesterday =
+    customer as-is; today = customers sans every 13th, every 7th
+    rebalanced, every 11th re-keyed +10M) folded to the same
+    (rule, n_rows, n_violations, violation_frac) shape: one
+    ``snapshot_<status>`` row per status, n_rows = total diff rows.
+    The oracle still derives the statuses INDEPENDENTLY from the
+    construction arithmetic — it never computes a fingerprint — so a
+    fingerprint bug (e.g. null-collation collisions) fails the gate;
+    the per-key face stays pinned by tests/test_snapshot.py."""
     from scraping_etl_spark.operators.snapshot import dq_profile
     from scraping_etl_spark.operators.textstats import tokens
 
     d = load_table(spark, sf_dir, "documents")
-    return dq_profile(d, {
+    prof = dq_profile(d, {
         "chars_match": F.length("text") == F.col("n_chars"),
         "lang_known": F.col("lang").isin("en", "de", "fr", "es", "zh"),
         "max_chars_400": F.col("n_chars") <= 400,
         "min_tokens_20": F.size(tokens("text")) >= 20,
     })
+    diff = q_snapshot_diff(spark, sf_dir)
+    total = Window.partitionBy()
+    diff_rollup = (
+        diff.groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .select(
+            F.concat(F.lit("snapshot_"), F.col("status")).alias("rule"),
+            F.sum("n_violations").over(total).cast("long").alias("n_rows"),
+            "n_violations",
+            F.round(
+                F.col("n_violations")
+                / F.sum("n_violations").over(total), 6
+            ).alias("violation_frac"),
+        )
+    )
+    return prof.unionByName(diff_rollup)
 
 
 ORACLE_DOC_DQ_PROFILE = """
@@ -813,6 +840,20 @@ SELECT r.rule,
 FROM t, (VALUES ('chars_match'), ('lang_known'),
                 ('max_chars_400'), ('min_tokens_20')) AS r(rule)
 GROUP BY r.rule
+UNION ALL
+SELECT 'snapshot_' || status AS rule,
+       CAST(sum(count(*)) OVER () AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_violations,
+       round(count(*) / sum(count(*)) OVER (), 6) AS violation_frac
+FROM (
+  SELECT 'removed' AS status FROM customer WHERE c_custkey % 13 = 0
+  UNION ALL
+  SELECT 'changed' FROM customer
+  WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0
+  UNION ALL
+  SELECT 'added' FROM customer WHERE c_custkey % 11 = 0
+)
+GROUP BY status
 """
 
 

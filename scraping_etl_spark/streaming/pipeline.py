@@ -1594,8 +1594,17 @@ def edit_screen_stream(
                 .filter(F.col("dist") >= 0)
             )
         else:
+            # id type derived from the incoming stream (r13 ADVICE):
+            # a hardcoded long would write a first-batch partition
+            # that conflicts with later string-id partitions
+            idt = s.schema["_id"].dataType
             pairs = spark.createDataFrame(
-                [], "new_id long, ref_id long, dist int"
+                [],
+                T.StructType([
+                    T.StructField("new_id", idt),
+                    T.StructField("ref_id", idt),
+                    T.StructField("dist", T.IntegerType()),
+                ]),
             )
         (
             pairs.withColumn("batch_id", F.lit(batch_id))

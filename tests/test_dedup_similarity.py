@@ -1226,6 +1226,85 @@ def test_edit_distance_pairs_fuzz_vs_loop_oracle(spark):
     assert got == _brute_pairs(rows, 2)
 
 
+def _brute_cross_pairs(new_rows, lake_rows, k):
+    out = {}
+    for i, a in new_rows:
+        for j, b in lake_rows:
+            if abs(len(a) - len(b)) <= k:
+                d = _lev(a, b)
+                if d <= k:
+                    out[(i, j)] = d
+    return out
+
+
+def test_edit_screen_pairs_matches_brute_force_cross_only(spark):
+    """The cross-side screen finds every (new, lake) pair within k
+    edits and NO within-side pair — the streaming lake-as-state
+    contract's batch face."""
+    lake = [
+        (100, "journal of marine biology"),
+        (101, "proceedings of the royal soc"),
+        (102, "acta mathematica sinica eng"),
+    ]
+    new = [
+        (1, "journal of marine biologyy"),    # 1 edit from 100
+        (2, "journal of marinE biolog"),      # 2 edits from 100
+        (3, "proceedings of the royal soc"),  # exact dup of 101
+        (4, "nordic journal of botany xx"),   # no lake match
+        (5, "journal of marine biologyz"),    # 1 edit from 100, 2 from 1
+    ]
+    new_df = spark.createDataFrame(new, "rid LONG, s STRING")
+    lake_df = spark.createDataFrame(lake, "rid LONG, s STRING")
+    got = {
+        (r.new_id, r.ref_id): r.dist
+        for r in DD.edit_screen_pairs(new_df, lake_df, 2, "rid", "s").collect()
+    }
+    assert got == _brute_cross_pairs(new, lake, 2)
+    # the within-new (1, 5) pair is within 2 edits but must NOT appear
+    assert all(nid < 100 <= rid for nid, rid in got)
+
+
+def test_edit_screen_pairs_fuzz_vs_loop_oracle(spark):
+    """One-sided prefixing (full grams on the new side, k*q+1 prefix
+    on the lake side) must stay COMPLETE under dense near-dup families
+    — the pigeonhole that lets streaming lake prefixes be fixed at
+    insertion time."""
+    import random as _r
+
+    rng = _r.Random(29)
+    base = ["abcabcabcabc", "aabbccddeeff", "abcdefghijkl", "aaaaaabbbbbb"]
+    lake_rows, new_rows, rid = [], [], 0
+    for b in base:
+        for v in range(4):
+            s = list(b)
+            for _ in range(rng.randrange(0, 3)):
+                op = rng.choice("sid")
+                p = rng.randrange(len(s))
+                if op == "s":
+                    s[p] = rng.choice("abcdef")
+                elif op == "i" and len(s) < 16:
+                    s.insert(p, rng.choice("abcdef"))
+                elif op == "d" and len(s) > 9:
+                    del s[p]
+            (lake_rows if v % 2 else new_rows).append((rid, "".join(s)))
+            rid += 1
+    new_df = spark.createDataFrame(new_rows, "rid LONG, s STRING")
+    lake_df = spark.createDataFrame(lake_rows, "rid LONG, s STRING")
+    got = {
+        (r.new_id, r.ref_id): r.dist
+        for r in DD.edit_screen_pairs(new_df, lake_df, 2, "rid", "s").collect()
+    }
+    assert got == _brute_cross_pairs(new_rows, lake_rows, 2)
+
+
+def test_edit_screen_pairs_short_string_guard(spark):
+    new_df = spark.createDataFrame([(1, "abcdefghi")], "rid LONG, s STRING")
+    lake_df = spark.createDataFrame([(2, "ab")], "rid LONG, s STRING")
+    # the guard probes BOTH sides — a short lake string also raises
+    with pytest.raises(ValueError, match="q\\*\\(k\\+1\\)"):
+        DD.edit_screen_pairs(new_df, lake_df, 2, "rid", "s")
+
+
 def test_edit_distance_pairs_short_string_guard(spark):
     df = spark.createDataFrame([(1, "abcdefghi"), (2, "ab")], "rid LONG, s STRING")
     with pytest.raises(ValueError, match="q\\*\\(k\\+1\\)"):

@@ -138,8 +138,7 @@ _GENERATED_HEADER = '''"""GENERATED by ``tools/make_rotation.py --write`` — do
 Round-{rnd} verification schedule (the driver checks seats 1-{window}).
 Derived from the committed ``CORRECTNESS_r*.json`` ledger: seats
 1-{n_owed} are the {n_owed} entries owed a seat at r{rnd} (last
-driver-green <= r{prev3} or never seated), stalest first; seats
-{fill_from}-{window} re-seat the most senior still-green entries; the
+driver-green <= r{prev3} or never seated), stalest first{reseat}; the
 tail is staleness-ordered so the r{next_rnd} owed group is contiguous
 at its head. Regenerate with ``python tools/make_rotation.py --write``
 after each round's driver artifacts land.
@@ -158,10 +157,15 @@ def write_order(repo: str, rnd: int, entries: dict[str, dict]) -> list[str]:
     dest = os.path.join(
         repo, "scraping_etl_spark", "plans", "rotation_order.py"
     )
+    reseat = (
+        "" if n_owed >= WINDOW else
+        f"; seats\n{n_owed + 1}-{WINDOW} re-seat the most senior "
+        "still-green entries"
+    )
     with open(dest, "w") as f:
         f.write(_GENERATED_HEADER.format(
             rnd=rnd, window=WINDOW, n_owed=n_owed, prev3=rnd - 3,
-            fill_from=n_owed + 1, next_rnd=rnd + 1,
+            reseat=reseat, next_rnd=rnd + 1,
         ))
         for name in order:
             f.write(f'    "{name}",\n')
