@@ -1342,6 +1342,104 @@ def temperature_mix_sample(
     )
 
 
+def unimax_quotas(
+    df: DataFrame,
+    budget_tokens: float,
+    epoch_cap: float = 4.0,
+    strata_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al., ICLR 2023
+    "UniMax: Fairer and more effective language sampling for
+    large-scale multilingual pretraining"): distribute a total token
+    budget across strata as UNIFORMLY as possible subject to a
+    per-stratum repeat ceiling — no stratum is sampled past
+    ``epoch_cap`` epochs of its own corpus. The fix for temperature
+    mixing's failure mode: alpha-smoothing still over-repeats tail
+    languages (they get a share their corpus cannot supply without
+    many epochs); UniMax caps repetition explicitly and hands the
+    freed budget to languages that can absorb it.
+
+    The allocation is classic WATERFILLING in closed form: sort strata
+    by supply cap ascending (``cap_s = epoch_cap · n_tokens_s``); a
+    stratum is SATURATED (gets its full cap) iff its cap fits under
+    the waterline, and every unsaturated stratum gets the common
+    waterline ``t = (budget − Σ_{saturated} cap) / n_unsaturated``.
+    The saturated set is the longest ascending prefix where
+    ``cap_i ≤ (budget − P_i) / (L − i)`` (``P_i`` = inclusive cap
+    prefix sum) — one window pass, no iteration.
+
+    Returns one row per stratum: ``(stratum, n_tokens, cap_tokens,
+    quota_tokens, epochs_used)``, quota/epochs rounded to 6. If the
+    budget exceeds total supply, every stratum is capped and the
+    leftover is simply unspent (the audit columns make that visible).
+
+    Determinism: the prefix sum runs over the global (cap, stratum)
+    sort order sequentially, so both engines fold identically; this
+    puts the strata relation through one task — fine, strata are
+    languages (10..10^4 rows), never documents. Scale: one partial-agg
+    token count per stratum is the only corpus-scale job."""
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be > 0, got {budget_tokens}")
+    if epoch_cap <= 0:
+        raise ValueError(f"epoch_cap must be > 0, got {epoch_cap}")
+    from scraping_etl_spark.operators.textstats import tokens
+
+    counts = (
+        df.select(F.col(strata_col).alias("_g"), tokens(text_col).alias("_t"))
+        .groupBy("_g")
+        .agg(F.sum(F.size("_t")).cast("long").alias("n_tokens"))
+        .withColumn(
+            "cap_tokens",
+            F.col("n_tokens").cast("double") * F.lit(float(epoch_cap)),
+        )
+    )
+    w = Window.orderBy("cap_tokens", "_g")
+    b = F.lit(float(budget_tokens))
+    ranked = counts.select(
+        "_g", "n_tokens", "cap_tokens",
+        F.row_number().over(w).alias("_i"),
+        F.sum("cap_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_p"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("_l"),
+    )
+    saturated = F.when(
+        F.col("_i") == F.col("_l"), F.col("_p") <= b
+    ).otherwise(
+        F.col("cap_tokens")
+        <= (b - F.col("_p")) / (F.col("_l") - F.col("_i"))
+    )
+    flagged = ranked.withColumn("_sat", saturated)
+    krow = flagged.agg(
+        F.max(F.when(F.col("_sat"), F.col("_i"))).alias("_k"),
+        F.max(F.when(F.col("_sat"), F.col("_p"))).alias("_pk"),
+        F.max("_l").alias("_lk"),
+    ).select(
+        F.coalesce("_k", F.lit(0)).alias("_k"),
+        F.coalesce("_pk", F.lit(0.0)).alias("_pk"),
+        "_lk",
+    )
+    t = F.when(
+        F.col("_k") == F.col("_lk"), F.lit(None).cast("double")
+    ).otherwise((b - F.col("_pk")) / (F.col("_lk") - F.col("_k")))
+    quota = F.when(
+        F.col("_i") <= F.col("_k"), F.col("cap_tokens")
+    ).otherwise(t)
+    return (
+        flagged.crossJoin(F.broadcast(krow))
+        .select(
+            F.col("_g").alias(strata_col),
+            "n_tokens",
+            "cap_tokens",
+            F.round(quota, 6).alias("quota_tokens"),
+            F.round(
+                quota / F.col("n_tokens").cast("double"), 6
+            ).alias("epochs_used"),
+        )
+    )
+
+
 def token_divergence(
     a: DataFrame,
     b: DataFrame,

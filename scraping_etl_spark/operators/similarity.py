@@ -98,6 +98,77 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    lo: float = 0.3,
+    hi: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    anchor_id_col: str = "anchor_id",
+    anchor_vec_col: str = "anchor_vec",
+) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training data:
+    for each anchor, the ``k`` MOST similar corpus vectors whose
+    cosine lies in the band ``[lo, hi)`` — similar enough to be
+    informative negatives, but below the near-duplicate ceiling that
+    would make them false negatives (the in-batch-negatives failure
+    mode; cf. dense-retrieval hard-negative mining, Karpukhin et al.
+    EMNLP 2020 §3.2, Xiong et al. ICLR 2021 ANCE). The upper bound is
+    the same role SemDeDup's threshold plays: above ``hi`` a pair is
+    a semantic duplicate, not a negative.
+
+    Output ``(anchor_id, rank, neighbor_id, cos_sim)`` — rank 1 = the
+    hardest in-band negative, ties broken by neighbor id, self-pairs
+    excluded, ``cos_sim`` rounded to 6 AFTER ranking (the oracle-hash
+    convention; ranking uses the exact fold value, which the
+    sequential-fold arithmetic makes engine-reproducible).
+
+    Plan: identical shape to :func:`cosine_topk` — anchors broadcast,
+    corpus streamed once, the band filter applied BEFORE the rank
+    window so per-anchor window state holds only in-band rows. Scale:
+    exact brute tier; for large anchor sets compose with the IVF tier
+    exactly as ``ivf_topk`` does (assign both sides, score within
+    probed cells) — the band filter commutes with any candidate
+    pruning because it only ever REMOVES rows ranked downstream.
+    """
+    if not (0.0 <= lo < hi <= 1.0 + 1e-12):
+        raise ValueError(f"need 0 <= lo < hi <= 1, got [{lo}, {hi})")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    a = anchors.select(
+        F.col(anchor_id_col).alias("_pid"),
+        F.col(anchor_vec_col).alias("_pvec"),
+        l2_norm(F.col(anchor_vec_col)).alias("_pnrm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cvec"),
+        l2_norm(F.col(vec_col)).alias("_cnrm"),
+    )
+    den = F.col("_pnrm") * F.col("_cnrm")
+    cos = F.when(den > 0, dot(F.col("_pvec"), F.col("_cvec")) / den).otherwise(
+        F.lit(0.0)
+    )
+    scored = (
+        c.join(F.broadcast(a), F.col("_pid") != F.col("_cid"))
+        .withColumn("_cos", cos)
+        .filter((F.col("_cos") >= lo) & (F.col("_cos") < hi))
+    )
+    w = Window.partitionBy("_pid").orderBy(F.desc("_cos"), F.asc("_cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_pid").alias(anchor_id_col),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("_cid").alias("neighbor_id"),
+            F.round("_cos", 6).alias("cos_sim"),
+        )
+    )
+
+
 def quantize_embedding(vec: Column, bits: int = 8) -> Column:
     """Per-vector symmetric integer quantization — the memory-bandwidth
     tier of the similarity stack: at 100 TB an ``array<float>`` corpus

@@ -974,7 +974,14 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary with it, then tokenize every document through the
     broadcast word→segmentation join (operators/bpe.py). Emits
     whitespace vs learned-subword counts per doc — the real token
-    budget ``pack_sequences`` and ``doc_token_counts`` want."""
+    budget ``pack_sequences`` and ``doc_token_counts`` want.
+
+    RETIRED as a standalone driver gate at r14 (window-saturation
+    fold): ``doc_bpe_roundtrip`` pins the per-doc encode path
+    strictly harder (full encode→decode losslessness) and
+    ``doc_bpe_fertility`` pins the same subword-count arithmetic per
+    language over the same trained artifacts. Kept as the library
+    query (pytest + local DuckDB suite)."""
     _bpe_query_dirs.add(sf_dir)
     merges, _ = _bpe_artifacts(sf_dir)
     d = load_table(spark, sf_dir, "documents")
@@ -1684,6 +1691,88 @@ SELECT r.source,
        round(r.rate, 6) AS rate,
        CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
 FROM rates r LEFT JOIN kept k USING (source)
+"""
+
+
+# ---------------------------------------------------------------------------
+# UniMax language-budget allocation (corpus_prep.unimax_quotas) —
+# STAGED for r15 (oracle-ready; see plans/registry.py staging note).
+# ---------------------------------------------------------------------------
+
+#: Gate knobs: 2-epoch repeat ceiling at a budget of 120% of the
+#: corpus. The testdata's language mix is too BALANCED for a
+#: waterline to bite (every share ≈ 12%+), so the gate corpus keeps
+#: all English but only every 10th non-English doc — tail languages
+#: at ~3% token share whose caps sit under the waterline (saturated
+#: at exactly 2.0 epochs) while English shares the waterline (~1.1
+#: epochs): both allocation outcomes planted at every sf.
+_UMX_EPOCHS = 2.0
+_UMX_BUDGET_FRAC = 1.2
+
+
+def q_doc_unimax_quotas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget-allocation gate (corpus_prep.unimax_quotas —
+    Chung et al. ICLR 2023): per-language token quotas under a 2-epoch
+    repeat ceiling with a budget of 1.2x the gate corpus's total
+    tokens. The hash pins the closed-form waterfilling: the
+    saturated-prefix predicate, the waterline arithmetic and the cap
+    prefix sum all reproduce exactly in the oracle's window functions
+    (caps are integer-valued at epoch_cap=2.0, so the prefix sums are
+    order-exact doubles on both engines)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("lang") == "en") | (F.col("doc_id") % 10 == 0)
+    )
+    total = (
+        d.select(F.sum(F.size(tokens("text"))).alias("_n")).first()["_n"]
+    )
+    return CP.unimax_quotas(
+        d, budget_tokens=float(total) * _UMX_BUDGET_FRAC,
+        epoch_cap=_UMX_EPOCHS,
+    )
+
+
+ORACLE_DOC_UNIMAX_QUOTAS = f"""
+WITH corpus AS (
+  SELECT * FROM documents WHERE lang = 'en' OR doc_id % 10 = 0
+),
+counts AS (
+  SELECT lang AS _g,
+         CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens,
+         sum(len({_TOKS})) * {_UMX_EPOCHS} AS cap_tokens
+  FROM corpus GROUP BY 1
+),
+budget AS (
+  SELECT sum(len({_TOKS})) * {_UMX_BUDGET_FRAC} AS b FROM corpus
+),
+ranked AS (
+  SELECT _g, n_tokens, cap_tokens,
+         row_number() OVER (ORDER BY cap_tokens, _g) AS i,
+         sum(cap_tokens) OVER (
+           ORDER BY cap_tokens, _g
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+         count(*) OVER () AS l
+  FROM counts
+),
+flagged AS (
+  SELECT r.*, b.b,
+         CASE WHEN i = l THEN p <= b
+              ELSE cap_tokens <= (b - p) / (l - i) END AS sat
+  FROM ranked r CROSS JOIN budget b
+),
+krow AS (
+  SELECT coalesce(max(CASE WHEN sat THEN i END), 0) AS k,
+         coalesce(max(CASE WHEN sat THEN p END), 0.0) AS pk,
+         max(l) AS lk, max(b) AS b
+  FROM flagged
+)
+SELECT f._g AS lang, f.n_tokens, f.cap_tokens,
+       round(CASE WHEN f.i <= krow.k THEN f.cap_tokens
+                  ELSE (krow.b - krow.pk) / (krow.lk - krow.k) END,
+             6) AS quota_tokens,
+       round(CASE WHEN f.i <= krow.k THEN f.cap_tokens
+                  ELSE (krow.b - krow.pk) / (krow.lk - krow.k) END
+             / f.n_tokens, 6) AS epochs_used
+FROM flagged f CROSS JOIN krow
 """
 
 

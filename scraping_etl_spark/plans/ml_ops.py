@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from scraping_etl_spark.operators import dedup as DD
+from scraping_etl_spark.operators import linkage as LK
 from scraping_etl_spark.operators import multimodal as MM
 from scraping_etl_spark.operators import similarity as SIM
 from scraping_etl_spark.operators.textstats import tokens
@@ -482,6 +483,81 @@ FROM ranked WHERE rk <= {_TOPK}
 
 
 ORACLE_EMB_COSINE_TOPK = _cosine_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining gate (similarity.hard_negatives) — STAGED for
+# r15 (oracle-ready; see plans/registry.py staging note).
+# ---------------------------------------------------------------------------
+
+#: Band + k of the hard-negative gate. The embeddings table's random
+#: vectors concentrate off-diagonal cosine well below the near-dup
+#: ceiling (measured max anchor cosine ≈ 0.49 at sf0.01), so the gate
+#: PLANTS the ceiling case: every anchor's exact copy joins the corpus
+#: re-keyed +1e6 — cosine 1 ≥ _HN_HI, and the hash pins that it is
+#: EXCLUDED (a broken band filter would seat it at rank 1).
+_HN_K, _HN_LO, _HN_HI = 3, 0.05, 0.6
+
+
+def q_emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining gate (similarity.hard_negatives): per
+    anchor (vec_id < _N_PROBES, the cosine-gate probe convention) the
+    top-3 corpus vectors with cosine in [_HN_LO, _HN_HI) — the
+    contrastive-training negative band that EXCLUDES near-duplicates
+    above the ceiling (false negatives) and easy negatives below the
+    floor. Corpus: embeddings ∪ each anchor's exact copy re-keyed
+    +1e6, so the near-dup ceiling genuinely bites. Brute-exact tier;
+    the oracle is the same banded brute force, so the band arithmetic
+    and the rank order are what hash."""
+    e = load_table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+    )
+    corpus = e.select("vec_id", "embedding").unionByName(
+        anchors.select(
+            (F.col("anchor_id") + 1_000_000).alias("vec_id"),
+            F.col("anchor_vec").alias("embedding"),
+        )
+    )
+    return SIM.hard_negatives(
+        corpus, anchors, k=_HN_K, lo=_HN_LO, hi=_HN_HI,
+    )
+
+
+def _hard_negatives_oracle() -> str:
+    dot_pq = _DOT.format(a="p.q", b="e.embedding")
+    n_p = _DOT.format(a="p.q", b="p.q")
+    n_e = _DOT.format(a="e.embedding", b="e.embedding")
+    return f"""
+WITH anchors AS (
+  SELECT vec_id AS anchor_id, embedding AS q
+  FROM embeddings WHERE vec_id < {_N_PROBES}
+), corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT anchor_id + 1000000 AS vec_id, q AS embedding FROM anchors
+), scored AS (
+  SELECT p.anchor_id, e.vec_id AS neighbor_id,
+         CASE WHEN sqrt({n_p}) * sqrt({n_e}) > 0
+              THEN {dot_pq} / (sqrt({n_p}) * sqrt({n_e}))
+              ELSE 0.0 END AS c
+  FROM anchors p, corpus e
+  WHERE p.anchor_id <> e.vec_id
+), ranked AS (
+  SELECT anchor_id, neighbor_id, c,
+         row_number() OVER (
+           PARTITION BY anchor_id ORDER BY c DESC, neighbor_id) AS rk
+  FROM scored
+  WHERE c >= {_HN_LO} AND c < {_HN_HI}
+)
+SELECT anchor_id, CAST(rk AS INTEGER) AS rank, neighbor_id,
+       round(c, 6) AS cos_sim
+FROM ranked WHERE rk <= {_HN_K}
+"""
+
+
+ORACLE_EMB_HARD_NEGATIVES = _hard_negatives_oracle()
 
 
 def q_emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2141,6 +2217,165 @@ FROM ents a JOIN ents b
 WHERE levenshtein(a.s, b.s) <= {_EJ_K}
 """
 
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter match scoring gate (operators/linkage.py) — STAGED
+# for r15 (oracle-ready; see plans/registry.py staging note).
+# ---------------------------------------------------------------------------
+
+#: Agreement fields of the FS gate: three positional 8-char windows
+#: plus the bounded edit-distance predicate — a realistic mixed panel
+#: (the variants substitute single chars, so each field disagrees on
+#: some true matches and u-agreement occurs on shared title prefixes).
+_FS_FIELDS = ["agr_pre8", "agr_mid8", "agr_suf8", "agr_lev2"]
+
+
+def q_er_fs_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter record-linkage scoring gate (linkage.fs_weights
+    + fs_score — Fellegi & Sunter JASA 1969): the decision layer above
+    the ER pair generators. Corpus: the :func:`q_doc_edit_join`
+    entities — per family the three within-family pairs are TRUE
+    matches and (base_i, base_{i+1}) successor pairs across adjacent
+    families are NON-matches. Weights train on the ``family % 3 == 0``
+    labeled slice (closed-form m/u counts, add-half smoothing); every
+    pair is then scored with the fixed-order log-likelihood-ratio sum.
+    The hash pins the m/u estimation arithmetic, the per-field CASE
+    weights and the fold order at once; the oracle recomputes all of
+    it from scratch in SQL."""
+    ents = _edit_join_entities(load_table(spark, sf_dir, "documents"))
+    fam = ents.select(
+        "_eid", "_s", F.floor(F.col("_eid") / 4).alias("_fam")
+    )
+    a = fam.select(F.col("_eid").alias("id_a"), F.col("_s").alias("_sa"),
+                   F.col("_fam").alias("_fa"))
+    b = fam.select(F.col("_eid").alias("id_b"), F.col("_s").alias("_sb"),
+                   F.col("_fam").alias("_fb"))
+    match_pairs = (
+        a.join(b, (F.col("_fa") == F.col("_fb"))
+               & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", "_sa", "_sb", F.lit(True).alias("is_match"),
+                F.col("_fa").alias("_fam"))
+    )
+    bases = fam.filter(F.col("_eid") % 4 == 0).withColumn(
+        "_rk", F.row_number().over(Window.orderBy("_eid"))
+    )
+    succ = (
+        bases.select(F.col("_eid").alias("id_a"), F.col("_s").alias("_sa"),
+                     F.col("_fam").alias("_fam"), F.col("_rk").alias("_r"))
+        .join(
+            bases.select(F.col("_eid").alias("id_b"),
+                         F.col("_s").alias("_sb"),
+                         (F.col("_rk") - 1).alias("_r")),
+            "_r",
+        )
+    )
+    nonmatch_pairs = succ.select(
+        "id_a", "id_b", "_sa", "_sb", F.lit(False).alias("is_match"), "_fam"
+    )
+    # prefix-collision non-matches (id_b re-keyed to the unused
+    # _eid ≡ 3 slot): the successor title with THIS family's first 8
+    # chars grafted on — agr_pre8 agrees on a true NON-match, so the
+    # u-side of the weight estimation has real mass, not only the
+    # smoothing floor
+    collision_pairs = succ.select(
+        "id_a",
+        (F.col("id_b") + 3).alias("id_b"),
+        "_sa",
+        F.concat(
+            F.substring("_sa", 1, 8),
+            F.col("_sb").substr(F.lit(9), F.length("_sb")),
+        ).alias("_sb"),
+        F.lit(False).alias("is_match"),
+        "_fam",
+    )
+    pairs = match_pairs.unionByName(nonmatch_pairs).unionByName(
+        collision_pairs
+    )
+    la, lb = F.length("_sa"), F.length("_sb")
+    flagged = pairs.select(
+        "id_a", "id_b", "is_match", "_fam",
+        (F.substring("_sa", 1, 8) == F.substring("_sb", 1, 8)).alias("agr_pre8"),
+        (F.substring("_sa", 17, 8) == F.substring("_sb", 17, 8)).alias("agr_mid8"),
+        (F.col("_sa").substr(la - 7, F.lit(8))
+         == F.col("_sb").substr(lb - 7, F.lit(8))).alias("agr_suf8"),
+        (F.levenshtein("_sa", "_sb") <= 2).alias("agr_lev2"),
+    )
+    weights = LK.fs_weights(
+        flagged.filter(F.col("_fam") % 3 == 0), _FS_FIELDS
+    )
+    return LK.fs_score(
+        flagged.select("id_a", "id_b", "is_match", *_FS_FIELDS),
+        weights, _FS_FIELDS,
+    ).select("id_a", "id_b", "is_match", "fs_score")
+
+
+def _fs_oracle() -> str:
+    fields = {
+        "agr_pre8": "substr(s_a, 1, 8) = substr(s_b, 1, 8)",
+        "agr_mid8": "substr(s_a, 17, 8) = substr(s_b, 17, 8)",
+        "agr_suf8":
+            "substr(s_a, len(s_a) - 7, 8) = substr(s_b, len(s_b) - 7, 8)",
+        "agr_lev2": "levenshtein(s_a, s_b) <= 2",
+    }
+    agrees = ",\n         ".join(f"{e} AS {c}" for c, e in fields.items())
+    wcols = ",\n  ".join(
+        f"(sum(CASE WHEN is_match AND {c} THEN 1 ELSE 0 END) + 0.5)"
+        f" / (sum(CASE WHEN is_match THEN 1 ELSE 0 END) + 1.0) AS m_{c},\n  "
+        f"(sum(CASE WHEN NOT is_match AND {c} THEN 1 ELSE 0 END) + 0.5)"
+        f" / (sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END) + 1.0) AS u_{c}"
+        for c in _FS_FIELDS
+    )
+    score = " + ".join(
+        f"(CASE WHEN {c} THEN ln(m_{c} / u_{c})"
+        f" ELSE ln((1.0 - m_{c}) / (1.0 - u_{c})) END)"
+        for c in _FS_FIELDS
+    )
+    return f"""
+WITH {_EJ_ENTS_CTE},
+fam AS (SELECT id, s, id // 4 AS fam FROM ents),
+match_pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b,
+         true AS is_match, a.fam AS fam
+  FROM fam a JOIN fam b ON a.fam = b.fam AND a.id < b.id
+),
+bases AS (
+  SELECT id, s, fam, row_number() OVER (ORDER BY id) AS rk
+  FROM fam WHERE id % 4 = 0
+),
+nonmatch_pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b,
+         false AS is_match, a.fam AS fam
+  FROM bases a JOIN bases b ON b.rk = a.rk + 1
+),
+collision_pairs AS (
+  SELECT a.id AS id_a, b.id + 3 AS id_b, a.s AS s_a,
+         substr(a.s, 1, 8) || substr(b.s, 9) AS s_b,
+         false AS is_match, a.fam AS fam
+  FROM bases a JOIN bases b ON b.rk = a.rk + 1
+),
+pairs AS (
+  SELECT * FROM match_pairs
+  UNION ALL SELECT * FROM nonmatch_pairs
+  UNION ALL SELECT * FROM collision_pairs
+),
+flagged AS (
+  SELECT id_a, id_b, is_match, fam,
+         {agrees}
+  FROM pairs
+),
+weights AS (
+  SELECT
+  {wcols}
+  FROM flagged WHERE fam % 3 = 0
+)
+SELECT id_a, id_b, is_match,
+       round({score}, 6) AS fs_score
+FROM flagged CROSS JOIN weights
+"""
+
+
+ORACLE_ER_FS_SCORES = _fs_oracle()
+
+
 ORACLE_DOC_EDIT_SCREEN = f"""
 WITH {_EJ_ENTS_CTE}
 SELECT n.id AS new_id, r.id AS ref_id,
@@ -2194,40 +2429,53 @@ FROM pairs WHERE jacc >= {_FM_T}
 # ---------------------------------------------------------------------------
 
 _WC_T = 0.9
+#: Signature size / boost width of the weighted-cosine gate corpus:
+#: each doc is represented by its top-24 TF-IDF tokens (the signature
+#: vector an IDF-weighted near-dup join actually runs on — rare
+#: distinctive tokens, so prefix-token fan-out stays bounded as the
+#: corpus grows; the full-vocabulary variant measured quadratic
+#: candidate mass on the shared-vocabulary testdata: OOM at sf0.1).
+_WC_TOPK = 24
+_WC_NBOOST = 5
 
 
 def q_doc_weighted_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted-cosine all-pairs gate (dedup.allpairs_cosine_weighted
     — Bayardo 2007 prefix filter; the ORACLE is the brute-force
     token-join dot product, so candidate completeness is what hashes).
-    Corpus: per-doc TF-IDF vectors over lowercased whitespace tokens,
-    plus a re-keyed copy of every fifth doc with its FIRST 5 DISTINCT
-    tokens' counts doubled — the same token SET under shifted weights,
-    cosine high but below 1: the pair Jaccard cannot separate and
-    weighted cosine must. Vectors sort by feature before the fold so
-    the verify's float sum order is deterministic."""
-    d = load_table(spark, sf_dir, "documents")
-    base = d.select("doc_id", F.explode(tokens("text", lowercase=True)).alias("w"))
-    tf = base.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    # the boosted copy: every 5th doc, first 5 distinct tokens (by
-    # token order) get tf*2 — mirrored exactly in the oracle
-    boosted = (
-        tf.filter(F.col("doc_id") % 5 == 0)
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("w")
-            ),
-        )
-        .select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"),
-            "w",
-            F.when(F.col("rk") <= 5, F.col("tf") * 2).otherwise(F.col("tf")).alias("tf"),
-        )
+    Corpus: per-doc top-24 TF-IDF signature vectors over 3-word
+    SHINGLES of the doc_id ≡ 0 (mod 5) slice, plus a re-keyed copy of
+    every fifth signature with its FIRST 5 entries' weights doubled
+    (feature-ascending order) — the same feature SET under shifted
+    weights, cosine high but below 1: the pair Jaccard cannot
+    separate and weighted cosine must. Vectors sort by feature before
+    the fold so the verify's float sum order is deterministic; IDF
+    ranks are identical doubles on both engines, so the kept top-24
+    set is engine-stable (ties broken by feature).
+
+    Why shingles (measured): the testdata's WORD vocabulary is 31
+    words (df 250-3923 at sf0.1) — no word is rare, so any word-level
+    prefix filter degenerates to the all-pairs scan it exists to
+    avoid (first cut: 102k prefix rows at sf0.1, candidate-join OOM;
+    top-24-by-IDF did not help — 24 of 31 shared words is still the
+    same set). 3-shingles are the standard near-dup signature
+    precisely because their feature space grows combinatorially:
+    measured at sf0.1, vocab 23k, median df 2, Σdf² ≈ 155k —
+    candidate mass bounded. ``spread_narrow_scan`` spreads the
+    one-row-group local parquet; the signature relation is
+    localCheckpoint-ed once (consumed by both union branches)."""
+    from scraping_etl_spark.operators.dedup import word_shingles
+
+    d = spread_narrow_scan(
+        load_table(spark, sf_dir, "documents")
+    ).filter(F.col("doc_id") % 5 == 0)
+    base = d.select(
+        "doc_id",
+        F.explode(word_shingles(F.lower(F.col("text")), 3)).alias("w"),
     )
-    alltf = tf.unionByName(boosted)
-    n_docs = alltf.select("doc_id").distinct().count()
-    idf = alltf.groupBy("w").agg(
+    tf = base.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = tf.select("doc_id").distinct().count()
+    idf = tf.groupBy("w").agg(
         (
             F.log(
                 F.lit(float(n_docs + 1))
@@ -2236,16 +2484,37 @@ def q_doc_weighted_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(1.0)
         ).alias("idf")
     )
-    vecs = (
-        alltf.join(idf, "w")
-        .select(
+    kept = (
+        tf.join(idf, "w")
+        .select("doc_id", "w", (F.col("tf") * F.col("idf")).alias("x"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id")
+                .orderBy(F.col("x").desc(), F.col("w"))
+            ),
+        )
+        .filter(F.col("rk") <= _WC_TOPK)
+    )
+    base_vecs = (
+        kept.select(
             F.col("doc_id").alias("_id"),
-            F.struct(F.col("w").alias("t"),
-                     (F.col("tf") * F.col("idf")).alias("w")).alias("e"),
+            F.struct(F.col("w").alias("t"), F.col("x").alias("w")).alias("e"),
         )
         .groupBy("_id")
         .agg(F.sort_array(F.collect_list("e")).alias("_vec"))
+    ).localCheckpoint()
+    boosted_vecs = base_vecs.filter(F.col("_id") % 5 == 0).select(
+        (F.col("_id") + 1_000_000).alias("_id"),
+        F.transform(
+            "_vec",
+            lambda x, i: F.struct(
+                x["t"].alias("t"),
+                F.when(i < _WC_NBOOST, x["w"] * 2).otherwise(x["w"]).alias("w"),
+            ),
+        ).alias("_vec"),
     )
+    vecs = base_vecs.unionByName(boosted_vecs)
     pairs = DD.allpairs_cosine_weighted(vecs, _WC_T)
     return pairs.select(
         "id_a", "id_b", "cos_sim",
@@ -2254,27 +2523,42 @@ def q_doc_weighted_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_DOC_WEIGHTED_COSINE = f"""
-WITH base AS (
-  SELECT doc_id, unnest({_MLLTOKS}) AS w FROM documents
+WITH toks AS (
+  SELECT doc_id, {_MLLTOKS} AS t FROM documents WHERE doc_id % 5 = 0
+),
+base AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(t) >= 3
+                THEN list_transform(generate_series(1, len(t) - 2),
+                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                ELSE [] END)) AS w
+  FROM toks
 ),
 tf AS (SELECT doc_id, w, count(*) AS tf FROM base GROUP BY 1, 2),
-boosted AS (
-  SELECT doc_id + 1000000 AS doc_id, w,
-         CASE WHEN rk <= 5 THEN tf * 2 ELSE tf END AS tf
-  FROM (SELECT doc_id, w, tf,
-               row_number() OVER (PARTITION BY doc_id ORDER BY w) AS rk
-        FROM tf WHERE doc_id % 5 = 0)
-),
-alltf AS (SELECT * FROM tf UNION ALL SELECT * FROM boosted),
-nd AS (SELECT count(DISTINCT doc_id) AS n FROM alltf),
+nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
 idf AS (
   SELECT w, ln((n + 1.0) / (count(*) + 1.0)) + 1.0 AS idf
-  FROM alltf CROSS JOIN nd GROUP BY w, n
+  FROM tf CROSS JOIN nd GROUP BY w, n
 ),
-wv AS (
-  SELECT a.doc_id, a.w, a.tf * i.idf AS x
-  FROM alltf a JOIN idf i USING (w)
+kept AS (
+  SELECT doc_id, w, x
+  FROM (
+    SELECT t.doc_id, t.w, t.tf * i.idf AS x,
+           row_number() OVER (
+             PARTITION BY t.doc_id
+             ORDER BY t.tf * i.idf DESC, t.w) AS rk
+    FROM tf t JOIN idf i USING (w)
+  ) WHERE rk <= {_WC_TOPK}
 ),
+boosted AS (
+  SELECT doc_id + 1000000 AS doc_id, w,
+         CASE WHEN rkw <= {_WC_NBOOST} THEN x * 2 ELSE x END AS x
+  FROM (SELECT doc_id, w, x,
+               row_number() OVER (PARTITION BY doc_id ORDER BY w) AS rkw
+        FROM kept WHERE doc_id % 5 = 0)
+),
+wv AS (SELECT * FROM kept UNION ALL SELECT * FROM boosted),
 -- accumulation order pinned to the Spark side's fold (r13 ADVICE):
 -- the query sorts each vector by feature before the sequential
 -- F.aggregate, so both the norm and the dot product below fold in
@@ -2304,7 +2588,6 @@ FROM dots WHERE cos_sim >= {_WC_T}
 """
 
 
-# ---------------------------------------------------------------------------
 # Payload containment gate (multimodal.payload_containment_pairs) —
 # STAGED for r14 (see plans/registry.py staging note).
 # ---------------------------------------------------------------------------

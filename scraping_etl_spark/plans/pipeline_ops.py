@@ -98,6 +98,15 @@ FROM toks
 
 
 def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-count language-ID heuristic (textstats.with_lang_id).
+
+    RETIRED as a standalone driver gate at r14 (window-saturation
+    fold): the n-gram tier carries the driver-checked language-ID
+    surface (``doc_lang_id_ngram`` argmin, ``doc_lang_margin``
+    top-2/abstain) and the stopword-vote machinery this heuristic
+    uses stays driver-exercised through ``doc_lang_segments``. Kept
+    as the library query (tests/test_langid.py + local DuckDB
+    suite)."""
     d = load_table(spark, sf_dir, "documents")
     return TS.with_lang_id(d).select(
         "doc_id", "lang_pred", "score_en", "score_de", "score_es", "score_fr"

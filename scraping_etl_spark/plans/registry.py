@@ -443,10 +443,6 @@ _REGISTERED: list[QuerySpec] = [
         "token/char counts + diversity (text analysis)",
     ),
     QuerySpec(
-        "doc_lang_id", P.q_doc_lang_id, P.ORACLE_DOC_LANG_ID,
-        "stopword-ratio language ID heuristic",
-    ),
-    QuerySpec(
         "doc_fingerprint", P.q_doc_fingerprint, P.ORACLE_DOC_FINGERPRINT,
         "bag-of-words md5 document fingerprint",
     ),
@@ -505,13 +501,6 @@ _REGISTERED: list[QuerySpec] = [
         "doc_stream_gates", C.q_doc_stream_gates, C.ORACLE_DOC_STREAM_GATES,
         "batch twin of the streaming ingest OOV + static-LM fluency "
         "gate chain (streaming/pipeline.corpus_prep_stream)",
-    ),
-    QuerySpec(
-        "doc_bpe_tokens", C.q_doc_bpe_tokens, C.oracle_doc_bpe_tokens,
-        "trained-BPE tokenization: learned merge table (deterministic "
-        "pair-merge training, operators/bpe.py) -> broadcast "
-        "word-segmentation join -> per-doc subword counts (lazy oracle "
-        "embeds the learned table as plan constants)",
     ),
     QuerySpec(
         "doc_bm25", CR.q_doc_bm25, CR.ORACLE_DOC_BM25,
@@ -1361,6 +1350,24 @@ _REGISTERED += [
     ),
 ]
 
+# STAGED FOR r15 (seat arithmetic: the registry sits at 148 of the
+# 150-entry steady-state capacity after the r14 folds, so TWO seats
+# are free; both staged gates are oracle-ready and pytest-pinned end
+# to end this round — r15 adds only the QuerySpecs + rotation regen):
+#   - ml_ops.q_emb_hard_negatives + ORACLE_EMB_HARD_NEGATIVES
+#     (similarity.hard_negatives — contrastive hard-negative mining,
+#     banded cosine top-k with a planted near-dup ceiling).
+#   - ml_ops.q_er_fs_scores + ORACLE_ER_FS_SCORES
+#     (linkage.fs_weights/fs_score — Fellegi-Sunter match weights
+#     from a labeled slice + fixed-order log-LR scoring).
+#   - corpus_ops.q_doc_unimax_quotas + ORACLE_DOC_UNIMAX_QUOTAS
+#     (corpus_prep.unimax_quotas — UniMax closed-form waterfilling
+#     language-budget allocation, Chung et al. ICLR 2023). Seating a
+#     third gate needs one more fold of an r12-last-green pair
+#     (candidate: doc_token_counts into doc_text_stats — both are
+#     per-doc token-count profiles).
+# Streaming twin (pytest-only, no seat): emb_screen_stream — the
+# semantic ingest screen over a growing vector lake.
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 

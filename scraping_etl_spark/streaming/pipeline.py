@@ -1637,6 +1637,128 @@ def edit_screen_stream(
     return writer.start()
 
 
+def emb_screen_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    lake_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.95,
+    schema: T.StructType = schemas.EMBEDDINGS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Streaming SEMANTIC ingest screen — "is this embedding within
+    cosine ``threshold`` of content we already hold?" at ingest: the
+    embedding-space member of the screen family
+    (:func:`bloom_screen_stream` exact, :func:`cdc_chunk_screen_stream`
+    shifted-content, :func:`edit_screen_stream` bounded-edit — this one
+    catches paraphrases and re-encodes that share no bytes, the
+    ``similarity.embedding_decontaminate`` deployment shape folded over
+    a stream).
+
+    Lake state is one parquet relation of LANDED vectors partitioned by
+    ``batch_id``. Per micro-batch: screen the batch against STRICTLY
+    EARLIER lake partitions (``batch_id < N`` — partition-pruned,
+    replay-idempotent) via :func:`~...similarity.embedding_decontaminate`
+    (threshold on the ROUNDED cosine, the engine-parity convention);
+    refused rows land in ``out_dir`` tagged with their closest lake
+    neighbor and hit count, surviving rows land too (``refused``
+    false, null neighbor) AND append their vectors to the lake under
+    ``batch_id=N``. Arrival order wins; within-batch mirrors are NOT
+    screened against each other (the :func:`neardup_screen_stream`
+    convention — in-corpus pairing at rest is ``semantic_dedup_pairs``'
+    job), so shard-ordered ingest reproduces the batch screen of each
+    shard against the union of its predecessors — the twin test's
+    pinned setting.
+
+    Scale: the decontaminate screen broadcasts the lake side only
+    while it fits (its bounded count probe runs against the pruned
+    lake each trigger); past the cap the join falls back to the
+    shuffle path, and the documented production escalation is the
+    IVF-bucketed tier (assign lake + batch to trained centroids,
+    screen within probed cells) exactly as ``ivf_topk`` serves."""
+    from scraping_etl_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def screen(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        has_lake = os.path.isdir(lake_dir) and any(
+            e.startswith("batch_id=") for e in os.listdir(lake_dir)
+        )
+        b = batch_df.select(id_col, vec_col).localCheckpoint()
+        if has_lake:
+            lake = (
+                spark.read.parquet(lake_dir)
+                .filter(F.col("batch_id") < batch_id)
+                .select(F.col(id_col).alias("_lid"),
+                        F.col(vec_col).alias("_lvec"))
+            )
+            flags = embedding_decontaminate(
+                b, lake, threshold=threshold,
+                id_col=id_col, vec_col=vec_col,
+                bench_id_col="_lid", bench_vec_col="_lvec",
+            ).select(
+                id_col,
+                F.col("bench_id").alias("lake_id"),
+                "cos_sim",
+                F.col("n_bench_hits").alias("n_lake_hits"),
+            )
+        else:
+            idt = b.schema[id_col].dataType
+            flags = spark.createDataFrame(
+                [],
+                T.StructType([
+                    T.StructField(id_col, idt),
+                    T.StructField("lake_id", idt),
+                    T.StructField("cos_sim", T.DoubleType()),
+                    T.StructField("n_lake_hits", T.LongType()),
+                ]),
+            )
+        landed = (
+            b.join(flags, id_col, "left")
+            .select(
+                id_col,
+                F.col("lake_id").isNotNull().alias("refused"),
+                "lake_id", "cos_sim", "n_lake_hits",
+            )
+            .localCheckpoint()  # out write + lake append
+        )
+        (
+            landed.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+        (
+            b.join(
+                landed.filter(~F.col("refused")).select(id_col), id_col
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(lake_dir)
+        )
+
+    writer = stream.writeStream.foreachBatch(screen).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def corpus_law_stream(
     spark: SparkSession,
     source_dir: str,

@@ -1251,3 +1251,109 @@ def test_kn_score_validation(spark):
 
     with _pt.raises(ValueError):
         CP.with_kn_score(df, hot_threshold=0)
+
+
+# ---------------------------------------------------------------------------
+# unimax_quotas (UniMax waterfilling, Chung et al. 2023)
+# ---------------------------------------------------------------------------
+
+def _unimax_loop(caps: dict, budget: float) -> dict:
+    """Reference waterfilling: iteratively saturate any stratum whose
+    cap fits under the current even split of the remaining budget."""
+    quotas = {}
+    remaining = dict(caps)
+    b = budget
+    while remaining:
+        t = b / len(remaining)
+        sat = {g: c for g, c in remaining.items() if c <= t}
+        if not sat:
+            for g in remaining:
+                quotas[g] = t
+            return quotas
+        for g, c in sat.items():
+            quotas[g] = c
+            b -= c
+            del remaining[g]
+    return quotas  # budget exceeded total supply: everyone capped
+
+
+def _unimax_df(spark, tokens_per_lang: dict):
+    rows = [
+        (i, " ".join(["w"] * n), g)
+        for i, (g, n) in enumerate(tokens_per_lang.items())
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+
+
+def test_unimax_quotas_matches_loop_waterfilling(spark):
+    import pytest as _pt
+
+    from scraping_etl_spark.operators.corpus_prep import unimax_quotas
+
+    sizes = {"aa": 10, "bb": 50, "cc": 100, "dd": 400, "ee": 401}
+    for epochs, budget in ((2.0, 700.0), (1.0, 2000.0), (3.0, 50.0)):
+        caps = {g: epochs * n for g, n in sizes.items()}
+        want = _unimax_loop(caps, budget)
+        got = {
+            r.lang: r.quota_tokens
+            for r in unimax_quotas(
+                _unimax_df(spark, sizes), budget, epoch_cap=epochs
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for g in want:
+            assert got[g] == _pt.approx(want[g], abs=1e-5), (epochs, budget, g)
+
+
+def test_unimax_quotas_budget_exceeds_supply(spark):
+    """Budget above total supply: every stratum capped, leftover
+    unspent, epochs_used == the cap."""
+    from scraping_etl_spark.operators.corpus_prep import unimax_quotas
+
+    sizes = {"aa": 10, "bb": 20}
+    out = {r.lang: r for r in unimax_quotas(
+        _unimax_df(spark, sizes), 1000.0, epoch_cap=2.0
+    ).collect()}
+    for g, n in sizes.items():
+        assert out[g].quota_tokens == 2.0 * n
+        assert out[g].epochs_used == 2.0
+
+
+def test_unimax_quotas_validation(spark):
+    import pytest as _pt
+
+    from scraping_etl_spark.operators.corpus_prep import unimax_quotas
+
+    df = _unimax_df(spark, {"aa": 3})
+    with _pt.raises(ValueError, match="budget_tokens"):
+        unimax_quotas(df, 0.0)
+    with _pt.raises(ValueError, match="epoch_cap"):
+        unimax_quotas(df, 10.0, epoch_cap=-1.0)
+
+
+def test_unimax_gate_matches_oracle_staged_for_r15(spark):
+    """The staged doc_unimax_quotas gate hashes against its DuckDB
+    oracle end-to-end, and the planted skew produces BOTH allocation
+    outcomes: tail languages saturated at the epoch cap, English on
+    the shared waterline below it."""
+    import duckdb
+
+    from scraping_etl_spark.plans import corpus_ops as C
+
+    sf = "/root/testdata/sf0.001"
+    rows = C.q_doc_unimax_quotas(spark, sf).collect()
+    got = {
+        r.lang: (r.n_tokens, r.cap_tokens, r.quota_tokens, r.epochs_used)
+        for r in rows
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(C.ORACLE_DOC_UNIMAX_QUOTAS).fetchall()
+    }
+    assert got == want
+    assert any(e == C._UMX_EPOCHS for (_, _, _, e) in got.values())
+    assert any(e < C._UMX_EPOCHS for (_, _, _, e) in got.values())

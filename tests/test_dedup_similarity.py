@@ -140,6 +140,80 @@ def test_cosine_topk(spark):
     assert rows[1].cos_sim == 0.0
 
 
+def test_hard_negatives_band_and_rank(spark):
+    """The band keeps exactly the in-[lo, hi) neighbors, the near-dup
+    above the ceiling is excluded, and ranks follow cosine desc."""
+    import math
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.99, 0.141067]),   # cos≈0.990 to anchor 1 -> above hi
+        (3, [1.0, 1.0]),         # cos≈0.707 -> in band
+        (4, [1.0, 2.0]),         # cos≈0.447 -> in band
+        (5, [0.0, 1.0]),         # cos = 0   -> below lo
+        (6, [-1.0, 0.1]),        # cos < 0   -> below lo
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    anchors = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+    )
+    got = SIM.hard_negatives(emb, anchors, k=5, lo=0.1, hi=0.9).collect()
+    assert [(r.rank, r.neighbor_id) for r in got] == [(1, 3), (2, 4)]
+    assert got[0].cos_sim == pytest.approx(1 / math.sqrt(2), abs=1e-6)
+    assert got[1].cos_sim == pytest.approx(1 / math.sqrt(5), abs=1e-6)
+
+
+def test_hard_negatives_matches_loop_oracle(spark):
+    """Banded top-k equals the brute-force loop on a dense corpus."""
+    import math
+
+    vecs = [
+        (i, [math.cos(0.17 * i + 0.3 * j) for j in range(6)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    anchors = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+    )
+    lo, hi, k = 0.2, 0.95, 3
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na * nb > 0 else 0.0
+
+    expected = {}
+    by_id = dict(vecs)
+    for a in range(4):
+        cands = sorted(
+            (
+                (-cos(by_id[a], v), i)
+                for i, v in vecs
+                if i != a and lo <= cos(by_id[a], v) < hi
+            ),
+        )[:k]
+        expected[a] = [i for _, i in cands]
+    got = {}
+    for r in SIM.hard_negatives(emb, anchors, k=k, lo=lo, hi=hi).collect():
+        got.setdefault(r.anchor_id, []).append((r.rank, r.neighbor_id))
+    got = {a: [i for _, i in sorted(rs)] for a, rs in got.items()}
+    assert got == expected
+
+
+def test_hard_negatives_validates_band(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    a = emb.select(F.col("vec_id").alias("anchor_id"),
+                   F.col("embedding").alias("anchor_vec"))
+    with pytest.raises(ValueError, match="lo < hi"):
+        SIM.hard_negatives(emb, a, lo=0.9, hi=0.5)
+    with pytest.raises(ValueError, match="k must be"):
+        SIM.hard_negatives(emb, a, k=0)
+
+
 def test_ann_same_vector_same_bucket(spark):
     emb = spark.createDataFrame(
         [(i, [float(i % 7 + 1), float(i % 5), 1.0, -2.0]) for i in range(40)],
@@ -1389,11 +1463,11 @@ def test_allpairs_cosine_weighted_threshold_validation(spark):
         DD.allpairs_cosine_weighted(_vec_df(spark, [(1, [(0, 1.0)])]), 0.0)
 
 
-def test_weighted_cosine_gate_matches_oracle_staged_for_r14(spark):
-    """The staged doc_weighted_cosine gate (no r13 seat — window full)
-    hashes against its DuckDB oracle end-to-end, and the planted
-    boosted-weight copies (same token SET, shifted weights) are found
-    — the separation set-Jaccard cannot make."""
+def test_weighted_cosine_gate_matches_oracle(spark):
+    """The doc_weighted_cosine gate (seated r14) hashes against its
+    DuckDB oracle end-to-end, and the planted boosted-weight copies
+    (same shingle SET, shifted weights) are found — the separation
+    set-Jaccard cannot make."""
     import duckdb
 
     from scraping_etl_spark.plans import ml_ops as M
@@ -1512,3 +1586,60 @@ def test_payload_containment_gate_matches_oracle_staged_for_r14(spark):
     }
     assert got == want
     assert any(b >= 3_000_000 for (_, b) in got)
+
+
+def test_hard_negatives_gate_matches_oracle_staged_for_r15(spark):
+    """The staged emb_hard_negatives gate hashes against its DuckDB
+    oracle end-to-end; the planted near-dup copies (each anchor's
+    exact vector re-keyed +1e6, cosine 1 >= hi) never reach the
+    output — the ceiling that keeps false negatives out of a
+    contrastive batch."""
+    import duckdb
+
+    from scraping_etl_spark.plans import ml_ops as M
+
+    sf = "/root/testdata/sf0.001"
+    out = M.q_emb_hard_negatives(spark, sf)
+    assert out.filter(
+        F.col("neighbor_id") == F.col("anchor_id") + 1_000_000
+    ).count() == 0
+    got = {
+        (r.anchor_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in out.collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    want = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(M.ORACLE_EMB_HARD_NEGATIVES).fetchall()
+    }
+    assert got == want and got
+
+
+def test_fs_scores_gate_matches_oracle_staged_for_r15(spark):
+    """The staged er_fs_scores gate hashes against its DuckDB oracle
+    end-to-end, and the trained log-LR weights separate: every true
+    match outscores every planted non-match (including the
+    prefix-collision non-matches whose agr_pre8 agrees)."""
+    import duckdb
+
+    from scraping_etl_spark.plans import ml_ops as M
+
+    sf = "/root/testdata/sf0.001"
+    rows = M.q_er_fs_scores(spark, sf).collect()
+    got = {(r.id_a, r.id_b): (r.is_match, r.fs_score) for r in rows}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(M.ORACLE_ER_FS_SCORES).fetchall()
+    }
+    assert got == want
+    match_scores = [s for (m, s) in got.values() if m]
+    non_scores = [s for (m, s) in got.values() if not m]
+    assert match_scores and non_scores
+    assert min(match_scores) > max(non_scores)

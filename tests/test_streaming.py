@@ -1621,3 +1621,101 @@ def test_corpus_law_stream_matches_batch_fit_and_replays(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert again == want
+
+
+def test_emb_screen_stream_matches_batch_twin_and_replays(spark, tmp_path):
+    """Streaming semantic ingest screen: with shards arriving in
+    order, each shard's refusals equal the batch
+    embedding_decontaminate of the shard against the union of its
+    PREDECESSORS' survivors; exact-copy mirrors across batches are
+    refused (including one whose lake side entered at batch 2 — the
+    growing-lake proof); a replay (checkpoint wiped, lake kept)
+    converges to the same output."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from scraping_etl_spark.operators.similarity import (
+        embedding_decontaminate,
+    )
+    from scraping_etl_spark.streaming.pipeline import emb_screen_stream
+
+    src, out, lake, ckpt = (
+        str(tmp_path / d) for d in ("src", "out", "lake", "ckpt")
+    )
+    os.makedirs(src)
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(30)
+        .localCheckpoint()
+    )
+    s1 = base.filter("vec_id % 3 = 0")
+    fresh2 = base.filter("vec_id % 3 = 1").selectExpr(
+        "vec_id + 500 AS vec_id", "embedding", "label"
+    )
+    mir2 = s1.selectExpr("vec_id + 1000 AS vec_id", "embedding", "label")
+    s2 = fresh2.unionByName(mir2)
+    mir3 = fresh2.selectExpr("vec_id + 2000 AS vec_id", "embedding", "label")
+    for i, sh in enumerate((s1, s2, mir3)):
+        sh.coalesce(1).write.parquet(f"{src}/f{i + 1}")
+
+    def run_once():
+        q = emb_screen_stream(
+            spark, f"{src}/*", out, lake, ckpt,
+            threshold=0.95, max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    got = {
+        r.vec_id: (r.refused, r.lake_id, r.cos_sim, r.n_lake_hits)
+        for r in rows
+    }
+
+    # batch twin: fold each shard against the union of its
+    # predecessors' SURVIVORS
+    want = {}
+    seen = None
+    for sh in (s1, s2, mir3):
+        cur = sh.select("vec_id", "embedding").localCheckpoint()
+        if seen is None:
+            flags = {}
+        else:
+            flags = {
+                r.vec_id: (r.bench_id, r.cos_sim, r.n_bench_hits)
+                for r in embedding_decontaminate(
+                    cur, seen, threshold=0.95,
+                    bench_id_col="vec_id", bench_vec_col="embedding",
+                ).collect()
+            }
+        survivors = []
+        for r in cur.collect():
+            if r.vec_id in flags:
+                bid, cos, nh = flags[r.vec_id]
+                want[r.vec_id] = (True, bid, cos, nh)
+            else:
+                want[r.vec_id] = (False, None, None, None)
+                survivors.append(r.vec_id)
+        surv = cur.filter(F.col("vec_id").isin(survivors))
+        seen = surv if seen is None else seen.unionByName(surv)
+        seen = seen.localCheckpoint()
+    assert got == want
+    # every planted cross-batch mirror refused; batch-3 mirrors hit
+    # batch-2 lake rows (the lake grew)
+    mir2_ids = {r.vec_id for r in mir2.collect()}
+    mir3_ids = {r.vec_id for r in mir3.collect()}
+    assert all(got[v][0] for v in mir2_ids)
+    assert all(got[v][0] for v in mir3_ids)
+    assert all(got[v][1] == v - 2000 for v in mir3_ids)
+    # fresh rows landed
+    assert all(not got[r.vec_id][0] for r in fresh2.collect())
+
+    shutil.rmtree(ckpt)
+    run_once()
+    again = {
+        r.vec_id: (r.refused, r.lake_id, r.cos_sim, r.n_lake_hits)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert again == want
