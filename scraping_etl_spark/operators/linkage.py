@@ -84,6 +84,122 @@ def fs_weights(
     return row.select(*out)
 
 
+#: Fixed-point grid for the EM responsibility sums: each pair's
+#: posterior match probability is rounded to an integer grid before
+#: the M-step aggregation, so the sums are INTEGER additions —
+#: associative, hence bit-identical under any partial-aggregation
+#: order on any engine (the ``token_divergence`` trick). Resolution
+#: 1e-9 per pair; BIGINT overflow needs > ~9e9 pairs per aggregation.
+EM_SCALE = 1_000_000_000
+
+
+def fs_em_weights(
+    pairs: DataFrame,
+    agree_cols: list[str],
+    n_iters: int = 5,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    init_p: float = 0.5,
+) -> dict:
+    """UNSUPERVISED Fellegi–Sunter parameter estimation via EM (Winkler
+    1988; the deployment case where no labeled pairs exist): treat
+    match/non-match as a latent two-class mixture over the per-field
+    agreement patterns (conditional independence, the classic FS
+    assumption) and iterate
+
+    - E-step: per pair, the posterior match responsibility
+      ``w = p·Π_i m-term / (p·Π_i m-term + (1-p)·Π_i u-term)`` with
+      the products folded in FIXED field order;
+    - M-step: ``m_i = E[w·a_i]/E[w]``, ``u_i`` likewise over ``1-w``,
+      ``p = E[w]/N`` — each expectation an integer sum of grid-rounded
+      responsibilities (:data:`EM_SCALE`), add-half-smoothed on the
+      same grid so no probability hits 0/1.
+
+    Returns ``{"p": float, "m": {field: float}, "u": {field: float},
+    "n_pairs": int}`` — plan-constant-sized state, collected once per
+    iteration (the train-loop pattern of ``kmeans_train_fx`` /
+    WordPiece: k driver-side O(1)-row actions over a one-pass
+    aggregation, never a driver loop over data rows). Every arithmetic
+    step is deterministic (exact-double E-step from the previous
+    constants, integer-grid M-step), so the fixpoint is reproducible
+    across engines and partitionings — the property that makes a
+    future driver gate oracle-able by unrolled CTEs.
+
+    Scale: each iteration is ONE map-side partial aggregation over the
+    pair relation (no shuffle beyond the final combine); state is
+    ``2·|fields| + 1`` doubles. 100 TB: the pair relation is the
+    candidate output of the blocking join (``fuzzy_string_pairs`` /
+    ``edit_distance_pairs``), already data-scale-reduced."""
+    if not agree_cols:
+        raise ValueError("agree_cols must name at least one field")
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
+    if not (0.0 < init_p < 1.0):
+        raise ValueError(f"init_p must be in (0, 1), got {init_p}")
+    flags = pairs.select(
+        *[F.col(c).cast("boolean").alias(c) for c in agree_cols]
+    )
+    m = {c: float(init_m) for c in agree_cols}
+    u = {c: float(init_u) for c in agree_cols}
+    p = float(init_p)
+    half, one = EM_SCALE // 2, EM_SCALE
+    n_pairs = None
+    for _ in range(n_iters):
+        num: Column = F.lit(p)
+        den_u: Column = F.lit(1.0 - p)
+        for c in agree_cols:  # fixed fold order — mirrors in SQL
+            a = F.col(c)
+            num = num * F.when(a, F.lit(m[c])).otherwise(F.lit(1.0 - m[c]))
+            den_u = den_u * F.when(a, F.lit(u[c])).otherwise(
+                F.lit(1.0 - u[c])
+            )
+        w = num / (num + den_u)
+        wq = F.round(w * F.lit(float(EM_SCALE))).cast("long")
+        aggs = [
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(wq).alias("_sw"),
+        ]
+        for c in agree_cols:
+            aggs.append(
+                F.sum(F.when(F.col(c), wq).otherwise(F.lit(0))).alias(f"_swa_{c}")
+            )
+            aggs.append(
+                F.sum(
+                    F.when(F.col(c), F.lit(EM_SCALE).cast("long") - wq)
+                    .otherwise(F.lit(0))
+                ).alias(f"_sua_{c}")
+            )
+        row = flags.agg(*aggs).first()
+        n_pairs = int(row["_n"])
+        if n_pairs == 0:
+            raise ValueError("fs_em_weights: empty pair relation")
+        sw = int(row["_sw"])
+        su = n_pairs * one - sw
+        p = sw / float(n_pairs * one)
+        for c in agree_cols:
+            m[c] = (int(row[f"_swa_{c}"]) + half) / float(sw + one)
+            u[c] = (int(row[f"_sua_{c}"]) + half) / float(su + one)
+    return {"p": p, "m": m, "u": u, "n_pairs": n_pairs}
+
+
+def fs_em_weights_df(
+    spark_pairs: DataFrame,
+    agree_cols: list[str],
+    **kw,
+) -> DataFrame:
+    """The :func:`fs_em_weights` fixpoint reshaped to the
+    :func:`fs_weights` one-row relation (``m_*`` / ``u_*`` columns +
+    ``p_match``), so :func:`fs_score` serves EM-trained weights
+    unchanged."""
+    est = fs_em_weights(spark_pairs, agree_cols, **kw)
+    spark = spark_pairs.sparkSession
+    cols = {"p_match": est["p"]}
+    for c in agree_cols:
+        cols[f"m_{c}"] = est["m"][c]
+        cols[f"u_{c}"] = est["u"][c]
+    return spark.createDataFrame([tuple(cols.values())], list(cols.keys()))
+
+
 def fs_score_expr(agree_cols: list[str]) -> Column:
     """The Fellegi–Sunter score as a fixed-order expression over
     ``agree_cols`` and the joined ``m_*`` / ``u_*`` weight columns —

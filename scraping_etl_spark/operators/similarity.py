@@ -725,6 +725,74 @@ def ivf_topk(
         )
     )
 
+def hard_negatives_ivf(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    lo: float = 0.3,
+    hi: float = 0.8,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    anchor_id_col: str = "anchor_id",
+    anchor_vec_col: str = "anchor_vec",
+) -> DataFrame:
+    """IVF scale tier of :func:`hard_negatives` — the variant for
+    LARGE anchor sets, where broadcasting anchors against the full
+    corpus (the brute tier's plan) stops being one cheap map-side
+    pass: corpus vectors live in their nearest-centroid inverted list
+    (:func:`ivf_topk`'s layout, trained once via :func:`ivf_train`),
+    each anchor probes only its ``n_probe`` nearest cells, and the
+    band + rank run inside the probed lists. The candidate join is a
+    hash equi-join on cluster id — never a cross join — and the band
+    filter commutes with cell pruning (it only removes rows ranked
+    downstream), so at ``n_probe = n_clusters`` the output EQUALS the
+    brute tier exactly (the recall contract the unit suite pins);
+    below that it is the standard IVF recall trade."""
+    if not (0.0 <= lo < hi <= 1.0 + 1e-12):
+        raise ValueError(f"need 0 <= lo < hi <= 1, got [{lo}, {hi})")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    c = corpus.select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cvec"),
+        F.element_at(nearest_centroids(F.col(vec_col), centroids, 1), 1)
+        .alias("_cluster"),
+        l2_norm(F.col(vec_col)).alias("_cnrm"),
+    )
+    a = anchors.select(
+        F.col(anchor_id_col).alias("_pid"),
+        F.col(anchor_vec_col).alias("_pvec"),
+        F.explode(
+            nearest_centroids(F.col(anchor_vec_col), centroids, n_probe)
+        ).alias("_cluster"),
+        l2_norm(F.col(anchor_vec_col)).alias("_pnrm"),
+    )
+    den = F.col("_pnrm") * F.col("_cnrm")
+    cos = F.when(den > 0, dot(F.col("_pvec"), F.col("_cvec")) / den).otherwise(
+        F.lit(0.0)
+    )
+    scored = (
+        c.join(a, "_cluster")
+        .filter(F.col("_pid") != F.col("_cid"))
+        .withColumn("_cos", cos)
+        .filter((F.col("_cos") >= lo) & (F.col("_cos") < hi))
+    )
+    w = Window.partitionBy("_pid").orderBy(F.desc("_cos"), F.asc("_cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("_pid").alias(anchor_id_col),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("_cid").alias("neighbor_id"),
+            F.round("_cos", 6).alias("cos_sim"),
+        )
+    )
+
+
 #: Broadcast the benchmark embedding set only below this many vectors —
 #: same measured-guard pattern as corpus_prep.MAX_BROADCAST_GRAMS.
 #: Benchmark suites are small by construction (10^4-10^6 items even for

@@ -1643,3 +1643,44 @@ def test_fs_scores_gate_matches_oracle_staged_for_r15(spark):
     non_scores = [s for (m, s) in got.values() if not m]
     assert match_scores and non_scores
     assert min(match_scores) > max(non_scores)
+
+
+def test_hard_negatives_ivf_full_probe_equals_brute(spark):
+    """At n_probe = n_clusters the IVF tier is EXACTLY the brute band
+    top-k; at lower n_probe it returns a subset of cells' results."""
+    import math
+
+    vecs = [
+        (i, [math.cos(0.23 * i + 0.4 * j) for j in range(6)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    anchors = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+    )
+    cents = SIM.ivf_train(emb, n_clusters=4, seed=3)
+    brute = {
+        (r.anchor_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in SIM.hard_negatives(emb, anchors, k=3, lo=0.2, hi=0.95).collect()
+    }
+    full = {
+        (r.anchor_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in SIM.hard_negatives_ivf(
+            emb, anchors, cents, k=3, lo=0.2, hi=0.95, n_probe=4
+        ).collect()
+    }
+    assert full == brute
+    pruned = SIM.hard_negatives_ivf(
+        emb, anchors, cents, k=3, lo=0.2, hi=0.95, n_probe=1
+    ).collect()
+    assert pruned  # cell pruning still surfaces in-band negatives
+    # pruned results respect the band and never self-pair; their ranks
+    # are dense per anchor (1..n)
+    by_anchor = {}
+    for r in pruned:
+        assert 0.2 <= r.cos_sim < 0.95
+        assert r.anchor_id != r.neighbor_id
+        by_anchor.setdefault(r.anchor_id, []).append(r.rank)
+    for ranks in by_anchor.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
