@@ -50,6 +50,18 @@ def main() -> int:
         f"({new_total / old_total:.2f}x), "
         f"{len(old)} -> {len(new)} queries"
     )
+    # r14 on, bench payloads book one-time model training as explicit
+    # train:* rows — report that block separately so a sheet WITH the
+    # split diffs honestly against one without it (where the same cost
+    # hid inside whichever scoring gate ran first)
+    t_old = sum(v for k, v in old.items() if k.startswith("train:"))
+    t_new = sum(v for k, v in new.items() if k.startswith("train:"))
+    if t_old or t_new:
+        print(
+            f"train rows: {t_old:.1f} s -> {t_new:.1f} s; "
+            f"query-only total: {old_total - t_old:.1f} s -> "
+            f"{new_total - t_new:.1f} s"
+        )
     only_old = sorted(set(old) - set(new))
     only_new = sorted(set(new) - set(old))
     if only_old:
