@@ -684,3 +684,64 @@ def test_edit_distance_pairs_complete_vs_dp_oracle(spark, strings, k):
                 if d <= k:
                     want[(i, j)] = d
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# allpairs_cosine_weighted: prefix-filter COMPLETENESS under fuzzed
+# sparse weighted vectors (the Bayardo suffix-bound theorem)
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(st.integers(0, 6), st.floats(0.05, 4.0,
+                                                   allow_nan=False)),
+            min_size=1, max_size=5,
+        ),
+        min_size=2, max_size=8,
+    ),
+    st.sampled_from([0.5, 0.7, 0.9]),
+)
+def test_allpairs_cosine_weighted_complete_vs_loop(spark, raw, threshold):
+    """A 7-feature universe forces heavy feature sharing — the regime
+    where a buggy suffix bound would silently drop qualifying pairs.
+    The loop oracle computes every pair's exact cosine, so any
+    mismatch is a candidate-completeness bug."""
+    import math
+
+    from scraping_etl_spark.operators.dedup import allpairs_cosine_weighted
+
+    rows = []
+    for i, feats in enumerate(raw):
+        dedup = {}
+        for t, w in feats:
+            dedup[str(t)] = w  # distinct features per row, last wins
+        rows.append((i, sorted(dedup.items())))
+    df = spark.createDataFrame(
+        [(i, [(t, w) for t, w in v]) for i, v in rows],
+        "_id LONG, _vec array<struct<t: string, w: double>>",
+    )
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in allpairs_cosine_weighted(df, threshold).collect()
+    }
+
+    def cos(a, b):
+        da, db = dict(a), dict(b)
+        na = math.sqrt(sum(w * w for w in da.values()))
+        nb = math.sqrt(sum(w * w for w in db.values()))
+        if na == 0 or nb == 0:
+            return 0.0
+        return sum(da[t] * db.get(t, 0.0) for t in da) / (na * nb)
+
+    want = {}
+    for i, a in rows:
+        for j, b in rows:
+            if i < j:
+                c = round(cos(a, b), 6)
+                if c >= threshold:
+                    want[(i, j)] = c
+    assert set(got) == set(want)
+    for k_ in got:
+        assert abs(got[k_] - want[k_]) < 2e-6, k_
