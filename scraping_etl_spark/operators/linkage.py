@@ -154,7 +154,11 @@ def fs_em_weights(
                 F.lit(1.0 - u[c])
             )
         w = num / (num + den_u)
-        wq = F.round(w * F.lit(float(EM_SCALE))).cast("long")
+        # floor(x + 0.5) rather than F.round: identical IEEE mul/add/
+        # floor on every engine (HALF_UP on the decimal expansion is
+        # JVM-BigDecimal-specific at representability corners), so an
+        # unrolled-CTE SQL oracle reproduces the grid bit-for-bit
+        wq = F.floor(w * F.lit(float(EM_SCALE)) + F.lit(0.5)).cast("long")
         aggs = [
             F.count(F.lit(1)).alias("_n"),
             F.sum(wq).alias("_sw"),

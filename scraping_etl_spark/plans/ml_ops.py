@@ -2241,6 +2241,20 @@ def q_er_fs_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     The hash pins the m/u estimation arithmetic, the per-field CASE
     weights and the fold order at once; the oracle recomputes all of
     it from scratch in SQL."""
+    flagged = _fs_flagged_pairs(spark, sf_dir)
+    weights = LK.fs_weights(
+        flagged.filter(F.col("_fam") % 3 == 0), _FS_FIELDS
+    )
+    return LK.fs_score(
+        flagged.select("id_a", "id_b", "is_match", *_FS_FIELDS),
+        weights, _FS_FIELDS,
+    ).select("id_a", "id_b", "is_match", "fs_score")
+
+
+def _fs_flagged_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared FS gate pair corpus: edit-gate families flagged with
+    the four agreement fields (see :func:`q_er_fs_scores`). Used by
+    both the labeled-scoring and the EM gates."""
     ents = _edit_join_entities(load_table(spark, sf_dir, "documents"))
     fam = ents.select(
         "_eid", "_s", F.floor(F.col("_eid") / 4).alias("_fam")
@@ -2291,7 +2305,7 @@ def q_er_fs_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         collision_pairs
     )
     la, lb = F.length("_sa"), F.length("_sb")
-    flagged = pairs.select(
+    return pairs.select(
         "id_a", "id_b", "is_match", "_fam",
         (F.substring("_sa", 1, 8) == F.substring("_sb", 1, 8)).alias("agr_pre8"),
         (F.substring("_sa", 17, 8) == F.substring("_sb", 17, 8)).alias("agr_mid8"),
@@ -2299,38 +2313,26 @@ def q_er_fs_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
          == F.col("_sb").substr(lb - 7, F.lit(8))).alias("agr_suf8"),
         (F.levenshtein("_sa", "_sb") <= 2).alias("agr_lev2"),
     )
-    weights = LK.fs_weights(
-        flagged.filter(F.col("_fam") % 3 == 0), _FS_FIELDS
-    )
-    return LK.fs_score(
-        flagged.select("id_a", "id_b", "is_match", *_FS_FIELDS),
-        weights, _FS_FIELDS,
-    ).select("id_a", "id_b", "is_match", "fs_score")
 
 
-def _fs_oracle() -> str:
-    fields = {
-        "agr_pre8": "substr(s_a, 1, 8) = substr(s_b, 1, 8)",
-        "agr_mid8": "substr(s_a, 17, 8) = substr(s_b, 17, 8)",
-        "agr_suf8":
-            "substr(s_a, len(s_a) - 7, 8) = substr(s_b, len(s_b) - 7, 8)",
-        "agr_lev2": "levenshtein(s_a, s_b) <= 2",
-    }
-    agrees = ",\n         ".join(f"{e} AS {c}" for c, e in fields.items())
-    wcols = ",\n  ".join(
-        f"(sum(CASE WHEN is_match AND {c} THEN 1 ELSE 0 END) + 0.5)"
-        f" / (sum(CASE WHEN is_match THEN 1 ELSE 0 END) + 1.0) AS m_{c},\n  "
-        f"(sum(CASE WHEN NOT is_match AND {c} THEN 1 ELSE 0 END) + 0.5)"
-        f" / (sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END) + 1.0) AS u_{c}"
-        for c in _FS_FIELDS
+#: DuckDB twins of the four agreement fields (shared by the labeled
+#: and EM oracles).
+_FS_FIELD_SQL = {
+    "agr_pre8": "substr(s_a, 1, 8) = substr(s_b, 1, 8)",
+    "agr_mid8": "substr(s_a, 17, 8) = substr(s_b, 17, 8)",
+    "agr_suf8":
+        "substr(s_a, len(s_a) - 7, 8) = substr(s_b, len(s_b) - 7, 8)",
+    "agr_lev2": "levenshtein(s_a, s_b) <= 2",
+}
+
+
+def _fs_pair_ctes() -> str:
+    """The shared FS pair-corpus CTE chain (DuckDB twin of
+    :func:`_fs_flagged_pairs`), ending at ``flagged``."""
+    agrees = ",\n         ".join(
+        f"{e} AS {c}" for c, e in _FS_FIELD_SQL.items()
     )
-    score = " + ".join(
-        f"(CASE WHEN {c} THEN ln(m_{c} / u_{c})"
-        f" ELSE ln((1.0 - m_{c}) / (1.0 - u_{c})) END)"
-        for c in _FS_FIELDS
-    )
-    return f"""
-WITH {_EJ_ENTS_CTE},
+    return f"""{_EJ_ENTS_CTE},
 fam AS (SELECT id, s, id // 4 AS fam FROM ents),
 match_pairs AS (
   SELECT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b,
@@ -2357,11 +2359,28 @@ pairs AS (
   UNION ALL SELECT * FROM nonmatch_pairs
   UNION ALL SELECT * FROM collision_pairs
 ),
-flagged AS (
+flagged AS MATERIALIZED (
   SELECT id_a, id_b, is_match, fam,
          {agrees}
   FROM pairs
-),
+)"""
+
+
+def _fs_oracle() -> str:
+    wcols = ",\n  ".join(
+        f"(sum(CASE WHEN is_match AND {c} THEN 1 ELSE 0 END) + 0.5)"
+        f" / (sum(CASE WHEN is_match THEN 1 ELSE 0 END) + 1.0) AS m_{c},\n  "
+        f"(sum(CASE WHEN NOT is_match AND {c} THEN 1 ELSE 0 END) + 0.5)"
+        f" / (sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END) + 1.0) AS u_{c}"
+        for c in _FS_FIELDS
+    )
+    score = " + ".join(
+        f"(CASE WHEN {c} THEN ln(m_{c} / u_{c})"
+        f" ELSE ln((1.0 - m_{c}) / (1.0 - u_{c})) END)"
+        for c in _FS_FIELDS
+    )
+    return f"""
+WITH {_fs_pair_ctes()},
 weights AS (
   SELECT
   {wcols}
@@ -2374,6 +2393,116 @@ FROM flagged CROSS JOIN weights
 
 
 ORACLE_ER_FS_SCORES = _fs_oracle()
+
+
+#: EM gate knobs: iteration count (the fixpoint the hash pins) and the
+#: shared init constants — kept small so the k-times-unrolled oracle
+#: stays tractable while the estimates already separate.
+_FS_EM_ITERS = 3
+_FS_EM_INIT_M, _FS_EM_INIT_U, _FS_EM_INIT_P = 0.9, 0.1, 0.5
+
+
+def q_er_fs_em_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNSUPERVISED Fellegi–Sunter gate (linkage.fs_em_weights —
+    Winkler 1988 latent-mixture EM): the same pair corpus as
+    :func:`q_er_fs_scores` but the m/u/p weights are estimated WITHOUT
+    the labels (they ride along only as ground truth in the output).
+    The hash pins the whole EM fixpoint — fixed-order E-step products,
+    integer-grid M-step sums, add-half smoothing — for
+    ``_FS_EM_ITERS`` iterations, plus the downstream fixed-order
+    log-LR scoring; the oracle unrolls every iteration as MATERIALIZED
+    CTEs (the ``host_hits`` convention)."""
+    flagged = _fs_flagged_pairs(spark, sf_dir)
+    weights = LK.fs_em_weights_df(
+        flagged, _FS_FIELDS, n_iters=_FS_EM_ITERS,
+        init_m=_FS_EM_INIT_M, init_u=_FS_EM_INIT_U, init_p=_FS_EM_INIT_P,
+    )
+    return LK.fs_score(
+        flagged.select("id_a", "id_b", "is_match", *_FS_FIELDS),
+        weights, _FS_FIELDS,
+    ).select("id_a", "id_b", "is_match", "fs_score")
+
+
+def _fs_em_oracle(n_iters: int = _FS_EM_ITERS) -> str:
+    """Unrolled-CTE DuckDB twin of :func:`q_er_fs_em_scores`:
+    iteration ``i``'s responsibility CTE cross-joins iteration
+    ``i-1``'s one-row constants, the M-step sums integer-grid
+    responsibilities (floor(w*SCALE + 0.5) — identical IEEE ops on
+    both engines), and the final score uses iteration ``k``'s
+    constants. Every CTE is MATERIALIZED (DuckDB inlines plain CTEs
+    per reference — the host_hits lesson)."""
+    from scraping_etl_spark.operators.linkage import EM_SCALE
+
+    half, one = EM_SCALE // 2, EM_SCALE
+    fields = _FS_FIELDS
+    em0_cols = [f"CAST({_FS_EM_INIT_P!r} AS DOUBLE) AS p"]
+    for c in fields:
+        em0_cols.append(f"CAST({_FS_EM_INIT_M!r} AS DOUBLE) AS m_{c}")
+        em0_cols.append(f"CAST({_FS_EM_INIT_U!r} AS DOUBLE) AS u_{c}")
+    parts = [f"""
+WITH {_fs_pair_ctes()},
+em0 AS MATERIALIZED (SELECT {', '.join(em0_cols)})"""]
+    for i in range(1, n_iters + 1):
+        prev = i - 1
+        num = " * ".join(
+            [f"e.p"] + [
+                f"(CASE WHEN f.{c} THEN e.m_{c} ELSE 1.0 - e.m_{c} END)"
+                for c in fields
+            ]
+        )
+        den = " * ".join(
+            [f"(1.0 - e.p)"] + [
+                f"(CASE WHEN f.{c} THEN e.u_{c} ELSE 1.0 - e.u_{c} END)"
+                for c in fields
+            ]
+        )
+        sums = [
+            "count(*) AS n",
+            "sum(wq) AS sw",
+        ]
+        for c in fields:
+            sums.append(
+                f"sum(CASE WHEN {c} THEN wq ELSE 0 END) AS swa_{c}"
+            )
+            sums.append(
+                f"sum(CASE WHEN {c} THEN {one} - wq ELSE 0 END) AS sua_{c}"
+            )
+        upd = [f"CAST(sw AS DOUBLE) / (n * {float(one)!r}) AS p"]
+        for c in fields:
+            upd.append(
+                f"(swa_{c} + {half}) / CAST(sw + {one} AS DOUBLE) AS m_{c}"
+            )
+            upd.append(
+                f"(sua_{c} + {half}) / CAST(n * CAST({one} AS BIGINT)"
+                f" - sw + {one} AS DOUBLE) AS u_{c}"
+            )
+        parts.append(f""",
+resp{i} AS MATERIALIZED (
+  SELECT f.*,
+         CAST(floor(({num}) / (({num}) + ({den}))
+                    * {float(one)!r} + 0.5) AS BIGINT) AS wq
+  FROM flagged f CROSS JOIN em{prev} e
+),
+sums{i} AS MATERIALIZED (
+  SELECT {', '.join(sums)} FROM resp{i}
+),
+em{i} AS MATERIALIZED (
+  SELECT {', '.join(upd)} FROM sums{i}
+)""")
+    score = " + ".join(
+        f"(CASE WHEN f.{c} THEN ln(e.m_{c} / e.u_{c})"
+        f" ELSE ln((1.0 - e.m_{c}) / (1.0 - e.u_{c})) END)"
+        for c in fields
+    )
+    parts.append(f"""
+SELECT f.id_a, f.id_b, f.is_match,
+       round({score}, 6) AS fs_score
+FROM flagged f CROSS JOIN em{n_iters} e
+""")
+    return "".join(parts)
+
+
+ORACLE_ER_FS_EM_SCORES = _fs_em_oracle()
 
 
 ORACLE_DOC_EDIT_SCREEN = f"""

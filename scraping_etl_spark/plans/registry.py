@@ -1360,6 +1360,10 @@ _REGISTERED += [
 #   - ml_ops.q_er_fs_scores + ORACLE_ER_FS_SCORES
 #     (linkage.fs_weights/fs_score — Fellegi-Sunter match weights
 #     from a labeled slice + fixed-order log-LR scoring).
+#   - ml_ops.q_er_fs_em_scores + ORACLE_ER_FS_EM_SCORES
+#     (linkage.fs_em_weights — UNSUPERVISED EM weights on the same
+#     pair corpus; the oracle unrolls every EM iteration as
+#     MATERIALIZED CTEs, the host_hits convention).
 #   - corpus_ops.q_doc_unimax_quotas + ORACLE_DOC_UNIMAX_QUOTAS
 #     (corpus_prep.unimax_quotas — UniMax closed-form waterfilling
 #     language-budget allocation, Chung et al. ICLR 2023). Seating a

@@ -1684,3 +1684,29 @@ def test_hard_negatives_ivf_full_probe_equals_brute(spark):
         by_anchor.setdefault(r.anchor_id, []).append(r.rank)
     for ranks in by_anchor.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_fs_em_gate_matches_unrolled_oracle_staged(spark):
+    """The staged er_fs_em_scores gate (UNSUPERVISED weights) hashes
+    against its k-times-unrolled MATERIALIZED-CTE oracle, and EM
+    recovers the separation without ever seeing a label: every true
+    match outscores every planted non-match."""
+    import duckdb
+
+    from scraping_etl_spark.plans import ml_ops as M
+
+    sf = "/root/testdata/sf0.001"
+    rows = M.q_er_fs_em_scores(spark, sf).collect()
+    got = {(r.id_a, r.id_b): (r.is_match, r.fs_score) for r in rows}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(M.ORACLE_ER_FS_EM_SCORES).fetchall()
+    }
+    assert got == want
+    match_scores = [s for (m, s) in got.values() if m]
+    non_scores = [s for (m, s) in got.values() if not m]
+    assert min(match_scores) > max(non_scores)

@@ -96,15 +96,10 @@ def _python_em(rows, fields, n_iters, m0, u0, p0):
                 num *= m[c] if a else 1.0 - m[c]
                 den_u *= u[c] if a else 1.0 - u[c]
             w = num / (num + den_u)
-            # Python round() is banker's; Spark F.round is HALF_UP —
-            # match Spark explicitly
-            import decimal
+            # identical IEEE mul/add/floor as the Spark/SQL sides
+            import math
 
-            wq = int(
-                decimal.Decimal(w * EM_SCALE).quantize(
-                    0, rounding=decimal.ROUND_HALF_UP
-                )
-            )
+            wq = int(math.floor(w * EM_SCALE + 0.5))
             sw += wq
             for c in fields:
                 if r[c]:
