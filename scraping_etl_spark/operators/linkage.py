@@ -112,8 +112,11 @@ def fs_em_weights(
       the products folded in FIXED field order;
     - M-step: ``m_i = E[w·a_i]/E[w]``, ``u_i`` likewise over ``1-w``,
       ``p = E[w]/N`` — each expectation an integer sum of grid-rounded
-      responsibilities (:data:`EM_SCALE`), add-half-smoothed on the
-      same grid so no probability hits 0/1.
+      responsibilities (:data:`EM_SCALE`), with m, u AND p all
+      add-half-smoothed on the same grid so no probability hits 0/1
+      (an unsmoothed p would make sw=0 / sw=N·S absorbing states:
+      the E-step numerator or denominator term would collapse to 0
+      and freeze EM there).
 
     Returns ``{"p": float, "m": {field: float}, "u": {field: float},
     "n_pairs": int}`` — plan-constant-sized state, collected once per
@@ -179,7 +182,11 @@ def fs_em_weights(
             raise ValueError("fs_em_weights: empty pair relation")
         sw = int(row["_sw"])
         su = n_pairs * one - sw
-        p = sw / float(n_pairs * one)
+        # add-half smoothing on p too: if responsibilities collapse
+        # (sw == 0 or sw == n·S) an unsmoothed p would hit exactly
+        # 0/1 and the next E-step would be frozen at that absorbing
+        # state — the same rationale as the m/u smoothing below
+        p = (sw + half) / float(n_pairs * one + one)
         for c in agree_cols:
             m[c] = (int(row[f"_swa_{c}"]) + half) / float(sw + one)
             u[c] = (int(row[f"_sua_{c}"]) + half) / float(su + one)

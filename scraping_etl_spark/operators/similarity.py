@@ -812,6 +812,7 @@ def embedding_decontaminate(
     bench_id_col: str = "vec_id",
     bench_vec_col: str = "embedding",
     max_broadcast_vecs: int = MAX_BROADCAST_BENCH_VECS,
+    exclude_same_id: bool = True,
 ) -> DataFrame:
     """Embedding-space benchmark decontamination — the semantic sibling
     of the k-gram ``corpus_prep.decontaminate`` screen: flag corpus
@@ -831,7 +832,15 @@ def embedding_decontaminate(
     broadcast set, filter, then a rank window over the FLAGGED rows
     only (contamination rates are ~1e-3, so the window input is tiny).
     The threshold compares against the ROUNDED cosine (6 dp, house
-    convention) so the boundary is engine-portable."""
+    convention) so the boundary is engine-portable.
+
+    ``exclude_same_id`` (default True) drops (corpus, bench) pairs
+    whose ids coincide — right when the two relations can overlap
+    (the benchmark carved out of the corpus itself). Pass False when
+    corpus and bench are DISTINCT relations that may legitimately
+    reuse an id — e.g. the streaming ingest screen, where a record
+    re-delivered under its original id in a later batch must still be
+    screened against its own lake copy (r14 ADVICE)."""
     b = bench.select(
         F.col(bench_id_col).alias("_bid"),
         F.col(bench_vec_col).alias("_bvec"),
@@ -855,8 +864,11 @@ def embedding_decontaminate(
     cos = F.when(den > 0, dot(F.col("_cvec"), F.col("_bvec")) / den).otherwise(
         F.lit(0.0)
     )
+    pair_cond = (
+        F.col("_cid") != F.col("_bid") if exclude_same_id else F.lit(True)
+    )
     flagged = (
-        c.join(b_side, F.col("_cid") != F.col("_bid"))
+        c.join(b_side, pair_cond)
         .withColumn("_cos", F.round(cos, 6))
         .filter(F.col("_cos") >= threshold)
     )

@@ -2241,7 +2241,8 @@ def q_er_fs_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     The hash pins the m/u estimation arithmetic, the per-field CASE
     weights and the fold order at once; the oracle recomputes all of
     it from scratch in SQL."""
-    flagged = _fs_flagged_pairs(spark, sf_dir)
+    # localCheckpoint: consumed twice (weight slice + scoring pass)
+    flagged = _fs_flagged_pairs(spark, sf_dir).localCheckpoint()
     weights = LK.fs_weights(
         flagged.filter(F.col("_fam") % 3 == 0), _FS_FIELDS
     )
@@ -2412,7 +2413,11 @@ def q_er_fs_em_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_FS_EM_ITERS`` iterations, plus the downstream fixed-order
     log-LR scoring; the oracle unrolls every iteration as MATERIALIZED
     CTEs (the ``host_hits`` convention)."""
-    flagged = _fs_flagged_pairs(spark, sf_dir)
+    # localCheckpoint once: the pair derivation (edit-join entities,
+    # md5 windows, three-way union, agreement flags) would otherwise
+    # re-execute per EM iteration plus twice more for the weight
+    # reshape and the scoring pass — the weighted-cosine convention
+    flagged = _fs_flagged_pairs(spark, sf_dir).localCheckpoint()
     weights = LK.fs_em_weights_df(
         flagged, _FS_FIELDS, n_iters=_FS_EM_ITERS,
         init_m=_FS_EM_INIT_M, init_u=_FS_EM_INIT_U, init_p=_FS_EM_INIT_P,
@@ -2467,7 +2472,11 @@ em0 AS MATERIALIZED (SELECT {', '.join(em0_cols)})"""]
             sums.append(
                 f"sum(CASE WHEN {c} THEN {one} - wq ELSE 0 END) AS sua_{c}"
             )
-        upd = [f"CAST(sw AS DOUBLE) / (n * {float(one)!r}) AS p"]
+        # p is add-half-smoothed on the grid exactly like m/u (keeps
+        # EM off the 0/1 absorbing states) — mirrors linkage.py
+        upd = [
+            f"(sw + {half}) / (n * {float(one)!r} + {float(one)!r}) AS p"
+        ]
         for c in fields:
             upd.append(
                 f"(swa_{c} + {half}) / CAST(sw + {one} AS DOUBLE) AS m_{c}"

@@ -1672,7 +1672,11 @@ def emb_screen_stream(
     convention — in-corpus pairing at rest is ``semantic_dedup_pairs``'
     job), so shard-ordered ingest reproduces the batch screen of each
     shard against the union of its predecessors — the twin test's
-    pinned setting.
+    pinned setting. A record RE-DELIVERED under its original id in a
+    later batch IS screened against its own lake copy (the screen
+    passes ``exclude_same_id=False`` — lake and batch are distinct
+    relations, so id equality never marks a self-pair here) and is
+    refused as the exact duplicate it is, instead of landing twice.
 
     Scale: the decontaminate screen broadcasts the lake side only
     while it fits (its bounded count probe runs against the pruned
@@ -1707,6 +1711,12 @@ def emb_screen_stream(
                 b, lake, threshold=threshold,
                 id_col=id_col, vec_col=vec_col,
                 bench_id_col="_lid", bench_vec_col="_lvec",
+                # lake and batch are distinct relations: a record
+                # re-delivered under its ORIGINAL id in a later batch
+                # must still be screened against its own lake copy,
+                # so the batch-decontaminate self-pair exclusion is
+                # wrong here (r14 ADVICE)
+                exclude_same_id=False,
             ).select(
                 id_col,
                 F.col("bench_id").alias("lake_id"),

@@ -562,6 +562,22 @@ def test_emb_decontaminate_tie_breaks_on_smaller_bench_id(spark):
     assert out[0].bench_id == 300 and out[0].n_bench_hits == 2
 
 
+def test_emb_decontaminate_exclude_same_id_toggle(spark):
+    """Default drops id-coincident pairs (bench carved from corpus);
+    exclude_same_id=False screens them too — the streaming ingest
+    setting, where lake and batch are distinct relations (r14
+    ADVICE)."""
+    bench = _vecs(spark, [(1, [1.0, 0.0]), (9, [0.0, 1.0])])
+    corpus = _vecs(spark, [(1, [1.0, 0.0])])
+    dflt = SIM.embedding_decontaminate(corpus, bench, threshold=0.9).collect()
+    assert dflt == []  # only candidate pair shares the id -> excluded
+    incl = SIM.embedding_decontaminate(
+        corpus, bench, threshold=0.9, exclude_same_id=False
+    ).collect()
+    assert len(incl) == 1
+    assert incl[0].bench_id == 1 and incl[0].cos_sim == 1.0
+
+
 def test_emb_decontaminate_broadcast_guard_falls_back(spark):
     """Above the measured cap the broadcast hint is dropped — the plan
     still returns identical rows (correctness never depends on the

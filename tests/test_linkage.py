@@ -106,7 +106,7 @@ def _python_em(rows, fields, n_iters, m0, u0, p0):
                     swa[c] += wq
                     sua[c] += one - wq
         su = n * one - sw
-        p = sw / float(n * one)
+        p = (sw + half) / float(n * one + one)  # p smoothed like m/u
         for c in fields:
             m[c] = (swa[c] + half) / float(sw + one)
             u[c] = (sua[c] + half) / float(su + one)
@@ -140,6 +140,21 @@ def test_fs_em_weights_matches_python_reference(spark):
         assert got["m"][c] == _pt.approx(want["m"][c], abs=0), c
         assert got["u"][c] == _pt.approx(want["u"][c], abs=0), c
     assert got["n_pairs"] == 100
+
+
+def test_fs_em_weights_p_stays_off_absorbing_states(spark):
+    """r14 ADVICE: on a degenerate corpus (every field always agrees)
+    responsibilities collapse toward one class; the add-half-smoothed
+    p must stay strictly inside (0, 1) so the next E-step never
+    freezes at an absorbing state — same guarantee as m/u."""
+    from scraping_etl_spark.operators.linkage import fs_em_weights
+
+    df = spark.createDataFrame([(True,)] * 8, "f1 boolean")
+    est = fs_em_weights(df, ["f1"], n_iters=6)
+    assert 0.0 < est["p"] < 1.0
+    assert all(
+        0.0 < v < 1.0 for v in (*est["m"].values(), *est["u"].values())
+    )
 
 
 def test_fs_em_weights_recovers_separation(spark):

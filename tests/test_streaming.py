@@ -1688,6 +1688,7 @@ def test_emb_screen_stream_matches_batch_twin_and_replays(spark, tmp_path):
                 for r in embedding_decontaminate(
                     cur, seen, threshold=0.95,
                     bench_id_col="vec_id", bench_vec_col="embedding",
+                    exclude_same_id=False,  # the screen's setting
                 ).collect()
             }
         survivors = []
@@ -1719,3 +1720,46 @@ def test_emb_screen_stream_matches_batch_twin_and_replays(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert again == want
+
+
+def test_emb_screen_stream_refuses_redelivered_ids(spark, tmp_path):
+    """r14 ADVICE regression: a record RE-DELIVERED under its original
+    vec_id in a later batch is screened against its own lake copy
+    (exclude_same_id=False inside the screen) and refused — it must
+    NOT land in the lake a second time under a new batch_id."""
+    import os
+
+    from scraping_etl_spark.streaming.pipeline import emb_screen_stream
+
+    src, out, lake, ckpt = (
+        str(tmp_path / d) for d in ("src", "out", "lake", "ckpt")
+    )
+    os.makedirs(src)
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(5)
+        .localCheckpoint()
+    )
+    base.coalesce(1).write.parquet(f"{src}/f1")
+    base.coalesce(1).write.parquet(f"{src}/f2")  # verbatim re-delivery
+
+    q = emb_screen_stream(
+        spark, f"{src}/*", out, lake, ckpt,
+        threshold=0.95, max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    res = spark.read.parquet(out).collect()
+    first = {r.vec_id: r for r in res if r.batch_id == 0}
+    second = {r.vec_id: r for r in res if r.batch_id == 1}
+    assert set(first) == set(second) == {r.vec_id for r in base.collect()}
+    assert all(not r.refused for r in first.values())
+    # every re-delivered row refused against ITS OWN lake copy
+    assert all(
+        r.refused and r.lake_id == v and r.cos_sim == 1.0
+        for v, r in second.items()
+    )
+    # and the lake holds each vector exactly once (batch 0 only)
+    lake_rows = spark.read.parquet(lake).collect()
+    assert sorted(r.vec_id for r in lake_rows) == sorted(first)
+    assert all(r.batch_id == 0 for r in lake_rows)
