@@ -2,8 +2,8 @@
 Spark-first.
 
 The reference has no tokenizer (its pipeline stops at scraped text);
-this is north-star surface for the LLM-data pipeline — ``doc_token_counts``
-budgeting, ``pack_sequences`` budgets and OOV gating all want REAL
+this is north-star surface for the LLM-data pipeline — ``doc_text_stats``
+token budgeting, ``pack_sequences`` budgets and OOV gating all want REAL
 subword counts, and the round-7 verdict called the regex stand-in
 (``textstats.bpe_ish_tokens``) out by name.
 

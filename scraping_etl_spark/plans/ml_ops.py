@@ -1187,7 +1187,14 @@ def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting both ways (north-star text analysis): whitespace
     tokens vs the GPT-2-style BPE-ish pre-tokenizer
     (operators/textstats.bpe_ish_tokens) — the ratio approximates
-    tokens-per-word, the number a training-data budget actually uses."""
+    tokens-per-word, the number a training-data budget actually uses.
+
+    RETIRED as a standalone driver gate at r15 (window-saturation
+    fold): ``doc_text_stats`` now carries the BPE-ish count and the
+    tokens-per-word ratio (its ``n_tokens`` is this gate's
+    ``n_ws_tokens``). Kept as the library query (local DuckDB suite
+    exercises it through tests/test_relational_queries.py history;
+    the operator stays pinned by tests/test_textstats.py)."""
     from scraping_etl_spark.operators.textstats import bpe_ish_tokens
 
     d = load_table(spark, sf_dir, "documents")

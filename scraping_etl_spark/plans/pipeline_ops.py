@@ -75,16 +75,34 @@ ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
 # ---------------------------------------------------------------------------
 
 def q_doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text stats, carrying the folded ``doc_token_counts``
+    surface since r15 (window-saturation fold — both gates are per-doc
+    token-count profiles and ``n_tokens`` IS the retired gate's
+    ``n_ws_tokens``): whitespace token/char counts + diversity PLUS
+    the BPE-ish pre-tokenizer count and the tokens-per-word ratio a
+    training-data budget actually uses (textstats.bpe_ish_tokens)."""
+    from scraping_etl_spark.operators.textstats import bpe_ish_tokens
+
     d = load_table(spark, sf_dir, "documents")
+    bpe = F.size(bpe_ish_tokens("text")).cast("long")
     return TS.with_text_stats(d).select(
-        "doc_id", "n_tokens", "n_chars_actual", "distinct_ratio", "mean_token_len"
+        "doc_id", "n_tokens", "n_chars_actual", "distinct_ratio",
+        "mean_token_len",
+        bpe.alias("n_bpe_tokens"),
+        F.round(bpe / F.greatest(F.col("n_tokens"), F.lit(1)), 4)
+        .alias("tokens_per_word"),
     )
 
 
+# \p classes work in both Java regex and RE2; the BPE-ish pattern is
+# lookahead-free for exactly that reason (textstats.BPE_ISH_PATTERN).
 ORACLE_DOC_TEXT_STATS = r"""
 WITH toks AS (
   SELECT doc_id, text,
-         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t,
+         list_filter(
+           regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+', 0),
+           x -> regexp_matches(x, '\S')) AS bpe
   FROM documents
 )
 SELECT doc_id,
@@ -92,7 +110,9 @@ SELECT doc_id,
        CAST(length(text) AS BIGINT)      AS n_chars_actual,
        round(len(list_distinct(t)) / greatest(len(t), 1), 6) AS distinct_ratio,
        round(coalesce(list_aggregate(list_transform(t, x -> length(x)), 'sum'), 0)
-             / greatest(len(t), 1), 6)   AS mean_token_len
+             / greatest(len(t), 1), 6)   AS mean_token_len,
+       CAST(len(bpe) AS BIGINT)          AS n_bpe_tokens,
+       round(len(bpe) / greatest(len(t), 1), 4) AS tokens_per_word
 FROM toks
 """
 

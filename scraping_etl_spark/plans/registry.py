@@ -440,7 +440,9 @@ _REGISTERED: list[QuerySpec] = [
     ),
     QuerySpec(
         "doc_text_stats", P.q_doc_text_stats, P.ORACLE_DOC_TEXT_STATS,
-        "token/char counts + diversity (text analysis)",
+        "token/char counts + diversity (text analysis); carries the "
+        "folded doc_token_counts surface since r15 (n_bpe_tokens + "
+        "tokens_per_word)",
     ),
     QuerySpec(
         "doc_fingerprint", P.q_doc_fingerprint, P.ORACLE_DOC_FINGERPRINT,
@@ -740,10 +742,10 @@ _REGISTERED: list[QuerySpec] = [
         "doc_regex_extract", M.q_doc_regex_extract, M.ORACLE_DOC_REGEX_EXTRACT,
         "regexp_extract_all + element_at (F2)",
     ),
-    QuerySpec(
-        "doc_token_counts", M.q_doc_token_counts, M.ORACLE_DOC_TOKEN_COUNTS,
-        "whitespace vs BPE-ish regex token counting",
-    ),
+    # doc_token_counts RETIRED at r15 (window-saturation fold): its
+    # whitespace/BPE-ish count surface folded into doc_text_stats,
+    # which now carries n_bpe_tokens + tokens_per_word (n_tokens IS
+    # n_ws_tokens). Library query + oracle kept in ml_ops.
     QuerySpec(
         "doc_rolling_hash", M.q_doc_rolling_hash, M.ORACLE_DOC_ROLLING_HASH,
         "order-sensitive Rabin-Karp rolling-hash fingerprint",
@@ -1348,30 +1350,54 @@ _REGISTERED += [
         "lake, one-sided Ed-Join prefix) — the batch face of "
         "streaming.edit_screen_stream (dedup.edit_screen_pairs)",
     ),
+    # ---- new at r15: seated under the doc_token_counts ->
+    # ---- doc_text_stats fold (r14 verdict item 2). Seat arithmetic:
+    # ---- 49 r12-last-green entries were owed r15 seats; the fold
+    # ---- retires one of them, so 48 owed + these 2 never-seated
+    # ---- gates fill the 50-seat window exactly.
+    QuerySpec(
+        "emb_hard_negatives", M.q_emb_hard_negatives,
+        M.ORACLE_EMB_HARD_NEGATIVES,
+        "contrastive hard-negative mining: per-anchor cosine top-k "
+        "inside the [lo, hi) band that EXCLUDES planted near-dups "
+        "above the ceiling (Karpukhin EMNLP'20 / ANCE ICLR'21; "
+        "similarity.hard_negatives; IVF scale tier hard_negatives_ivf "
+        "equals brute at full probe, pytest-pinned)",
+    ),
+    QuerySpec(
+        "er_fs_scores", M.q_er_fs_scores, M.ORACLE_ER_FS_SCORES,
+        "Fellegi-Sunter record-linkage scoring (JASA 1969): closed-"
+        "form labeled m/u estimation on a family slice + fixed-order "
+        "log-likelihood-ratio scoring over the edit-gate pair corpus "
+        "(operators/linkage.fs_weights/fs_score)",
+    ),
 ]
 
-# STAGED FOR r15 (seat arithmetic: the registry sits at 148 of the
-# 150-entry steady-state capacity after the r14 folds, so TWO seats
-# are free; both staged gates are oracle-ready and pytest-pinned end
-# to end this round — r15 adds only the QuerySpecs + rotation regen):
-#   - ml_ops.q_emb_hard_negatives + ORACLE_EMB_HARD_NEGATIVES
-#     (similarity.hard_negatives — contrastive hard-negative mining,
-#     banded cosine top-k with a planted near-dup ceiling).
-#   - ml_ops.q_er_fs_scores + ORACLE_ER_FS_SCORES
-#     (linkage.fs_weights/fs_score — Fellegi-Sunter match weights
-#     from a labeled slice + fixed-order log-LR scoring).
-#   - ml_ops.q_er_fs_em_scores + ORACLE_ER_FS_EM_SCORES
-#     (linkage.fs_em_weights — UNSUPERVISED EM weights on the same
-#     pair corpus; the oracle unrolls every EM iteration as
-#     MATERIALIZED CTEs, the host_hits convention).
-#   - corpus_ops.q_doc_unimax_quotas + ORACLE_DOC_UNIMAX_QUOTAS
-#     (corpus_prep.unimax_quotas — UniMax closed-form waterfilling
-#     language-budget allocation, Chung et al. ICLR 2023). Seating a
-#     third gate needs one more fold of an r12-last-green pair
-#     (candidate: doc_token_counts into doc_text_stats — both are
-#     per-doc token-count profiles).
-# Streaming twin (pytest-only, no seat): emb_screen_stream — the
-# semantic ingest screen over a growing vector lake.
+# STAGED FOR r16 (seat arithmetic, planned NOW so seating never blocks
+# a round — r14 verdict item 3): after the r15 window (48 owed + 2 new)
+# the 49 r13-last-green entries are owed r16 seats and the registry
+# sits at 149/150. Seating all three staged gates below therefore
+# needs TWO folds of owed (r13-last-green) near-duplicate pairs, both
+# pre-identified:
+#   fold A: doc_lang_margin -> doc_lang_id_ngram (same per-row n-gram
+#           profile; the superset gains the top-2 margin + abstain
+#           columns), and
+#   fold B: doc_bpe_fertility -> doc_bpe_roundtrip (same trained-BPE
+#           segmentation cache; the superset gains the per-doc
+#           subword/fertility counts),
+# giving 47 owed + 3 new = 50 seats and 149 - 2 + 3 = 150 entries.
+# If only fold A lands, seat the first two and defer the third to r17.
+#   1. ml_ops.q_er_fs_em_scores + ORACLE_ER_FS_EM_SCORES
+#      (linkage.fs_em_weights — UNSUPERVISED EM weights on the same
+#      pair corpus as er_fs_scores; the oracle unrolls every EM
+#      iteration as MATERIALIZED CTEs, the host_hits convention).
+#   2. corpus_ops.q_doc_unimax_quotas + ORACLE_DOC_UNIMAX_QUOTAS
+#      (corpus_prep.unimax_quotas — UniMax closed-form waterfilling
+#      language-budget allocation, Chung et al. ICLR 2023).
+#   3. ml_ops.q_emb_ingest_screen + ORACLE_EMB_INGEST_SCREEN
+#      (similarity.embedding_decontaminate cross-side, the batch face
+#      of streaming.emb_screen_stream — the doc_edit_screen pattern,
+#      staged at r15 per r14 verdict item 5).
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 
