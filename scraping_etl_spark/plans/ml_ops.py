@@ -2533,6 +2533,106 @@ WHERE levenshtein(n.s, r.s) <= {_EJ_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# Semantic ingest-screen batch face (similarity.embedding_decontaminate
+# cross-side) — STAGED for r16 (oracle-ready; see the plans/registry.py
+# staging note). The doc_edit_screen pattern applied to the third
+# streaming twin, so streaming.emb_screen_stream stops being
+# pytest-only (r14 verdict item 5).
+# ---------------------------------------------------------------------------
+
+#: Ingest-screen threshold: the testdata embeddings are near-uniform
+#: (cross cosines top out ~0.51 at sf0.1), so at 0.95 only the PLANTED
+#: copies refuse — the cross-side contract, not corpus noise, is what
+#: hashes.
+_IS_TAU = 0.95
+
+
+def q_emb_ingest_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of ``streaming.emb_screen_stream``: screen an
+    INCOMING embedding batch against the vector LAKE with
+    :func:`similarity.embedding_decontaminate` at
+    ``exclude_same_id=False`` (lake and batch are distinct relations,
+    so id equality never marks a self-pair). Lake: ``vec_id % 3 == 0``.
+    Incoming: the fresh ``% 3 == 1`` slice (survives), every lake row
+    re-keyed +1e6 (refused against its source), and every EVEN lake
+    row RE-DELIVERED under its ORIGINAL id — refused against its own
+    lake copy, the r14-ADVICE case a self-pair exclusion would
+    silently land twice. Output mirrors the stream's landed rows:
+    ``(vec_id, refused, lake_id, cos_sim, n_lake_hits)``."""
+    e = load_table(spark, sf_dir, "embeddings")
+    lake = e.filter(F.col("vec_id") % 3 == 0).select("vec_id", "embedding")
+    fresh = e.filter(F.col("vec_id") % 3 == 1).select("vec_id", "embedding")
+    mirrors = lake.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    redeliv = lake.filter(F.col("vec_id") % 2 == 0)
+    incoming = fresh.unionByName(mirrors).unionByName(redeliv)
+    flags = SIM.embedding_decontaminate(
+        incoming,
+        lake.select(F.col("vec_id").alias("_lid"),
+                    F.col("embedding").alias("_lvec")),
+        threshold=_IS_TAU,
+        bench_id_col="_lid", bench_vec_col="_lvec",
+        exclude_same_id=False,
+    ).select(
+        "vec_id",
+        F.col("bench_id").alias("lake_id"),
+        "cos_sim",
+        F.col("n_bench_hits").alias("n_lake_hits"),
+    )
+    return (
+        incoming.select("vec_id")
+        .join(flags, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("lake_id").isNotNull().alias("refused"),
+            "lake_id", "cos_sim", "n_lake_hits",
+        )
+    )
+
+
+def _emb_ingest_screen_oracle() -> str:
+    dot_il = _DOT.format(a="i.embedding", b="l.embedding")
+    n_i = _DOT.format(a="i.embedding", b="i.embedding")
+    n_l = _DOT.format(a="l.embedding", b="l.embedding")
+    cos = (
+        f"round(CASE WHEN sqrt({n_i}) * sqrt({n_l}) > 0 "
+        f"THEN {dot_il} / (sqrt({n_i}) * sqrt({n_l})) "
+        f"ELSE 0.0 END, 6)"
+    )
+    return f"""
+WITH lake AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0
+), incoming AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 1
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM lake
+  UNION ALL
+  SELECT vec_id, embedding FROM lake WHERE vec_id % 2 = 0
+), flagged AS (
+  SELECT i.vec_id, l.vec_id AS lake_id, {cos} AS cos_sim
+  FROM incoming i JOIN lake l ON {cos} >= {_IS_TAU}
+), ranked AS (
+  SELECT vec_id, lake_id, cos_sim,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY cos_sim DESC, lake_id) AS rk,
+         count(*) OVER (PARTITION BY vec_id) AS n_lake_hits
+  FROM flagged
+)
+SELECT i.vec_id,
+       r.lake_id IS NOT NULL AS refused,
+       r.lake_id,
+       r.cos_sim,
+       CAST(r.n_lake_hits AS BIGINT) AS n_lake_hits
+FROM incoming i
+LEFT JOIN (SELECT * FROM ranked WHERE rk = 1) r ON i.vec_id = r.vec_id
+"""
+
+
+ORACLE_EMB_INGEST_SCREEN = _emb_ingest_screen_oracle()
+
+
 ORACLE_DOC_TITLE_FUZZY_MATCH = f"""
 WITH base AS (
   SELECT doc_id, substr(text, 1, 40) AS s

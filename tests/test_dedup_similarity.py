@@ -1702,6 +1702,47 @@ def test_hard_negatives_ivf_full_probe_equals_brute(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
 
 
+def test_emb_ingest_screen_gate_matches_oracle_staged(spark):
+    """The staged emb_ingest_screen gate (batch face of the streaming
+    semantic ingest screen) hashes against its brute-force cross-join
+    oracle, and the planted semantics hold: fresh rows survive, +1e6
+    mirrors refuse against their source, and rows RE-DELIVERED under
+    their original id refuse against their OWN lake copy (the
+    exclude_same_id=False contract)."""
+    import duckdb
+
+    from scraping_etl_spark.plans import ml_ops as M
+
+    sf = "/root/testdata/sf0.001"
+    rows = M.q_emb_ingest_screen(spark, sf).collect()
+    got = {
+        r.vec_id: (r.refused, r.lake_id, r.cos_sim, r.n_lake_hits)
+        for r in rows
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(M.ORACLE_EMB_INGEST_SCREEN).fetchall()
+    }
+    assert got == want
+    # planted semantics
+    mirrors = redeliv = 0
+    for vid, (refused, lake_id, cos, _nh) in got.items():
+        if vid >= 1_000_000:  # mirror: refused against its source
+            assert refused and lake_id == vid - 1_000_000 and cos == 1.0
+            mirrors += 1
+        elif vid % 3 == 0:  # re-delivery (even only): own lake copy
+            assert vid % 2 == 0
+            assert refused and lake_id == vid and cos == 1.0
+            redeliv += 1
+    assert mirrors and redeliv
+    fresh = [v for v in got if v < 1_000_000 and v % 3 == 1]
+    assert fresh and all(not got[v][0] for v in fresh)
+
+
 def test_fs_em_gate_matches_unrolled_oracle_staged(spark):
     """The staged er_fs_em_scores gate (UNSUPERVISED weights) hashes
     against its k-times-unrolled MATERIALIZED-CTE oracle, and EM
