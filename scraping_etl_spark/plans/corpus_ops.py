@@ -1428,19 +1428,28 @@ _ZIPF_R = 200
 
 
 def q_doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language Zipf fit (textstats.zipf_fit): least-squares
-    ln(freq) ~ ln(rank) over the top-200 vocabulary head plus
-    type/token counts — the corpus-drift alarm a datasheet carries
-    (slope bends when spam/template floods distort the frequency
-    law). Entirely aggregate arithmetic; the oracle is the exact
-    closed-form mirror."""
-    from scraping_etl_spark.operators.textstats import zipf_fit
+    """Per-language corpus-law profile: Zipf head fit
+    (textstats.zipf_fit — least-squares ln(freq) ~ ln(rank) over the
+    top-200 vocabulary head plus type/token counts, the corpus-drift
+    alarm a datasheet carries) JOINED with — the folded
+    ``doc_heaps_fit`` surface since r16 staging (window-saturation
+    fold: the two gates are the documented companion ln-ln LS fits,
+    both routed through ``textstats._ls_fit``) — the bucketed Heaps'
+    vocabulary-growth curve (cumulative tokens/types over md5-bucket
+    corpus prefixes + the closed-form fit). One row per (lang,
+    bucket); both fits are aggregate arithmetic, exactly mirrored."""
+    from scraping_etl_spark.operators.textstats import heaps_fit, zipf_fit
 
     d = load_table(spark, sf_dir, "documents")
-    return zipf_fit(d, top_r=_ZIPF_R)
+    # both outputs are fit-scale (|langs| and |langs|×buckets rows) —
+    # the join is broadcast-trivial; each fit keeps its single
+    # aggregation pipeline over the token explode
+    return zipf_fit(d, top_r=_ZIPF_R).join(
+        heaps_fit(d, n_buckets=_HEAPS_B), "lang"
+    )
 
 
-ORACLE_DOC_ZIPF_FIT = f"""
+_ZIPF_FIT_SQL = f"""
 WITH tok AS (
   SELECT lang, unnest({_LTOKS}) AS w FROM documents
 ),
@@ -1477,6 +1486,19 @@ SELECT t.lang, t.n_tokens, t.n_types,
 FROM totals t JOIN fit USING (lang)
 """
 
+#: The folded gate (doc_heaps_fit -> doc_zipf_fit, staged-r16 fold A):
+#: both companion ln-ln fits joined per language, one row per (lang,
+#: bucket). The component SQLs stay verbatim so each fit's arithmetic
+#: is unchanged from its previously-green standalone form; the final
+#: ORACLE_DOC_ZIPF_FIT is composed below ORACLE_DOC_HEAPS_FIT.
+_CORPUS_LAWS_TEMPLATE = """
+WITH zipf AS ({zipf}),
+heaps AS ({heaps})
+SELECT zipf.*, bucket, n_tokens_cum, n_types_cum,
+       heaps_beta, heaps_logk, heaps_r2
+FROM zipf JOIN heaps USING (lang)
+"""
+
 
 # ---------------------------------------------------------------------------
 # Heaps'-law corpus profile (textstats.heaps_fit gate)
@@ -1490,7 +1512,12 @@ def q_doc_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tokens, types) points over md5-bucket corpus prefixes — no global
     document sort — plus the closed-form ln-ln fit, the vocabulary-
     growth companion of ``doc_zipf_fit``. One row per (lang, bucket);
-    the oracle is the exact bucket/window/fit mirror."""
+    the oracle is the exact bucket/window/fit mirror.
+
+    RETIRED as a standalone driver gate at r15 (window-saturation
+    fold, paying for an r16 seat): ``doc_zipf_fit`` now joins this
+    surface per language and carries every column. Kept as the
+    library query."""
     from scraping_etl_spark.operators.textstats import heaps_fit
 
     d = load_table(spark, sf_dir, "documents")
@@ -1550,6 +1577,10 @@ SELECT p.lang, p.b AS bucket, p.n_tokens_cum, p.n_types_cum,
          AS heaps_r2
 FROM pts p JOIN fit USING (lang)
 """
+
+ORACLE_DOC_ZIPF_FIT = _CORPUS_LAWS_TEMPLATE.format(
+    zipf=_ZIPF_FIT_SQL, heaps=ORACLE_DOC_HEAPS_FIT
+)
 
 
 # ---------------------------------------------------------------------------

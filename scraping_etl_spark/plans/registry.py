@@ -462,12 +462,13 @@ _REGISTERED: list[QuerySpec] = [
     ),
     QuerySpec(
         "event_lag_delta", R.q_event_lag_delta, R.ORACLE_EVENT_LAG_DELTA,
-        "lag window per user",
+        "lag window per user; carries the folded event_moving_avg "
+        "surface (7-row trailing frame, identical window spec) since "
+        "the r16-staging fold at r15",
     ),
-    QuerySpec(
-        "event_moving_avg", R.q_event_moving_avg, R.ORACLE_EVENT_MOVING_AVG,
-        "bounded window frame spec (7-row trailing average)",
-    ),
+    # event_moving_avg RETIRED at r15 (fold B paying for an r16 seat):
+    # event_lag_delta windows on the identical spec and now carries
+    # mavg_7. Library query + oracle kept in relational.py.
     QuerySpec(
         "doc_zip_bigrams", M.q_doc_zip_bigrams, M.ORACLE_DOC_ZIP_BIGRAMS,
         "positional zip_with pairing (J5)",
@@ -1284,9 +1285,11 @@ _REGISTERED += [
     ),
     QuerySpec(
         "doc_zipf_fit", C.q_doc_zipf_fit, C.ORACLE_DOC_ZIPF_FIT,
-        "per-language Zipf's-law fit: least-squares ln(freq)~ln(rank) "
-        "over the vocabulary head + type/token counts, closed-form "
-        "aggregate arithmetic (textstats.zipf_fit)",
+        "per-language corpus-law profile: Zipf's-law head fit "
+        "(least-squares ln(freq)~ln(rank) + type/token counts) joined "
+        "with the folded doc_heaps_fit vocabulary-growth surface "
+        "(bucketed cumulative tokens/types + ln-ln fit) since the "
+        "r16-staging fold at r15 (textstats.zipf_fit + heaps_fit)",
     ),
     QuerySpec(
         "doc_wordpiece_tokens", C.q_doc_wordpiece_tokens,
@@ -1297,13 +1300,9 @@ _REGISTERED += [
         "counts through the shared segmentation-cache join (lazy "
         "plan-constants oracle; operators/wordpiece.py)",
     ),
-    QuerySpec(
-        "doc_heaps_fit", C.q_doc_heaps_fit, C.ORACLE_DOC_HEAPS_FIT,
-        "per-language Heaps'-law fit: cumulative (tokens, types) over "
-        "md5-bucket corpus prefixes (no global sort) + closed-form "
-        "ln-ln fit — vocabulary-growth drift alarm paired with "
-        "doc_zipf_fit (textstats.heaps_fit)",
-    ),
+    # doc_heaps_fit RETIRED at r15 (fold A paying for an r16 seat):
+    # doc_zipf_fit now joins the bucketed Heaps growth surface per
+    # language. Library query + oracle kept in corpus_ops.
     # ---- new at r14: the r13-staged surface, seated under the
     # ---- window-saturation fold (r13 verdict item 2 — five owed
     # ---- near-duplicate gates retired/folded into their supersets:
@@ -1373,20 +1372,22 @@ _REGISTERED += [
     ),
 ]
 
-# STAGED FOR r16 (seat arithmetic, planned NOW so seating never blocks
-# a round — r14 verdict item 3): after the r15 window (48 owed + 2 new)
-# the 49 r13-last-green entries are owed r16 seats and the registry
-# sits at 149/150. Seating all three staged gates below therefore
-# needs TWO folds of owed (r13-last-green) near-duplicate pairs, both
-# pre-identified:
-#   fold A: doc_lang_margin -> doc_lang_id_ngram (same per-row n-gram
-#           profile; the superset gains the top-2 margin + abstain
-#           columns), and
-#   fold B: doc_bpe_fertility -> doc_bpe_roundtrip (same trained-BPE
-#           segmentation cache; the superset gains the per-doc
-#           subword/fertility counts),
-# giving 47 owed + 3 new = 50 seats and 149 - 2 + 3 = 150 entries.
-# If only fold A lands, seat the first two and defer the third to r17.
+# STAGED FOR r16 (seat arithmetic, planned AND executed at r15 so
+# seating never blocks a round — r14 verdict item 3): after the r15
+# window (48 owed + 2 new) the r13-last-green entries are owed r16
+# seats. TWO folds of owed near-duplicate pairs were EXECUTED at r15,
+# their supersets locally verified and driver-checked at r16 as owed
+# entries:
+#   fold A: doc_heaps_fit -> doc_zipf_fit (the documented companion
+#           ln-ln corpus-law fits, both through textstats._ls_fit;
+#           the superset now emits one row per (lang, bucket) with
+#           both fits' columns), and
+#   fold B: event_moving_avg -> event_lag_delta (identical
+#           (user_id; ts, event_id) window spec; the superset now
+#           carries mavg_7 off the same single sort),
+# leaving 47 owed + 3 staged = 50 r16 seats and 147 + 3 = 150 entries
+# — exactly the steady-state capacity. r16 is therefore mechanical:
+# add the three QuerySpecs below + make_rotation --write.
 #   1. ml_ops.q_er_fs_em_scores + ORACLE_ER_FS_EM_SCORES
 #      (linkage.fs_em_weights — UNSUPERVISED EM weights on the same
 #      pair corpus as er_fs_scores; the oracle unrolls every EM

@@ -410,15 +410,23 @@ GROUP BY event_type
 
 
 def q_event_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag window per user (SURVEY §2.5): value delta vs previous event."""
+    """Per-user ordered-window features (SURVEY §2.5): lag value delta
+    vs the previous event PLUS — the folded ``event_moving_avg``
+    surface since r16 staging (window-saturation fold: both gates
+    window on the identical (user_id; ts, event_id) spec, so one sort
+    carries both) — the 7-row trailing moving average
+    (``rowsBetween(-6, 0)`` frame). One shuffle, two window functions
+    over the same sorted run."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("value").over(w)
+    mw = w.rowsBetween(-6, Window.currentRow)
     return e.select(
         "event_id",
         "user_id",
         F.unix_micros("ts").alias("ts_us"),
         F.round(F.col("value") - prev, 6).alias("value_delta"),
+        F.round(F.avg("value").over(mw), 6).alias("mavg_7"),
     )
 
 
@@ -426,7 +434,10 @@ ORACLE_EVENT_LAG_DELTA = """
 SELECT event_id, user_id,
        epoch_us(ts) AS ts_us,
        round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6)
-         AS value_delta
+         AS value_delta,
+       round(avg(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS mavg_7
 FROM events
 """
 
@@ -524,7 +535,12 @@ GROUP BY user_id
 def q_event_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window frame spec (SURVEY §2.5 surface): 7-row trailing moving
     average of event value per user — ``rowsBetween(-6, 0)``. One
-    shuffle on the partition key; frame state is bounded (7 rows)."""
+    shuffle on the partition key; frame state is bounded (7 rows).
+
+    RETIRED as a standalone driver gate at r15 (window-saturation
+    fold, paying for an r16 seat): ``event_lag_delta`` windows on the
+    identical (user_id; ts, event_id) spec and now carries ``mavg_7``.
+    Kept as the library query."""
     e = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
