@@ -84,6 +84,81 @@ def test_ivf_no_cross_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_hard_negatives_plans(spark):
+    """Brute tier: the anchor set broadcasts against the corpus (a
+    BroadcastNestedLoopJoin over the BOUNDED probe side is the plan,
+    like cosine_topk) — but never a CartesianProduct. IVF tier: the
+    candidate join must be a hash EQUI-join on cluster id — no BNLJ,
+    no cartesian — because it exists precisely for anchor sets too
+    large to broadcast."""
+    from scraping_etl_spark.operators.similarity import (
+        hard_negatives_ivf,
+        ivf_train,
+    )
+    from scraping_etl_spark.sources.readers import load_table
+
+    plan = _plan(M.q_emb_hard_negatives(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+    )
+    cents = ivf_train(e, n_clusters=4, seed=3)
+    ivf_plan = _plan(
+        hard_negatives_ivf(e, anchors, cents, k=3, n_probe=2)
+    )
+    assert "CartesianProduct" not in ivf_plan
+    assert "BroadcastNestedLoopJoin" not in ivf_plan
+
+
+def test_hard_negatives_ivf_partial_probe_recall_floor(spark):
+    """Below full probe the IVF tier is the standard recall trade —
+    pin a floor at half-probe so centroid/assignment changes can't
+    quietly collapse it."""
+    import math
+
+    from scraping_etl_spark.operators.similarity import (
+        hard_negatives,
+        hard_negatives_ivf,
+        ivf_train,
+    )
+
+    vecs = [
+        (i, [math.cos(0.23 * i + 0.4 * j) for j in range(6)])
+        for i in range(60)
+    ]
+    e = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    anchors = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+    )
+    cents = ivf_train(e, n_clusters=4, seed=3)
+    exact = {
+        (r.anchor_id, r.neighbor_id)
+        for r in hard_negatives(e, anchors, k=3, lo=0.2, hi=0.95).collect()
+    }
+    approx = {
+        (r.anchor_id, r.neighbor_id)
+        for r in hard_negatives_ivf(
+            e, anchors, cents, k=3, lo=0.2, hi=0.95, n_probe=2
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF hard-negative recall collapsed: {recall:.2f}"
+
+
+def test_fs_and_ingest_screen_plans_no_cartesian(spark):
+    """The FS gates cross-join only ONE-ROW weight relations
+    (broadcast), and the ingest screen's lake side broadcasts behind
+    the measured guard — no plan may contain a CartesianProduct."""
+    for fn in (M.q_er_fs_scores, M.q_er_fs_em_scores,
+               M.q_emb_ingest_screen):
+        plan = _plan(fn(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, fn.__name__
+
+
 def test_lm_score_plan_no_bnlj(spark):
     """Regression guard for the vocab-size attach: FoldablePropagation
     turns a literal join key into a one-sided filter and the 1-row
