@@ -745,3 +745,54 @@ def test_allpairs_cosine_weighted_complete_vs_loop(spark, raw, threshold):
     assert set(got) == set(want)
     for k_ in got:
         assert abs(got[k_] - want[k_]) < 2e-6, k_
+
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter labeled weights + scoring vs a pure-Python reference
+# ---------------------------------------------------------------------------
+
+_fs_row = st.tuples(st.booleans(), st.booleans(), st.booleans())
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_fs_row, min_size=1, max_size=30))
+def test_fs_weights_and_score_match_python_reference(spark, rows):
+    """The r15-seated FS pipeline end to end on arbitrary labeled
+    agreement patterns: closed-form add-half m/u estimation + the
+    fixed-order log-LR sum, recomputed independently in Python —
+    weights exactly, scores within the 6-dp rounding half-width
+    (libm vs JVM log may differ in the last ulp)."""
+    import math
+
+    from scraping_etl_spark.operators import linkage as LK
+
+    fields = ["f1", "f2"]
+    df = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(rows)],
+        "pid long, is_match boolean, f1 boolean, f2 boolean",
+    )
+    w = LK.fs_weights(df, fields).collect()[0]
+
+    nm = sum(1 for r in rows if r[0])
+    nu = len(rows) - nm
+    m, u = {}, {}
+    for j, c in enumerate(fields, start=1):
+        am = sum(1 for r in rows if r[0] and r[j])
+        au = sum(1 for r in rows if not r[0] and r[j])
+        m[c] = (am + 0.5) / (nm + 1.0)
+        u[c] = (au + 0.5) / (nu + 1.0)
+        assert getattr(w, f"m_{c}") == m[c], c  # same IEEE ops -> exact
+        assert getattr(w, f"u_{c}") == u[c], c
+    assert (w.n_match, w.n_nonmatch) == (nm, nu)
+
+    scored = {
+        r.pid: r.fs_score
+        for r in LK.fs_score(df, LK.fs_weights(df, fields), fields).collect()
+    }
+    for i, orig in enumerate(rows):
+        want = sum(
+            math.log(m[c] / u[c]) if orig[j] else
+            math.log((1.0 - m[c]) / (1.0 - u[c]))
+            for j, c in enumerate(fields, start=1)
+        )
+        assert abs(scored[i] - round(want, 6)) <= 1e-6, (orig, want)
