@@ -887,6 +887,84 @@ def embedding_decontaminate(
     )
 
 
+def embedding_decontaminate_ivf(
+    corpus: DataFrame,
+    bench: DataFrame,
+    centroids: "list[list[float]]",
+    threshold: float = 0.95,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+    bench_vec_col: str = "embedding",
+    exclude_same_id: bool = True,
+) -> DataFrame:
+    """IVF scale tier of :func:`embedding_decontaminate` — for when
+    the reference side is NOT small: the streaming ingest screen's
+    vector lake grows without bound, and past the broadcast cap the
+    expression tier's fallback is a shuffle-backed all-pairs join.
+    Here the lake/bench side lives in its nearest-centroid inverted
+    list (one cell per vector, :func:`ivf_train`'s layout) and each
+    corpus/batch vector probes only its ``n_probe`` nearest cells, so
+    the candidate join is a hash EQUI-join on cell id — never
+    all-pairs — and per-corpus-row work is bounded by the probed
+    lists' size.
+
+    Output schema and every convention match the expression tier
+    (rounded-cosine threshold, closest-bench argmax with smallest-id
+    ties, ``n_bench_hits`` over the threshold set — here counted
+    within the probed cells, the standard IVF recall trade). At
+    ``n_probe = len(centroids)`` every (corpus, bench) pair is
+    compared and the output EQUALS the expression tier exactly (the
+    contract the unit suite pins). Exact duplicates are caught at ANY
+    ``n_probe``: an identical vector assigns to the same nearest cell
+    as its copy, and the probe list starts with the vector's own
+    cell."""
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    b = bench.select(
+        F.col(bench_id_col).alias("_bid"),
+        F.col(bench_vec_col).alias("_bvec"),
+        F.element_at(
+            nearest_centroids(F.col(bench_vec_col), centroids, 1), 1
+        ).alias("_cell"),
+        l2_norm(F.col(bench_vec_col)).alias("_bnrm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("_cid"),
+        F.col(vec_col).alias("_cvec"),
+        F.explode(
+            nearest_centroids(F.col(vec_col), centroids, n_probe)
+        ).alias("_cell"),
+        l2_norm(F.col(vec_col)).alias("_cnrm"),
+    )
+    den = F.col("_cnrm") * F.col("_bnrm")
+    cos = F.when(den > 0, dot(F.col("_cvec"), F.col("_bvec")) / den).otherwise(
+        F.lit(0.0)
+    )
+    flagged = c.join(b, "_cell")
+    if exclude_same_id:
+        flagged = flagged.filter(F.col("_cid") != F.col("_bid"))
+    flagged = flagged.withColumn("_cos", F.round(cos, 6)).filter(
+        F.col("_cos") >= threshold
+    )
+    w = Window.partitionBy("_cid").orderBy(F.desc("_cos"), F.asc("_bid"))
+    wn = Window.partitionBy("_cid")
+    return (
+        flagged.withColumn("_rk", F.row_number().over(w))
+        .withColumn("n_bench_hits", F.count(F.lit(1)).over(wn))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col("_cid").alias(id_col),
+            F.col("_bid").alias("bench_id"),
+            F.col("_cos").alias("cos_sim"),
+            F.col("n_bench_hits").cast("long").alias("n_bench_hits"),
+        )
+    )
+
+
 def embedding_decontaminate_arrow(
     corpus: DataFrame,
     bench_matrix: "list[tuple[int, list[float]]]",

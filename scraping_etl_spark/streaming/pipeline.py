@@ -1649,6 +1649,8 @@ def emb_screen_stream(
     vec_col: str = "embedding",
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    ivf_centroids: "list[list[float]] | None" = None,
+    ivf_probe: int = 4,
 ) -> StreamingQuery:
     """Streaming SEMANTIC ingest screen — "is this embedding within
     cosine ``threshold`` of content we already hold?" at ingest: the
@@ -1680,12 +1682,20 @@ def emb_screen_stream(
 
     Scale: the decontaminate screen broadcasts the lake side only
     while it fits (its bounded count probe runs against the pruned
-    lake each trigger); past the cap the join falls back to the
-    shuffle path, and the documented production escalation is the
-    IVF-bucketed tier (assign lake + batch to trained centroids,
-    screen within probed cells) exactly as ``ivf_topk`` serves."""
+    lake each trigger); past the cap, pass trained ``ivf_centroids``
+    (+ ``ivf_probe``) and the screen serves through
+    :func:`~...similarity.embedding_decontaminate_ivf` — the lake
+    lives in nearest-centroid inverted lists and each batch vector
+    probes only its nearest cells, a hash equi-join on cell id
+    instead of the all-pairs fallback. Exact re-delivered/mirrored
+    duplicates are caught at ANY probe depth (an identical vector
+    shares its copy's nearest cell); sub-threshold-near paraphrases
+    follow the standard IVF recall trade, and at
+    ``ivf_probe = len(ivf_centroids)`` the tier equals the expression
+    screen exactly (pinned by the unit suite)."""
     from scraping_etl_spark.operators.similarity import (
         embedding_decontaminate,
+        embedding_decontaminate_ivf,
     )
 
     reader = spark.readStream.schema(schema)
@@ -1707,17 +1717,27 @@ def emb_screen_stream(
                 .select(F.col(id_col).alias("_lid"),
                         F.col(vec_col).alias("_lvec"))
             )
-            flags = embedding_decontaminate(
-                b, lake, threshold=threshold,
-                id_col=id_col, vec_col=vec_col,
-                bench_id_col="_lid", bench_vec_col="_lvec",
-                # lake and batch are distinct relations: a record
-                # re-delivered under its ORIGINAL id in a later batch
-                # must still be screened against its own lake copy,
-                # so the batch-decontaminate self-pair exclusion is
-                # wrong here (r14 ADVICE)
-                exclude_same_id=False,
-            ).select(
+            # lake and batch are distinct relations: a record
+            # re-delivered under its ORIGINAL id in a later batch
+            # must still be screened against its own lake copy, so
+            # the batch-decontaminate self-pair exclusion is wrong
+            # here (r14 ADVICE) — both tiers pass exclude_same_id=False
+            if ivf_centroids is not None:
+                raw = embedding_decontaminate_ivf(
+                    b, lake, ivf_centroids, threshold=threshold,
+                    n_probe=ivf_probe,
+                    id_col=id_col, vec_col=vec_col,
+                    bench_id_col="_lid", bench_vec_col="_lvec",
+                    exclude_same_id=False,
+                )
+            else:
+                raw = embedding_decontaminate(
+                    b, lake, threshold=threshold,
+                    id_col=id_col, vec_col=vec_col,
+                    bench_id_col="_lid", bench_vec_col="_lvec",
+                    exclude_same_id=False,
+                )
+            flags = raw.select(
                 id_col,
                 F.col("bench_id").alias("lake_id"),
                 "cos_sim",

@@ -578,6 +578,80 @@ def test_emb_decontaminate_exclude_same_id_toggle(spark):
     assert incl[0].bench_id == 1 and incl[0].cos_sim == 1.0
 
 
+def test_emb_decontaminate_ivf_full_probe_equals_expression_tier(spark):
+    """At n_probe = n_clusters every (corpus, bench) pair is compared,
+    so the IVF tier must EQUAL the expression tier exactly — same
+    rounded cosines, same argmax ties, same hit counts (both
+    exclude_same_id settings)."""
+    import math
+
+    vecs = [
+        (i, [math.cos(0.31 * i + 0.27 * j) for j in range(6)])
+        for i in range(50)
+    ]
+    corpus = _vecs(spark, vecs[:30])
+    bench = _vecs(spark, [(i + 20, v) for i, v in vecs[30:]])  # ids overlap
+    cents = SIM.ivf_train(corpus.unionByName(bench), n_clusters=4, seed=7)
+    for excl in (True, False):
+        brute = sorted(map(tuple, SIM.embedding_decontaminate(
+            corpus, bench, threshold=0.8, exclude_same_id=excl
+        ).collect()))
+        ivf = sorted(map(tuple, SIM.embedding_decontaminate_ivf(
+            corpus, bench, cents, threshold=0.8, n_probe=4,
+            exclude_same_id=excl,
+        ).collect()))
+        assert ivf == brute, excl
+    assert brute  # the corpus genuinely flags rows at this threshold
+
+
+def test_emb_decontaminate_ivf_catches_exact_dups_at_one_probe(spark):
+    """An exact copy assigns to the SAME nearest cell as its source
+    and the probe list starts with the vector's own cell, so exact
+    duplicates are refused at n_probe=1 — the property that makes the
+    IVF tier safe as the streaming screen's scale path."""
+    import math
+
+    base = [
+        (i, [math.sin(0.47 * i + 0.11 * j) for j in range(6)])
+        for i in range(40)
+    ]
+    bench = _vecs(spark, base)
+    corpus = _vecs(spark, [(i + 1000, v) for i, v in base])  # exact copies
+    cents = SIM.ivf_train(bench, n_clusters=8, seed=5)
+    out = {r.vec_id: r for r in SIM.embedding_decontaminate_ivf(
+        corpus, bench, cents, threshold=0.95, n_probe=1
+    ).collect()}
+    assert set(out) == {i + 1000 for i, _ in base}
+    assert all(r.cos_sim == 1.0 and r.bench_id == v - 1000
+               for v, r in out.items())
+
+
+def test_emb_decontaminate_ivf_plan_is_cell_equijoin(spark):
+    """The IVF tier exists precisely because the lake outgrows the
+    broadcast cap — its candidate join must be a hash equi-join on
+    cell id, never a BroadcastNestedLoopJoin or cartesian."""
+    corpus = _vecs(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0])])
+    bench = _vecs(spark, [(10 + i, [float(i), 1.0]) for i in range(6)])
+    plan = (
+        SIM.embedding_decontaminate_ivf(
+            corpus, bench, [[1.0, 0.0], [0.0, 1.0]], n_probe=1
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_emb_decontaminate_ivf_validation(spark):
+    corpus = _vecs(spark, [(1, [1.0, 0.0])])
+    with pytest.raises(ValueError, match="centroids"):
+        SIM.embedding_decontaminate_ivf(corpus, corpus, [])
+    with pytest.raises(ValueError, match="n_probe"):
+        SIM.embedding_decontaminate_ivf(
+            corpus, corpus, [[1.0, 0.0]], n_probe=0
+        )
+
+
 def test_emb_decontaminate_broadcast_guard_falls_back(spark):
     """Above the measured cap the broadcast hint is dropped — the plan
     still returns identical rows (correctness never depends on the

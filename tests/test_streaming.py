@@ -1763,3 +1763,43 @@ def test_emb_screen_stream_refuses_redelivered_ids(spark, tmp_path):
     lake_rows = spark.read.parquet(lake).collect()
     assert sorted(r.vec_id for r in lake_rows) == sorted(first)
     assert all(r.batch_id == 0 for r in lake_rows)
+
+
+def test_emb_screen_stream_ivf_tier_refuses_exact_dups(spark, tmp_path):
+    """The IVF escalation path (ivf_centroids passed — the
+    lake-outgrew-the-broadcast-cap deployment shape): exact
+    re-deliveries and mirrors are refused even at n_probe=1, because
+    an identical vector shares its copy's nearest cell."""
+    import os
+
+    from scraping_etl_spark.operators.similarity import ivf_train
+    from scraping_etl_spark.streaming.pipeline import emb_screen_stream
+
+    src, out, lake, ckpt = (
+        str(tmp_path / d) for d in ("src", "out", "lake", "ckpt")
+    )
+    os.makedirs(src)
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(12)
+        .localCheckpoint()
+    )
+    cents = ivf_train(base, n_clusters=4, seed=11)
+    mirrors = base.selectExpr("vec_id + 1000 AS vec_id", "embedding", "label")
+    base.coalesce(1).write.parquet(f"{src}/f1")
+    mirrors.coalesce(1).write.parquet(f"{src}/f2")
+
+    q = emb_screen_stream(
+        spark, f"{src}/*", out, lake, ckpt,
+        threshold=0.95, max_files_per_trigger=1,
+        ivf_centroids=cents, ivf_probe=1,
+    )
+    q.awaitTermination(180)
+
+    res = {r.vec_id: r for r in spark.read.parquet(out).collect()}
+    for r in base.collect():
+        assert not res[r.vec_id].refused
+        m = res[r.vec_id + 1000]
+        assert m.refused and m.lake_id == r.vec_id and m.cos_sim == 1.0
+    lake_ids = sorted(r.vec_id for r in spark.read.parquet(lake).collect())
+    assert lake_ids == sorted(r.vec_id for r in base.collect())
