@@ -796,3 +796,52 @@ def test_fs_weights_and_score_match_python_reference(spark, rows):
             for j, c in enumerate(fields, start=1)
         )
         assert abs(scored[i] - round(want, 6)) <= 1e-6, (orig, want)
+
+
+# ---------------------------------------------------------------------------
+# IVF decontaminate tier: full-probe equality on arbitrary vectors
+# ---------------------------------------------------------------------------
+
+_vec3 = st.lists(
+    st.floats(min_value=-4.0, max_value=4.0,
+              allow_nan=False, allow_infinity=False, width=32),
+    min_size=3, max_size=3,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(_vec3, min_size=2, max_size=10),
+    st.lists(_vec3, min_size=1, max_size=8),
+    st.lists(_vec3, min_size=1, max_size=3),
+    st.sampled_from([0.3, 0.7, 0.95]),
+)
+def test_emb_decontaminate_ivf_full_probe_equals_brute_fuzz(
+    spark, corpus_vecs, bench_vecs, cents, threshold
+):
+    """On ARBITRARY float vectors (including zero and near-parallel
+    ones) and ARBITRARY centroids (including duplicates — the contract
+    must not depend on k-means having trained anything sensible) the
+    IVF tier at full probe must reproduce the expression tier row for
+    row — same rounded cosines, argmax ties and hit counts — because
+    probing every cell covers every pair."""
+    from scraping_etl_spark.operators.similarity import (
+        embedding_decontaminate,
+        embedding_decontaminate_ivf,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(corpus_vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    bench = spark.createDataFrame(
+        [(100 + i, v) for i, v in enumerate(bench_vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    brute = sorted(map(tuple, embedding_decontaminate(
+        corpus, bench, threshold=threshold
+    ).collect()))
+    ivf = sorted(map(tuple, embedding_decontaminate_ivf(
+        corpus, bench, cents, threshold=threshold, n_probe=len(cents)
+    ).collect()))
+    assert ivf == brute
