@@ -1370,35 +1370,54 @@ _REGISTERED += [
         "log-likelihood-ratio scoring over the edit-gate pair corpus "
         "(operators/linkage.fs_weights/fs_score)",
     ),
+    # ---- new at r16: the three gates staged (and end-to-end pinned)
+    # ---- at r15. Seat arithmetic: the two folds executed at r15
+    # ---- (doc_heaps_fit -> doc_zipf_fit, event_moving_avg ->
+    # ---- event_lag_delta) left 47 r13-last-green entries owed r16
+    # ---- seats; 47 owed + these 3 never-seated gates fill the
+    # ---- 50-seat window exactly, and the registry lands at 150 =
+    # ---- steady-state capacity (50 seats x trailing-3 window).
+    QuerySpec(
+        "er_fs_em_scores", M.q_er_fs_em_scores, M.ORACLE_ER_FS_EM_SCORES,
+        "UNSUPERVISED Fellegi-Sunter weights via EM (Winkler 1988) on "
+        "the same edit-gate pair corpus as er_fs_scores — no labels, "
+        "add-half-smoothed m/u on the integer comparison grid; the "
+        "oracle unrolls every EM iteration as MATERIALIZED CTEs "
+        "(operators/linkage.fs_em_weights)",
+    ),
+    QuerySpec(
+        "doc_unimax_quotas", C.q_doc_unimax_quotas,
+        C.ORACLE_DOC_UNIMAX_QUOTAS,
+        "UniMax language-budget allocation (Chung et al. ICLR 2023): "
+        "closed-form waterfilling of a token budget across languages "
+        "with a per-language epoch cap — one window pass, no iteration "
+        "(operators/corpus_prep.unimax_quotas)",
+    ),
+    QuerySpec(
+        "emb_ingest_screen", M.q_emb_ingest_screen,
+        M.ORACLE_EMB_INGEST_SCREEN,
+        "semantic ingest screen, batch face: incoming embedding batch "
+        "vs landed lake, cross-side cosine refusal at the decontam "
+        "threshold with exclude_same_id=False so re-delivered ids are "
+        "refused — the batch twin of streaming.emb_screen_stream "
+        "(similarity.embedding_decontaminate; IVF escalation "
+        "embedding_decontaminate_ivf equals this tier at full probe, "
+        "pytest-pinned)",
+    ),
 ]
 
-# STAGED FOR r16 (seat arithmetic, planned AND executed at r15 so
-# seating never blocks a round — r14 verdict item 3): after the r15
-# window (48 owed + 2 new) the r13-last-green entries are owed r16
-# seats. TWO folds of owed near-duplicate pairs were EXECUTED at r15,
-# their supersets locally verified and driver-checked at r16 as owed
-# entries:
-#   fold A: doc_heaps_fit -> doc_zipf_fit (the documented companion
-#           ln-ln corpus-law fits, both through textstats._ls_fit;
-#           the superset now emits one row per (lang, bucket) with
-#           both fits' columns), and
-#   fold B: event_moving_avg -> event_lag_delta (identical
-#           (user_id; ts, event_id) window spec; the superset now
-#           carries mavg_7 off the same single sort),
-# leaving 47 owed + 3 staged = 50 r16 seats and 147 + 3 = 150 entries
-# — exactly the steady-state capacity. r16 is therefore mechanical:
-# add the three QuerySpecs below + make_rotation --write.
-#   1. ml_ops.q_er_fs_em_scores + ORACLE_ER_FS_EM_SCORES
-#      (linkage.fs_em_weights — UNSUPERVISED EM weights on the same
-#      pair corpus as er_fs_scores; the oracle unrolls every EM
-#      iteration as MATERIALIZED CTEs, the host_hits convention).
-#   2. corpus_ops.q_doc_unimax_quotas + ORACLE_DOC_UNIMAX_QUOTAS
-#      (corpus_prep.unimax_quotas — UniMax closed-form waterfilling
-#      language-budget allocation, Chung et al. ICLR 2023).
-#   3. ml_ops.q_emb_ingest_screen + ORACLE_EMB_INGEST_SCREEN
-#      (similarity.embedding_decontaminate cross-side, the batch face
-#      of streaming.emb_screen_stream — the doc_edit_screen pattern,
-#      staged at r15 per r14 verdict item 5).
+# STAGED FOR r17 (seat arithmetic, planned at r16 — see PLANS.md r16
+# close): after the r16 window (47 owed + 3 new) the r14-last-green
+# entries are owed r17 seats. Fold candidates pre-identified at r15
+# (emb_cosine_topk -> emb_quantized_topk, doc_stratified_sample ->
+# doc_gumbel_sample) must pass the near-duplicate-honesty check
+# (genuine superset, both component oracles embedded verbatim — the
+# doc_zipf_fit convention) before executing. Staged-but-seatless gate
+# queue:
+#   1. ml_ops.q_emb_decontaminate_ivf + ORACLE (the IVF tier of the
+#      semantic decontamination screen run at FULL probe so it is
+#      hash-exact vs the expression-tier oracle — r15 verdict item 4;
+#      trained centroids as plan constants, the emb_ivf_topk pattern).
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 
