@@ -840,7 +840,19 @@ def embedding_decontaminate(
     corpus and bench are DISTINCT relations that may legitimately
     reuse an id — e.g. the streaming ingest screen, where a record
     re-delivered under its original id in a later batch must still be
-    screened against its own lake copy (r14 ADVICE)."""
+    screened against its own lake copy (r14 ADVICE).
+
+    Past ``max_broadcast_vecs`` the broadcast hint is dropped and the
+    all-pairs comparison plans as a shuffle-backed nested loop — with
+    ``exclude_same_id=False`` the join condition is literal-true, so
+    Spark plans a CartesianProduct rather than a BNLJ-with-predicate
+    (same asymptotics, different node). Either way the over-cap regime
+    is the documented scale cliff: callers whose reference side
+    outgrows the cap should move to
+    :func:`embedding_decontaminate_ivf`, whose candidate join is a
+    cell-id hash equi-join at any scale (the streaming screen's
+    ``ivf_centroids`` escalation; plan shapes pinned in
+    tests/test_plan_shapes.py)."""
     b = bench.select(
         F.col(bench_id_col).alias("_bid"),
         F.col(bench_vec_col).alias("_bvec"),
@@ -898,6 +910,7 @@ def embedding_decontaminate_ivf(
     bench_id_col: str = "vec_id",
     bench_vec_col: str = "embedding",
     exclude_same_id: bool = True,
+    bench_cell_col: "str | None" = None,
 ) -> DataFrame:
     """IVF scale tier of :func:`embedding_decontaminate` — for when
     the reference side is NOT small: the streaming ingest screen's
@@ -909,6 +922,17 @@ def embedding_decontaminate_ivf(
     the candidate join is a hash EQUI-join on cell id — never
     all-pairs — and per-corpus-row work is bounded by the probed
     lists' size.
+
+    ``bench_cell_col`` names a column on ``bench`` that already holds
+    each row's nearest-centroid cell id (the value
+    ``nearest_centroids(vec, centroids, 1)[0]`` would compute). When
+    the bench side is a persistent lake re-screened every micro-batch,
+    assigning the cell ONCE at land time and passing the stored column
+    here keeps the per-trigger cost proportional to the batch, not
+    O(|lake| x |centroids| x dim) — the streaming ingest screen's
+    deployment shape. Rows whose stored cell is null (e.g. lake
+    partitions landed before cells were stored, read under
+    mergeSchema) fall back to the on-the-fly assignment per row.
 
     Output schema and every convention match the expression tier
     (rounded-cosine threshold, closest-bench argmax with smallest-id
@@ -924,12 +948,19 @@ def embedding_decontaminate_ivf(
         raise ValueError("centroids must be non-empty")
     if n_probe < 1:
         raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    bench_cell = F.element_at(
+        nearest_centroids(F.col(bench_vec_col), centroids, 1), 1
+    )
+    if bench_cell_col is not None:
+        # stored-cell fast path: coalesce evaluates the on-the-fly
+        # assignment only for rows where the stored cell is null
+        bench_cell = F.coalesce(
+            F.col(bench_cell_col).cast("int"), bench_cell
+        )
     b = bench.select(
         F.col(bench_id_col).alias("_bid"),
         F.col(bench_vec_col).alias("_bvec"),
-        F.element_at(
-            nearest_centroids(F.col(bench_vec_col), centroids, 1), 1
-        ).alias("_cell"),
+        bench_cell.alias("_cell"),
         l2_norm(F.col(bench_vec_col)).alias("_bnrm"),
     )
     c = corpus.select(

@@ -1425,6 +1425,7 @@ FROM documents d LEFT JOIN agg USING (doc_id)
 # ---------------------------------------------------------------------------
 
 _ZIPF_R = 200
+_HEAPS_B = 10  # shared with the folded Heaps'-law companion below
 
 
 def q_doc_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1502,9 +1503,8 @@ FROM zipf JOIN heaps USING (lang)
 
 # ---------------------------------------------------------------------------
 # Heaps'-law corpus profile (textstats.heaps_fit gate)
+# _HEAPS_B is defined next to _ZIPF_R above (the zipf superset uses both).
 # ---------------------------------------------------------------------------
-
-_HEAPS_B = 10
 
 
 def q_doc_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -447,7 +447,14 @@ _DOT = (
 def q_emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-3 for the first 20 vectors against
     the whole corpus (operators/similarity.py — broadcast probes,
-    partitioned rank window)."""
+    partitioned rank window).
+
+    RETIRED as a standalone driver gate at r16 (window-saturation
+    fold): ``emb_quantized_topk`` now carries this tier verbatim under
+    ``tier='float32'`` (same probes, same k, same ranking — the
+    exact-vs-quantized rank agreement is the comparison a user of the
+    quantized tier actually inspects). Kept as the library query,
+    oracle-pinned directly by tests/test_retired_library_queries.py."""
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < _N_PROBES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -1192,9 +1199,10 @@ def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     RETIRED as a standalone driver gate at r15 (window-saturation
     fold): ``doc_text_stats`` now carries the BPE-ish count and the
     tokens-per-word ratio (its ``n_tokens`` is this gate's
-    ``n_ws_tokens``). Kept as the library query (local DuckDB suite
-    exercises it through tests/test_relational_queries.py history;
-    the operator stays pinned by tests/test_textstats.py)."""
+    ``n_ws_tokens``). Kept as the library query, oracle-pinned
+    directly by tests/test_retired_library_queries.py (the registry
+    sweep covers registered gates only); the bpe_ish_tokens operator
+    stays pinned by its own unit tests."""
     from scraping_etl_spark.operators.textstats import bpe_ish_tokens
 
     d = load_table(spark, sf_dir, "documents")
@@ -1629,6 +1637,39 @@ FROM ranked WHERE rk = 1
 
 
 ORACLE_EMB_DECONTAMINATE = _emb_decontaminate_oracle()
+
+
+def q_emb_decontaminate_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-tier face of the semantic decontamination screen
+    (operators/similarity.embedding_decontaminate_ivf) — STAGED r16
+    for an r17 seat (r15 verdict item 4): the scale escalation the
+    expression tier documents for reference sides past the broadcast
+    cap, driver-checked in its hash-exact setting. Same corpus/bench
+    slices as ``emb_decontaminate``; the lake/bench side lives in the
+    per-sf trained 16-cell inverted lists (``_ivf_index``, plan
+    constants) and the gate probes ALL cells, where the tier EQUALS
+    the expression tier exactly (pytest-pinned operator contract), so
+    the oracle is the expression tier's SQL verbatim — full probe is
+    centroid-invariant, which is precisely what makes the face
+    hashable. Partial probe (the production recall trade) stays a
+    library setting covered by the recall-floor tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") % _DECON_MOD == 0).select(
+        "vec_id", "embedding"
+    )
+    corpus = e.filter(F.col("vec_id") % _DECON_MOD != 0).select(
+        "vec_id", "embedding"
+    )
+    centroids = [list(c) for c in _ivf_index(sf_dir)]
+    return SIM.embedding_decontaminate_ivf(
+        corpus, bench, centroids,
+        threshold=_DECON_TAU, n_probe=len(centroids),
+    )
+
+
+#: Full probe ≡ expression tier (exactly — the operator suite pins it),
+#: so the IVF face hashes against the SAME SQL as emb_decontaminate.
+ORACLE_EMB_DECONTAMINATE_IVF = ORACLE_EMB_DECONTAMINATE
 
 
 # ---------------------------------------------------------------------------

@@ -1692,10 +1692,17 @@ def emb_screen_stream(
     shares its copy's nearest cell); sub-threshold-near paraphrases
     follow the standard IVF recall trade, and at
     ``ivf_probe = len(ivf_centroids)`` the tier equals the expression
-    screen exactly (pinned by the unit suite)."""
+    screen exactly (pinned by the unit suite). In IVF mode each
+    surviving vector's cell id is assigned ONCE at land time and
+    stored with the lake row (``ivf_cell``); the per-trigger screen
+    joins on the stored cell, so trigger cost is proportional to the
+    batch, never O(|lake| x |centroids|) — partitions landed before
+    IVF mode was enabled are read under mergeSchema and fall back to
+    on-the-fly assignment for their (null-cell) rows only."""
     from scraping_etl_spark.operators.similarity import (
         embedding_decontaminate,
         embedding_decontaminate_ivf,
+        nearest_centroids,
     )
 
     reader = spark.readStream.schema(schema)
@@ -1711,12 +1718,22 @@ def emb_screen_stream(
         )
         b = batch_df.select(id_col, vec_col).localCheckpoint()
         if has_lake:
-            lake = (
-                spark.read.parquet(lake_dir)
-                .filter(F.col("batch_id") < batch_id)
-                .select(F.col(id_col).alias("_lid"),
-                        F.col(vec_col).alias("_lvec"))
+            lake_reader = spark.read
+            if ivf_centroids is not None:
+                # pick up ivf_cell even when early partitions landed
+                # without it (pre-IVF lake); nulls fall back below
+                lake_reader = lake_reader.option("mergeSchema", "true")
+            lake_all = lake_reader.parquet(lake_dir).filter(
+                F.col("batch_id") < batch_id
             )
+            lake_cols = [F.col(id_col).alias("_lid"),
+                         F.col(vec_col).alias("_lvec")]
+            has_cells = (
+                ivf_centroids is not None and "ivf_cell" in lake_all.columns
+            )
+            if has_cells:
+                lake_cols.append(F.col("ivf_cell").alias("_lcell"))
+            lake = lake_all.select(*lake_cols)
             # lake and batch are distinct relations: a record
             # re-delivered under its ORIGINAL id in a later batch
             # must still be screened against its own lake copy, so
@@ -1729,6 +1746,7 @@ def emb_screen_stream(
                     id_col=id_col, vec_col=vec_col,
                     bench_id_col="_lid", bench_vec_col="_lvec",
                     exclude_same_id=False,
+                    bench_cell_col="_lcell" if has_cells else None,
                 )
             else:
                 raw = embedding_decontaminate(
@@ -1770,10 +1788,21 @@ def emb_screen_stream(
             .partitionBy("batch_id")
             .parquet(out_dir)
         )
-        (
-            b.join(
-                landed.filter(~F.col("refused")).select(id_col), id_col
+        survivors = b.join(
+            landed.filter(~F.col("refused")).select(id_col), id_col
+        )
+        if ivf_centroids is not None:
+            # assign the inverted-list cell ONCE at land time so the
+            # IVF screen never recomputes the whole lake's
+            # nearest-centroid fold per trigger (r15 ADVICE)
+            survivors = survivors.withColumn(
+                "ivf_cell",
+                F.element_at(
+                    nearest_centroids(F.col(vec_col), ivf_centroids, 1), 1
+                ),
             )
+        (
+            survivors
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

@@ -1841,3 +1841,23 @@ def test_fs_em_gate_matches_unrolled_oracle_staged(spark):
     match_scores = [s for (m, s) in got.values() if m]
     non_scores = [s for (m, s) in got.values() if not m]
     assert min(match_scores) > max(non_scores)
+
+
+def test_emb_decontaminate_ivf_gate_matches_oracle_staged_for_r17(spark):
+    """The staged emb_decontaminate_ivf gate (IVF-tier face of the
+    semantic decontamination screen, r15 verdict item 4) hashes against
+    the expression tier's SQL — full probe is centroid-invariant — and
+    equals the seated emb_decontaminate gate row-for-row, while its
+    plan stays the cell equi-join (no BNLJ, no cartesian: the reason
+    the tier exists)."""
+    from scraping_etl_spark.plans import ml_ops as M
+    from tests.oracle import assert_matches_oracle
+
+    sf = "/root/testdata/sf0.001"
+    df = M.q_emb_decontaminate_ivf(spark, sf)
+    assert_matches_oracle(df, M.ORACLE_EMB_DECONTAMINATE_IVF, sf)
+    want = sorted(map(tuple, M.q_emb_decontaminate(spark, sf).collect()))
+    assert sorted(map(tuple, df.collect())) == want and want
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -172,3 +172,74 @@ def test_lm_score_plan_no_bnlj(spark):
     plan = _plan(with_lm_score(df))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_over_cap_regimes(spark):
+    """The expression tier's documented over-cap fallback (broadcast
+    hint dropped): with exclude_same_id=True the non-equi predicate
+    keeps it a shuffle-backed nested loop, while exclude_same_id=False
+    joins on literal true and Spark plans a CartesianProduct — same
+    asymptotics, different node. Pinned so the docstring's claim stays
+    true; callers in this regime belong on embedding_decontaminate_ivf,
+    whose plan stays an equi-join (asserted here too)."""
+    from scraping_etl_spark.operators.similarity import (
+        embedding_decontaminate,
+        embedding_decontaminate_ivf,
+        ivf_train,
+    )
+    from scraping_etl_spark.sources.readers import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    bench = e.filter(F.col("vec_id") < 50)
+    # at test scale the tiny bench auto-broadcasts by statistics even
+    # without the hint; kill the stats threshold so the plan shows the
+    # true over-cap regime (a 100 TB lake is past any auto threshold)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        over_cap = _plan(
+            embedding_decontaminate(e, bench, max_broadcast_vecs=10,
+                                    exclude_same_id=False)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "CartesianProduct" in over_cap  # the documented fallback node
+    cents = ivf_train(bench, n_clusters=4, seed=7)
+    ivf = _plan(
+        embedding_decontaminate_ivf(e, bench, cents, exclude_same_id=False)
+    )
+    assert "CartesianProduct" not in ivf
+    assert "BroadcastNestedLoopJoin" not in ivf
+
+
+def test_ivf_decontaminate_stored_cell_equivalence(spark):
+    """bench_cell_col (the streaming lake's land-time cell) must give
+    byte-identical output to the on-the-fly assignment — including the
+    null-cell mergeSchema fallback path."""
+    from scraping_etl_spark.operators.similarity import (
+        embedding_decontaminate_ivf,
+        ivf_train,
+        nearest_centroids,
+    )
+    from scraping_etl_spark.sources.readers import load_table
+
+    e = load_table(spark, SF_SMOKE, "embeddings").limit(200).localCheckpoint()
+    bench = e.filter(F.col("vec_id") % 5 == 0)
+    cents = ivf_train(bench, n_clusters=4, seed=7)
+    stored = bench.withColumn(
+        "cell",
+        F.when(
+            F.col("vec_id") % 10 == 0,  # half stored, half null-fallback
+            F.element_at(nearest_centroids(F.col("embedding"), cents, 1), 1),
+        ),
+    )
+    kw = dict(threshold=0.9, n_probe=2, exclude_same_id=True)
+    want = sorted(
+        map(tuple, embedding_decontaminate_ivf(e, bench, cents, **kw).collect())
+    )
+    got = sorted(
+        map(tuple, embedding_decontaminate_ivf(
+            e, stored, cents, bench_cell_col="cell", **kw
+        ).collect())
+    )
+    assert got == want

@@ -1803,3 +1803,76 @@ def test_emb_screen_stream_ivf_tier_refuses_exact_dups(spark, tmp_path):
         assert m.refused and m.lake_id == r.vec_id and m.cos_sim == 1.0
     lake_ids = sorted(r.vec_id for r in spark.read.parquet(lake).collect())
     assert lake_ids == sorted(r.vec_id for r in base.collect())
+
+
+def test_emb_screen_stream_ivf_lake_stores_cells_and_mixed_lake(spark, tmp_path):
+    """IVF mode assigns each survivor's inverted-list cell ONCE at land
+    time (r15 ADVICE): lake rows must carry ivf_cell equal to the
+    nearest-centroid assignment, and a lake whose OLDEST partitions
+    landed before IVF mode was enabled (no ivf_cell column) must still
+    refuse re-deliveries via the null-cell fallback."""
+    import os
+
+    from scraping_etl_spark.operators.similarity import (
+        ivf_train,
+        nearest_centroids,
+    )
+    from scraping_etl_spark.streaming.pipeline import emb_screen_stream
+
+    src, out, lake, ckpt = (
+        str(tmp_path / d) for d in ("src", "out", "lake", "ckpt")
+    )
+    os.makedirs(src)
+    base = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .limit(10)
+        .localCheckpoint()
+    )
+    cents = ivf_train(base, n_clusters=3, seed=5)
+
+    # phase 1: land WITHOUT IVF mode — lake partitions have no ivf_cell
+    base.coalesce(1).write.parquet(f"{src}/f1")
+    q = emb_screen_stream(
+        spark, f"{src}/*", out, lake, ckpt, threshold=0.95,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    assert "ivf_cell" not in spark.read.parquet(lake).columns
+
+    # phase 2: restart in IVF mode; mirrors must be refused against the
+    # cell-less lake (mergeSchema + per-row fallback), and the NEW
+    # survivors (none here) / any landed rows carry stored cells
+    mirrors = base.selectExpr("vec_id + 1000 AS vec_id", "embedding", "label")
+    fresh = base.selectExpr(
+        "vec_id + 2000 AS vec_id",
+        "transform(embedding, x -> x * -1.0F) AS embedding",
+        "label",
+    )
+    mirrors.unionByName(fresh).coalesce(1).write.parquet(f"{src}/f2")
+    q = emb_screen_stream(
+        spark, f"{src}/*", out, lake, ckpt, threshold=0.95,
+        max_files_per_trigger=1, ivf_centroids=cents, ivf_probe=1,
+    )
+    q.awaitTermination(180)
+
+    res = {r.vec_id: r for r in spark.read.parquet(out).collect()}
+    for r in base.collect():
+        m = res[r.vec_id + 1000]
+        assert m.refused and m.lake_id == r.vec_id and m.cos_sim == 1.0
+
+    lake_df = spark.read.option("mergeSchema", "true").parquet(lake)
+    assert "ivf_cell" in lake_df.columns
+    newly = lake_df.filter(F.col("vec_id") >= 2000)
+    # every IVF-mode survivor stores exactly its nearest-centroid cell
+    bad = newly.filter(
+        F.col("ivf_cell")
+        != F.element_at(nearest_centroids(F.col("embedding"), cents, 1), 1)
+    ).count()
+    assert newly.count() > 0 and bad == 0
+    # pre-IVF partitions read as null cells (the fallback path's input)
+    assert lake_df.filter(F.col("vec_id") < 1000)
+    assert (
+        lake_df.filter(F.col("vec_id") < 1000)
+        .filter(F.col("ivf_cell").isNull()).count()
+        == base.count()
+    )
