@@ -1594,7 +1594,12 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language eval sample: the N smallest
     (md5(doc_id), doc_id) per stratum via the two-stage salt
     tournament — the oracle reproduces the selection with a single
-    row_number (exactness of the tournament IS the tested claim)."""
+    row_number (exactness of the tournament IS the tested claim).
+
+    RETIRED as a standalone driver gate at r16 (window-saturation
+    fold): ``doc_gumbel_sample`` now carries this query verbatim under
+    ``method='stratified'``. Kept as the library query, oracle-pinned
+    directly by tests/test_retired_library_queries.py."""
     d = load_table(spark, sf_dir, "documents")
     return CP.stratified_sample_n(d, _SAMPLE_N).select(
         "doc_id", "lang", "sample_rank"

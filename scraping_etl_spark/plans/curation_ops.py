@@ -711,17 +711,51 @@ _GUM_SEED = "r8"
 
 
 def q_doc_gumbel_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic weighted sample: 100 documents drawn with
-    probability ∝ (1 + n_chars) via Gumbel-top-k over md5-derived
-    noise — reproducible across engines and reruns."""
+    """Deterministic document samplers, method-tagged — FOLD SUPERSET
+    since r16 (window saturation, the doc_zipf_fit convention), one
+    row per sampled document across BOTH of the engine's deterministic
+    md5-derived samplers:
+
+    - ``method='gumbel'``: 100 documents drawn with probability
+      ∝ (1 + n_chars) via Gumbel-top-k over md5 noise
+      (curation.weighted_sample_gumbel) — this gate's pre-fold body,
+      columns ``(doc_id, lang, n_chars, gumbel_key)``.
+    - ``method='stratified'``: the retired ``doc_stratified_sample``
+      gate VERBATIM — per-language uniform N smallest
+      (md5(doc_id), doc_id) via the two-stage salt tournament
+      (corpus_prep.stratified_sample_n), columns
+      ``(doc_id, lang, sample_rank)``.
+
+    Each method's missing columns are null-padded, so the union IS the
+    two components side by side — the weighted-vs-uniform pick overlap
+    is the sampler-calibration comparison the tag enables. Both
+    component oracles are embedded verbatim as CTEs."""
+    from scraping_etl_spark.plans.corpus_ops import q_doc_stratified_sample
+
     d = load_table(spark, sf_dir, "documents")
     weighted = d.withColumn("log_weight", F.log(F.lit(1.0) + F.col("n_chars")))
-    return CU.weighted_sample_gumbel(
+    gumbel = CU.weighted_sample_gumbel(
         weighted, _GUM_N, weight_col="log_weight", seed=_GUM_SEED
-    ).select("doc_id", "lang", "n_chars", "gumbel_key")
+    ).select(
+        F.lit("gumbel").alias("method"),
+        "doc_id", "lang", "n_chars",
+        F.lit(None).cast("int").alias("sample_rank"),
+        "gumbel_key",
+    )
+    strat = q_doc_stratified_sample(spark, sf_dir).select(
+        F.lit("stratified").alias("method"),
+        "doc_id", "lang",
+        F.lit(None).cast("long").alias("n_chars"),
+        "sample_rank",
+        F.lit(None).cast("double").alias("gumbel_key"),
+    )
+    return gumbel.unionByName(strat)
 
 
-ORACLE_DOC_GUMBEL_SAMPLE = f"""
+#: The gumbel component alone (the pre-fold gate's SQL) — embedded
+#: verbatim in the superset oracle and pinned by the retired-library
+#: suite's superset-honesty check.
+ORACLE_DOC_GUMBEL_COMPONENT = f"""
 WITH keyed AS (
   SELECT doc_id, lang, n_chars,
          round(
@@ -737,6 +771,31 @@ FROM keyed
 ORDER BY gumbel_key DESC, doc_id
 LIMIT {_GUM_N}
 """
+
+
+def _gumbel_superset_oracle() -> str:
+    """Fold-superset oracle: both component oracles verbatim as CTEs,
+    method-tagged and null-padded to the union schema."""
+    from scraping_etl_spark.plans.corpus_ops import ORACLE_DOC_STRATIFIED_SAMPLE
+
+    return f"""
+WITH gumbel_tier AS (
+{ORACLE_DOC_GUMBEL_COMPONENT}
+), strat_tier AS (
+{ORACLE_DOC_STRATIFIED_SAMPLE}
+)
+SELECT 'gumbel' AS method, doc_id, lang, n_chars,
+       CAST(NULL AS INTEGER) AS sample_rank, gumbel_key
+FROM gumbel_tier
+UNION ALL
+SELECT 'stratified' AS method, doc_id, lang,
+       CAST(NULL AS BIGINT) AS n_chars, sample_rank,
+       CAST(NULL AS DOUBLE) AS gumbel_key
+FROM strat_tier
+"""
+
+
+ORACLE_DOC_GUMBEL_SAMPLE = _gumbel_superset_oracle()
 
 
 # ---------------------------------------------------------------------------

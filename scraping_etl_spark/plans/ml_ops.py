@@ -568,23 +568,42 @@ ORACLE_EMB_HARD_NEGATIVES = _hard_negatives_oracle()
 
 
 def q_emb_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact top-3 over the int8-QUANTIZED corpus — the
-    memory-bandwidth tier (similarity.quantize_embedding): 4× fewer
-    bytes streamed than float32 with near-identical ranking (the
-    per-vector scale cancels in cosine). Quantization is deterministic
-    integer arithmetic, so unlike most compressed-index engines this
-    path keeps a full value-level oracle."""
+    """Exact top-3 over BOTH corpus representations, tier-tagged: the
+    float32 corpus (``tier='float32'`` — the retired ``emb_cosine_topk``
+    gate verbatim) and the int8-QUANTIZED corpus (``tier='int8'``, the
+    memory-bandwidth tier, similarity.quantize_embedding: 4× fewer
+    bytes streamed with near-identical ranking since the per-vector
+    scale cancels in cosine). FOLD SUPERSET since r16 (window
+    saturation, the doc_zipf_fit convention): same probe set, same k,
+    same ranking both tiers — the per-tier rank columns side-by-side
+    are the exact-vs-quantized agreement a user of the quantized tier
+    inspects. Quantization is deterministic integer arithmetic, so the
+    whole union keeps a full value-level oracle (both component
+    oracles embedded verbatim as CTEs)."""
     e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < _N_PROBES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
     qe = e.select(
         "vec_id", SIM.quantize_embedding(F.col("embedding")).alias("embedding")
     )
-    probes = qe.filter(F.col("vec_id") < _N_PROBES).select(
+    qprobes = qe.filter(F.col("vec_id") < _N_PROBES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return SIM.cosine_topk(qe, probes, k=_TOPK)
+    return (
+        SIM.cosine_topk(e, probes, k=_TOPK)
+        .select(F.lit("float32").alias("tier"), "*")
+        .unionByName(
+            SIM.cosine_topk(qe, qprobes, k=_TOPK)
+            .select(F.lit("int8").alias("tier"), "*")
+        )
+    )
 
 
-def _quantized_oracle() -> str:
+def _quantized_component_oracle() -> str:
+    """The int8 tier alone — the pre-fold gate's SQL, embedded verbatim
+    in the superset oracle and pinned directly by the retired-library
+    suite's superset-honesty check."""
     dot_pq = _DOT.format(a="p.q", b="e.q")
     n_p = _DOT.format(a="p.q", b="p.q")
     n_e = _DOT.format(a="e.q", b="e.q")
@@ -622,7 +641,21 @@ FROM ranked WHERE rk <= {_TOPK}
 """
 
 
-ORACLE_EMB_QUANTIZED_TOPK = _quantized_oracle()
+#: int8 tier alone (the pre-fold gate) — superset-honesty pin target.
+ORACLE_EMB_QUANTIZED_TOPK_INT8 = _quantized_component_oracle()
+
+#: Fold-superset oracle: BOTH component oracles verbatim as CTEs, each
+#: tagged with its tier (the doc_zipf_fit convention).
+ORACLE_EMB_QUANTIZED_TOPK = f"""
+WITH float_tier AS (
+{ORACLE_EMB_COSINE_TOPK}
+), int8_tier AS (
+{_quantized_component_oracle()}
+)
+SELECT 'float32' AS tier, * FROM float_tier
+UNION ALL
+SELECT 'int8' AS tier, * FROM int8_tier
+"""
 
 
 _ANN_PLANES, _ANN_PROBES = 6, 50

@@ -585,11 +585,9 @@ _REGISTERED: list[QuerySpec] = [
         "oracle derives canonical forms independently "
         "(operators/urls.py)",
     ),
-    QuerySpec(
-        "emb_cosine_topk", M.q_emb_cosine_topk, M.ORACLE_EMB_COSINE_TOPK,
-        "exact brute-force cosine top-k over embeddings (re-seated: "
-        "norm-hoist change this round)",
-    ),
+    # emb_cosine_topk RETIRED at r16: folded into emb_quantized_topk
+    # (tier='float32' carries it verbatim); library query stays
+    # oracle-pinned by tests/test_retired_library_queries.py.
     QuerySpec(
         "emb_ann_topk", M.q_emb_ann_topk, M.ORACLE_EMB_ANN_TOPK,
         "approximate top-k via sign-random-projection LSH buckets "
@@ -601,12 +599,10 @@ _REGISTERED: list[QuerySpec] = [
         "cross-document chunk-sharing stats, CCNet-style "
         "(corpus_prep.chunk_dedup_stats)",
     ),
-    QuerySpec(
-        "doc_stratified_sample", C.q_doc_stratified_sample,
-        C.ORACLE_DOC_STRATIFIED_SAMPLE,
-        "deterministic bottom-N-by-hash eval sample per stratum via "
-        "two-stage salt tournament (corpus_prep.stratified_sample_n)",
-    ),
+    # doc_stratified_sample RETIRED at r16: folded into
+    # doc_gumbel_sample (method='stratified' carries it verbatim);
+    # library query stays oracle-pinned by
+    # tests/test_retired_library_queries.py.
     QuerySpec(
         "doc_corpus_profile_hll", M.q_doc_corpus_profile_hll,
         M.ORACLE_DOC_CORPUS_PROFILE_HLL,
@@ -623,8 +619,10 @@ _REGISTERED: list[QuerySpec] = [
     ),
     QuerySpec(
         "emb_quantized_topk", M.q_emb_quantized_topk, M.ORACLE_EMB_QUANTIZED_TOPK,
-        "exact top-k over the int8-quantized corpus (4x bandwidth tier; "
-        "deterministic integer quantization keeps the full hash gate)",
+        "exact top-k over the float32 AND int8-quantized corpus, "
+        "tier-tagged (r16 fold superset — carries the retired "
+        "emb_cosine_topk verbatim as tier='float32'; deterministic "
+        "integer quantization keeps the full hash gate)",
     ),
     QuerySpec(
         "emb_cosine_dups", M.q_emb_cosine_dups, M.ORACLE_EMB_COSINE_DUPS,
@@ -662,8 +660,11 @@ _REGISTERED: list[QuerySpec] = [
     QuerySpec(
         "doc_gumbel_sample", CR.q_doc_gumbel_sample,
         CR.ORACLE_DOC_GUMBEL_SAMPLE,
-        "deterministic Gumbel-top-k weighted sample "
-        "(curation.weighted_sample_gumbel)",
+        "deterministic document samplers, method-tagged (r16 fold "
+        "superset — Gumbel-top-k weighted sample plus the retired "
+        "doc_stratified_sample verbatim as method='stratified'; "
+        "curation.weighted_sample_gumbel + "
+        "corpus_prep.stratified_sample_n)",
     ),
     QuerySpec(
         "emb_cluster_profile", CR.q_emb_cluster_profile,
