@@ -1522,6 +1522,89 @@ def kmeans_train_fx(
     return cents
 
 
+def kcenter_select(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "kc",
+) -> "list[tuple[int, int, float | None, list[float]]]":
+    """Greedy k-center / farthest-point DIVERSITY selection (Gonzalez,
+    TCS 1985 — the 2-approximation for minimax-radius cover; the
+    core-set data-selection recipe of Sener & Savarese, ICLR 2018):
+    pick a deterministic md5-seeded start, then ``k - 1`` times the
+    point FARTHEST (max-min squared L2) from everything selected so
+    far — the maximally diverse training-data subset, the opposite
+    knob from SemDeDup's redundancy removal.
+
+    Returns ``[(sel_rank, id, radius, vector), ...]`` where ``radius``
+    is the selected point's min squared distance to all earlier picks
+    at selection time (round-6, the engine-parity convention; ``None``
+    for the seed) — a non-increasing sequence, and the cover radius of
+    the first ``r`` picks is row ``r + 1``'s value. Feed the vectors
+    to :func:`cluster_assign` to materialize the cover assignment.
+
+    Determinism: the seed is the smallest ``(md5(salt:id), id)``; each
+    round's argmax breaks ties on the smallest id; every pairwise
+    distance goes through :func:`centroid_sq_dist`'s left fold and is
+    rounded to 6 before the min/argmax, so the DuckDB oracle replays
+    the whole greedy run CTE-for-CTE (plans/ml_ops.py
+    ``ORACLE_EMB_KCENTER_SELECT``). Selected ids leave the pool, so
+    exact-duplicate vectors can never re-select a center.
+
+    At 100 TB: per round one map (update the single running ``_mind``
+    column against the new center, a plan constant) + one TakeOrdered
+    — k scans total, k model-scale collects, state is one double per
+    row localCheckpointed per round (the ``neardup_clusters``
+    convention, keeping the plan linear instead of k-deep)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pool = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    seed_rows = (
+        pool.orderBy(
+            F.md5(F.concat(F.lit(salt + ":"), F.col("_id").cast("string"))),
+            F.col("_id"),
+        )
+        .limit(1)
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError("kcenter_select: empty corpus")
+    seed = seed_rows[0]
+    seed_vec = [float(x) for x in seed["_v"]]
+    selected: list[tuple[int, int, float | None, list[float]]] = [
+        (1, seed["_id"], None, seed_vec)
+    ]
+    cur = (
+        pool.filter(F.col("_id") != seed["_id"])
+        .withColumn(
+            "_mind", F.round(centroid_sq_dist(seed_vec, F.col("_v")), 6)
+        )
+        .localCheckpoint()
+    )
+    for rank in range(2, k + 1):
+        top_rows = (
+            cur.orderBy(F.desc("_mind"), F.asc("_id")).limit(1).collect()
+        )
+        if not top_rows:  # pool exhausted (k > |corpus|)
+            break
+        top = top_rows[0]
+        vec = [float(x) for x in top["_v"]]
+        selected.append((rank, top["_id"], float(top["_mind"]), vec))
+        cur = (
+            cur.filter(F.col("_id") != top["_id"])
+            .withColumn(
+                "_mind",
+                F.least(
+                    F.col("_mind"),
+                    F.round(centroid_sq_dist(vec, F.col("_v")), 6),
+                ),
+            )
+            .localCheckpoint()
+        )
+    return selected
+
+
 def jl_matrix(k: int, dim: int) -> list[list[float]]:
     """Deterministic ±1 Johnson-Lindenstrauss projection matrix
     (Achlioptas 2003: Rademacher entries satisfy the JL lemma with the

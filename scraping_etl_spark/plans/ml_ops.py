@@ -1804,6 +1804,122 @@ ORACLE_EMB_KMEANS_TRAIN = _kmeans_oracle_sql(_KM_K, _KM_ITERS, _DIM, _KM_FX)
 
 
 # ---------------------------------------------------------------------------
+# k-center / farthest-point diversity selection (similarity.
+# kcenter_select) — STAGED r16 for an r17 seat; the greedy run AND the
+# cover assignment are both replayed by the oracle (host_pagerank
+# iterative-fixpoint convention).
+# ---------------------------------------------------------------------------
+
+_KC_K = 6
+
+
+@functools.lru_cache(maxsize=4)
+def _kcenter_selection(sf_dir: str) -> tuple:
+    """Select-once per scale dir (the ``_ivf_index`` convention): the
+    greedy run is bit-deterministic, so re-runs pay assignment only."""
+    from scraping_etl_spark.session import get_spark
+
+    spark = SparkSession.getActiveSession() or get_spark()
+    e = load_table(spark, sf_dir, "embeddings")
+    return tuple(
+        (rank, int(vid), rad, tuple(vec))
+        for rank, vid, rad, vec in SIM.kcenter_select(e, _KC_K)
+    )
+
+
+def q_emb_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity core-set gate (similarity.kcenter_select — Gonzalez
+    1985 greedy k-center, the Sener & Savarese ICLR'18 core-set
+    selection): run the deterministic farthest-point greedy for
+    ``_KC_K`` centers, then assign every corpus vector to its nearest
+    selected center. One row per vector: the assigned center's
+    selection rank and id, the squared distance (round-6), and the
+    center's selection radius (its max-min distance when picked; null
+    for the seed). The STATIC oracle replays the ENTIRE greedy run as
+    unrolled MATERIALIZED CTEs plus the same (distance, rank)-
+    lexicographic argmin — no selected constants cross over, so the
+    hash certifies both the selection fixpoint and the cover."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sel = _kcenter_selection(sf_dir)
+    cents = [list(vec) for (_, _, _, vec) in sel]
+    ids = [vid for (_, vid, _, _) in sel]
+    radii = [rad for (_, _, rad, _) in sel]
+    id_arr = F.array(*[F.lit(int(i)).cast("long") for i in ids])
+    # radii[0] is None (the seed has no predecessors) — element_at over
+    # the rank>=2 slice keeps the null without a nullable array literal
+    rad_arr = F.array(*[F.lit(float(r)) for r in radii[1:]])
+    assigned = SIM.cluster_assign(e, cents)
+    return assigned.select(
+        "vec_id",
+        (F.col("cluster") + 1).cast("int").alias("center_rank"),
+        F.element_at(id_arr, F.col("cluster") + 1).alias("center_id"),
+        "sq_dist",
+        F.when(
+            F.col("cluster") > 0, F.element_at(rad_arr, F.col("cluster"))
+        ).alias("radius"),
+    )
+
+
+def _kcenter_oracle_sql(k: int, d: int) -> str:
+    """Unrolled DuckDB twin of the greedy run + cover assignment: the
+    same md5 seed pick, the same round-6 min-distance updates with the
+    picked row leaving the pool, the same (mind DESC, vec_id) argmax
+    per round, then the same (distance, rank)-lexicographic argmin
+    assignment ``cluster_assign`` computes (unrounded distance for the
+    argmin, round-6 in the output)."""
+    fold = (
+        "list_reduce(list_transform(generate_series(1, {d}), "
+        "i -> (p.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE) "
+        "* (p.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)), "
+        "(x, y) -> x + y)"
+    ).format(d=d)
+    parts = [f"""WITH c1 AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+  ORDER BY md5('kc:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 1
+), d1 AS MATERIALIZED (
+  SELECT p.vec_id, p.embedding, round({fold}, 6) AS mind
+  FROM embeddings p CROSS JOIN c1 c WHERE p.vec_id <> c.vec_id
+)"""]
+    for r in range(2, k + 1):
+        parts.append(f""", c{r} AS MATERIALIZED (
+  SELECT vec_id, embedding, mind FROM d{r - 1}
+  ORDER BY mind DESC, vec_id LIMIT 1
+)""")
+        if r < k:
+            parts.append(f""", d{r} AS MATERIALIZED (
+  SELECT p.vec_id, p.embedding,
+         least(p.mind, round({fold}, 6)) AS mind
+  FROM d{r - 1} p CROSS JOIN c{r} c WHERE p.vec_id <> c.vec_id
+)""")
+    centers = "\n  UNION ALL\n".join(
+        ["  SELECT 1 AS rnk, vec_id, embedding, "
+         "CAST(NULL AS DOUBLE) AS radius FROM c1"]
+        + [
+            f"  SELECT {r} AS rnk, vec_id, embedding, mind AS radius FROM c{r}"
+            for r in range(2, k + 1)
+        ]
+    )
+    parts.append(f""", centers AS MATERIALIZED (
+{centers}
+), dist AS (
+  SELECT p.vec_id, c.rnk, c.vec_id AS center_id, c.radius, {fold} AS dd
+  FROM embeddings p CROSS JOIN centers c
+), best AS (
+  SELECT vec_id, rnk, center_id, radius, dd,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dd, rnk) AS rk
+  FROM dist
+)
+SELECT vec_id, CAST(rnk AS INTEGER) AS center_rank, center_id,
+       round(dd, 6) AS sq_dist, radius
+FROM best WHERE rk = 1
+""")
+    return "".join(parts)
+
+
+ORACLE_EMB_KCENTER_SELECT = _kcenter_oracle_sql(_KC_K, _DIM)
+
+
+# ---------------------------------------------------------------------------
 # Keyword extraction + n-gram novelty
 # ---------------------------------------------------------------------------
 

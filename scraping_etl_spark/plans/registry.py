@@ -1407,18 +1407,32 @@ _REGISTERED += [
     ),
 ]
 
-# STAGED FOR r17 (seat arithmetic, planned at r16 — see PLANS.md r16
-# close): after the r16 window (47 owed + 3 new) the r14-last-green
-# entries are owed r17 seats. Fold candidates pre-identified at r15
-# (emb_cosine_topk -> emb_quantized_topk, doc_stratified_sample ->
-# doc_gumbel_sample) must pass the near-duplicate-honesty check
-# (genuine superset, both component oracles embedded verbatim — the
-# doc_zipf_fit convention) before executing. Staged-but-seatless gate
-# queue:
-#   1. ml_ops.q_emb_decontaminate_ivf + ORACLE (the IVF tier of the
-#      semantic decontamination screen run at FULL probe so it is
-#      hash-exact vs the expression-tier oracle — r15 verdict item 4;
-#      trained centroids as plan constants, the emb_ivf_topk pattern).
+# STAGED FOR r17 (seat arithmetic, planned AND executed at r16 so
+# seating never blocks a round): after the r16 window (47 owed + 3
+# new) the r14-last-green entries are owed r17 seats. The two fold
+# candidates pre-identified at r15 passed the near-duplicate-honesty
+# check (genuine supersets, both component oracles embedded verbatim
+# as CTEs — the doc_zipf_fit convention; superset-honesty pins in
+# tests/test_retired_library_queries.py) and were EXECUTED at r16:
+#   fold A: emb_cosine_topk -> emb_quantized_topk (same probes, same
+#           k, same ranking; the superset is the tier-tagged union,
+#           tier='float32' carrying the retired gate verbatim), and
+#   fold B: doc_stratified_sample -> doc_gumbel_sample (the engine's
+#           two deterministic md5-derived document samplers,
+#           method-tagged union with null-padded columns),
+# leaving 48 owed + 2 staged = 50 r17 seats and 148 + 2 = 150 entries
+# — steady-state capacity again. r17 is therefore mechanical: add the
+# two QuerySpecs below + make_rotation --write.
+#   1. ml_ops.q_emb_decontaminate_ivf + ORACLE_EMB_DECONTAMINATE_IVF
+#      (the IVF tier of the semantic decontamination screen run at
+#      FULL probe, where it is hash-exact vs the expression tier's
+#      oracle verbatim — r15 verdict item 4; trained centroids as
+#      plan constants, the emb_ivf_topk pattern).
+#   2. ml_ops.q_emb_kcenter_select + ORACLE_EMB_KCENTER_SELECT
+#      (similarity.kcenter_select — Gonzalez'85 farthest-point
+#      diversity core-set, Sener & Savarese ICLR'18; the oracle
+#      unrolls the whole greedy run as MATERIALIZED CTEs plus the
+#      cover assignment, the host_pagerank fixpoint convention).
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 

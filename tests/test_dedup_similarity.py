@@ -1861,3 +1861,65 @@ def test_emb_decontaminate_ivf_gate_matches_oracle_staged_for_r17(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kcenter_select_matches_loop_oracle(spark):
+    """kcenter_select replays a pure-Python Gonzalez greedy exactly:
+    same md5 seed, same round-6 min-distance updates, same
+    (mind DESC, id ASC) argmax with picked rows leaving the pool."""
+    import hashlib
+
+    from scraping_etl_spark.operators.similarity import kcenter_select
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(4)])
+        for i in range(30)
+    ]
+    rows.append((100, rows[3][1]))  # exact duplicate vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def sq(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += (float(x) - float(y)) * (float(x) - float(y))
+        return round(s, 6)
+
+    # float32 storage: quantize the python side the way parquet/Spark
+    # will hand the vectors back
+    import struct
+
+    def f32(v):
+        return [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+
+    pool = {i: f32(v) for i, v in rows}
+    seed = min(pool, key=lambda i: (hashlib.md5(f"kc:{i}".encode()).hexdigest(), i))
+    want = [(1, seed, None)]
+    mind = {i: sq(v, pool[seed]) for i, v in pool.items() if i != seed}
+    k = 6
+    for rank in range(2, k + 1):
+        pick = min(mind, key=lambda i: (-mind[i], i))
+        want.append((rank, pick, mind[pick]))
+        pv = pool[pick]
+        del mind[pick]
+        for i in list(mind):
+            mind[i] = min(mind[i], sq(pool[i], pv))
+
+    got = [(r, i, rad) for r, i, rad, _ in kcenter_select(df, k)]
+    assert got == want
+    radii = [rad for _, _, rad in want[1:]]
+    assert radii == sorted(radii, reverse=True)  # non-increasing cover radius
+
+
+def test_kcenter_gate_matches_oracle_staged_for_r17(spark):
+    """The staged emb_kcenter_select gate hashes against the unrolled
+    greedy + cover-assignment oracle, and the assignment plan is pure
+    map-side (no join of any kind — centers are plan constants)."""
+    from scraping_etl_spark.plans import ml_ops as M
+    from tests.oracle import assert_matches_oracle
+
+    sf = "/root/testdata/sf0.001"
+    df = M.q_emb_kcenter_select(spark, sf)
+    assert_matches_oracle(df, M.ORACLE_EMB_KCENTER_SELECT, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for node in ("Join", "CartesianProduct", "Exchange"):
+        assert node not in plan, node
