@@ -1522,6 +1522,125 @@ def kmeans_train_fx(
     return cents
 
 
+def top_pc_fx(
+    corpus: DataFrame,
+    iters: int = 3,
+    fx_scale: int = KMEANS_FX_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "pc",
+) -> "tuple[list[float], list[float], int]":
+    """Top principal component of the embedding corpus by DISTRIBUTED
+    fixed-point power iteration (von Mises iteration over the centered
+    second moment) — the model behind all-but-the-top embedding
+    postprocessing (Mu & Viswanath, ICLR 2018: isotropy improves after
+    removing the common mean + dominant direction), anisotropy
+    diagnostics, and spectral corpus profiling. Returns ``(mu, v, n)``
+    — the per-coordinate mean, the unit top-PC direction, and the row
+    count — as plan constants for map-side serving.
+
+    Never materializes the d×d covariance: each iteration computes the
+    per-row projection ``d_i = (x_i − μ)·v_t`` (one double fold) and
+    accumulates ``Σ_i d_i (x_i − μ)`` per coordinate on the
+    :data:`KMEANS_FX_SCALE` integer lattice (``posexplode`` + partial
+    agg — associative, so bit-identical under any partitioning, the
+    :func:`kmeans_train_fx` recipe), then renormalizes driver-side in
+    fixed coordinate order. Init is the centered vector of the
+    ``(md5(salt:id), id)``-smallest row, unit-normalized — fully
+    deterministic, so the DuckDB oracle replays the ENTIRE run
+    (plans/ml_ops.py ``ORACLE_EMB_TOP_PC``); the sign of ``v`` is the
+    deterministic sign the init's projection fixes (power iteration
+    never flips it).
+
+    At 100 TB: per iteration one corpus scan + one d-bounded partial
+    agg; state to the driver is d longs per round (model-scale).
+    int64 headroom per coordinate is ``|d_i (x_ij − μ_j)| * fx_scale *
+    rows`` — at unit-scale embeddings and fx 1e6 that allows ~1e9
+    rows per partial sum; coarsen the grid or sum hierarchically past
+    that."""
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    v = F.col(vec_col)
+    xfx = F.round(
+        F.col("_x").cast("double") * F.lit(float(fx_scale)), 0
+    ).cast("long")
+    msum = (
+        corpus.select(F.posexplode(v).alias("_p", "_x"))
+        .groupBy("_p")
+        .agg(F.sum(xfx).alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    if not msum:
+        raise ValueError("top_pc_fx: empty corpus")
+    n = int(msum[0]["_n"])
+    mu = [0.0] * len(msum)
+    for r in msum:
+        mu[r["_p"]] = float(r["_s"]) / (float(fx_scale) * float(r["_n"]))
+    mu_arr = F.array(*[F.lit(m) for m in mu])
+    cen = F.zip_with(v, mu_arr, lambda a, b: a.cast("double") - b)
+    base = corpus.select(
+        F.col(id_col).alias("_id"), cen.alias("_c")
+    ).localCheckpoint()  # consumed once per iteration + the seed pick
+
+    seed = (
+        base.orderBy(
+            F.md5(F.concat(F.lit(salt + ":"), F.col("_id").cast("string"))),
+            F.col("_id"),
+        )
+        .limit(1)
+        .collect()[0]
+    )
+    cur = [float(x) for x in seed["_c"]]
+    nrm = _host_l2(cur)
+    if nrm == 0.0:
+        raise ValueError(
+            "top_pc_fx: the md5-seed row equals the corpus mean — "
+            "degenerate init (pass a different salt)"
+        )
+    cur = [x / nrm for x in cur]
+    for _ in range(iters):
+        vlit = F.array(*[F.lit(x) for x in cur])
+        proj = F.aggregate(
+            F.zip_with(F.col("_c"), vlit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sums = (
+            base.select(proj.alias("_d"), F.col("_c"))
+            .select("_d", F.posexplode("_c").alias("_p", "_x"))
+            .groupBy("_p")
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("_d") * F.col("_x") * F.lit(float(fx_scale)), 0
+                    ).cast("long")
+                ).alias("_s")
+            )
+            .collect()
+        )
+        raw = [0.0] * len(cur)
+        for r in sums:
+            raw[r["_p"]] = float(r["_s"]) / float(fx_scale)
+        nrm = _host_l2(raw)
+        if nrm == 0.0:  # centered corpus annihilated the iterate
+            break
+        cur = [x / nrm for x in raw]
+    return mu, cur, n
+
+
+def _host_l2(xs: "list[float]") -> float:
+    """Driver-side L2 norm in FIXED ascending-coordinate order — the
+    exact left fold the DuckDB oracles replay with ``list_reduce``
+    (``0.0 + a ≡ a`` under IEEE, so the init-vs-first-element
+    difference is exact)."""
+    import math
+
+    s = 0.0
+    for x in xs:
+        s += x * x
+    return math.sqrt(s)
+
+
 def kcenter_select(
     corpus: DataFrame,
     k: int,

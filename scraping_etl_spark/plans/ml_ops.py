@@ -1920,6 +1920,138 @@ ORACLE_EMB_KCENTER_SELECT = _kcenter_oracle_sql(_KC_K, _DIM)
 
 
 # ---------------------------------------------------------------------------
+# Top principal component by fixed-point power iteration
+# (similarity.top_pc_fx) — STAGED r16 toward an r18 seat; the whole
+# training run (mean, md5 init, every iteration) is replayed by the
+# oracle, the ORACLE_EMB_KMEANS_TRAIN fixpoint convention.
+# ---------------------------------------------------------------------------
+
+_PC_ITERS = 3
+
+
+@functools.lru_cache(maxsize=4)
+def _top_pc(sf_dir: str) -> tuple:
+    """Train-once per scale dir (the ``_ivf_index`` convention)."""
+    from scraping_etl_spark.session import get_spark
+
+    spark = SparkSession.getActiveSession() or get_spark()
+    e = load_table(spark, sf_dir, "embeddings")
+    mu, v, n = SIM.top_pc_fx(e, iters=_PC_ITERS)
+    return tuple(mu), tuple(v), n
+
+
+def q_emb_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top spectral profile gate (similarity.top_pc_fx —
+    power iteration over the centered second moment; Mu & Viswanath
+    ICLR'18 postprocessing model): per corpus vector, its projection
+    on the trained dominant direction (``pc_score``) and the L2 norm
+    of the all-but-the-top residual ``x − μ − pc_score·v``
+    (``resid_norm``), both round-6. Serving is pure map-side — mean
+    and direction ride as plan constants, zero joins, zero shuffle
+    (plan pinned) — and the STATIC oracle replays the ENTIRE training
+    fixpoint from the raw table (integer-lattice sums, md5-seeded
+    init, every renormalization), so the hash certifies training and
+    serving together."""
+    e = load_table(spark, sf_dir, "embeddings")
+    mu, v, _n = _top_pc(sf_dir)
+    mu_arr = F.array(*[F.lit(float(m)) for m in mu])
+    v_arr = F.array(*[F.lit(float(x)) for x in v])
+    cen = F.zip_with(
+        F.col("embedding"), mu_arr, lambda a, b: a.cast("double") - b
+    )
+    proj = F.aggregate(
+        F.zip_with(F.col("_c"), v_arr, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    resid = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("_c"),
+                v_arr,
+                lambda a, b: (a - F.col("_d") * b) * (a - F.col("_d") * b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        e.select("vec_id", cen.alias("_c"))
+        .select("vec_id", "_c", proj.alias("_d"))
+        .select(
+            "vec_id",
+            F.round("_d", 6).alias("pc_score"),
+            F.round(resid, 6).alias("resid_norm"),
+        )
+    )
+
+
+def _top_pc_oracle_sql(iters: int, d: int, fx: int) -> str:
+    """Unrolled DuckDB twin of the power-iteration run + scoring: the
+    same integer-lattice mean, the same md5-seeded unit init, per
+    iteration the same per-row projection fold and round-to-lattice
+    coordinate sums, the same fixed-order renormalization, then the
+    same round-6 projection / residual-norm scoring."""
+    dotv = (
+        "list_reduce(list_transform(generate_series(1, {d}), "
+        "i -> p.c[i] * v.v[i]), (x, y) -> x + y)"
+    ).format(d=d)
+    l2 = "sqrt(list_reduce(list_transform({xs}, x -> x * x), (a, b) -> a + b))"
+    parts = [f"""WITH msum AS MATERIALIZED (
+  SELECT g.j AS pos,
+         sum(CAST(round(embedding[g.j]::DOUBLE * {fx}.0) AS BIGINT)) AS sfx,
+         count(*) AS n
+  FROM embeddings, generate_series(1, {d}) AS g(j)
+  GROUP BY 1
+), mu AS MATERIALIZED (
+  SELECT list(CAST(sfx AS DOUBLE) / ({fx}.0 * n) ORDER BY pos) AS m FROM msum
+), cen AS MATERIALIZED (
+  SELECT e.vec_id,
+         list_transform(generate_series(1, {d}),
+                        i -> e.embedding[i]::DOUBLE - mu.m[i]) AS c
+  FROM embeddings e CROSS JOIN mu
+), v0 AS MATERIALIZED (
+  SELECT list_transform(c, x -> x / nrm) AS v
+  FROM (
+    SELECT c, {l2.format(xs="c")} AS nrm
+    FROM (SELECT c FROM cen
+          ORDER BY md5('pc:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 1)
+  )
+)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""", s{t} AS MATERIALIZED (
+  SELECT g.j AS pos,
+         sum(CAST(round(q.d * q.c[g.j] * {fx}.0) AS BIGINT)) AS sfx
+  FROM (
+    SELECT p.c, {dotv} AS d
+    FROM cen p CROSS JOIN v{t - 1} v
+  ) q, generate_series(1, {d}) AS g(j)
+  GROUP BY 1
+), v{t} AS MATERIALIZED (
+  SELECT list_transform(r, x -> x / nrm) AS v
+  FROM (
+    SELECT r, {l2.format(xs="r")} AS nrm
+    FROM (SELECT list(CAST(sfx AS DOUBLE) / {fx}.0 ORDER BY pos) AS r
+          FROM s{t})
+  )
+)""")
+    parts.append(f""", scored AS (
+  SELECT p.vec_id, p.c, v.v, {dotv} AS d
+  FROM cen p CROSS JOIN v{iters} v
+)
+SELECT vec_id, round(d, 6) AS pc_score,
+       round(sqrt(list_reduce(list_transform(generate_series(1, {d}),
+             j -> (c[j] - d * v[j]) * (c[j] - d * v[j])),
+             (x, y) -> x + y)), 6) AS resid_norm
+FROM scored
+""")
+    return "".join(parts)
+
+
+ORACLE_EMB_TOP_PC = _top_pc_oracle_sql(_PC_ITERS, _DIM, _KM_FX)
+
+
+# ---------------------------------------------------------------------------
 # Keyword extraction + n-gram novelty
 # ---------------------------------------------------------------------------
 

@@ -1433,6 +1433,19 @@ _REGISTERED += [
 #      diversity core-set, Sener & Savarese ICLR'18; the oracle
 #      unrolls the whole greedy run as MATERIALIZED CTEs plus the
 #      cover assignment, the host_pagerank fixpoint convention).
+# Seating each adds its train row to bench.py's trainers list
+# (train:kcenter_selection; the decontaminate-IVF face reuses
+# train:ivf_index).
+#
+# STAGED TOWARD r18 (gate + oracle + pins in tree, seatless):
+#   ml_ops.q_emb_top_pc + ORACLE_EMB_TOP_PC (similarity.top_pc_fx —
+#   all-but-the-top spectral profile, Mu & Viswanath ICLR'18; integer-
+#   lattice power iteration replayed end-to-end by the oracle). r18
+#   fold candidates, pre-identified from the r15-green (owed-at-r18)
+#   group and NOT yet verified for near-duplicate honesty:
+#   (a) doc_neardup_clusters -> carry doc_neardup_survivors as an
+#       is_survivor flag (one relation, two faces), and
+#   (b) doc_exact_dups -> carry doc_dedup_survivors the same way.
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 

@@ -1923,3 +1923,53 @@ def test_kcenter_gate_matches_oracle_staged_for_r17(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     for node in ("Join", "CartesianProduct", "Exchange"):
         assert node not in plan, node
+
+
+def test_top_pc_fx_recovers_dominant_direction(spark):
+    """Power iteration must align with the true top PC on data with a
+    planted dominant direction (numpy eigendecomposition as the
+    semantic oracle), and the returned mean must match the integer-
+    lattice column means."""
+    import numpy as np
+
+    from scraping_etl_spark.operators.similarity import top_pc_fx
+
+    rng = np.random.RandomState(7)
+    direction = rng.randn(8)
+    direction /= np.linalg.norm(direction)
+    n = 400
+    data = (
+        rng.randn(n, 1) * 5.0 @ direction[None, :]  # dominant axis
+        + rng.randn(n, 8) * 0.3                      # isotropic noise
+        + 2.0                                        # offset (tests centering)
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id long, embedding array<float>",
+    )
+    mu, v, cnt = top_pc_fx(df, iters=6)
+    assert cnt == n
+    np.testing.assert_allclose(mu, data.astype(np.float64).mean(axis=0),
+                               atol=1e-5)
+    centered = data.astype(np.float64) - np.asarray(mu)
+    cov = centered.T @ centered
+    w, vecs = np.linalg.eigh(cov)
+    true_pc = vecs[:, -1]
+    align = abs(float(np.dot(v, true_pc)))
+    assert align > 0.999, align
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-12
+
+
+def test_top_pc_gate_matches_oracle_staged_for_r18(spark):
+    """The staged emb_top_pc gate hashes against the unrolled
+    power-iteration oracle and serves pure map-side (no join, no
+    exchange — mean and direction are plan constants)."""
+    from scraping_etl_spark.plans import ml_ops as M
+    from tests.oracle import assert_matches_oracle
+
+    sf = "/root/testdata/sf0.001"
+    df = M.q_emb_top_pc(spark, sf)
+    assert_matches_oracle(df, M.ORACLE_EMB_TOP_PC, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for node in ("Join", "CartesianProduct", "Exchange"):
+        assert node not in plan, node
