@@ -1440,12 +1440,20 @@ _REGISTERED += [
 # STAGED TOWARD r18 (gate + oracle + pins in tree, seatless):
 #   ml_ops.q_emb_top_pc + ORACLE_EMB_TOP_PC (similarity.top_pc_fx —
 #   all-but-the-top spectral profile, Mu & Viswanath ICLR'18; integer-
-#   lattice power iteration replayed end-to-end by the oracle). r18
-#   fold candidates, pre-identified from the r15-green (owed-at-r18)
-#   group and NOT yet verified for near-duplicate honesty:
-#   (a) doc_neardup_clusters -> carry doc_neardup_survivors as an
-#       is_survivor flag (one relation, two faces), and
-#   (b) doc_exact_dups -> carry doc_dedup_survivors the same way.
+#   lattice power iteration replayed end-to-end by the oracle).
+# r18 fold candidates from the r15-green (owed-at-r18) group,
+# honesty-REVIEWED at r16 (source read, PLANS r16 close):
+#   REJECTED: doc_neardup_clusters+doc_neardup_survivors and
+#   doc_exact_dups+doc_dedup_survivors — in each pair the "survivors"
+#   gate is a corpus-wide per-LANGUAGE rollup over a differently
+#   filtered/normalized corpus, not another face of the same relation;
+#   a tagged union of heterogeneous grains would be coverage
+#   laundering, not a superset.
+#   CANDIDATE: doc_token_dim -> doc_token_bridge (the dim and edge
+#   faces of ONE author/keyword star build — same explode, same
+#   surrogate keys; a part-tagged null-padded union carries both
+#   verbatim, the doc_gumbel_sample convention). Verify the shared
+#   derivation is still byte-identical before executing at r17.
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 
