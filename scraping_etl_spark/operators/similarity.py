@@ -1724,6 +1724,135 @@ def kcenter_select(
     return selected
 
 
+def mmr_rerank(
+    cands: DataFrame,
+    k: int = 5,
+    lam: float = 0.5,
+    query_col: str = "query_id",
+    id_col: str = "cand_id",
+    rel_col: str = "rel",
+    vec_col: str = "cand_vec",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) — the retrieval-DIVERSITY pass downstream of any of
+    the ANN/topk generators: per query, greedily select ``k``
+    candidates maximizing ``lam·rel(d) − (1−lam)·max_{s∈S} sim(d, s)``
+    so the result list trades relevance against redundancy (the
+    per-query sibling of :func:`kcenter_select`'s corpus-global
+    diversity pick; with an empty selected set the second term is 0,
+    so round one is the pure-relevance argmax and one formula covers
+    every round).
+
+    Input: one row per (query, candidate) — a BOUNDED candidate list
+    per query (top-c from a prior retrieval stage; c is a constant,
+    never corpus-scale) with a relevance score and the candidate's
+    embedding. Output: ``(query, mmr_rank, candidate, mmr_score)``,
+    ranks 1..k per query (fewer when the list exhausts).
+
+    Determinism: relevances and every pairwise candidate cosine are
+    rounded to 6 before any comparison; each round's argmax breaks
+    ties on the smallest candidate id — so the DuckDB oracle replays
+    the greedy round-for-round (plans/ml_ops.py
+    ``ORACLE_EMB_MMR_RERANK`` unrolls it CTE-for-CTE).
+
+    Scale shape: unlike :func:`kcenter_select` (k global picks,
+    model-scale collects), MMR picks one candidate PER QUERY per
+    round, so picks stay a DataFrame — NOTHING is collected. The
+    pairwise-sim relation is one query-keyed equi-self-join (|Q|·c²
+    rows, quadratic only in the bounded c), built ONCE with hoisted
+    norms and localCheckpointed; each of the k rounds is one window
+    argmax + two query-keyed equi-joins on checkpointed state (the
+    ``neardup_clusters`` linear-lineage convention). Every shuffle
+    key is the query id — the natural partitioning a 100 TB query
+    log already has."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    base = cands.select(
+        F.col(query_col).alias("_q"),
+        F.col(id_col).alias("_id"),
+        F.round(F.col(rel_col).cast("double"), 6).alias("_rel"),
+        F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_n"),
+    )
+    a = base.select(
+        "_q",
+        F.col("_id").alias("_a"),
+        F.col("_v").alias("_av"),
+        F.col("_n").alias("_an"),
+    )
+    b = base.select(
+        "_q",
+        F.col("_id").alias("_b"),
+        F.col("_v").alias("_bv"),
+        F.col("_n").alias("_bn"),
+    )
+    den = F.col("_an") * F.col("_bn")
+    sim = F.round(
+        F.when(den > 0, dot(F.col("_av"), F.col("_bv")) / den).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+    sims = (
+        a.join(b, "_q")
+        .filter(F.col("_a") != F.col("_b"))
+        .select(
+            F.col("_q").alias("_sq"), "_a", "_b", sim.alias("_sim")
+        )
+        .localCheckpoint()
+    )
+    pool = base.select(
+        "_q", "_id", "_rel", F.lit(0.0).alias("_ms")
+    ).localCheckpoint()
+    w = Window.partitionBy("_q").orderBy(F.desc("_score"), F.asc("_id"))
+    out = None
+    for r in range(1, k + 1):
+        scored = pool.withColumn(
+            "_score",
+            F.lit(lam) * F.col("_rel") - F.lit(1.0 - lam) * F.col("_ms"),
+        )
+        picks = (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(
+                "_q",
+                F.col("_id").alias("_pid"),
+                F.round(F.col("_score"), 6).alias("_pscore"),
+            )
+        )
+        out_r = picks.select(
+            F.col("_q").alias(query_col),
+            F.lit(r).cast("int").alias("mmr_rank"),
+            F.col("_pid").alias(id_col),
+            F.col("_pscore").alias("mmr_score"),
+        )
+        out = out_r if out is None else out.unionByName(out_r)
+        if r < k:
+            pool = (
+                pool.join(picks.select("_q", "_pid"), "_q")
+                .filter(F.col("_id") != F.col("_pid"))
+                .join(
+                    sims,
+                    (F.col("_sq") == F.col("_q"))
+                    & (F.col("_a") == F.col("_id"))
+                    & (F.col("_b") == F.col("_pid")),
+                    "left",
+                )
+                .select(
+                    "_q",
+                    "_id",
+                    "_rel",
+                    F.greatest(
+                        F.col("_ms"), F.coalesce(F.col("_sim"), F.lit(0.0))
+                    ).alias("_ms"),
+                )
+                .localCheckpoint()
+            )
+    return out
+
+
 def jl_matrix(k: int, dim: int) -> list[list[float]]:
     """Deterministic ±1 Johnson-Lindenstrauss projection matrix
     (Achlioptas 2003: Rademacher entries satisfy the JL lemma with the

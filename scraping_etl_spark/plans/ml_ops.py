@@ -760,6 +760,59 @@ _ivf_query_dirs: set[str] = set()
 _ivf_zero_arg_oracle_dir: str | None = None
 _ivf_explicit_oracle_dirs: set[str] = set()
 
+#: The driver's correctness compare runs at sf=0.01 (driver contract in
+#: ``__spark_entry__``), so the lazily-built IVF oracles train there by
+#: default; override for local experiments at other scales.
+_IVF_ORACLE_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
+
+
+def _ivf_guard_query_dir(sf_dir: str, gate: str) -> None:
+    """Fail-fast half of the index-pairing hazard guard, shared by
+    every gate that serves off ``_ivf_index``: if a zero-arg oracle
+    already trained at one dir, a query at another dir would silently
+    hash-mismatch."""
+    if (
+        _ivf_zero_arg_oracle_dir is not None
+        and _ivf_zero_arg_oracle_dir != sf_dir
+        and sf_dir not in _ivf_explicit_oracle_dirs
+    ):
+        raise RuntimeError(
+            f"{gate}: the zero-arg oracle trained its index at "
+            f"{_ivf_zero_arg_oracle_dir!r} but the query is running at "
+            f"{sf_dir!r} — the hash compare would silently mismatch. Set "
+            f"SPARK_GRAFT_ORACLE_SF_DIR={sf_dir} (or pass sf_dir to "
+            f"the oracle builder) so both sides share one index."
+        )
+    _ivf_query_dirs.add(sf_dir)
+
+
+def _ivf_oracle_dir(sf_dir: "str | None", gate: str) -> str:
+    """Resolution half of the pairing guard (see
+    :func:`oracle_emb_ivf_topk` for the full hazard story): zero-arg
+    adopts the live query dir when unambiguous, else the driver
+    default — refusing outright if queries ran at dirs the default
+    doesn't cover."""
+    global _ivf_zero_arg_oracle_dir
+    if sf_dir is None:
+        if "SPARK_GRAFT_ORACLE_SF_DIR" in os.environ:
+            resolved = os.environ["SPARK_GRAFT_ORACLE_SF_DIR"]
+        elif len(_ivf_query_dirs) == 1:
+            resolved = next(iter(_ivf_query_dirs))
+        else:
+            resolved = _IVF_ORACLE_SF_DIR
+        if _ivf_query_dirs and resolved not in _ivf_query_dirs:
+            raise RuntimeError(
+                f"{gate} oracle: would train at {resolved!r} but the "
+                f"query ran at {sorted(_ivf_query_dirs)!r} — pass sf_dir "
+                f"or set SPARK_GRAFT_ORACLE_SF_DIR to pair them."
+            )
+        _ivf_zero_arg_oracle_dir = resolved
+        return resolved
+    _ivf_explicit_oracle_dirs.add(sf_dir)
+    return sf_dir
+
 
 def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means inverted-list) approximate top-3 — the
@@ -767,19 +820,7 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest of 16 lists (operators/similarity.ivf_topk). The index is
     built once per sf_dir and reused. Approximate by design + iterative
     training → rows-only driver check."""
-    if (
-        _ivf_zero_arg_oracle_dir is not None
-        and _ivf_zero_arg_oracle_dir != sf_dir
-        and sf_dir not in _ivf_explicit_oracle_dirs
-    ):
-        raise RuntimeError(
-            f"emb_ivf_topk: the zero-arg oracle trained its index at "
-            f"{_ivf_zero_arg_oracle_dir!r} but the query is running at "
-            f"{sf_dir!r} — the hash compare would silently mismatch. Set "
-            f"SPARK_GRAFT_ORACLE_SF_DIR={sf_dir} (or pass sf_dir to "
-            f"oracle_emb_ivf_topk) so both sides share one index."
-        )
-    _ivf_query_dirs.add(sf_dir)
+    _ivf_guard_query_dir(sf_dir, "emb_ivf_topk")
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -788,14 +829,6 @@ def q_emb_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(
         e, probes, k=_TOPK, n_clusters=16, n_probe=4, centroids=centroids
     )
-
-
-#: The driver's correctness compare runs at sf=0.01 (driver contract in
-#: ``__spark_entry__``), so the lazily-built IVF oracle trains there by
-#: default; override for local experiments at other scales.
-_IVF_ORACLE_SF_DIR = os.environ.get(
-    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
-)
 
 
 def oracle_emb_ivf_topk(sf_dir: str | None = None) -> str:
@@ -820,24 +853,7 @@ def oracle_emb_ivf_topk(sf_dir: str | None = None) -> str:
     process, so this pairs them by construction); the chosen dir is
     recorded and :func:`q_emb_ivf_topk` fails fast on any later
     divergence instead of letting the hash gate silently mismatch."""
-    global _ivf_zero_arg_oracle_dir
-    if sf_dir is None:
-        if "SPARK_GRAFT_ORACLE_SF_DIR" in os.environ:
-            resolved = os.environ["SPARK_GRAFT_ORACLE_SF_DIR"]
-        elif len(_ivf_query_dirs) == 1:
-            resolved = next(iter(_ivf_query_dirs))
-        else:
-            resolved = _IVF_ORACLE_SF_DIR
-        if _ivf_query_dirs and resolved not in _ivf_query_dirs:
-            raise RuntimeError(
-                f"emb_ivf_topk oracle: would train at {resolved!r} but the "
-                f"query ran at {sorted(_ivf_query_dirs)!r} — pass sf_dir or "
-                f"set SPARK_GRAFT_ORACLE_SF_DIR to pair them."
-            )
-        _ivf_zero_arg_oracle_dir = resolved
-        sf_dir = resolved
-    else:
-        _ivf_explicit_oracle_dirs.add(sf_dir)
+    sf_dir = _ivf_oracle_dir(sf_dir, "emb_ivf_topk")
     centroids = _ivf_index(sf_dir)
     cent_rows = ",\n         ".join(
         "({i}, [{xs}])".format(
@@ -1672,20 +1688,35 @@ FROM ranked WHERE rk = 1
 ORACLE_EMB_DECONTAMINATE = _emb_decontaminate_oracle()
 
 
+#: Cells each corpus vector probes in the IVF decontaminate face — the
+#: production recall trade (4 of 16, the ``emb_ivf_topk`` setting), NOT
+#: full probe: at full probe the tier compares every (corpus, bench)
+#: pair, i.e. costs exactly what the expression tier costs plus a
+#: shuffle, so driver-checking it would certify nothing the seated
+#: ``emb_decontaminate`` row doesn't already certify — and would add a
+#: second ~15 s row to the sf1 floor.
+_DIVF_PROBE = 4
+
+
 def q_emb_decontaminate_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-tier face of the semantic decontamination screen
     (operators/similarity.embedding_decontaminate_ivf) — STAGED r16
     for an r17 seat (r15 verdict item 4): the scale escalation the
     expression tier documents for reference sides past the broadcast
-    cap, driver-checked in its hash-exact setting. Same corpus/bench
+    cap, driver-checked in its PRODUCTION setting. Same corpus/bench
     slices as ``emb_decontaminate``; the lake/bench side lives in the
     per-sf trained 16-cell inverted lists (``_ivf_index``, plan
-    constants) and the gate probes ALL cells, where the tier EQUALS
-    the expression tier exactly (pytest-pinned operator contract), so
-    the oracle is the expression tier's SQL verbatim — full probe is
-    centroid-invariant, which is precisely what makes the face
-    hashable. Partial probe (the production recall trade) stays a
-    library setting covered by the recall-floor tests."""
+    constants) and each corpus vector probes its ``_DIVF_PROBE``
+    nearest cells. Partial probe is still hash-exact because the
+    lazy oracle (:func:`oracle_emb_decontaminate_ivf`) replays the
+    WHOLE index — centroid literals, (d, cid) cell assignment, the
+    probe fan-out — before applying the expression tier's threshold/
+    argmax/hit-count arithmetic restricted to probed cells (the
+    ``oracle_emb_ivf_topk`` pattern). Full probe ≡ expression tier
+    stays the operator-suite contract; the subset-honesty pin
+    (partial flags ⊆ exact flags, hit counts never higher) lives in
+    the staged-gate test."""
+    _ivf_guard_query_dir(sf_dir, "emb_decontaminate_ivf")
     e = load_table(spark, sf_dir, "embeddings")
     bench = e.filter(F.col("vec_id") % _DECON_MOD == 0).select(
         "vec_id", "embedding"
@@ -1696,13 +1727,74 @@ def q_emb_decontaminate_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = [list(c) for c in _ivf_index(sf_dir)]
     return SIM.embedding_decontaminate_ivf(
         corpus, bench, centroids,
-        threshold=_DECON_TAU, n_probe=len(centroids),
+        threshold=_DECON_TAU, n_probe=_DIVF_PROBE,
     )
 
 
-#: Full probe ≡ expression tier (exactly — the operator suite pins it),
-#: so the IVF face hashes against the SAME SQL as emb_decontaminate.
-ORACLE_EMB_DECONTAMINATE_IVF = ORACLE_EMB_DECONTAMINATE
+def oracle_emb_decontaminate_ivf(sf_dir: str | None = None) -> str:
+    """DuckDB twin of :func:`q_emb_decontaminate_ivf`, built lazily
+    (the registry's callable-oracle support) because the centroids are
+    run-time plan constants shared through ``_ivf_index`` — the same
+    pairing-guard rules as :func:`oracle_emb_ivf_topk`. The replay:
+    every vector's squared distance to every centroid literal with the
+    identical left-fold order, (d, cid)-lexicographic ranking, bench
+    rows keep their ONE nearest cell, corpus rows fan out to their
+    ``_DIVF_PROBE`` nearest; downstream is the expression-tier oracle's
+    flagged/ranked SQL verbatim with the join restricted to matching
+    cells — so ``n_bench_hits`` counts within probed cells, exactly
+    the operator's documented IVF recall trade."""
+    sf_dir = _ivf_oracle_dir(sf_dir, "emb_decontaminate_ivf")
+    centroids = _ivf_index(sf_dir)
+    cent_rows = ",\n         ".join(
+        "({i}, [{xs}])".format(
+            i=i, xs=", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in c)
+        )
+        for i, c in enumerate(centroids)
+    )
+    # identical fold order to similarity._sq_dist_to: (a - b) * (a - b)
+    sq_dist = (
+        "list_reduce(list_transform(generate_series(1, {d}), "
+        "i -> (e.embedding[i]::DOUBLE - cent.c[i]) "
+        "* (e.embedding[i]::DOUBLE - cent.c[i])), (x, y) -> x + y)"
+    ).format(d=_DIM)
+    dot_cb = _DOT.format(a="c.embedding", b="b.embedding")
+    n_c = _DOT.format(a="c.embedding", b="c.embedding")
+    n_b = _DOT.format(a="b.embedding", b="b.embedding")
+    cos = (
+        f"round(CASE WHEN sqrt({n_c}) * sqrt({n_b}) > 0 "
+        f"THEN {dot_cb} / (sqrt({n_c}) * sqrt({n_b})) "
+        f"ELSE 0.0 END, 6)"
+    )
+    return f"""
+WITH cent(cid, c) AS (
+  VALUES {cent_rows}
+), dist AS (
+  SELECT e.vec_id, e.embedding, cent.cid, {sq_dist} AS d
+  FROM embeddings e CROSS JOIN cent
+), assign AS (
+  SELECT vec_id, embedding, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+  FROM dist
+), bench AS (
+  SELECT vec_id, embedding, cid AS cell FROM assign
+  WHERE vec_id % {_DECON_MOD} = 0 AND rk = 1
+), corp AS (
+  SELECT vec_id, embedding, cid AS cell FROM assign
+  WHERE vec_id % {_DECON_MOD} <> 0 AND rk <= {_DIVF_PROBE}
+), flagged AS (
+  SELECT c.vec_id, b.vec_id AS bench_id, {cos} AS cos_sim
+  FROM corp c JOIN bench b ON b.cell = c.cell AND c.vec_id <> b.vec_id
+  WHERE {cos} >= {_DECON_TAU}
+), ranked AS (
+  SELECT vec_id, bench_id, cos_sim,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY cos_sim DESC, bench_id) AS rk,
+         count(*) OVER (PARTITION BY vec_id) AS n_bench_hits
+  FROM flagged
+)
+SELECT vec_id, bench_id, cos_sim, CAST(n_bench_hits AS BIGINT) AS n_bench_hits
+FROM ranked WHERE rk = 1
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1917,6 +2009,121 @@ FROM best WHERE rk = 1
 
 
 ORACLE_EMB_KCENTER_SELECT = _kcenter_oracle_sql(_KC_K, _DIM)
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance re-ranking (similarity.mmr_rerank) —
+# STAGED toward r19; the oracle unrolls the per-query greedy
+# round-for-round (the kcenter/unimax unrolled-CTE convention).
+# ---------------------------------------------------------------------------
+
+_MMR_PROBES, _MMR_C, _MMR_K, _MMR_LAM = 10, 15, 5, 0.5
+
+
+def q_emb_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity re-ranking gate: each of the first ``_MMR_PROBES``
+    vectors retrieves its exact cosine top-``_MMR_C`` candidates
+    (the brute generator any ANN tier substitutes for), then
+    :func:`similarity.mmr_rerank` greedily selects ``_MMR_K`` of them
+    by ``λ·rel − (1−λ)·max-sim-to-selected`` (Carbonell & Goldstein,
+    SIGIR 1998) — the redundancy-suppressing result list a RAG stack
+    serves. Everything is rounded-6 deterministic; picks stay a
+    DataFrame (one per query per round, never collected); the oracle
+    replays candidate generation, the full pairwise-sim relation, and
+    every greedy round as unrolled CTEs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < _MMR_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    cands = SIM.cosine_topk(e, probes, k=_MMR_C)
+    with_vec = F.broadcast(cands).join(
+        e.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cand_vec"),
+        ),
+        "neighbor_id",
+    )
+    return SIM.mmr_rerank(
+        with_vec.select(
+            "query_id",
+            F.col("neighbor_id").alias("cand_id"),
+            F.col("cos_sim").alias("rel"),
+            "cand_vec",
+        ),
+        k=_MMR_K,
+        lam=_MMR_LAM,
+    )
+
+
+def _mmr_oracle_sql(k: int, lam: float) -> str:
+    dot_pe = _DOT.format(a="p.embedding", b="e.embedding")
+    n_p = _DOT.format(a="p.embedding", b="p.embedding")
+    n_e = _DOT.format(a="e.embedding", b="e.embedding")
+    dot_xy = _DOT.format(a="xe.embedding", b="ye.embedding")
+    n_x = _DOT.format(a="xe.embedding", b="xe.embedding")
+    n_y = _DOT.format(a="ye.embedding", b="ye.embedding")
+    l, ml = repr(float(lam)), repr(1.0 - float(lam))
+    score = f"({l} * rel - {ml} * ms)"
+    parts = [f"""WITH probes AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings
+  WHERE vec_id < {_MMR_PROBES}
+), scored AS (
+  SELECT p.query_id, e.vec_id AS cand_id,
+         {dot_pe} AS dp, sqrt({n_p}) * sqrt({n_e}) AS den
+  FROM probes p JOIN embeddings e ON p.query_id <> e.vec_id
+), rankedc AS (
+  SELECT query_id, cand_id,
+         CASE WHEN den > 0 THEN dp / den ELSE 0.0 END AS c,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY (CASE WHEN den > 0 THEN dp / den ELSE 0.0 END) DESC,
+                    cand_id) AS rk
+  FROM scored
+), cands AS (
+  SELECT query_id, cand_id, round(c, 6) AS rel
+  FROM rankedc WHERE rk <= {_MMR_C}
+), sims AS (
+  SELECT x.query_id, x.cand_id AS a, y.cand_id AS b,
+         round(CASE WHEN sqrt({n_x}) * sqrt({n_y}) > 0
+                    THEN {dot_xy} / (sqrt({n_x}) * sqrt({n_y}))
+                    ELSE 0.0 END, 6) AS sim
+  FROM cands x
+  JOIN embeddings xe ON xe.vec_id = x.cand_id
+  JOIN cands y ON y.query_id = x.query_id AND y.cand_id <> x.cand_id
+  JOIN embeddings ye ON ye.vec_id = y.cand_id
+), pool0 AS (
+  SELECT query_id, cand_id, rel, 0.0 AS ms FROM cands
+)"""]
+    for r in range(1, k + 1):
+        parts.append(f""", sel{r} AS (
+  SELECT query_id, cand_id, round({score}, 6) AS mmr_score
+  FROM (
+    SELECT query_id, cand_id, rel, ms,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY {score} DESC, cand_id) AS rk
+    FROM pool{r - 1}
+  ) AS t WHERE rk = 1
+)""")
+        if r < k:
+            parts.append(f""", pool{r} AS (
+  SELECT p.query_id, p.cand_id, p.rel,
+         greatest(p.ms, coalesce(s.sim, 0.0)) AS ms
+  FROM pool{r - 1} p
+  JOIN sel{r} t ON t.query_id = p.query_id AND p.cand_id <> t.cand_id
+  LEFT JOIN sims s ON s.query_id = p.query_id
+   AND s.a = p.cand_id AND s.b = t.cand_id
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT query_id, CAST({r} AS INTEGER) AS mmr_rank, "
+        f"cand_id, mmr_score FROM sel{r}"
+        for r in range(1, k + 1)
+    )
+    parts.append("\n" + union + "\n")
+    return "".join(parts)
+
+
+ORACLE_EMB_MMR_RERANK = _mmr_oracle_sql(_MMR_K, _MMR_LAM)
 
 
 # ---------------------------------------------------------------------------

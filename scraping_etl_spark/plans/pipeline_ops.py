@@ -588,6 +588,77 @@ FROM agg
 """
 
 
+def q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + Flesch–Kincaid grade profile
+    (textstats.with_readability, STAGED toward r19): the canonical
+    readability pair (Flesch 1948; Kincaid et al. 1975) as a corpus
+    difficulty/curriculum signal — letter-run words, vowel-group
+    syllables with the silent-e adjustment, terminator-run sentences,
+    both scores in the fixed left-assoc order the oracle mirrors, and
+    the standard band on the rounded ease. Pure map-side per-row array
+    expressions — zero shuffle at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    return TS.with_readability(d).select(
+        "doc_id", "n_words", "n_sentences", "n_syllables",
+        "flesch_reading_ease", "fk_grade", "readability_band",
+    )
+
+
+def _readability_oracle() -> str:
+    band = "CASE WHEN n_words = 0 THEN 'empty'\n"
+    for edge, name in TS.READABILITY_BANDS:
+        band += (
+            f"            WHEN flesch_reading_ease >= {edge} "
+            f"THEN '{name}'\n"
+        )
+    band += "            ELSE 'very_hard' END"
+    syl_word = (
+        "CASE WHEN len(regexp_extract_all(x, '[aeiouy]+')) > 1"
+        " AND regexp_matches(x, '[^aeiouy]e$')"
+        " THEN len(regexp_extract_all(x, '[aeiouy]+')) - 1"
+        " ELSE greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1) END"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '[a-z]+') AS w
+  FROM documents
+), counted AS (
+  SELECT doc_id,
+         CAST(coalesce(len(w), 0) AS BIGINT) AS n_words,
+         CAST(CASE WHEN coalesce(len(w), 0) > 0 THEN
+                greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+              ELSE 0 END AS BIGINT) AS n_sentences,
+         CAST(CASE WHEN coalesce(len(w), 0) > 0 THEN
+                list_sum(list_transform(w, x -> ({syl_word})))
+              ELSE 0 END AS BIGINT) AS n_syllables
+  FROM base
+), scored AS (
+  SELECT doc_id, n_words, n_sentences, n_syllables,
+         CASE WHEN n_words > 0 THEN
+           round(206.835 - 1.015 * (CAST(n_words AS DOUBLE)
+                                    / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (CAST(n_syllables AS DOUBLE)
+                           / CAST(n_words AS DOUBLE)), 6)
+         END AS flesch_reading_ease,
+         CASE WHEN n_words > 0 THEN
+           round(0.39 * (CAST(n_words AS DOUBLE)
+                         / CAST(n_sentences AS DOUBLE))
+                 + 11.8 * (CAST(n_syllables AS DOUBLE)
+                           / CAST(n_words AS DOUBLE)) - 15.59, 6)
+         END AS fk_grade
+  FROM counted
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       flesch_reading_ease, fk_grade,
+       {band} AS readability_band
+FROM scored
+"""
+
+
+ORACLE_DOC_READABILITY = _readability_oracle()
+
+
 def q_doc_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row corpus datasheet (the "Datasheets for Datasets" summary
     a corpus release ships — Gebru et al. 2021): sizes, diversity,

@@ -1423,11 +1423,14 @@ _REGISTERED += [
 # leaving 48 owed + 2 staged = 50 r17 seats and 148 + 2 = 150 entries
 # — steady-state capacity again. r17 is therefore mechanical: add the
 # two QuerySpecs below + make_rotation --write.
-#   1. ml_ops.q_emb_decontaminate_ivf + ORACLE_EMB_DECONTAMINATE_IVF
-#      (the IVF tier of the semantic decontamination screen run at
-#      FULL probe, where it is hash-exact vs the expression tier's
-#      oracle verbatim — r15 verdict item 4; trained centroids as
-#      plan constants, the emb_ivf_topk pattern).
+#   1. ml_ops.q_emb_decontaminate_ivf + oracle_emb_decontaminate_ivf
+#      (the IVF tier of the semantic decontamination screen at its
+#      PRODUCTION partial-probe setting, 4 of 16 cells — r15 verdict
+#      item 4; hash-exact because the lazy callable oracle replays
+#      the whole index — centroid literals, (d, cid) assignment,
+#      probe fan-out — the oracle_emb_ivf_topk pattern, with the
+#      same shared pairing guard. Full probe would cost exactly the
+#      expression tier + a shuffle, certifying nothing new).
 #   2. ml_ops.q_emb_kcenter_select + ORACLE_EMB_KCENTER_SELECT
 #      (similarity.kcenter_select — Gonzalez'85 farthest-point
 #      diversity core-set, Sener & Savarese ICLR'18; the oracle
@@ -1438,9 +1441,15 @@ _REGISTERED += [
 # train:ivf_index).
 #
 # STAGED TOWARD r18 (gate + oracle + pins in tree, seatless):
-#   ml_ops.q_emb_top_pc + ORACLE_EMB_TOP_PC (similarity.top_pc_fx —
-#   all-but-the-top spectral profile, Mu & Viswanath ICLR'18; integer-
-#   lattice power iteration replayed end-to-end by the oracle).
+#   1. ml_ops.q_emb_top_pc + ORACLE_EMB_TOP_PC (similarity.top_pc_fx —
+#      all-but-the-top spectral profile, Mu & Viswanath ICLR'18;
+#      integer-lattice power iteration replayed end-to-end by the
+#      oracle).
+#   2. corpus_ops.q_doc_fim_transform + ORACLE_DOC_FIM_TRANSFORM
+#      (corpus_prep.fim_transform — fill-in-the-middle pretraining
+#      transform, Bavarian'22 arXiv:2207.14255; md5-drawn apply/cuts/
+#      mode, PSM+SPM layouts, zero-shuffle map-side projection; the
+#      oracle replays every byte, pure-Python hashlib replay pinned).
 # r18 fold candidates from the r15-green (owed-at-r18) group,
 # honesty-REVIEWED at r16 (source read, PLANS r16 close):
 #   REJECTED: doc_neardup_clusters+doc_neardup_survivors and
@@ -1449,11 +1458,45 @@ _REGISTERED += [
 #   filtered/normalized corpus, not another face of the same relation;
 #   a tagged union of heterogeneous grains would be coverage
 #   laundering, not a superset.
-#   CANDIDATE: doc_token_dim -> doc_token_bridge (the dim and edge
-#   faces of ONE author/keyword star build — same explode, same
-#   surrogate keys; a part-tagged null-padded union carries both
-#   verbatim, the doc_gumbel_sample convention). Verify the shared
-#   derivation is still byte-identical before executing at r17.
+#   CANDIDATE A: doc_token_dim -> doc_token_bridge (the dim and edge
+#   faces of ONE author/keyword star build — q_doc_token_bridge CALLS
+#   q_doc_token_dim (ml_ops.py), so the shared derivation is byte-
+#   identical BY CONSTRUCTION, re-verified in source at r16; a
+#   part-tagged null-padded union carries both verbatim, the
+#   doc_gumbel_sample convention).
+#   CANDIDATE B: doc_hh_candidates -> doc_heavy_hitters (two
+#   production paths for ONE relation — the exact global top-20
+#   lowercased-token counts: same tokens(lowercase=True), _HH_K =
+#   _HHC_M = 20, same (n_occ DESC, token) total order, re-verified in
+#   source at r16; a path-tagged union — path='cms' carrying the CMS
+#   verdict face verbatim, path='salted' the salt-bucketed candidate
+#   face with null-padded verdict columns — is the emb_quantized_topk
+#   tier-tag precedent exactly).
+# Executing A+B at r17 frees the two r18 seats the two staged gates
+# above need; arithmetic stays at 150 = capacity.
+#
+# STAGED TOWARD r19 (gate + oracle + pins in tree, seatless):
+#   1. ml_ops.q_emb_mmr_rerank + ORACLE_EMB_MMR_RERANK
+#      (similarity.mmr_rerank — Maximal Marginal Relevance
+#      re-ranking, Carbonell & Goldstein SIGIR'98; per-query greedy
+#      λ·rel − (1−λ)·max-sim-to-selected over bounded candidate
+#      lists, picks stay a DataFrame, every round an unrolled CTE in
+#      the oracle).
+#   2. pipeline_ops.q_doc_readability + ORACLE_DOC_READABILITY
+#      (textstats.with_readability — Flesch reading ease +
+#      Flesch–Kincaid grade, Flesch'48 / Kincaid'75; letter-run
+#      words, vowel-group syllables with silent-e adjustment,
+#      zero-shuffle map-side).
+# r19 fold candidates (name now, honesty-review in source before
+# executing at r18 — the doc_zipf_fit bar applies):
+#   CANDIDATE C: emb_pq_topk -> emb_ivfpq_topk (two ADC serving paths
+#   over the same probe set; tier-tagged union 'pq'/'ivfpq' with
+#   null-padded cluster column — the emb_quantized_topk precedent;
+#   both lazy component oracles composed verbatim).
+#   CANDIDATE D: doc_char_entropy -> doc_text_stats (same per-doc
+#   grain; the superset adds char_entropy/alpha_frac columns, the
+#   doc_token_counts fold precedent exactly; component oracle
+#   embedded verbatim as a CTE).
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 
