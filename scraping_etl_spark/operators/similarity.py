@@ -1724,6 +1724,77 @@ def kcenter_select(
     return selected
 
 
+def matryoshka_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    dims: "tuple[int, ...]" = (16, 32, 64),
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "query_id",
+    probe_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Matryoshka prefix-dimension retrieval (Kusupati et al.,
+    "Matryoshka Representation Learning", NeurIPS 2022): serve exact
+    cosine top-k at each PREFIX truncation of the embedding — the
+    adaptive-deployment trade MRL-trained encoders exist for (coarse
+    dims for cheap shortlist, full dims for final ranking), quantified
+    the same way :func:`quantize_embedding`'s int8 tier is: per-tier
+    ranks side by side plus an ``in_full_topk`` agreement flag against
+    the largest-dim tier.
+
+    Output: ``(tier, probe_id, rank, neighbor_id, cos_sim,
+    in_full_topk)`` with ``tier = 'd<dim>'`` — one :func:`cosine_topk`
+    run per dim over ``slice(vec, 1, d)``; the flag marks whether the
+    row's neighbor also appears in the reference (largest-dim) top-k
+    for its query.
+
+    Scale shape: truncation is a map-side ``slice`` (at 100 TB the
+    real win is scanning d/D of the vector bytes — with a columnar
+    layout storing prefix blocks separately, the narrow tiers read
+    proportionally less); each tier is the brute generator's
+    broadcast-probes shape; the agreement join broadcasts the
+    (|probes|·k)-row reference relation. Every tier is rounded-6 /
+    smallest-id deterministic, so the whole union hashes against one
+    static oracle."""
+    ds = sorted({int(d) for d in dims})
+    if not ds or ds[0] < 1:
+        raise ValueError(f"dims must be positive, got {dims!r}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    out = None
+    for d in ds:
+        c = corpus.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+        p = probes.select(
+            F.col(probe_id_col),
+            F.slice(F.col(probe_vec_col), 1, d).alias(probe_vec_col),
+        )
+        t = cosine_topk(
+            c, p, k=k, id_col=id_col, vec_col=vec_col,
+            probe_id_col=probe_id_col, probe_vec_col=probe_vec_col,
+        ).select(F.lit(f"d{d}").alias("tier"), "*")
+        out = t if out is None else out.unionByName(t)
+    ref = (
+        out.filter(F.col("tier") == f"d{ds[-1]}")
+        .select(
+            F.col(probe_id_col),
+            "neighbor_id",
+            F.lit(True).alias("in_full_topk"),
+        )
+    )
+    return (
+        out.join(F.broadcast(ref), [probe_id_col, "neighbor_id"], "left")
+        .select(
+            "tier", probe_id_col, "rank", "neighbor_id", "cos_sim",
+            F.coalesce(F.col("in_full_topk"), F.lit(False)).alias(
+                "in_full_topk"
+            ),
+        )
+    )
+
+
 def mmr_rerank(
     cands: DataFrame,
     k: int = 5,

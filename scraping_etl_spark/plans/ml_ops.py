@@ -658,6 +658,78 @@ SELECT 'int8' AS tier, * FROM int8_tier
 """
 
 
+# ---------------------------------------------------------------------------
+# Matryoshka prefix-dimension retrieval (similarity.matryoshka_topk) —
+# STAGED toward r20; static oracle, per-tier replay + agreement flag.
+# ---------------------------------------------------------------------------
+
+_MAT_PROBES, _MAT_K, _MAT_DIMS = 16, 3, (16, 32, 64)
+
+
+def q_emb_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-truncation retrieval gate (Kusupati et al. NeurIPS'22):
+    exact cosine top-``_MAT_K`` at dims 16/32/64 for the first
+    ``_MAT_PROBES`` probes, tier-tagged with an ``in_full_topk``
+    agreement flag vs the full-dim tier — the dimension-reduction
+    serving trade beside ``emb_quantized_topk``'s int8 one. Each tier
+    is the brute generator over ``slice(embedding, 1, d)``; the
+    STATIC oracle folds the first d coordinates per tier and replays
+    ranks, ties and the agreement join."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < _MAT_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return SIM.matryoshka_topk(e, probes, dims=_MAT_DIMS, k=_MAT_K)
+
+
+def _matryoshka_oracle_sql() -> str:
+    def dotd(a: str, b: str, d: int) -> str:
+        return (
+            f"list_reduce(list_transform(generate_series(1, {d}), "
+            f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)"
+        )
+
+    tiers = []
+    for d in _MAT_DIMS:
+        dp = dotd("p.embedding", "e.embedding", d)
+        np_ = dotd("p.embedding", "p.embedding", d)
+        nc = dotd("e.embedding", "e.embedding", d)
+        tiers.append(f"""  SELECT 'd{d}' AS tier, query_id,
+         CAST(rk AS INTEGER) AS rank, neighbor_id, round(c, 6) AS cos_sim
+  FROM (
+    SELECT query_id, neighbor_id,
+           CASE WHEN den > 0 THEN dp / den ELSE 0.0 END AS c,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY (CASE WHEN den > 0 THEN dp / den ELSE 0.0 END) DESC,
+                      neighbor_id) AS rk
+    FROM (
+      SELECT p.vec_id AS query_id, e.vec_id AS neighbor_id,
+             {dp} AS dp, sqrt({np_}) * sqrt({nc}) AS den
+      FROM probes p JOIN embeddings e ON p.vec_id <> e.vec_id
+    ) AS s
+  ) AS r WHERE rk <= {_MAT_K}""")
+    union = "\nUNION ALL\n".join(tiers)
+    return f"""
+WITH probes AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_MAT_PROBES}
+), all_tiers AS (
+{union}
+), ref AS (
+  SELECT query_id, neighbor_id
+  FROM all_tiers WHERE tier = 'd{max(_MAT_DIMS)}'
+)
+SELECT t.tier, t.query_id, t.rank, t.neighbor_id, t.cos_sim,
+       (r.neighbor_id IS NOT NULL) AS in_full_topk
+FROM all_tiers t LEFT JOIN ref r
+  ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+"""
+
+
+ORACLE_EMB_MATRYOSHKA_TOPK = _matryoshka_oracle_sql()
+
+
 _ANN_PLANES, _ANN_PROBES = 6, 50
 
 

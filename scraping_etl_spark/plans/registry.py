@@ -1497,6 +1497,32 @@ _REGISTERED += [
 #   grain; the superset adds char_entropy/alpha_frac columns, the
 #   doc_token_counts fold precedent exactly; component oracle
 #   embedded verbatim as a CTE).
+#
+# STAGED TOWARD r20 (gate + oracle + pins in tree, seatless):
+#   1. ml_ops.q_emb_matryoshka_topk + ORACLE_EMB_MATRYOSHKA_TOPK
+#      (similarity.matryoshka_topk — prefix-dimension retrieval,
+#      Kusupati et al. NeurIPS'22; exact top-k at dims 16/32/64
+#      tier-tagged with an in_full_topk agreement flag vs the
+#      full-dim tier, the emb_quantized_topk trade-quantification
+#      shape; static per-tier-fold oracle).
+#   2. pipeline_ops.q_doc_k_anonymize + ORACLE_DOC_K_ANONYMIZE
+#      (privacy.k_anonymize — full-domain k-anonymity with
+#      suppression, Samarati TKDE'01 / Sweeney IJUFKS'02; the whole
+#      16-vector generalization lattice costed in ONE grouping-sets
+#      pass, minimal (total, lex) vector chosen under a 2%
+#      suppression budget; the oracle recomputes every candidate and
+#      replays the choice).
+# r20 fold candidates (honesty-review in source before executing at
+# r19):
+#   CANDIDATE E: doc_bpe_fertility -> doc_unigram_fertility (the
+#   superset ALREADY joins both tokenizers' per-lang fertility side
+#   by side; verify every component column — n_words/n_chars/any
+#   subword counts — is carried verbatim before executing).
+#   CANDIDATE F: doc_rolling_hash -> doc_fingerprint (same per-doc
+#   grain, the order-insensitive bag-md5 and order-sensitive
+#   Rabin-Karp faces of ONE fingerprint relation; superset emits
+#   (doc_id, fingerprint, rolling_fp), both component oracles as
+#   CTEs).
 _BY_NAME: dict[str, QuerySpec] = {q.name: q for q in _REGISTERED}
 assert len(_BY_NAME) == len(_REGISTERED), "duplicate registry names"
 

@@ -1876,6 +1876,93 @@ def test_emb_decontaminate_ivf_gate_matches_oracle_staged_for_r17(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_matryoshka_full_dim_tier_equals_brute(spark):
+    """The largest-dim tier is cosine_topk on the raw vectors, row for
+    row, and carries in_full_topk=True everywhere (it IS the
+    reference)."""
+    from scraping_etl_spark.operators.similarity import (
+        cosine_topk,
+        matryoshka_topk,
+    )
+
+    rows = [
+        (i, [float((i * 7 + j * 5) % 13) - 6.0 for j in range(8)])
+        for i in range(20)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = e.filter("vec_id < 4").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = matryoshka_topk(e, probes, dims=(2, 8), k=3).collect()
+    full = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cos_sim)
+        for r in cosine_topk(e, probes, k=3).collect()
+    )
+    d8 = [r for r in out if r.tier == "d8"]
+    assert sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cos_sim) for r in d8
+    ) == full
+    assert all(r.in_full_topk for r in d8)
+
+
+def test_matryoshka_truncation_changes_ranking_and_flags(spark):
+    """Vectors built so the 2-dim prefix inverts the full-dim order:
+    the coarse tier must rank by the PREFIX cosine alone, and its
+    disagreeing neighbors carry in_full_topk=False."""
+    from scraping_etl_spark.operators.similarity import matryoshka_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),          # probe
+        (1, [1.0, 0.0, 0.0, 0.0]),          # prefix-perfect, full-perfect
+        (2, [1.0, 0.0, 9.0, 0.0]),          # prefix-perfect, full-poor
+        (3, [0.9, 0.1, 0.0, 0.0]),          # prefix-good, full-good
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = e.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = {
+        (r.tier, r.rank): (r.neighbor_id, r.in_full_topk)
+        for r in matryoshka_topk(e, probes, dims=(2, 4), k=2).collect()
+    }
+    # full dim: 1 (cos 1.0) then 3; coarse dim-2: 1 and 2 tie at cos
+    # 1.0 -> smallest id first, and 2 is NOT in the full top-k
+    assert out[("d4", 1)] == (1, True)
+    assert out[("d4", 2)] == (3, True)
+    assert out[("d2", 1)] == (1, True)
+    assert out[("d2", 2)] == (2, False)
+    import pytest
+
+    with pytest.raises(ValueError):
+        matryoshka_topk(e, probes, dims=())
+    with pytest.raises(ValueError):
+        matryoshka_topk(e, probes, dims=(0, 4))
+    with pytest.raises(ValueError):
+        matryoshka_topk(e, probes, k=0)
+
+
+def test_emb_matryoshka_topk_gate_matches_oracle_staged_for_r20(spark):
+    """The staged emb_matryoshka_topk gate hashes against its static
+    per-tier-fold oracle; every tier serves every probe at exactly k
+    ranks, the reference tier agrees with itself, and coarse tiers'
+    agreement is a genuine measurement (flag present both ways)."""
+    from scraping_etl_spark.plans import ml_ops as M
+    from tests.oracle import assert_matches_oracle
+
+    sf = "/root/testdata/sf0.001"
+    df = M.q_emb_matryoshka_topk(spark, sf)
+    assert_matches_oracle(df, M.ORACLE_EMB_MATRYOSHKA_TOPK, sf)
+    rows = df.collect()
+    tiers = {r.tier for r in rows}
+    assert tiers == {f"d{d}" for d in M._MAT_DIMS}
+    ref = f"d{max(M._MAT_DIMS)}"
+    assert all(r.in_full_topk for r in rows if r.tier == ref)
+    per = {(r.tier, r.query_id) for r in rows}
+    assert len(per) == len(M._MAT_DIMS) * M._MAT_PROBES
+
+
 def test_mmr_rerank_matches_loop_oracle(spark):
     """mmr_rerank replays a pure-Python per-query greedy exactly:
     same rounded-6 rel/sims, same λ·rel − (1−λ)·max-sim criterion
