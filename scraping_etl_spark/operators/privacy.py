@@ -24,6 +24,61 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def lattice_costs(
+    df: DataFrame,
+    k: int,
+    ladders: "list[tuple[str, list[Column]]]",
+) -> "tuple[DataFrame, list[tuple[int, ...]], dict[tuple[int, ...], int]]":
+    """Cost EVERY full-domain level vector in one aggregation pass:
+    each candidate vector is a grouping set over its ladder columns,
+    so Spark evaluates the whole lattice with ONE scan + ONE shuffle
+    (map-side combined ``GROUPING SETS``; the plan shows a single
+    Expand — pinned in tests/test_privacy.py) and the result is one
+    |lattice|-row relation ``(_gid, _sup)`` of under-k record totals,
+    disambiguated by ``grouping_id``.
+
+    Returns ``(costs_df, vectors, gid_of)`` — the vectors in the
+    Samarati (total generalization, lexicographic) search order and
+    the expected ``grouping_id`` per vector (first grouping column =
+    most significant bit; a column's bit is 0 iff it is in the
+    vector's set)."""
+    names = [n for n, _ in ladders]
+    lvl_col = lambda name, i: f"_ka_{name}_{i}"  # noqa: E731
+    staged = df
+    all_cols: list[str] = []
+    for name, levels in ladders:
+        for i, expr in enumerate(levels):
+            staged = staged.withColumn(lvl_col(name, i), expr)
+            all_cols.append(lvl_col(name, i))
+
+    vectors = sorted(
+        itertools.product(*[range(len(lvls)) for _, lvls in ladders]),
+        key=lambda v: (sum(v), v),
+    )
+
+    def expected_gid(vec: "tuple[int, ...]") -> int:
+        used = {lvl_col(names[j], lvl) for j, lvl in enumerate(vec)}
+        gid = 0
+        for c in all_cols:  # first grouping column = most significant bit
+            gid = (gid << 1) | (0 if c in used else 1)
+        return gid
+
+    sets = [
+        [F.col(lvl_col(names[j], lvl)) for j, lvl in enumerate(vec)]
+        for vec in vectors
+    ]
+    grouped = (
+        staged.groupingSets(sets, *[F.col(c) for c in all_cols])
+        .agg(F.count(F.lit(1)).alias("_cnt"), F.grouping_id().alias("_gid"))
+        .groupBy("_gid")
+        .agg(
+            F.sum(F.when(F.col("_cnt") < k, F.col("_cnt")).otherwise(0))
+            .alias("_sup")
+        )
+    )
+    return grouped, vectors, {v: expected_gid(v) for v in vectors}
+
+
 def k_anonymize(
     df: DataFrame,
     k: int,
@@ -70,43 +125,11 @@ def k_anonymize(
     id_cols = list(id_cols or [])
     names = [n for n, _ in ladders]
 
-    lvl_col = lambda name, i: f"_ka_{name}_{i}"  # noqa: E731
-    staged = df
-    all_cols: list[str] = []
-    for name, levels in ladders:
-        for i, expr in enumerate(levels):
-            staged = staged.withColumn(lvl_col(name, i), expr)
-            all_cols.append(lvl_col(name, i))
-
-    vectors = sorted(
-        itertools.product(*[range(len(lvls)) for _, lvls in ladders]),
-        key=lambda v: (sum(v), v),
-    )
-
-    def expected_gid(vec: "tuple[int, ...]") -> int:
-        used = {lvl_col(names[j], lvl) for j, lvl in enumerate(vec)}
-        gid = 0
-        for c in all_cols:  # first grouping column = most significant bit
-            gid = (gid << 1) | (0 if c in used else 1)
-        return gid
-
-    sets = [
-        [F.col(lvl_col(names[j], lvl)) for j, lvl in enumerate(vec)]
-        for vec in vectors
-    ]
-    grouped = (
-        staged.groupingSets(sets, *[F.col(c) for c in all_cols])
-        .agg(F.count(F.lit(1)).alias("_cnt"), F.grouping_id().alias("_gid"))
-        .groupBy("_gid")
-        .agg(
-            F.sum(F.when(F.col("_cnt") < k, F.col("_cnt")).otherwise(0))
-            .alias("_sup")
-        )
-    )
+    grouped, vectors, gid_of = lattice_costs(df, k, ladders)
     sup_by_gid = {r["_gid"]: r["_sup"] for r in grouped.collect()}
     chosen = None
     for vec in vectors:
-        if sup_by_gid.get(expected_gid(vec), 0) <= max_suppressed:
+        if sup_by_gid.get(gid_of[vec], 0) <= max_suppressed:
             chosen = vec
             break
     if chosen is None:

@@ -1954,6 +1954,8 @@ def test_emb_matryoshka_topk_gate_matches_oracle_staged_for_r20(spark):
     sf = "/root/testdata/sf0.001"
     df = M.q_emb_matryoshka_topk(spark, sf)
     assert_matches_oracle(df, M.ORACLE_EMB_MATRYOSHKA_TOPK, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
     rows = df.collect()
     tiers = {r.tier for r in rows}
     assert tiers == {f"d{d}" for d in M._MAT_DIMS}
@@ -2074,6 +2076,9 @@ def test_emb_mmr_rerank_gate_matches_oracle_staged_for_r19(spark):
     sf = "/root/testdata/sf0.001"
     df = M.q_emb_mmr_rerank(spark, sf)
     assert_matches_oracle(df, M.ORACLE_EMB_MMR_RERANK, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     rows = df.collect()
     assert rows
     per_q = Counter(r.query_id for r in rows)

@@ -134,6 +134,36 @@ def test_k_anonymize_validation_and_impossible(spark):
         k_anonymize(df, k=2, ladders=_ladders(), max_suppressed=0)
 
 
+def test_lattice_costs_one_pass_plan_and_values(spark):
+    """The 100 TB claim, pinned: the whole-lattice costing plan holds
+    exactly ONE Expand (the grouping-sets fan-out) and no Join — one
+    scan + one shuffle for all 12 candidate vectors — and each
+    vector's under-k total equals a brute per-vector groupBy."""
+    from scraping_etl_spark.operators.privacy import lattice_costs
+
+    rows = [
+        (i, ["en", "de", "fr"][i % 3], f"s{i % 2}", 100 + i)
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n int"
+    )
+    k = 4
+    grouped, vectors, gid_of = lattice_costs(df, k, _ladders())
+    plan = grouped._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    got = {r["_gid"]: r["_sup"] for r in grouped.collect()}
+    for vec in vectors:
+        counts = {}
+        for _, lang, source, n in rows:
+            ladders = _py_ladder_vals(lang, source, n)
+            key = tuple(ladders[j][lvl] for j, lvl in enumerate(vec))
+            counts[key] = counts.get(key, 0) + 1
+        want = sum(c for c in counts.values() if c < k)
+        assert got[gid_of[vec]] == want, vec
+
+
 def test_doc_k_anonymize_gate_matches_oracle_staged_for_r20(spark):
     """The staged doc_k_anonymize gate hashes against the oracle that
     recomputes all 16 candidate vectors' under-k totals and replays
