@@ -267,6 +267,7 @@ def lang_id_ngram(
     text_col: str = "text",
     profiles: DataFrame | None = None,
     trained_m: int | None = None,
+    carry_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """N-gram language ID (Cavnar & Trenkle 1994): rank the document's
     own top ``doc_m`` char n-grams, compare against each language's
@@ -283,6 +284,14 @@ def lang_id_ngram(
     exact. Pass ``profiles`` to score against a separately trained
     model (the deployment shape); default trains on ``df`` itself via
     its ``lang_col`` labels. Returns ``(id, pred_lang, dist long)``.
+
+    ``carry_cols`` threads doc-grained columns (e.g. the TRUE label)
+    through the checkpointed doc-profile side and out beside the
+    prediction — functionally dependent on the id, so the argmin
+    groups are unchanged and the values identical; it exists so a
+    caller wanting ``(truth, prediction)`` rows needn't join the
+    corpus back in (one fewer corpus scan + shuffle per branch in
+    the ``doc_lang_id_ngram`` gate, hash-identical output).
 
     Plan: the doc profile is built ENTIRELY array-side per row
     (:func:`_gram_top`: sort the doc's own gram array, run-length
@@ -303,13 +312,16 @@ def lang_id_ngram(
     wide key is doc- or (doc, lang)-grained; the training rollup is
     char-n-gram-vocabulary-bounded)."""
     dist = _ct_dist_relation(
-        df, n, top_m, doc_m, id_col, lang_col, text_col, profiles, trained_m
+        df, n, top_m, doc_m, id_col, lang_col, text_col, profiles,
+        trained_m, carry_cols,
     )
-    best = dist.groupBy("_id").agg(
+    cc = [f"_cc{i}" for i in range(len(carry_cols))]
+    best = dist.groupBy("_id", *cc).agg(
         F.min(F.struct("dist", "lang")).alias("_b")
     )
     return best.select(
         F.col("_id").alias(id_col),
+        *[F.col(c).alias(orig) for c, orig in zip(cc, carry_cols)],
         F.col("_b.lang").alias("pred_lang"),
         F.col("_b.dist").alias("dist"),
     )
@@ -325,11 +337,15 @@ def _ct_dist_relation(
     text_col: str,
     profiles: DataFrame | None,
     trained_m: int | None,
+    carry_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
-    """The Cavnar-Trenkle out-of-place DISTANCE relation ``(_id, lang,
-    dist long)`` — one row per (doc, candidate language) — shared by
-    :func:`lang_id_ngram` (argmin) and :func:`lang_id_ngram_margin`
-    (top-2 + abstain). Plan documented on :func:`lang_id_ngram`."""
+    """The Cavnar-Trenkle out-of-place DISTANCE relation ``(_id,
+    [carries], lang, dist long)`` — one row per (doc, candidate
+    language) — shared by :func:`lang_id_ngram` (argmin) and
+    :func:`lang_id_ngram_margin` (top-2 + abstain). ``carry_cols``
+    ride the checkpointed doc side as ``_cc<i>`` (renamed to dodge
+    the candidate ``lang`` column). Plan documented on
+    :func:`lang_id_ngram`."""
     if profiles is None:
         # the LABEL SPACE is the label column's distinct values, not
         # just labels that yielded grams: a language whose training
@@ -361,10 +377,15 @@ def _ct_dist_relation(
     # doc_m arm too or a deep doc profile against a shallow model
     # would price matches ABOVE misses (advice r12).
     penalty = max(top_m, doc_m)
+    cc = [f"_cc{i}" for i in range(len(carry_cols))]
+    carries = [F.col(c).alias(a) for c, a in zip(carry_cols, cc)]
     dp_arr = (
-        df.select(F.col(id_col).alias("_id"), _ct_norm(text_col).alias("_txt"))
+        df.select(
+            F.col(id_col).alias("_id"), *carries,
+            _ct_norm(text_col).alias("_txt"),
+        )
         .select(
-            "_id",
+            "_id", *cc,
             _gram_top(char_ngrams(F.col("_txt"), n), doc_m).alias("_top"),
         )
         .localCheckpoint()  # consumed by the profile explode AND the ng spine
@@ -378,7 +399,7 @@ def _ct_dist_relation(
     # row for EVERY doc (gramless -> empty _top), so the spine reads
     # straight off it — no join back to df.
     ndocs = dp_arr.select(
-        "_id", F.size("_top").alias("_ng")
+        "_id", *cc, F.size("_top").alias("_ng")
     ).withColumn("_k", F.pmod(F.xxhash64(F.col("_ng")), F.lit(1)))
     langs = label_space.withColumn(
         "_k", F.pmod(F.xxhash64(F.col("lang")), F.lit(1))
@@ -396,6 +417,7 @@ def _ct_dist_relation(
         .join(matched, ["_id", "lang"], "left")
         .select(
             "_id",
+            *cc,
             "lang",
             (
                 F.coalesce(F.col("_s"), F.lit(0))

@@ -210,8 +210,15 @@ def q_doc_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang",
         F.concat(F.col("text"), F.lit(" "), marker).alias("text"),
     )
-    pred = TS.lang_id_ngram(corpus, n=_CT_N, top_m=_CT_TOP_M, doc_m=_CT_DOC_M)
-    self_rows = corpus.select("doc_id", "lang").join(pred, "doc_id").select(
+    # the TRUE label rides the checkpointed doc-profile side
+    # (carry_cols) instead of a corpus.join(pred) — one fewer corpus
+    # scan + shuffle per branch, value-identical output (r16 watch
+    # item: measured, no hash change)
+    pred = TS.lang_id_ngram(
+        corpus, n=_CT_N, top_m=_CT_TOP_M, doc_m=_CT_DOC_M,
+        carry_cols=("lang",),
+    )
+    self_rows = pred.select(
         "doc_id", F.lit("self").alias("mode"), "lang", "pred_lang", "dist"
     )
     train = corpus.filter(F.col("doc_id") % 4 == 0)
@@ -221,15 +228,12 @@ def q_doc_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = corpus.filter(F.col("doc_id") % 4 == 1)
     model = TS.char_ngram_profiles(train, n=_CT_N, top_m=_CT_PRE_M)
     pred_pre = TS.lang_id_ngram(
-        score, n=_CT_N, top_m=_CT_TOP_M, doc_m=_CT_DOC_M, profiles=model
+        score, n=_CT_N, top_m=_CT_TOP_M, doc_m=_CT_DOC_M, profiles=model,
+        carry_cols=("lang",),
     )
-    pre_rows = (
-        score.select("doc_id", "lang")
-        .join(pred_pre, "doc_id")
-        .select(
-            "doc_id", F.lit("pretrained").alias("mode"),
-            "lang", "pred_lang", "dist",
-        )
+    pre_rows = pred_pre.select(
+        "doc_id", F.lit("pretrained").alias("mode"),
+        "lang", "pred_lang", "dist",
     )
     return self_rows.unionByName(pre_rows)
 
