@@ -439,6 +439,7 @@ def lang_id_ngram_margin(
     text_col: str = "text",
     profiles: DataFrame | None = None,
     trained_m: int | None = None,
+    carry_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """:func:`lang_id_ngram` with a CONFIDENCE MARGIN and abstention —
     the deployment-grade shape: a corpus screen that routes documents
@@ -460,9 +461,11 @@ def lang_id_ngram_margin(
     the collected list is L rows (the language axis, model-scale), so
     the agg state is bounded by the label space, never the corpus."""
     dist = _ct_dist_relation(
-        df, n, top_m, doc_m, id_col, lang_col, text_col, profiles, trained_m
+        df, n, top_m, doc_m, id_col, lang_col, text_col, profiles,
+        trained_m, carry_cols,
     )
-    top2 = dist.groupBy("_id").agg(
+    cc = [f"_cc{i}" for i in range(len(carry_cols))]
+    top2 = dist.groupBy("_id", *cc).agg(
         F.slice(
             F.sort_array(F.collect_list(F.struct("dist", "lang"))), 1, 2
         ).alias("_t")
@@ -472,6 +475,7 @@ def lang_id_ngram_margin(
     margin = (second["dist"] - first["dist"]).cast("long")
     return top2.select(
         F.col("_id").alias(id_col),
+        *[F.col(c).alias(orig) for c, orig in zip(cc, carry_cols)],
         F.when(margin < min_margin, F.lit("und"))
         .otherwise(first["lang"])
         .alias("pred_lang"),

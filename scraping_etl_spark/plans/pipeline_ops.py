@@ -386,13 +386,13 @@ def q_doc_lang_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.col("text"), F.lit(" "), marker)
         ).alias("text"),
     )
+    # true label carried through the checkpointed doc side instead of
+    # a corpus.join(pred) — same scan elimination as doc_lang_id_ngram
     pred = TS.lang_id_ngram_margin(
         corpus, n=_CT_N, top_m=_CT_TOP_M, doc_m=_CT_DOC_M,
-        min_margin=_CT_MIN_MARGIN,
+        min_margin=_CT_MIN_MARGIN, carry_cols=("lang",),
     )
-    return corpus.select("doc_id", "lang").join(pred, "doc_id").select(
-        "doc_id", "lang", "pred_lang", "dist", "margin"
-    )
+    return pred.select("doc_id", "lang", "pred_lang", "dist", "margin")
 
 
 ORACLE_DOC_LANG_MARGIN = rf"""
