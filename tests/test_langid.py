@@ -292,3 +292,35 @@ def test_lang_segments_gate_matches_oracle_staged_for_r14(spark):
         if d >= 1_000_000:
             n_segs[d] = max(n_segs.get(d, 0), s + 1)
     assert n_segs and max(n_segs.values()) >= 2
+
+
+def test_carry_cols_equals_join_back(spark):
+    """The carry_cols pass-through (r16 scan elimination) is
+    value-identical to the old corpus.join(pred) shape on BOTH
+    operators — the contract the doc_lang_id_ngram /
+    doc_lang_margin hashes rely on."""
+    df = _toy(spark)
+    plain = TS.lang_id_ngram(df, top_m=50, doc_m=20)
+    joined = sorted(
+        (r.doc_id, r.lang, r.pred_lang, r.dist)
+        for r in df.select("doc_id", "lang").join(plain, "doc_id").collect()
+    )
+    carried = sorted(
+        (r.doc_id, r.lang, r.pred_lang, r.dist)
+        for r in TS.lang_id_ngram(
+            df, top_m=50, doc_m=20, carry_cols=("lang",)
+        ).collect()
+    )
+    assert carried == joined
+    plain_m = TS.lang_id_ngram_margin(df, top_m=50, doc_m=20, min_margin=3)
+    joined_m = sorted(
+        (r.doc_id, r.lang, r.pred_lang, r.dist, r.margin)
+        for r in df.select("doc_id", "lang").join(plain_m, "doc_id").collect()
+    )
+    carried_m = sorted(
+        (r.doc_id, r.lang, r.pred_lang, r.dist, r.margin)
+        for r in TS.lang_id_ngram_margin(
+            df, top_m=50, doc_m=20, min_margin=3, carry_cols=("lang",)
+        ).collect()
+    )
+    assert carried_m == joined_m
