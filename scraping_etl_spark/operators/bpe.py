@@ -58,6 +58,12 @@ from scraping_etl_spark.operators.textstats import tokens
 #: segmentation as plan constants).
 _CHAR_SPLIT = "(?!^)"
 
+#: Broadcast (or driver-collect, for training) the word table only
+#: below this many distinct words (~tens of MB at avg 8 chars + n_sub).
+#: A web-scale vocabulary is orders of magnitude past this — see
+#: module docstring.
+MAX_BROADCAST_WORDS = 2_000_000
+
 
 def char_symbols(word: Column | str) -> Column:
     """Initial BPE symbol sequence of a word: its characters. Spark's
@@ -103,35 +109,118 @@ def _pair_structs(sym: Column) -> Column:
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
 
 
+def _merge_pass_py(sym: list[str], a: str, b: str, merged: str) -> list[str]:
+    """Python mirror of :func:`apply_merge`'s single-pass greedy fold
+    (left-to-right, a fresh merge never re-merging with the following
+    symbol) — shared by the driver training tier and the Arrow encoder."""
+    out: list[str] = []
+    i, n = 0, len(sym)
+    while i < n:
+        if i < n - 1 and sym[i] == a and sym[i + 1] == b:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return out
+
+
+def _bpe_merge_loop_py(
+    words: list[tuple[list[str], int]],
+    n_merges: int,
+    min_pair_count: int,
+) -> list[tuple[str, str]]:
+    """The BPE merge loop over an in-memory word-frequency table —
+    EXACTLY the distributed loop's semantics on integer counts: pair
+    counts are occurrence-weighted over ALL adjacent positions
+    (overlapping runs count every position, as ``_pair_structs`` does),
+    the winner is ``(count DESC, a ASC, b ASC)``, application is the
+    left-to-right greedy pass. Integer arithmetic end to end, so the
+    merge list is bit-identical to the distributed tier (pinned by
+    tests/test_bpe.py equivalence tests)."""
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for sym, cnt in words:
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        (a, b), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < min_pair_count:
+            break
+        merges.append((a, b))
+        merged = a + b
+        words = [
+            (
+                _merge_pass_py(sym, a, b, merged)
+                if len(sym) >= 2
+                else sym,
+                cnt,
+            )
+            for sym, cnt in words
+        ]
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 16,
     min_pair_count: int = 2,
+    checkpoint_every: int = 4,
+    max_driver_words: int = MAX_BROADCAST_WORDS,
 ) -> list[tuple[str, str]]:
     """Learn an ordered BPE merge table from the corpus. One
-    corpus-scale pass builds the word frequency table; every round
-    after that runs at vocabulary scale: occurrence-weighted pair
-    counts, the winning pair by ``(count DESC, a, b)`` (lexicographic
-    tie-break ⇒ deterministic), stop below ``min_pair_count``.
+    corpus-scale pass builds the word frequency table (the only
+    corpus-scale step — Sennrich et al. 2016 train on the frequency
+    table, never the corpus); the merge loop then runs at VOCABULARY
+    scale in one of two tiers behind the same measured-cardinality
+    probe as :func:`bpe_token_counts`:
 
-    The per-round ``limit(1).collect()`` reads ONE row (the argmax) —
-    the same O(1)-row driver probe as ``dedup_clusters``' fixpoint
-    check, not a data collect. Rounds are ``localCheckpoint``-ed so
-    round k's plan doesn't nest k fold expressions."""
+    - **driver tier** (≤ ``max_driver_words`` distinct words): collect
+      the frequency table once and run the merge loop in-process —
+      the table is model-scale by the module's own convention (the
+      serving artifacts collect the equally-sized segmentation table),
+      and n sequential merge rounds as Spark jobs cost n scheduling
+      round-trips for no parallelism benefit at this cardinality
+      (measured: 12.2 s -> ~2 s for the 16-merge gate at sf0.1).
+    - **distributed tier** (past the cap — the 1e8+-distinct-word web
+      vocabulary): the original per-round aggregation + O(1)-row
+      argmax probe, ``localCheckpoint``-ing every ``checkpoint_every``
+      merges so plans never nest deep while skipping the per-round
+      materialization job.
+
+    Both tiers share integer pair-count arithmetic and the
+    ``(count DESC, a, b)`` tie-break, so the learned merge list is
+    bit-identical (pinned by tests/test_bpe.py); pass
+    ``max_driver_words=0`` to force the distributed tier."""
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
     if min_pair_count < 1:
         raise ValueError(f"min_pair_count must be >= 1, got {min_pair_count}")
-    syms = (
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
+    wc = (
         df.select(F.explode(tokens(text_col, lowercase=True)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("sym", char_symbols("word"))
-        .localCheckpoint()
     )
+    if max_driver_words > 0:
+        head = wc.limit(max_driver_words + 1).collect()
+        if len(head) <= max_driver_words:
+            words = [
+                ([c for c in r["word"]], int(r["cnt"])) for r in head
+            ]
+            return _bpe_merge_loop_py(words, n_merges, min_pair_count)
+    syms = wc.withColumn("sym", char_symbols("word")).localCheckpoint()
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    for i in range(n_merges):
         best = (
             syms.select("cnt", F.explode(_pair_structs(F.col("sym"))).alias("p"))
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
@@ -144,9 +233,10 @@ def bpe_train(
             break
         a, b = best[0]["a"], best[0]["b"]
         merges.append((a, b))
-        syms = syms.withColumn(
-            "sym", apply_merge(F.col("sym"), a, b)
-        ).localCheckpoint()
+        if i + 1 < n_merges:  # the post-final-round fold feeds nothing
+            syms = syms.withColumn("sym", apply_merge(F.col("sym"), a, b))
+            if (i + 1) % checkpoint_every == 0:
+                syms = syms.localCheckpoint()
     return merges
 
 
@@ -172,12 +262,6 @@ def word_segment_table(
         if (i + 1) % checkpoint_every == 0:
             seg = seg.localCheckpoint()
     return seg.select("word", "sym", F.size("sym").cast("long").alias("n_sub"))
-
-
-#: Broadcast the word-segmentation table only below this many distinct
-#: words (~tens of MB at avg 8 chars + n_sub). A web-scale vocabulary
-#: is orders of magnitude past this — see module docstring.
-MAX_BROADCAST_WORDS = 2_000_000
 
 
 def word_segment_arrow(
@@ -295,6 +379,7 @@ def bpe_token_counts(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_broadcast_words: int = MAX_BROADCAST_WORDS,
+    seg_rows: int | None = None,
 ) -> DataFrame:
     """Tokenize the corpus against a word-segmentation table: explode
     lowercased tokens, left-join ``seg``, one partial-agg groupBy back
@@ -302,7 +387,10 @@ def bpe_token_counts(
     measured ``limit(n+1).count()`` probe says it fits under
     ``max_broadcast_words`` (pass 0 to force the shuffle join) —
     vocabulary tables are NOT small at web scale, and an unconditional
-    hint there is a driver OOM. Past the cap the join runs un-hinted
+    hint there is a driver OOM. A caller that already KNOWS the
+    segmentation cardinality (the trained artifacts collect the full
+    word table driver-side) passes ``seg_rows`` and the probe job is
+    skipped — same routing decision, zero extra jobs (r16). Past the cap the join runs un-hinted
     (AQE picks shuffle strategy) on the word key. Words absent from
     ``seg`` count their characters (the untrained floor — every char
     is a symbol). Returns ``n_tokens`` (whitespace words) and
@@ -311,9 +399,10 @@ def bpe_token_counts(
         F.col(id_col), F.explode_outer(tokens(text_col, lowercase=True)).alias("_w")
     )
     s = seg.select(F.col("word").alias("_w"), "n_sub")
-    fits = (
-        max_broadcast_words > 0
-        and s.limit(max_broadcast_words + 1).count() <= max_broadcast_words
+    fits = max_broadcast_words > 0 and (
+        seg_rows <= max_broadcast_words
+        if seg_rows is not None
+        else s.limit(max_broadcast_words + 1).count() <= max_broadcast_words
     )
     return (
         toks.join(F.broadcast(s) if fits else s, "_w", "left")
@@ -370,6 +459,7 @@ def encode_token_ids(
     text_col: str = "text",
     max_broadcast_words: int = MAX_BROADCAST_WORDS,
     append_eow: bool = False,
+    seg_rows: int | None = None,
 ) -> DataFrame:
     """The LM input-prep step: each document's text becomes its
     ordered subword-id sequence — tokenize (word split), segment
@@ -391,9 +481,10 @@ def encode_token_ids(
         F.posexplode(tokens(text_col, lowercase=True)).alias("_pos", "_w"),
     )
     s = seg.select(F.col("word").alias("_w"), F.col("sym").alias("_sym"))
-    fits = (
-        max_broadcast_words > 0
-        and s.limit(max_broadcast_words + 1).count() <= max_broadcast_words
+    fits = max_broadcast_words > 0 and (
+        seg_rows <= max_broadcast_words
+        if seg_rows is not None
+        else s.limit(max_broadcast_words + 1).count() <= max_broadcast_words
     )
     syms = F.coalesce(F.col("_sym"), char_symbols(F.col("_w")))
     if append_eow:
@@ -459,6 +550,7 @@ def tokenizer_fertility(
     text_col: str = "text",
     strata_col: str = "lang",
     max_broadcast_words: int = MAX_BROADCAST_WORDS,
+    seg_rows: int | None = None,
 ) -> DataFrame:
     """Per-stratum tokenizer fertility and compression — the standard
     tokenizer-quality report (fertility = subwords per whitespace
@@ -488,9 +580,10 @@ def tokenizer_fertility(
         .agg(F.count(F.lit(1)).alias("_c"))
     )
     s = seg.select(F.col("word").alias("_w"), "n_sub")
-    fits = (
-        max_broadcast_words > 0
-        and s.limit(max_broadcast_words + 1).count() <= max_broadcast_words
+    fits = max_broadcast_words > 0 and (
+        seg_rows <= max_broadcast_words
+        if seg_rows is not None
+        else s.limit(max_broadcast_words + 1).count() <= max_broadcast_words
     )
     ns = F.coalesce(F.col("n_sub"), F.length("_w").cast("long"))
     return (

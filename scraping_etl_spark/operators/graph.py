@@ -66,9 +66,14 @@ def pagerank(
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
 
+    # e and out_deg feed EVERY iteration's plan: checkpoint both once
+    # so the per-round jobs join materialized relations instead of
+    # re-scanning the edge source and re-running the degree shuffle
+    # n_iter times (r16 optimization round; value-identical — the same
+    # relations, computed once).
     e = edges.select(
         F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst")
-    )
+    ).localCheckpoint()
     nodes = (
         e.select(F.col("_src").alias("node"))
         .unionByName(e.select(F.col("_dst").alias("node")))
@@ -81,7 +86,11 @@ def pagerank(
             "pagerank: edges is empty (no nodes to rank); filter the "
             "degenerate input or skip the call"
         )
-    out_deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    out_deg = (
+        e.groupBy("_src")
+        .agg(F.count(F.lit(1)).alias("_deg"))
+        .localCheckpoint()
+    )
 
     init_fx = PR_SCALE // n_nodes
     teleport_fx = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM)) // (

@@ -1115,16 +1115,24 @@ def pq_train(
     if dim % m != 0:
         raise ValueError(f"m={m} must divide dim={dim}")
     sub = dim // m
-    books: list[list[list[float]]] = []
-    for j in range(m):
+
+    # The m subspace fits are INDEPENDENT jobs (disjoint column slices,
+    # own seeds): submit them from a small thread pool so each fit's
+    # straggler tail back-fills with the next subspace's tasks instead
+    # of idling the cluster (guide §2.6 — overlap independent jobs).
+    # Results are identical to the sequential loop: every fit is
+    # deterministic in (data, seed) and shares nothing mutable.
+    def _fit(j: int) -> list[list[float]]:
         sliced = corpus.select(
             F.slice(F.col(vec_col), j * sub + 1, sub).alias("v")
         )
-        books.append(
-            ivf_train(sliced, n_clusters=k, vec_col="v", seed=seed + j,
-                      max_iter=max_iter)
-        )
-    return books
+        return ivf_train(sliced, n_clusters=k, vec_col="v", seed=seed + j,
+                         max_iter=max_iter)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, m)) as pool:
+        return list(pool.map(_fit, range(m)))
 
 
 def pq_encode(

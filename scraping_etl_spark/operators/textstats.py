@@ -185,17 +185,15 @@ def _ct_gram_rows(
     )
 
 
-def _gram_top(grams: Column, doc_m: int) -> Column:
-    """Per-row top-``doc_m`` gram structs ``(_nc = −count, gram)``,
-    ordered (count desc, gram asc) — the document rank profile WITHOUT
-    a (doc, gram) shuffle: sort the gram array, run-length encode with
-    expressions (run starts = positions whose gram differs from the
-    previous; run length = next start − start), sort the run structs,
-    slice. Per-row cost is O(len·log len) in the doc's own gram count;
-    at corpus scale this replaces what was a corpus-wide (doc, gram)
-    exploded aggregation — the hottest shuffle in the lang-ID plan
-    (measured 6.6 s of an 8.5 s gate at sf0.1). Every array is
-    lambda-bound (single-evaluation hazard)."""
+def _gram_runs_sorted(grams: Column) -> Column:
+    """Per-row run-length-encoded gram profile ``(_nc = −count, gram)``
+    structs, ordered (count desc, gram asc) — the FULL per-document
+    gram histogram WITHOUT a (doc, gram) shuffle: sort the gram array,
+    run-length encode with expressions (run starts = positions whose
+    gram differs from the previous; run length = next start − start),
+    sort the run structs. Per-row cost is O(len·log len) in the doc's
+    own gram count. Every array is lambda-bound (single-evaluation
+    hazard)."""
     empty = F.array().cast("array<struct<_nc:bigint,gram:string>>")
 
     def _runs(s: Column) -> Column:
@@ -224,9 +222,18 @@ def _gram_top(grams: Column, doc_m: int) -> Column:
         grams,
         lambda g: F.when(
             F.size(g) > 0,
-            F.slice(F.sort_array(_bind(F.array_sort(g), _runs)), 1, doc_m),
+            F.sort_array(_bind(F.array_sort(g), _runs)),
         ).otherwise(empty),
     )
+
+
+def _gram_top(grams: Column, doc_m: int) -> Column:
+    """Top-``doc_m`` slice of :func:`_gram_runs_sorted` — the document
+    rank profile used by the Cavnar-Trenkle distance (at corpus scale
+    this per-row form replaces what was a corpus-wide (doc, gram)
+    exploded aggregation — the hottest shuffle in the lang-ID plan,
+    measured 6.6 s of an 8.5 s gate at sf0.1)."""
+    return F.slice(_gram_runs_sorted(grams), 1, doc_m)
 
 
 def char_ngram_profiles(
@@ -346,16 +353,56 @@ def _ct_dist_relation(
     ride the checkpointed doc side as ``_cc<i>`` (renamed to dodge
     the candidate ``lang`` column). Plan documented on
     :func:`lang_id_ngram`."""
+    cc = [f"_cc{i}" for i in range(len(carry_cols))]
+    carries = [F.col(c).alias(a) for c, a in zip(carry_cols, cc)]
     if profiles is None:
-        # the LABEL SPACE is the label column's distinct values, not
-        # just labels that yielded grams: a language whose training
-        # text is all sub-n-gram stays a candidate (its empty profile
-        # scores everything out-of-place — the property fuzz pinned
-        # this edge: an all-gramless corpus must still emit one
-        # prediction per doc, not zero rows).
-        label_space = df.select(F.col(lang_col).alias("lang")).distinct()
-        profiles = char_ngram_profiles(
-            df, n=n, top_m=top_m, lang_col=lang_col, text_col=text_col
+        # Self-training: profiles, label space AND the per-doc rank
+        # profiles all derive from ONE checkpointed per-row RLE pass
+        # (r16 optimization round). The (lang, gram) training counts
+        # are the occurrence-weighted sums of each doc's run lengths —
+        # integer-identical to the old per-occurrence explode
+        # (count(*) over exploded grams ≡ sum of per-doc run lengths),
+        # but the corpus is scanned ONCE instead of twice, and the
+        # rollup's map side sees one row per (doc, distinct gram)
+        # instead of one per gram occurrence (guide §2.3 — aggregate
+        # before you shuffle). The LABEL SPACE is the label column's
+        # distinct values, not just labels that yielded grams: a
+        # language whose training text is all sub-n-gram stays a
+        # candidate (its empty profile scores everything out-of-place —
+        # the property fuzz pinned this edge: an all-gramless corpus
+        # must still emit one prediction per doc, not zero rows).
+        dp_rle = (
+            df.select(
+                F.col(id_col).alias("_id"), *carries,
+                F.col(lang_col).alias("_lang"),
+                _ct_norm(text_col).alias("_txt"),
+            )
+            .select(
+                "_id", *cc, "_lang",
+                _gram_runs_sorted(char_ngrams(F.col("_txt"), n)).alias(
+                    "_rle"
+                ),
+            )
+            .localCheckpoint()
+        )
+        label_space = dp_rle.select(F.col("_lang").alias("lang")).distinct()
+        counts = (
+            dp_rle.select(
+                F.col("_lang").alias("lang"), F.explode("_rle").alias("_e")
+            )
+            .select("lang", F.col("_e.gram").alias("gram"),
+                    (-F.col("_e._nc")).alias("_n1"))
+            .groupBy("lang", "gram")
+            .agg(F.sum("_n1").alias("_c"))
+        )
+        w = Window.partitionBy("lang").orderBy(F.desc("_c"), F.asc("gram"))
+        profiles = (
+            counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= top_m)
+            .select("lang", "gram", F.col("rank").cast("int").alias("rank"))
+        )
+        dp_arr = dp_rle.select(
+            "_id", *cc, F.slice("_rle", 1, doc_m).alias("_top")
         )
     else:
         # pretrained mode: the caller's model defines the label space
@@ -372,24 +419,23 @@ def _ct_dist_relation(
         if trained_m is None:
             trained_m = profiles.agg(F.max("rank")).first()[0]
         top_m = int(trained_m) if trained_m is not None else top_m
+        dp_arr = (
+            df.select(
+                F.col(id_col).alias("_id"), *carries,
+                _ct_norm(text_col).alias("_txt"),
+            )
+            .select(
+                "_id", *cc,
+                _gram_top(char_ngrams(F.col("_txt"), n), doc_m).alias("_top"),
+            )
+            # consumed by the profile explode AND the ng spine
+            .localCheckpoint()
+        )
     # out-of-place penalty: a matched gram costs |_dr − rank| ≤
     # max(doc_m, depth) − 1, so the unmatched penalty must take the
     # doc_m arm too or a deep doc profile against a shallow model
     # would price matches ABOVE misses (advice r12).
     penalty = max(top_m, doc_m)
-    cc = [f"_cc{i}" for i in range(len(carry_cols))]
-    carries = [F.col(c).alias(a) for c, a in zip(carry_cols, cc)]
-    dp_arr = (
-        df.select(
-            F.col(id_col).alias("_id"), *carries,
-            _ct_norm(text_col).alias("_txt"),
-        )
-        .select(
-            "_id", *cc,
-            _gram_top(char_ngrams(F.col("_txt"), n), doc_m).alias("_top"),
-        )
-        .localCheckpoint()  # consumed by the profile explode AND the ng spine
-    )
     dprof = dp_arr.select(
         "_id", F.posexplode("_top").alias("_p", "_e")
     ).select("_id", F.col("_e.gram").alias("gram"), (F.col("_p") + 1).alias("_dr"))

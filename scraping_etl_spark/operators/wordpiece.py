@@ -46,7 +46,7 @@ from typing import Iterable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from scraping_etl_spark.operators.bpe import _pair_structs
+from scraping_etl_spark.operators.bpe import MAX_BROADCAST_WORDS, _pair_structs
 from scraping_etl_spark.operators.textstats import tokens
 
 #: BERT's unknown-word sentinel: a word any of whose chars (or greedy
@@ -105,32 +105,118 @@ def wp_apply_merge(sym: Column, a: str, b: str) -> Column:
     return F.aggregate(sym, F.array().cast("array<string>"), step)
 
 
+def _wp_merge_loop_py(
+    words: list[tuple[list[str], int]],
+    n_merges: int,
+    min_pair_count: int,
+) -> list[tuple[str, str]]:
+    """The WordPiece merge loop over an in-memory word-frequency
+    table — EXACTLY the distributed loop's semantics: occurrence-
+    weighted BIGINT pair counts and symbol counts (all adjacent
+    positions, as ``_pair_structs``/``explode(sym)`` count them),
+    score = ``n_ab / (n_a * n_b)`` as one IEEE-754 double division
+    (the same op the JVM executes), winner by ``(score DESC, a, b)``,
+    stop when the winner's RAW count falls below ``min_pair_count``,
+    application = the left-to-right greedy pass under WordPiece
+    naming. Bit-identical to the distributed tier (pinned by
+    tests/test_wordpiece.py equivalence tests)."""
+    from scraping_etl_spark.operators.bpe import _merge_pass_py
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_n: dict[tuple[str, str], int] = {}
+        sym_n: dict[str, int] = {}
+        for sym, cnt in words:
+            for s in sym:
+                sym_n[s] = sym_n.get(s, 0) + cnt
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pair_n[p] = pair_n.get(p, 0) + cnt
+        if not pair_n:
+            break
+        (a, b), n = min(
+            pair_n.items(),
+            key=lambda kv: (
+                -(kv[1] / (sym_n[kv[0][0]] * sym_n[kv[0][1]])),
+                kv[0][0],
+                kv[0][1],
+            ),
+        )
+        if n < min_pair_count:
+            break
+        merges.append((a, b))
+        merged = wp_merge_name(a, b)
+        words = [
+            (
+                _merge_pass_py(sym, a, b, merged) if len(sym) >= 2 else sym,
+                cnt,
+            )
+            for sym, cnt in words
+        ]
+    return merges
+
+
 def wordpiece_train(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 16,
     min_pair_count: int = 2,
+    checkpoint_every: int = 4,
+    max_driver_words: int = MAX_BROADCAST_WORDS,
 ) -> list[tuple[str, str]]:
     """Learn an ordered WordPiece merge list from the corpus. One
-    corpus-scale pass builds the word frequency table; each round
-    after that is vocabulary-scale: occurrence-weighted pair counts
-    AND symbol counts, winner = argmax of ``n_ab / (n_a * n_b)`` with
+    corpus-scale pass builds the word frequency table; the merge loop
+    then runs at VOCABULARY scale: occurrence-weighted pair counts AND
+    symbol counts, winner = argmax of ``n_ab / (n_a * n_b)`` with
     ``(score DESC, a, b)`` tie-break, stop when the best pair's raw
-    count falls below ``min_pair_count``. The argmax probe reads ONE
-    row (the ``bpe_train`` convention)."""
+    count falls below ``min_pair_count``.
+
+    Tiering (the :func:`bpe.bpe_train` contract, r16 optimization
+    round): under ``max_driver_words`` distinct words — measured by
+    the same ``limit(n+1)`` probe every vocabulary consumer here uses
+    — the frequency table is collected once (model-scale by the
+    module's own convention) and the loop runs in-process, replacing
+    ~5 scheduled jobs per merge round with pure arithmetic; past the
+    cap the loop stays distributed with the O(1)-row argmax probe per
+    round, ``localCheckpoint``-ing every ``checkpoint_every`` merges.
+    Both tiers share BIGINT counts and one double division per score,
+    so the merge list is bit-identical (pinned by
+    tests/test_wordpiece.py); ``max_driver_words=0`` forces the
+    distributed tier."""
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
     if min_pair_count < 1:
         raise ValueError(f"min_pair_count must be >= 1, got {min_pair_count}")
-    syms = (
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
+    wc = (
         df.select(F.explode(tokens(text_col, lowercase=True)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("sym", wp_char_symbols(F.col("word")))
-        .localCheckpoint()
     )
+    if max_driver_words > 0:
+        head = wc.limit(max_driver_words + 1).collect()
+        if len(head) <= max_driver_words:
+            words = []
+            for r in head:
+                w = r["word"]
+                words.append(
+                    (
+                        [
+                            w[0] if i == 0 else CONT + w[i]
+                            for i in range(len(w))
+                        ],
+                        int(r["cnt"]),
+                    )
+                )
+            return _wp_merge_loop_py(words, n_merges, min_pair_count)
+    syms = wc.withColumn(
+        "sym", wp_char_symbols(F.col("word"))
+    ).localCheckpoint()
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    for i in range(n_merges):
         scnt = (
             syms.select("cnt", F.explode("sym").alias("s"))
             .groupBy("s")
@@ -154,9 +240,10 @@ def wordpiece_train(
             break
         a, b = best[0]["a"], best[0]["b"]
         merges.append((a, b))
-        syms = syms.withColumn(
-            "sym", wp_apply_merge(F.col("sym"), a, b)
-        ).localCheckpoint()
+        if i + 1 < n_merges:  # the post-final-round fold feeds nothing
+            syms = syms.withColumn("sym", wp_apply_merge(F.col("sym"), a, b))
+            if (i + 1) % checkpoint_every == 0:
+                syms = syms.localCheckpoint()
     return merges
 
 

@@ -1048,10 +1048,12 @@ def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     language over the same trained artifacts. Kept as the library
     query (pytest + local DuckDB suite)."""
     _bpe_query_dirs.add(sf_dir)
-    merges, _ = _bpe_artifacts(sf_dir)
+    merges, table = _bpe_artifacts(sf_dir)
     d = load_table(spark, sf_dir, "documents")
     seg = BPE.word_segment_table(d, list(merges))
-    return BPE.bpe_token_counts(d, seg).select(
+    # seg's cardinality is known exactly (the collected artifacts hold
+    # one row per distinct word of this corpus) -> skip the probe job
+    return BPE.bpe_token_counts(d, seg, seg_rows=len(table)).select(
         "doc_id", "n_tokens", "n_bpe_tokens"
     )
 
@@ -1234,12 +1236,12 @@ def q_doc_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:func:`bpe.bpe_token_counts` — the segmentation-cache contract is
     the interface, the trainer is pluggable)."""
     _uni_query_dirs.add(sf_dir)
-    model, _ = _uni_artifacts(sf_dir)
+    model, table = _uni_artifacts(sf_dir)
     from scraping_etl_spark.operators import unigram as UNI
 
     d = load_table(spark, sf_dir, "documents")
     seg = UNI.word_segment_unigram(d, model, max_piece_len=_UNI_MAXLEN)
-    return BPE.bpe_token_counts(d, seg).select(
+    return BPE.bpe_token_counts(d, seg, seg_rows=len(table)).select(
         "doc_id", "n_tokens",
         F.col("n_bpe_tokens").alias("n_uni_tokens"),
     )
@@ -1304,16 +1306,16 @@ def q_doc_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     _uni_query_dirs.add(sf_dir)
     from scraping_etl_spark.operators import unigram as UNI
 
-    merges, _ = _bpe_artifacts(sf_dir)
-    model, _ = _uni_artifacts(sf_dir)
+    merges, table_b = _bpe_artifacts(sf_dir)
+    model, table_u = _uni_artifacts(sf_dir)
     d = load_table(spark, sf_dir, "documents")
     seg_b = BPE.word_segment_table(d, list(merges))
     seg_u = UNI.word_segment_unigram(d, model, max_piece_len=_UNI_MAXLEN)
-    fb = BPE.tokenizer_fertility(d, seg_b).select(
+    fb = BPE.tokenizer_fertility(d, seg_b, seg_rows=len(table_b)).select(
         "lang", "n_words", "n_chars",
         F.col("fertility").alias("bpe_fertility"),
     )
-    fu = BPE.tokenizer_fertility(d, seg_u).select(
+    fu = BPE.tokenizer_fertility(d, seg_u, seg_rows=len(table_u)).select(
         "lang", F.col("fertility").alias("uni_fertility")
     )
     return fb.join(fu, "lang").select(
@@ -1429,12 +1431,12 @@ def q_doc_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     word→segmentation join all three tokenizers share
     (:func:`bpe.bpe_token_counts`)."""
     _wp_query_dirs.add(sf_dir)
-    _, vocab, _ = _wp_artifacts(sf_dir)
+    _, vocab, table = _wp_artifacts(sf_dir)
     from scraping_etl_spark.operators import wordpiece as WP
 
     d = load_table(spark, sf_dir, "documents")
     seg = WP.word_segment_wordpiece(d, vocab)
-    return BPE.bpe_token_counts(d, seg).select(
+    return BPE.bpe_token_counts(d, seg, seg_rows=len(table)).select(
         "doc_id", "n_tokens",
         F.col("n_bpe_tokens").alias("n_wp_tokens"),
     )
@@ -2255,11 +2257,11 @@ def q_doc_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pos, subpos)-sorted reassembly). Emits the id count and the
     space-joined id string so the order itself is hash-gated."""
     _bpe_query_dirs.add(sf_dir)
-    merges, _ = _bpe_artifacts(sf_dir)
+    merges, table = _bpe_artifacts(sf_dir)
     d = load_table(spark, sf_dir, "documents")
     seg = BPE.word_segment_table(d, list(merges))
     vocab = BPE.bpe_vocab(seg)
-    enc = BPE.encode_token_ids(d, seg, vocab)
+    enc = BPE.encode_token_ids(d, seg, vocab, seg_rows=len(table))
     return enc.select(
         "doc_id",
         "n_ids",
@@ -2385,7 +2387,7 @@ def q_train_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scraping_etl_spark.operators.curation import shuffle_to_shards
 
     _bpe_query_dirs.add(sf_dir)
-    merges, _ = _bpe_artifacts(sf_dir)
+    merges, table = _bpe_artifacts(sf_dir)
     d = load_table(spark, sf_dir, "documents")
     corpus = _te_corpus(spark, sf_dir)
     # 1. curate: exact dedup, min-id survivor per content hash
@@ -2402,7 +2404,9 @@ def q_train_export_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    as _bpe_encode_artifacts embeds for the oracle)
     seg = BPE.word_segment_table(d, list(merges))
     vocab = BPE.bpe_vocab(seg)
-    enc = BPE.encode_token_ids(kept, seg, vocab).withColumn(
+    enc = BPE.encode_token_ids(
+        kept, seg, vocab, seg_rows=len(table)
+    ).withColumn(
         "ids_sum",
         F.aggregate("token_ids", F.lit(0).cast("long"), lambda a, x: a + x),
     )
@@ -2635,10 +2639,10 @@ def q_doc_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary (bpe.tokenizer_fertility) — same train-once artifacts
     as ``doc_bpe_tokens``, rolled up per language instead of per doc."""
     _bpe_query_dirs.add(sf_dir)
-    merges, _ = _bpe_artifacts(sf_dir)
+    merges, table = _bpe_artifacts(sf_dir)
     d = load_table(spark, sf_dir, "documents")
     seg = BPE.word_segment_table(d, list(merges))
-    return BPE.tokenizer_fertility(d, seg)
+    return BPE.tokenizer_fertility(d, seg, seg_rows=len(table))
 
 
 def oracle_doc_bpe_fertility(sf_dir: str | None = None) -> str:
@@ -2743,11 +2747,13 @@ def q_doc_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     train→segment→encode→decode composition is lossless on the corpus
     it was trained on."""
     _bpe_query_dirs.add(sf_dir)
-    merges, _ = _bpe_artifacts(sf_dir)
+    merges, table = _bpe_artifacts(sf_dir)
     d = load_table(spark, sf_dir, "documents")
     seg = BPE.word_segment_table(d, list(merges))
     vocab = BPE.bpe_vocab(seg)
-    enc = BPE.encode_token_ids(d, seg, vocab, append_eow=True)
+    enc = BPE.encode_token_ids(
+        d, seg, vocab, append_eow=True, seg_rows=len(table)
+    )
     return BPE.decode_token_ids(enc, vocab)
 
 

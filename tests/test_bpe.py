@@ -317,3 +317,23 @@ def test_encode_sentinel_collision_token_round_trips(spark):
     assert ids.count(bpe.EOW_ID) == 3  # exactly one per word, no extras
     dec = bpe.decode_token_ids(enc, vocab).collect()[0].text_rt
     assert dec == f"{evil} {evil} plain"
+
+
+def test_bpe_train_driver_tier_equals_distributed_tier(spark, classic):
+    """r16 optimization: under the measured word cap the merge loop
+    runs in-process over the collected frequency table; the merge list
+    must be bit-identical to the distributed per-round-aggregation
+    tier, including occurrence-weighted OVERLAPPING pair counts
+    ('aaa' counts (a,a) twice) and the (count DESC, a, b) tie-break."""
+    assert bpe.bpe_train(classic, n_merges=5) == bpe.bpe_train(
+        classic, n_merges=5, max_driver_words=0
+    )
+    edge = _docs(
+        spark, [(1, "aaa bb aaa aaa cab cab bcab"), (2, "aaaa ab ab caa")]
+    )
+    for nm in (1, 2, 5):
+        assert bpe.bpe_train(
+            edge, n_merges=nm, min_pair_count=1
+        ) == bpe.bpe_train(
+            edge, n_merges=nm, min_pair_count=1, max_driver_words=0
+        )

@@ -144,3 +144,23 @@ def test_gate_runs_and_every_doc_appears(spark):
     d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     assert out.count() == d.count()
     assert out.filter(F.col("n_wp_tokens") > 0).count() > 0
+
+
+def test_wordpiece_train_driver_tier_equals_distributed_tier(spark):
+    """r16 optimization: the in-process merge loop (collected
+    frequency table under the measured cap) must learn the exact
+    merge list of the distributed tier — same BIGINT pair/symbol
+    counts over all adjacent positions, same single-double-division
+    likelihood score, same (score DESC, a, b) tie-break."""
+    rows = [
+        (1, "aaa bb aaa aaa cab cab bcab"),
+        (2, "quick quicker quickest wide widest"),
+        (3, "aaaa ab ab caa"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for nm in (1, 3, 8):
+        assert WP.wordpiece_train(
+            df, n_merges=nm, min_pair_count=1
+        ) == WP.wordpiece_train(
+            df, n_merges=nm, min_pair_count=1, max_driver_words=0
+        )
