@@ -116,15 +116,21 @@ def train_logreg(
             F.col("_x"), i + 1
         )
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-    err = p - F.col("_y")
+    # err is PROJECTED once per row and the d gradient sums multiply
+    # the materialized value — inlining it into every sum would hand
+    # the analyzer/optimizer a d²-node tree per iteration (measured
+    # ~0.6 s/iteration of pure driver time at d=33). Same doubles:
+    # one evaluation of the same expression feeds the same products.
+    err = (p - F.col("_y")).alias("_e")
     aggs = [F.count(F.lit(1)).alias("_n")] + [
-        F.sum(err * F.element_at(F.col("_x"), j + 1)).alias(f"_g{j}")
+        F.sum(F.col("_e") * F.element_at(F.col("_x"), j + 1)).alias(f"_g{j}")
         for j in range(dim)
     ]
     w = [0.0] * dim
     for _ in range(iters):
         sums = (
             base.withColumn("_w", F.lit([float(v) for v in w]))
+            .select(err, "_x")
             .agg(*aggs)
             .first()
         )
@@ -167,6 +173,8 @@ def hashing_tfidf(
     id_col: str = "doc_id",
     text_col: str = "text",
     return_idf: bool = False,
+    materialize_tf: bool = False,
+    n_docs: int | None = None,
 ):
     """Sparse TF-IDF document features via the hashing trick
     (Weinberger et al. 2009, "Feature Hashing for Large Scale
@@ -193,6 +201,15 @@ def hashing_tfidf(
     Plan: explode -> partial-agg groupBy (doc, slot) -> slot df agg
     (bounded at n_features rows) broadcast back. Two bounded
     exchanges, no UDFs.
+
+    ``materialize_tf`` localCheckpoints the (doc, slot, tf) relation:
+    a TRAINER that eagerly consumes both outputs (collects the idf AND
+    materializes the features) would otherwise execute the tf
+    aggregation twice — pass True there, leave False on lazy serve
+    paths. ``n_docs`` lets a caller that already knows the distinct
+    document count skip the internal count job (must equal
+    ``df.select(id_col).distinct().count()``). Both are pure
+    cost knobs: the output relation is unchanged.
     """
     if n_features < 2:
         raise ValueError(f"n_features must be >= 2, got {n_features}")
@@ -211,7 +228,10 @@ def hashing_tfidf(
         .groupBy(id_col, "slot")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
-    n_docs = df.select(id_col).distinct().count()  # O(1)-row scalar
+    if materialize_tf:
+        tf = tf.localCheckpoint()
+    if n_docs is None:
+        n_docs = df.select(id_col).distinct().count()  # O(1)-row scalar
     idf = (
         tf.groupBy("slot")
         .agg(F.count_distinct(id_col).alias("_df"))

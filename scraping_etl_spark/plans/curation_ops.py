@@ -1102,12 +1102,17 @@ def _fclf_model(sf_dir: str) -> tuple:
         "doc_id", F.col("doc_id") + F.lit(_FCLF_NEG_OFFSET)
     )
     labeled_txt = pos.unionByName(neg)
+    # one distinct-count job, shared with hashing_tfidf's idf formula;
+    # materialize_tf stops the (doc, slot) aggregation from executing
+    # twice (once under the idf collect, once under the feature
+    # checkpoint) — both pure cost knobs, output unchanged (r16)
+    n_docs = labeled_txt.select("doc_id").distinct().count()
     sp, idf_df = CLF.hashing_tfidf(
-        labeled_txt, n_features=_FCLF_FEATURES, return_idf=True
+        labeled_txt, n_features=_FCLF_FEATURES, return_idf=True,
+        materialize_tf=True, n_docs=n_docs,
     )
     # model-scale collect: <= n_features rows (the ivf_train convention)
     idf_rows = {r["slot"]: float(r["_idf"]) for r in idf_df.collect()}
-    n_docs = labeled_txt.select("doc_id").distinct().count()
     empty_slot_idf = math.log(float(n_docs + 1)) + 1.0
     idf = [idf_rows.get(s, empty_slot_idf) for s in range(_FCLF_FEATURES)]
     dense = CLF.dense_from_sparse(sp, _FCLF_FEATURES)
