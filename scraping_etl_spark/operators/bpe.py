@@ -129,7 +129,7 @@ def _bpe_merge_loop_py(
     words: list[tuple[list[str], int]],
     n_merges: int,
     min_pair_count: int,
-) -> list[tuple[str, str]]:
+) -> tuple[list[tuple[str, str]], list[tuple[list[str], int]]]:
     """The BPE merge loop over an in-memory word-frequency table —
     EXACTLY the distributed loop's semantics on integer counts: pair
     counts are occurrence-weighted over ALL adjacent positions
@@ -137,7 +137,12 @@ def _bpe_merge_loop_py(
     the winner is ``(count DESC, a ASC, b ASC)``, application is the
     left-to-right greedy pass. Integer arithmetic end to end, so the
     merge list is bit-identical to the distributed tier (pinned by
-    tests/test_bpe.py equivalence tests)."""
+    tests/test_bpe.py equivalence tests). Returns ``(merges, words)``
+    with ``words`` in its FINAL merged state — the word-level
+    segmentation under the learned table, exactly what
+    :func:`word_segment_table` would recompute (same merges, same
+    greedy pass), handed back so train-once artifact builders skip
+    that second pass."""
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         counts: dict[tuple[str, str], int] = {}
@@ -163,7 +168,51 @@ def _bpe_merge_loop_py(
             )
             for sym, cnt in words
         ]
-    return merges
+    return merges, words
+
+
+def bpe_train_with_segmentation(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 16,
+    min_pair_count: int = 2,
+    max_driver_words: int = MAX_BROADCAST_WORDS,
+) -> tuple[list[tuple[str, str]], "list[tuple[str, tuple[str, ...]]] | None"]:
+    """Driver-tier training that ALSO returns the final word→symbols
+    segmentation table (sorted by word, deterministic) — the merge
+    loop ends holding every distinct word in its fully merged state,
+    which is exactly :func:`word_segment_table`'s output for the same
+    merges (same greedy pass, pinned by tests/test_bpe.py), so the
+    train-once artifact builders (subword counts AND the id-encode
+    table) skip that whole second vocabulary pass + collect. Over the
+    cap the segmentation is ``None`` and the caller falls back to the
+    distributed :func:`word_segment_table`; the merges come from the
+    distributed loop either way."""
+    if max_driver_words > 0:
+        wc = (
+            df.select(F.explode(tokens(text_col, lowercase=True)).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        head = wc.limit(max_driver_words + 1).collect()
+        if len(head) <= max_driver_words:
+            words = [([c for c in r["word"]], int(r["cnt"])) for r in head]
+            merges, final = _bpe_merge_loop_py(
+                words, n_merges, min_pair_count
+            )
+            # join-back by word is exact because symbols concatenate
+            # to the original word (merges only fuse adjacent symbols)
+            table = sorted(
+                ("".join(sym), tuple(sym)) for sym, _ in final
+            )
+            return merges, table
+    return (
+        bpe_train(
+            df, text_col, n_merges, min_pair_count,
+            max_driver_words=0,
+        ),
+        None,
+    )
 
 
 def bpe_train(
@@ -217,7 +266,7 @@ def bpe_train(
             words = [
                 ([c for c in r["word"]], int(r["cnt"])) for r in head
             ]
-            return _bpe_merge_loop_py(words, n_merges, min_pair_count)
+            return _bpe_merge_loop_py(words, n_merges, min_pair_count)[0]
     syms = wc.withColumn("sym", char_symbols("word")).localCheckpoint()
     merges: list[tuple[str, str]] = []
     for i in range(n_merges):

@@ -648,6 +648,23 @@ def prepare_lm(
     )
 
 
+def lm_gram_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The per-(doc, bigram) occurrence relation :func:`with_lm_score`
+    scores over — exposed so a caller scoring the SAME corpus under
+    several models (the DSIR gate: target LM + raw LM) derives it
+    once, ``localCheckpoint``s it, and passes it to every scoring call
+    via ``pairs=`` instead of re-exploding the corpus per model
+    (r16)."""
+    lowered = F.lower(F.col(text_col))
+    return (
+        df.select(F.col(id_col), F.explode(word_grams(lowered, 2)).alias("_g"))
+        .groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+
+
 def with_lm_score(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -656,6 +673,7 @@ def with_lm_score(
     lm: DataFrame | None = None,
     max_broadcast_hot: int = MAX_BROADCAST_HOT_GRAMS,
     lm_prepared: PreparedLM | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document corpus-LM score — the real form of the quality
     filter :func:`with_oov_ratio` proxies (CCNet, Wenzek et al. 2019,
@@ -705,17 +723,15 @@ def with_lm_score(
         raise ValueError(f"hot_threshold must be >= 1, got {hot_threshold}")
     if lm is not None:
         lm_prepared = prepare_lm(lm, text_col, hot_threshold, max_broadcast_hot)
-    lowered = F.lower(F.col(text_col))
     # per-(doc, gram) occurrence counts FIRST: every downstream branch
     # (bigram totals, hot probe, cold probe) hangs off this one
     # exchange, so ReuseExchange runs the explode exactly once — the
     # hot/cold split costs reduce-side reads, not extra corpus scans.
-    # The (doc, gram) key is skew-free by construction.
-    pairs = (
-        df.select(F.col(id_col), F.explode(word_grams(lowered, 2)).alias("_g"))
-        .groupBy(id_col, "_g")
-        .agg(F.count(F.lit(1)).alias("_n"))
-    )
+    # The (doc, gram) key is skew-free by construction. A caller
+    # scoring one corpus under several models passes the shared
+    # relation via ``pairs=`` (:func:`lm_gram_pairs`).
+    if pairs is None:
+        pairs = lm_gram_pairs(df, id_col, text_col)
     logp = F.log((F.col("_cbi") + 1.0) / (F.col("_cw") + F.col("_v")))
     scored_cols = [
         F.col(id_col),

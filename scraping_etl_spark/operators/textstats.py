@@ -166,25 +166,6 @@ def _ct_norm(text_col: str) -> Column:
     return F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
 
 
-def _ct_gram_rows(
-    df: DataFrame, keys: list[Column], text_col: str, n: int
-) -> DataFrame:
-    """``keys + (gram)`` rows for Cavnar-Trenkle profiling. The
-    normalized text is materialized as its OWN projection before the
-    n-gram transform: :func:`char_ngrams` references its input several
-    times inside a lambda, and inlining the regexp_replace expression
-    there would re-run the regex once per GRAM — O(len²) per document
-    (measured: 20 s for a 5k-doc corpus vs sub-second projected).
-    CollapseProject keeps the barrier because the reference is
-    non-cheap and multiply-used."""
-    normed = df.select(*keys, _ct_norm(text_col).alias("_txt"))
-    key_names = [c for c in normed.columns if c != "_txt"]
-    return normed.select(
-        *key_names,
-        F.explode(char_ngrams(F.col("_txt"), n)).alias("gram"),
-    )
-
-
 def _gram_runs_sorted(grams: Column) -> Column:
     """Per-row run-length-encoded gram profile ``(_nc = −count, gram)``
     structs, ordered (count desc, gram asc) — the FULL per-document
@@ -250,12 +231,31 @@ def char_ngram_profiles(
     ``(lang, gram, rank int)`` — a model of L·top_m rows, broadcast
     material for :func:`lang_id_ngram`.
 
-    Plan: one explode + one (lang, gram) partial-agg shuffle; the
+    Plan: one per-row RLE pass (each doc's gram histogram built
+    array-side, :func:`_gram_runs_sorted`) + one (lang, gram)
+    partial-agg shuffle over (doc, DISTINCT gram) rows — the
+    occurrence-weighted sums of run lengths are integer-identical to
+    counting exploded occurrences, but the explode fans out one row
+    per distinct gram per doc instead of one per occurrence (guide
+    §2.3 — aggregate before you shuffle; r16 optimization round). The
     rank window partitions per LANGUAGE over its n-gram vocabulary —
     bounded by the char-n-gram space (≲ a few 100k types for n=3),
     model-scale, never corpus-scale."""
-    grams = _ct_gram_rows(df, [F.col(lang_col).alias("lang")], text_col, n)
-    counts = grams.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("_c"))
+    normed = df.select(
+        F.col(lang_col).alias("lang"), _ct_norm(text_col).alias("_txt")
+    )
+    counts = (
+        normed.select(
+            "lang",
+            F.explode(
+                _gram_runs_sorted(char_ngrams(F.col("_txt"), n))
+            ).alias("_e"),
+        )
+        .select("lang", F.col("_e.gram").alias("gram"),
+                (-F.col("_e._nc")).alias("_n1"))
+        .groupBy("lang", "gram")
+        .agg(F.sum("_n1").alias("_c"))
+    )
     w = Window.partitionBy("lang").orderBy(F.desc("_c"), F.asc("gram"))
     return (
         counts.withColumn("rank", F.row_number().over(w))

@@ -1016,6 +1016,22 @@ _bpe_query_dirs: set[str] = set()
 
 
 @functools.lru_cache(maxsize=4)
+def _bpe_trained(sf_dir: str) -> tuple:
+    """Train-once shared BPE state per scale dir: the ordered merge
+    table plus (under the driver-tier cap) the full word→symbols
+    segmentation the merge loop ends holding — the same table
+    ``word_segment_table`` + collect would rebuild with a second
+    vocabulary pass (identity pytest-pinned); ``None`` over the cap
+    (r16). Both artifact builders derive from this one training."""
+    from scraping_etl_spark.session import get_spark
+
+    spark = SparkSession.getActiveSession() or get_spark()
+    d = load_table(spark, sf_dir, "documents")
+    merges, seg_tbl = BPE.bpe_train_with_segmentation(d, n_merges=_BPE_MERGES)
+    return tuple(merges), None if seg_tbl is None else tuple(seg_tbl)
+
+
+@functools.lru_cache(maxsize=4)
 def _bpe_artifacts(sf_dir: str) -> tuple:
     """Train-once BPE artifacts per scale dir: the ordered merge table
     AND the collected word→n_sub segmentation (vocabulary-scale — ~31
@@ -1023,13 +1039,17 @@ def _bpe_artifacts(sf_dir: str) -> tuple:
     model, not the data; the ``ivf_train`` plan-constants convention)."""
     from scraping_etl_spark.session import get_spark
 
-    spark = SparkSession.getActiveSession() or get_spark()
-    d = load_table(spark, sf_dir, "documents")
-    merges = BPE.bpe_train(d, n_merges=_BPE_MERGES)
-    seg = BPE.word_segment_table(d, merges)
-    table = tuple(
-        (r["word"], int(r["n_sub"])) for r in seg.select("word", "n_sub").collect()
-    )
+    merges, seg_tbl = _bpe_trained(sf_dir)
+    if seg_tbl is None:
+        spark = SparkSession.getActiveSession() or get_spark()
+        d = load_table(spark, sf_dir, "documents")
+        seg = BPE.word_segment_table(d, list(merges))
+        table = tuple(
+            (r["word"], int(r["n_sub"]))
+            for r in seg.select("word", "n_sub").collect()
+        )
+    else:
+        table = tuple((w, len(sym)) for w, sym in seg_tbl)
     return tuple(merges), table
 
 
@@ -2237,14 +2257,18 @@ def _bpe_encode_artifacts(sf_dir: str) -> tuple:
     subwords) is exactly :func:`bpe.bpe_vocab`'s rank."""
     from scraping_etl_spark.session import get_spark
 
-    spark = SparkSession.getActiveSession() or get_spark()
-    d = load_table(spark, sf_dir, "documents")
-    merges, _ = _bpe_artifacts(sf_dir)
-    seg = BPE.word_segment_table(d, list(merges))
-    seg_rows = tuple(
-        (r["word"], " ".join(r["sym"]))
-        for r in seg.select("word", "sym").collect()
-    )
+    merges, seg_tbl = _bpe_trained(sf_dir)
+    if seg_tbl is None:
+        spark = SparkSession.getActiveSession() or get_spark()
+        d = load_table(spark, sf_dir, "documents")
+        seg = BPE.word_segment_table(d, list(merges))
+        seg_rows = tuple(
+            (r["word"], " ".join(r["sym"]))
+            for r in seg.select("word", "sym").collect()
+        )
+    else:
+        # the shared driver-tier segmentation (identity pytest-pinned)
+        seg_rows = tuple((w, " ".join(sym)) for w, sym in seg_tbl)
     subwords = sorted({s for _, syms in seg_rows for s in syms.split(" ")})
     vocab_rows = tuple((s, i) for i, s in enumerate(subwords))
     return seg_rows, vocab_rows

@@ -559,8 +559,12 @@ def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     target = d.filter(F.col("doc_id") % 7 == 0)
     pool = d.filter(F.col("doc_id") % 7 != 0)
-    t_scored = CP.with_lm_score(pool, lm=target)
-    r_scored = CP.with_lm_score(pool)
+    # the pool is scored under TWO models (target LM + its own) —
+    # derive the per-(doc, bigram) relation once, materialize, share
+    # (one pool explode instead of two; value-identical, r16)
+    pairs = CP.lm_gram_pairs(pool).localCheckpoint()
+    t_scored = CP.with_lm_score(pool, lm=target, pairs=pairs)
+    r_scored = CP.with_lm_score(pool, pairs=pairs)
     return CU.dsir_weights(pool, t_scored, r_scored)
 
 

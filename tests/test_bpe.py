@@ -337,3 +337,22 @@ def test_bpe_train_driver_tier_equals_distributed_tier(spark, classic):
         ) == bpe.bpe_train(
             edge, n_merges=nm, min_pair_count=1, max_driver_words=0
         )
+
+
+def test_bpe_train_with_segmentation_matches_segment_table(spark, classic):
+    """r16: the driver-tier trainer's final merged vocabulary must be
+    exactly the (word, n_sub) table word_segment_table rebuilds from
+    the same merges — the artifacts builder relies on this identity."""
+    merges, table = bpe.bpe_train_with_segmentation(classic, n_merges=5)
+    seg = bpe.word_segment_table(classic, merges)
+    expected = sorted(
+        (r["word"], tuple(r["sym"]))
+        for r in seg.select("word", "sym").collect()
+    )
+    assert merges == bpe.bpe_train(classic, n_merges=5)
+    assert table == expected
+    # over-cap fallback: distributed merges, no table
+    m2, t2 = bpe.bpe_train_with_segmentation(
+        classic, n_merges=5, max_driver_words=0
+    )
+    assert m2 == merges and t2 is None
