@@ -193,10 +193,15 @@ def bpe_train_with_segmentation(
             df.select(F.explode(tokens(text_col, lowercase=True)).alias("word"))
             .groupBy("word")
             .agg(F.count(F.lit(1)).alias("cnt"))
+            .localCheckpoint()  # ONE corpus pass feeds probe + both tiers
         )
-        head = wc.limit(max_driver_words + 1).collect()
-        if len(head) <= max_driver_words:
-            words = [([c for c in r["word"]], int(r["cnt"])) for r in head]
+        # count probe, never a collect: the over-cap (100 TB) path must
+        # not ship the word table to the driver just to learn it is
+        # over-cap (r17; the bpe_token_counts probe convention)
+        if wc.limit(max_driver_words + 1).count() <= max_driver_words:
+            words = [
+                ([c for c in r["word"]], int(r["cnt"])) for r in wc.collect()
+            ]
             merges, final = _bpe_merge_loop_py(
                 words, n_merges, min_pair_count
             )
@@ -206,6 +211,13 @@ def bpe_train_with_segmentation(
                 ("".join(sym), tuple(sym)) for sym, _ in final
             )
             return merges, table
+        # over the cap: the distributed loop reuses the materialized
+        # word table instead of re-running the corpus explode
+        syms = wc.withColumn("sym", char_symbols("word"))
+        return (
+            _bpe_merge_loop_dist(syms, n_merges, min_pair_count, 4),
+            None,
+        )
     return (
         bpe_train(
             df, text_col, n_merges, min_pair_count,
@@ -261,13 +273,32 @@ def bpe_train(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     if max_driver_words > 0:
-        head = wc.limit(max_driver_words + 1).collect()
-        if len(head) <= max_driver_words:
+        # one corpus pass feeds the probe and whichever tier runs; the
+        # probe is a count, never a collect (the over-cap path must not
+        # ship the word table to the driver — r17)
+        wc = wc.localCheckpoint()
+        if wc.limit(max_driver_words + 1).count() <= max_driver_words:
             words = [
-                ([c for c in r["word"]], int(r["cnt"])) for r in head
+                ([c for c in r["word"]], int(r["cnt"])) for r in wc.collect()
             ]
             return _bpe_merge_loop_py(words, n_merges, min_pair_count)[0]
-    syms = wc.withColumn("sym", char_symbols("word")).localCheckpoint()
+        syms = wc.withColumn("sym", char_symbols("word"))
+    else:
+        syms = wc.withColumn("sym", char_symbols("word")).localCheckpoint()
+    return _bpe_merge_loop_dist(syms, n_merges, min_pair_count, checkpoint_every)
+
+
+def _bpe_merge_loop_dist(
+    syms: DataFrame,
+    n_merges: int,
+    min_pair_count: int,
+    checkpoint_every: int,
+) -> list[tuple[str, str]]:
+    """The distributed merge loop over a materialized ``(word, cnt,
+    sym)`` relation: per round one occurrence-weighted pair aggregation
+    + an O(1)-row argmax probe, ``localCheckpoint``-ing every
+    ``checkpoint_every`` merges so plans never nest deep while skipping
+    the per-round materialization job."""
     merges: list[tuple[str, str]] = []
     for i in range(n_merges):
         best = (

@@ -127,20 +127,34 @@ def train_logreg(
         for j in range(dim)
     ]
     w = [0.0] * dim
-    for _ in range(iters):
-        sums = (
-            base.withColumn("_w", F.lit([float(v) for v in w]))
-            .select(err, "_x")
-            .agg(*aggs)
-            .first()
-        )
-        n = float(sums["_n"])
-        if n == 0:
-            raise ValueError("train_logreg: empty labeled set")
-        w = [
-            w[j] - lr * (float(sums[f"_g{j}"]) / n + l2 * w[j])
-            for j in range(dim)
-        ]
+    # AQE off for the loop only: a keyless aggregation to ONE row has
+    # nothing for AQE to re-plan, but under AQE every iteration costs
+    # TWO scheduled jobs (shuffle-stage materialization + final stage)
+    # instead of one — 40 iterations = 40 extra scheduling barriers at
+    # any scale (measured r17: 80 -> 40 jobs, weights bit-identical;
+    # the physical aggregation, its partitioning and its combine order
+    # are unchanged, so this is a pure job-count cut, not a plan
+    # change). Restored in ``finally`` so serve paths keep AQE.
+    spark = base.sparkSession
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for _ in range(iters):
+            sums = (
+                base.withColumn("_w", F.lit([float(v) for v in w]))
+                .select(err, "_x")
+                .agg(*aggs)
+                .first()
+            )
+            n = float(sums["_n"])
+            if n == 0:
+                raise ValueError("train_logreg: empty labeled set")
+            w = [
+                w[j] - lr * (float(sums[f"_g{j}"]) / n + l2 * w[j])
+                for j in range(dim)
+            ]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return w
 
 

@@ -707,6 +707,13 @@ def containment_pairs(
             F.explode(word_grams(F.lower(F.col(text_col)), k)).alias("gram"),
         )
         .distinct()
+        # materialize the ONE corpus-scale explode+distinct: it feeds
+        # THREE derivations (per-doc sizes, the too-common filter, the
+        # kept relation) across two jobs — without this the final plan
+        # re-runs the corpus scan per branch (measured r17: 8 parquet
+        # scans in the final plan -> 0, all branches read the
+        # checkpoint; same trade as `kept` below)
+        .localCheckpoint()
     )
     sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).cast("long").alias("n_grams"))
     common = (

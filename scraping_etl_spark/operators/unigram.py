@@ -63,6 +63,7 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from scraping_etl_spark.operators.bpe import MAX_BROADCAST_WORDS
 from scraping_etl_spark.operators.textstats import tokens
 
 #: Unknown single characters (absent from training) score this far
@@ -166,33 +167,80 @@ def _segment_words_arrow(
     return words.mapInPandas(_seg, out_schema)
 
 
-def train_unigram(
-    df: DataFrame,
-    text_col: str = "text",
-    vocab_size: int = 400,
-    seed_size: int = 1200,
-    n_iters: int = 2,
-    max_piece_len: int = 6,
-    min_seed_count: int = 2,
+def _prune_counts(
+    counts: dict[str, int],
+    used: dict[str, int],
+    singles: set[str],
+    vocab_size: int,
 ) -> dict[str, int]:
-    """Learn a unigram-LM piece vocabulary from the corpus (module
-    docstring has the full design). Returns the final integer piece
-    counts ``{piece: count}`` — the model; probabilities are derived
-    on demand by :func:`_model_logp` so every consumer shares one
-    arithmetic. Collects are model-scale only (seed candidates capped
+    """One M-step prune — every single char stays (coverage floor;
+    unseen-in-segmentation chars keep count 1), multi-char pieces
+    compete for the remaining seats by (used count DESC, piece ASC).
+    Shared by both training tiers so the arithmetic cannot fork."""
+    keep_multi = sorted(
+        ((p, c) for p, c in used.items() if len(p) > 1 and p in counts),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[: max(0, vocab_size - len(singles))]
+    out = {p: max(used.get(p, 0), 1) for p in singles}
+    out.update(dict(keep_multi))
+    return out
+
+
+def _train_unigram_py(
+    words: list[tuple[str, int]],
+    vocab_size: int,
+    seed_size: int,
+    n_iters: int,
+    max_piece_len: int,
+    min_seed_count: int,
+) -> dict[str, int]:
+    """The seeding + Viterbi-EM loop over an in-memory word-frequency
+    table — EXACTLY the distributed tier's semantics: occurrence-
+    weighted INTEGER substring/piece counts (Python slicing mirrors
+    ``substr``'s code-point semantics), seed selection by
+    ``(count DESC, piece ASC)`` with every single char retained, the
+    shared :func:`_viterbi` / :func:`_model_logp` / :func:`_prune_counts`
+    arithmetic per round. Integer sums are associative, so the model is
+    bit-identical to the distributed tier (pinned by
+    tests/test_unigram.py tier-equality tests)."""
+    cand: dict[str, int] = {}
+    for w, cnt in words:
+        n = len(w)
+        for ln in range(1, max_piece_len + 1):
+            for i in range(n - ln + 1):
+                piece = w[i : i + ln]
+                cand[piece] = cand.get(piece, 0) + cnt
+    counts = {p: c for p, c in cand.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in cand.items() if len(p) > 1 and c >= min_seed_count),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:seed_size]
+    counts.update(dict(multi))
+    if not counts:
+        return {}
+    singles = {p for p in counts if len(p) == 1}
+    for _ in range(n_iters):
+        logp, unk = _model_logp(counts)
+        used: dict[str, int] = {}
+        for w, cnt in words:
+            for piece in _viterbi(w, logp, max_piece_len, unk):
+                used[piece] = used.get(piece, 0) + cnt
+        counts = _prune_counts(counts, used, singles, vocab_size)
+    return counts
+
+
+def _train_unigram_dist(
+    wc: DataFrame,
+    vocab_size: int,
+    seed_size: int,
+    n_iters: int,
+    max_piece_len: int,
+    min_seed_count: int,
+) -> dict[str, int]:
+    """The distributed tier over a materialized ``(word, cnt)``
+    relation: seeding, EM and pruning all at VOCABULARY scale (module
+    docstring). Collects are model-scale only (seed candidates capped
     at ``seed_size`` + the per-round count table ≤ seed size)."""
-    if vocab_size < 1 or seed_size < vocab_size:
-        raise ValueError(
-            f"need seed_size >= vocab_size >= 1, got {seed_size}/{vocab_size}"
-        )
-    if max_piece_len < 1:
-        raise ValueError(f"max_piece_len must be >= 1, got {max_piece_len}")
-    wc = (
-        df.select(F.explode(tokens(text_col, lowercase=True)).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .localCheckpoint()  # consumed by seeding + every EM round
-    )
     cand = (
         wc.select(
             "cnt",
@@ -229,16 +277,127 @@ def train_unigram(
             .agg(F.sum("cnt").alias("n"))
             .collect()
         }
-        # prune: every single char stays (coverage floor; unseen-in-
-        # segmentation chars keep count 1), multi-char pieces compete
-        # for the remaining seats by (used count DESC, piece ASC)
-        keep_multi = sorted(
-            ((p, c) for p, c in used.items() if len(p) > 1 and p in counts),
-            key=lambda pc: (-pc[1], pc[0]),
-        )[: max(0, vocab_size - len(singles))]
-        counts = {p: max(used.get(p, 0), 1) for p in singles}
-        counts.update(dict(keep_multi))
+        counts = _prune_counts(counts, used, singles, vocab_size)
     return counts
+
+
+def _word_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """The ONE corpus-scale pass: the distinct-word frequency table,
+    ``localCheckpoint``-ed because every downstream step (cardinality
+    probe, driver collect / seeding + every EM round) consumes it —
+    without the materialization each would re-run the corpus explode."""
+    return (
+        df.select(F.explode(tokens(text_col, lowercase=True)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+
+
+def _validate_train_args(
+    vocab_size: int, seed_size: int, max_piece_len: int
+) -> None:
+    if vocab_size < 1 or seed_size < vocab_size:
+        raise ValueError(
+            f"need seed_size >= vocab_size >= 1, got {seed_size}/{vocab_size}"
+        )
+    if max_piece_len < 1:
+        raise ValueError(f"max_piece_len must be >= 1, got {max_piece_len}")
+
+
+def train_unigram(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 400,
+    seed_size: int = 1200,
+    n_iters: int = 2,
+    max_piece_len: int = 6,
+    min_seed_count: int = 2,
+    max_driver_words: int = MAX_BROADCAST_WORDS,
+) -> dict[str, int]:
+    """Learn a unigram-LM piece vocabulary from the corpus (module
+    docstring has the full design). Returns the final integer piece
+    counts ``{piece: count}`` — the model; probabilities are derived
+    on demand by :func:`_model_logp` so every consumer shares one
+    arithmetic.
+
+    Tiering (the :func:`bpe.bpe_train` contract, r17 optimization
+    round): the corpus collapses to its checkpointed word-frequency
+    table once; a ``limit(n+1).count()`` probe over the MATERIALIZED
+    table (never a collect — the over-cap path must not ship rows to
+    the driver) routes to
+
+    - **driver tier** (≤ ``max_driver_words`` distinct words): collect
+      the frequency table once and run seeding + EM + pruning
+      in-process — the table is model-scale by the module's own
+      convention (the serving artifacts collect the equally-sized
+      word→n_sub table), and at this cardinality every Spark round is
+      pure scheduling cost (measured r17: 12 jobs → 4, and the first
+      ``mapInPandas`` round no longer pays the Python-worker warm-up);
+    - **distributed tier** (past the cap): the original
+      vocabulary-scale seeding + EM over the same checkpointed table.
+
+    Both tiers share integer counts, :func:`_model_logp`,
+    :func:`_viterbi` and :func:`_prune_counts`, so the learned model is
+    bit-identical (pinned by tests/test_unigram.py);
+    ``max_driver_words=0`` forces the distributed tier."""
+    _validate_train_args(vocab_size, seed_size, max_piece_len)
+    wc = _word_counts(df, text_col)
+    if (
+        max_driver_words > 0
+        and wc.limit(max_driver_words + 1).count() <= max_driver_words
+    ):
+        head = [(r["word"], int(r["cnt"])) for r in wc.collect()]
+        return _train_unigram_py(
+            head, vocab_size, seed_size, n_iters, max_piece_len,
+            min_seed_count,
+        )
+    return _train_unigram_dist(
+        wc, vocab_size, seed_size, n_iters, max_piece_len, min_seed_count
+    )
+
+
+def train_unigram_with_segmentation(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 400,
+    seed_size: int = 1200,
+    n_iters: int = 2,
+    max_piece_len: int = 6,
+    min_seed_count: int = 2,
+    max_driver_words: int = MAX_BROADCAST_WORDS,
+) -> tuple[dict[str, int], "list[tuple[str, tuple[str, ...]]] | None"]:
+    """Driver-tier training that ALSO returns the final word→pieces
+    segmentation table (sorted by word, deterministic) — the collected
+    word table the driver tier already holds is exactly the vocabulary
+    :func:`word_segment_unigram` would re-derive with a second corpus
+    explode + distinct + Arrow pass, so the train-once artifact builder
+    skips that whole pass (the :func:`bpe.bpe_train_with_segmentation`
+    convention, identity pinned by tests/test_unigram.py). Over the cap
+    the segmentation is ``None`` and the caller falls back to the
+    distributed :func:`word_segment_unigram`; the model comes from the
+    distributed tier either way."""
+    _validate_train_args(vocab_size, seed_size, max_piece_len)
+    wc = _word_counts(df, text_col)
+    if (
+        max_driver_words > 0
+        and wc.limit(max_driver_words + 1).count() <= max_driver_words
+    ):
+        head = [(r["word"], int(r["cnt"])) for r in wc.collect()]
+        model = _train_unigram_py(
+            head, vocab_size, seed_size, n_iters, max_piece_len,
+            min_seed_count,
+        )
+        logp, unk = _model_logp(model)
+        table = sorted(
+            (w, tuple(_viterbi(w, logp, max_piece_len, unk)))
+            for w, _ in head
+        )
+        return model, table
+    model = _train_unigram_dist(
+        wc, vocab_size, seed_size, n_iters, max_piece_len, min_seed_count
+    )
+    return model, None
 
 
 def word_segment_unigram(

@@ -134,10 +134,14 @@ def _wp_merge_loop_py(
                 pair_n[p] = pair_n.get(p, 0) + cnt
         if not pair_n:
             break
+        # mirror the JVM exactly: bigint->double casts, THEN one double
+        # division (Python's exact-int true division can differ by
+        # 1 ulp past 2^53, which could flip a near-tie argmax and break
+        # the pinned cross-tier bit-identity — r17, ADVICE item)
         (a, b), n = min(
             pair_n.items(),
             key=lambda kv: (
-                -(kv[1] / (sym_n[kv[0][0]] * sym_n[kv[0][1]])),
+                -(float(kv[1]) / float(sym_n[kv[0][0]] * sym_n[kv[0][1]])),
                 kv[0][0],
                 kv[0][1],
             ),
@@ -196,11 +200,16 @@ def wordpiece_train(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    ckpt = False
     if max_driver_words > 0:
-        head = wc.limit(max_driver_words + 1).collect()
-        if len(head) <= max_driver_words:
+        # one corpus pass feeds the probe and whichever tier runs; the
+        # probe is a count, never a collect (the over-cap path must not
+        # ship the word table to the driver — r17)
+        wc = wc.localCheckpoint()
+        ckpt = True
+        if wc.limit(max_driver_words + 1).count() <= max_driver_words:
             words = []
-            for r in head:
+            for r in wc.collect():
                 w = r["word"]
                 words.append(
                     (
@@ -212,9 +221,23 @@ def wordpiece_train(
                     )
                 )
             return _wp_merge_loop_py(words, n_merges, min_pair_count)
-    syms = wc.withColumn(
-        "sym", wp_char_symbols(F.col("word"))
-    ).localCheckpoint()
+    syms = wc.withColumn("sym", wp_char_symbols(F.col("word")))
+    if not ckpt:
+        syms = syms.localCheckpoint()
+    return _wp_merge_loop_dist(syms, n_merges, min_pair_count, checkpoint_every)
+
+
+def _wp_merge_loop_dist(
+    syms: DataFrame,
+    n_merges: int,
+    min_pair_count: int,
+    checkpoint_every: int,
+) -> list[tuple[str, str]]:
+    """The distributed merge loop over a materialized ``(word, cnt,
+    sym)`` relation: per round the occurrence-weighted pair + symbol
+    aggregations, the likelihood score ``n / (na · nb)`` and an
+    O(1)-row argmax probe, ``localCheckpoint``-ing every
+    ``checkpoint_every`` merges."""
     merges: list[tuple[str, str]] = []
     for i in range(n_merges):
         scnt = (
@@ -245,6 +268,69 @@ def wordpiece_train(
             if (i + 1) % checkpoint_every == 0:
                 syms = syms.localCheckpoint()
     return merges
+
+
+def wordpiece_train_with_artifacts(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 16,
+    min_pair_count: int = 2,
+    max_driver_words: int = MAX_BROADCAST_WORDS,
+    max_piece_len: int = 32,
+) -> tuple[
+    list[tuple[str, str]],
+    "list[str] | None",
+    "list[tuple[str, tuple[str, ...]]] | None",
+]:
+    """Driver-tier training that ALSO returns the encoder vocabulary
+    and the word→pieces segmentation table (sorted by word,
+    deterministic) — the collected word table the driver tier already
+    holds is exactly what :func:`wordpiece_vocab` (distinct corpus
+    chars in both position forms + merge products) and
+    :func:`word_segment_wordpiece` (:func:`greedy_segment` per distinct
+    word — already a pure Python function) would re-derive with two
+    more corpus passes and an Arrow stage, so the train-once artifact
+    builder skips all of it (the ``bpe_train_with_segmentation``
+    convention; identity pinned by tests/test_wordpiece.py). Character
+    iteration is by code point, mirroring ``wp_char_symbols``'s
+    ``substr`` semantics. Over the cap: distributed merges from the
+    same checkpointed word table, vocabulary and table ``None`` (the
+    caller falls back to the distributed derivations)."""
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    if min_pair_count < 1:
+        raise ValueError(f"min_pair_count must be >= 1, got {min_pair_count}")
+    wc = (
+        df.select(F.explode(tokens(text_col, lowercase=True)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()  # ONE corpus pass feeds probe + both tiers
+    )
+    if (
+        max_driver_words > 0
+        and wc.limit(max_driver_words + 1).count() <= max_driver_words
+    ):
+        head = [(r["word"], int(r["cnt"])) for r in wc.collect()]
+        words = [
+            ([w[0] if i == 0 else CONT + w[i] for i in range(len(w))], cnt)
+            for w, cnt in head
+        ]
+        merges = _wp_merge_loop_py(words, n_merges, min_pair_count)
+        chars = {c for w, _ in head for c in w}
+        vocab = sorted(
+            {c for c in chars}
+            | {CONT + c for c in chars}
+            | {wp_merge_name(a, b) for a, b in merges}
+        )
+        vset = set(vocab)
+        table = sorted(
+            (w, tuple(greedy_segment(w, vset, max_piece_len)))
+            for w, _ in head
+        )
+        return merges, vocab, table
+    syms = wc.withColumn("sym", wp_char_symbols(F.col("word")))
+    merges = _wp_merge_loop_dist(syms, n_merges, min_pair_count, 4)
+    return merges, None, None
 
 
 def wordpiece_vocab(

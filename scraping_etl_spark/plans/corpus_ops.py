@@ -1228,21 +1228,28 @@ _uni_query_dirs: set[str] = set()
 def _uni_artifacts(sf_dir: str) -> tuple:
     """Train-once unigram artifacts per scale dir: the piece-count
     model and the collected word→n_sub segmentation (both model-scale;
-    the ``ivf_train`` plan-constants convention)."""
+    the ``ivf_train`` plan-constants convention). The driver tier ends
+    holding every distinct word, so its final Viterbi pass yields the
+    segmentation table without the second corpus explode
+    ``word_segment_unigram`` would pay (identity pytest-pinned); over
+    the cap the distributed pass remains."""
     from scraping_etl_spark.operators import unigram as UNI
     from scraping_etl_spark.session import get_spark
 
     spark = SparkSession.getActiveSession() or get_spark()
     d = load_table(spark, sf_dir, "documents")
-    model = UNI.train_unigram(
+    model, seg_tbl = UNI.train_unigram_with_segmentation(
         d, vocab_size=_UNI_VOCAB, seed_size=_UNI_SEED,
         n_iters=_UNI_ITERS, max_piece_len=_UNI_MAXLEN,
     )
-    seg = UNI.word_segment_unigram(d, model, max_piece_len=_UNI_MAXLEN)
-    table = tuple(
-        (r["word"], int(r["n_sub"]))
-        for r in seg.select("word", "n_sub").collect()
-    )
+    if seg_tbl is None:
+        seg = UNI.word_segment_unigram(d, model, max_piece_len=_UNI_MAXLEN)
+        table = tuple(
+            (r["word"], int(r["n_sub"]))
+            for r in seg.select("word", "n_sub").collect()
+        )
+    else:
+        table = tuple((w, len(sym)) for w, sym in seg_tbl)
     return model, table
 
 
@@ -1424,19 +1431,29 @@ _wp_query_dirs: set[str] = set()
 def _wp_artifacts(sf_dir: str) -> tuple:
     """Train-once WordPiece artifacts per scale dir: the merge list,
     the encoder vocabulary, and the collected word→n_sub segmentation
-    (all model-scale; the ``ivf_train`` plan-constants convention)."""
+    (all model-scale; the ``ivf_train`` plan-constants convention).
+    The driver tier ends holding every distinct word, so the vocabulary
+    (corpus chars + merge products) and the greedy segmentation table
+    derive in-process — skipping the two extra corpus passes + Arrow
+    stage the separate builders would pay (identity pytest-pinned);
+    over the cap the distributed derivations remain."""
     from scraping_etl_spark.operators import wordpiece as WP
     from scraping_etl_spark.session import get_spark
 
     spark = SparkSession.getActiveSession() or get_spark()
     d = load_table(spark, sf_dir, "documents")
-    merges = WP.wordpiece_train(d, n_merges=_WP_MERGES)
-    vocab = WP.wordpiece_vocab(d, merges)
-    seg = WP.word_segment_wordpiece(d, vocab)
-    table = tuple(
-        (r["word"], int(r["n_sub"]))
-        for r in seg.select("word", "n_sub").collect()
+    merges, vocab, seg_tbl = WP.wordpiece_train_with_artifacts(
+        d, n_merges=_WP_MERGES
     )
+    if vocab is None:
+        vocab = WP.wordpiece_vocab(d, merges)
+        seg = WP.word_segment_wordpiece(d, vocab)
+        table = tuple(
+            (r["word"], int(r["n_sub"]))
+            for r in seg.select("word", "n_sub").collect()
+        )
+    else:
+        table = tuple((w, len(sym)) for w, sym in seg_tbl)
     return merges, vocab, table
 
 

@@ -3319,7 +3319,14 @@ def q_doc_weighted_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(word_shingles(F.lower(F.col("text")), 3)).alias("w"),
     )
-    tf = base.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    # materialize the (doc, shingle, tf) relation ONCE: the n_docs
+    # count below is an eager action and would otherwise execute the
+    # full shingle explode+agg a second time before the signature
+    # checkpoint re-runs it for idf+kept (r17; the corpus-scale explode
+    # is this gate's dominant cost)
+    tf = base.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint()
     n_docs = tf.select("doc_id").distinct().count()
     idf = tf.groupBy("w").agg(
         (

@@ -356,3 +356,35 @@ def test_bpe_train_with_segmentation_matches_segment_table(spark, classic):
         classic, n_merges=5, max_driver_words=0
     )
     assert m2 == merges and t2 is None
+
+
+def test_bpe_train_over_cap_probe_never_ships_word_table(spark, monkeypatch):
+    """r17 (ADVICE): past the cap, bpe_train and
+    bpe_train_with_segmentation must learn they are over-cap from a
+    count probe over the checkpointed word table, never by collecting
+    cap+1 word rows — every collect in the over-cap path is the
+    O(1)-row per-round argmax probe."""
+    docs = _docs(
+        spark, [(1, "alpha beta gamma delta epsilon"), (2, "zeta eta theta")]
+    )
+    expected = bpe.bpe_train(
+        docs, n_merges=3, min_pair_count=1, max_driver_words=0
+    )
+    cls = type(docs)
+    orig = cls.collect
+    sizes: list[int] = []
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(cls, "collect", spy)
+    got = bpe.bpe_train(
+        docs, n_merges=3, min_pair_count=1, max_driver_words=3
+    )
+    m2, t2 = bpe.bpe_train_with_segmentation(
+        docs, n_merges=3, min_pair_count=1, max_driver_words=3
+    )
+    assert got == expected == m2 and t2 is None
+    assert sizes and max(sizes) <= 1  # argmax probes only

@@ -186,3 +186,89 @@ def test_fertility_gate_compares_both_tokenizers(spark):
         assert r.uni_over_bpe == round(
             round(r.uni_fertility, 6) / round(r.bpe_fertility, 6), 6
         )
+
+
+# ---------------------------------------------------------------------------
+# Training tiers (r17 optimization round)
+# ---------------------------------------------------------------------------
+
+def test_train_driver_tier_equals_distributed_tier(spark):
+    """r17: under the measured word cap, seeding + EM + pruning run
+    in-process over the collected frequency table; the model must be
+    bit-identical to the distributed tier (integer counts, shared
+    _viterbi/_model_logp/_prune_counts arithmetic, (count DESC, piece)
+    seed/prune order)."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox naps",
+        "lazy dogs and quick foxes",
+        "aaa aab aaab abab",
+    ]
+    df = _docs(spark, list(enumerate(texts)))
+    for vs, ss, it, ml in [(24, 80, 2, 4), (10, 40, 1, 3), (16, 64, 3, 6)]:
+        driver = U.train_unigram(
+            df, vocab_size=vs, seed_size=ss, n_iters=it, max_piece_len=ml
+        )
+        dist = U.train_unigram(
+            df, vocab_size=vs, seed_size=ss, n_iters=it, max_piece_len=ml,
+            max_driver_words=0,
+        )
+        assert driver == dist and driver
+
+
+def test_train_with_segmentation_matches_word_segment_unigram(spark):
+    """r17: the fused driver-tier trainer's segmentation table must be
+    exactly the (word, sym) set word_segment_unigram recomputes under
+    the same model — the artifacts builder relies on this identity.
+    Over the cap the table is None and the model still matches."""
+    texts = ["tokenization of compound works", "works of tokenization",
+             "unseen zz pieces"]
+    df = _docs(spark, list(enumerate(texts)))
+    model, table = U.train_unigram_with_segmentation(
+        df, vocab_size=20, seed_size=60, n_iters=2
+    )
+    assert model == U.train_unigram(df, vocab_size=20, seed_size=60, n_iters=2)
+    seg = U.word_segment_unigram(df, model)
+    expected = sorted(
+        (r["word"], tuple(r["sym"]))
+        for r in seg.select("word", "sym").collect()
+    )
+    assert table == expected
+    m2, t2 = U.train_unigram_with_segmentation(
+        df, vocab_size=20, seed_size=60, n_iters=2, max_driver_words=0
+    )
+    assert m2 == model and t2 is None
+
+
+def test_train_over_cap_probe_never_ships_word_table(spark, monkeypatch):
+    """r17 (ADVICE): past the cap the trainer must learn it is
+    over-cap from a count probe, never by collecting cap+1 word rows —
+    at web scale that collect ships ~2M rows to the driver per
+    training call just to discard them. Every collect in the over-cap
+    path is model-scale (seed candidates / per-round used counts)."""
+    texts = ["alpha beta gamma delta epsilon", "zeta eta theta iota kappa"]
+    df = _docs(spark, list(enumerate(texts)))
+    expected = U.train_unigram(
+        df, vocab_size=10, seed_size=40, n_iters=1, max_piece_len=3,
+        max_driver_words=0,
+    )
+    cls = type(df)  # the concrete (classic) DataFrame class
+    orig = cls.collect
+    sizes: list[int] = []
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(cls, "collect", spy)
+    got = U.train_unigram(
+        df, vocab_size=10, seed_size=40, n_iters=1, max_piece_len=3,
+        max_driver_words=3,  # 10 distinct words -> forced over-cap
+    )
+    assert got == expected
+    # over-cap collects are the seed-candidate and used-count tables
+    # (bounded by seed size + alphabet), never the 10-row word table
+    # in one piece with the probe's cap+1 shape; the word table itself
+    # is only ever counted
+    assert sizes and max(sizes) <= 40 + 26

@@ -164,3 +164,57 @@ def test_wordpiece_train_driver_tier_equals_distributed_tier(spark):
         ) == WP.wordpiece_train(
             df, n_merges=nm, min_pair_count=1, max_driver_words=0
         )
+
+
+def test_wordpiece_train_over_cap_probe_never_ships_word_table(
+    spark, monkeypatch
+):
+    """r17 (ADVICE): same count-probe contract as bpe_train — the
+    over-cap tier never collects the word table, only the O(1)-row
+    per-round argmax probes."""
+    docs = _docs(
+        spark, [(1, "alpha beta gamma delta epsilon"), (2, "zeta eta theta")]
+    )
+    expected = WP.wordpiece_train(
+        docs, n_merges=3, min_pair_count=1, max_driver_words=0
+    )
+    cls = type(docs)
+    orig = cls.collect
+    sizes: list[int] = []
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(cls, "collect", spy)
+    got = WP.wordpiece_train(
+        docs, n_merges=3, min_pair_count=1, max_driver_words=3
+    )
+    assert got == expected
+    assert sizes and max(sizes) <= 1  # argmax probes only
+
+
+def test_wordpiece_train_with_artifacts_matches_separate_builders(spark):
+    """r17: the fused driver-tier builder's vocabulary and greedy
+    segmentation table must be exactly what wordpiece_vocab +
+    word_segment_wordpiece recompute from the same merges — the
+    artifacts builder relies on this identity. Over the cap all three
+    fall back (vocab/table None, distributed merges)."""
+    docs = _docs(
+        spark,
+        [(1, "unable unable undo redo redo"), (2, "able undo doing")],
+    )
+    merges, vocab, table = WP.wordpiece_train_with_artifacts(docs, n_merges=5)
+    assert merges == WP.wordpiece_train(docs, n_merges=5)
+    assert vocab == WP.wordpiece_vocab(docs, merges)
+    seg = WP.word_segment_wordpiece(docs, vocab)
+    expected = sorted(
+        (r["word"], tuple(r["sym"]))
+        for r in seg.select("word", "sym").collect()
+    )
+    assert table == expected
+    m2, v2, t2 = WP.wordpiece_train_with_artifacts(
+        docs, n_merges=5, max_driver_words=0
+    )
+    assert m2 == merges and v2 is None and t2 is None
