@@ -39,6 +39,20 @@ def main() -> None:
     # engine, not environment: JVM/session spin-up, parquet footer
     # reads and file listing for every table the queries will touch.
     spark.range(1).count()
+    # Python-worker pool spin-up (daemon fork + pandas/pyarrow import,
+    # ~2-3 s at 32 cores) is environment cost of the same class as the
+    # JVM spin-up above. It used to land on whichever row happened to
+    # run the process's FIRST Arrow stage — train:bpe_encode in r15,
+    # train:unigram_lm in r16, an arbitrary serve row once both
+    # trainers went driver-tier (r17) — making that row incomparable
+    # round over round. One identity mapInPandas over one task per
+    # core starts every worker here instead (measurement fix declared
+    # in OPTIMIZATION_r17.md; per-row numbers before r17 include this
+    # cost on exactly one arbitrary row).
+    n_workers = spark.sparkContext.defaultParallelism
+    spark.range(n_workers, numPartitions=n_workers).mapInPandas(
+        lambda batches: batches, "id long"
+    ).write.format("noop").mode("overwrite").save()
     from scraping_etl_spark.schemas import TESTDATA_TABLES
     from scraping_etl_spark.sources.readers import load_table
 

@@ -732,6 +732,14 @@ def with_lm_score(
     # relation via ``pairs=`` (:func:`lm_gram_pairs`).
     if pairs is None:
         pairs = lm_gram_pairs(df, id_col, text_col)
+        if lm_prepared is None:
+            # self-mode only: pairs feeds the EAGER stats checkpoint
+            # below AND the final scoring plan — two separate jobs, so
+            # ReuseExchange cannot span them and the corpus bigram
+            # explode ran twice. Materialize once (r17). Reference
+            # mode keeps the lazy relation: there pairs' consumers
+            # share one plan and its exchange is reused.
+            pairs = pairs.localCheckpoint()
     logp = F.log((F.col("_cbi") + 1.0) / (F.col("_cw") + F.col("_v")))
     scored_cols = [
         F.col(id_col),
@@ -1881,6 +1889,11 @@ def with_kn_score(
         df.select(F.col(id_col), F.explode(word_grams(lowered, 2)).alias("_g"))
         .groupBy(id_col, "_g")
         .agg(F.count(F.lit(1)).alias("_n"))
+        # pairs feeds the EAGER bc checkpoint below AND the final
+        # hot/cold scoring plan — two separate jobs, so ReuseExchange
+        # cannot span them and the corpus bigram explode ran twice;
+        # materialize once (r17, the with_lm_score self-mode fix)
+        .localCheckpoint()
     )
     bc = (
         pairs.groupBy("_g")

@@ -147,49 +147,60 @@ def fs_em_weights(
     p = float(init_p)
     half, one = EM_SCALE // 2, EM_SCALE
     n_pairs = None
-    for _ in range(n_iters):
-        num: Column = F.lit(p)
-        den_u: Column = F.lit(1.0 - p)
-        for c in agree_cols:  # fixed fold order — mirrors in SQL
-            a = F.col(c)
-            num = num * F.when(a, F.lit(m[c])).otherwise(F.lit(1.0 - m[c]))
-            den_u = den_u * F.when(a, F.lit(u[c])).otherwise(
-                F.lit(1.0 - u[c])
-            )
-        w = num / (num + den_u)
-        # floor(x + 0.5) rather than F.round: identical IEEE mul/add/
-        # floor on every engine (HALF_UP on the decimal expansion is
-        # JVM-BigDecimal-specific at representability corners), so an
-        # unrolled-CTE SQL oracle reproduces the grid bit-for-bit
-        wq = F.floor(w * F.lit(float(EM_SCALE)) + F.lit(0.5)).cast("long")
-        aggs = [
-            F.count(F.lit(1)).alias("_n"),
-            F.sum(wq).alias("_sw"),
-        ]
-        for c in agree_cols:
-            aggs.append(
-                F.sum(F.when(F.col(c), wq).otherwise(F.lit(0))).alias(f"_swa_{c}")
-            )
-            aggs.append(
-                F.sum(
-                    F.when(F.col(c), F.lit(EM_SCALE).cast("long") - wq)
-                    .otherwise(F.lit(0))
-                ).alias(f"_sua_{c}")
-            )
-        row = flags.agg(*aggs).first()
-        n_pairs = int(row["_n"])
-        if n_pairs == 0:
-            raise ValueError("fs_em_weights: empty pair relation")
-        sw = int(row["_sw"])
-        su = n_pairs * one - sw
-        # add-half smoothing on p too: if responsibilities collapse
-        # (sw == 0 or sw == n·S) an unsmoothed p would hit exactly
-        # 0/1 and the next E-step would be frozen at that absorbing
-        # state — the same rationale as the m/u smoothing below
-        p = (sw + half) / float(n_pairs * one + one)
-        for c in agree_cols:
-            m[c] = (int(row[f"_swa_{c}"]) + half) / float(sw + one)
-            u[c] = (int(row[f"_sua_{c}"]) + half) / float(su + one)
+    # AQE off for the loop only (the train_logreg convention, r17): a
+    # keyless aggregation to ONE row has nothing for AQE to re-plan,
+    # and under AQE every EM iteration schedules TWO jobs instead of
+    # one. The aggregation, its partitioning and its integer-grid
+    # combine are unchanged. Restored in ``finally``.
+    spark = pairs.sparkSession
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for _ in range(n_iters):
+            num: Column = F.lit(p)
+            den_u: Column = F.lit(1.0 - p)
+            for c in agree_cols:  # fixed fold order — mirrors in SQL
+                a = F.col(c)
+                num = num * F.when(a, F.lit(m[c])).otherwise(F.lit(1.0 - m[c]))
+                den_u = den_u * F.when(a, F.lit(u[c])).otherwise(
+                    F.lit(1.0 - u[c])
+                )
+            w = num / (num + den_u)
+            # floor(x + 0.5) rather than F.round: identical IEEE mul/add/
+            # floor on every engine (HALF_UP on the decimal expansion is
+            # JVM-BigDecimal-specific at representability corners), so an
+            # unrolled-CTE SQL oracle reproduces the grid bit-for-bit
+            wq = F.floor(w * F.lit(float(EM_SCALE)) + F.lit(0.5)).cast("long")
+            aggs = [
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(wq).alias("_sw"),
+            ]
+            for c in agree_cols:
+                aggs.append(
+                    F.sum(F.when(F.col(c), wq).otherwise(F.lit(0))).alias(f"_swa_{c}")
+                )
+                aggs.append(
+                    F.sum(
+                        F.when(F.col(c), F.lit(EM_SCALE).cast("long") - wq)
+                        .otherwise(F.lit(0))
+                    ).alias(f"_sua_{c}")
+                )
+            row = flags.agg(*aggs).first()
+            n_pairs = int(row["_n"])
+            if n_pairs == 0:
+                raise ValueError("fs_em_weights: empty pair relation")
+            sw = int(row["_sw"])
+            su = n_pairs * one - sw
+            # add-half smoothing on p too: if responsibilities collapse
+            # (sw == 0 or sw == n·S) an unsmoothed p would hit exactly
+            # 0/1 and the next E-step would be frozen at that absorbing
+            # state — the same rationale as the m/u smoothing below
+            p = (sw + half) / float(n_pairs * one + one)
+            for c in agree_cols:
+                m[c] = (int(row[f"_swa_{c}"]) + half) / float(sw + one)
+                u[c] = (int(row[f"_sua_{c}"]) + half) / float(su + one)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return {"p": p, "m": m, "u": u, "n_pairs": n_pairs}
 
 

@@ -381,19 +381,15 @@ def centroid_sq_dist(center: list[float], vec: Column) -> Column:
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def scored_centroids(vec: Column, centroids: list[list[float]]) -> Column:
-    """``(sq_dist, cid)`` structs for every centroid, built from ONE
-    nested-array literal + three lambdas — NOT a Python loop of
-    per-centroid expression structs. Arithmetic is bit-identical to
-    the loop form (left-fold ``(a-b)*(a-b)``), but the Column tree is
-    O(1) in the centroid count: the loop form's m*k literal arrays and
-    folds cost seconds of DRIVER-side py4j construction per query at
-    real codebook budgets (see PLANS.md "PQ plan-construction
-    finding")."""
-    mat = F.lit([[float(x) for x in c] for c in centroids])
+def _scored_centroids_mat(vec: Column, mat: Column, k: int) -> Column:
+    """``(sq_dist, cid)`` structs over a centroid MATRIX column of
+    ``k`` rows — the shared arithmetic core of :func:`scored_centroids`
+    (left-fold ``(a-b)*(a-b)`` per centroid, ``(d, cid)`` structs), so
+    callers that index one matrix out of a higher-rank literal (the
+    fused PQ encoders) build the exact same expression."""
     return F.zip_with(
         mat,
-        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+        F.sequence(F.lit(0), F.lit(k - 1)),
         lambda c, i: F.struct(
             F.aggregate(
                 F.zip_with(
@@ -407,6 +403,19 @@ def scored_centroids(vec: Column, centroids: list[list[float]]) -> Column:
             i.alias("cid"),
         ),
     )
+
+
+def scored_centroids(vec: Column, centroids: list[list[float]]) -> Column:
+    """``(sq_dist, cid)`` structs for every centroid, built from ONE
+    nested-array literal + three lambdas — NOT a Python loop of
+    per-centroid expression structs. Arithmetic is bit-identical to
+    the loop form (left-fold ``(a-b)*(a-b)``), but the Column tree is
+    O(1) in the centroid count: the loop form's m*k literal arrays and
+    folds cost seconds of DRIVER-side py4j construction per query at
+    real codebook budgets (see PLANS.md "PQ plan-construction
+    finding")."""
+    mat = F.lit([[float(x) for x in c] for c in centroids])
+    return _scored_centroids_mat(vec, mat, len(centroids))
 
 
 def nearest_centroids(vec: Column, centroids: list[list[float]], n: int) -> Column:
@@ -1151,35 +1160,23 @@ def pq_encode(
     """
     m = len(codebooks)
     sub = len(codebooks[0][0])
+    k = len(codebooks[0])
+    if any(len(b) != k for b in codebooks):
+        raise ValueError("pq_encode: codebooks must share one size")
+    # ONE rank-3 literal (m x k x sub) + a transform over the subspace
+    # index: the per-subspace tree construction (m separate literal +
+    # lambda trees, hundreds of py4j round-trips) still dominated plan
+    # construction after the r14 nested-literal fix — fusing the m
+    # subspaces into one indexed expression is O(1) in m (measured r17:
+    # 1.47 -> 0.81 s build, codes bit-identical — same left-fold
+    # squared distance and (d, cid)-lexicographic argmin per subspace)
+    allb = F.lit([[[float(x) for x in c] for c in b] for b in codebooks])
 
-    def _code(j: int):
-        k = len(codebooks[j])
-        # single nested-array literal + 3 lambdas per subspace: the
-        # per-centroid struct/fold construction (m*k Column objects,
-        # thousands of py4j round-trips) dominated WALL-CLOCK PLAN
-        # CONSTRUCTION, not execution — 5.3 s to build the old tree
-        # vs ~0.2 s for this one, identical arithmetic (left-fold
-        # squared distance, (d, cid)-lexicographic argmin)
-        mat = F.lit([[float(x) for x in c] for c in codebooks[j]])
+    def _code(j: Column) -> Column:
+        mat = F.element_at(allb, j + 1)
 
         def _nearest(sv):
-            scored = F.zip_with(
-                mat,
-                F.sequence(F.lit(0), F.lit(k - 1)),
-                lambda c, i: F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            sv,
-                            c,
-                            lambda a, b: (a.cast("double") - b)
-                            * (a.cast("double") - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ).alias("d"),
-                    i.alias("cid"),
-                ),
-            )
+            scored = _scored_centroids_mat(sv, mat, k)
             return F.element_at(F.array_sort(scored), 1)["cid"]
 
         # bind the sliced subvector once (single-evaluation hazard)
@@ -1190,9 +1187,9 @@ def pq_encode(
             1,
         )
 
-    codes = [_code(j) for j in range(m)]
+    codes = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), _code)
     return corpus.select(
-        F.col(id_col), F.array(*codes).cast("array<int>").alias("pq_code")
+        F.col(id_col), codes.cast("array<int>").alias("pq_code")
     )
 
 
@@ -1350,19 +1347,34 @@ def ivfpq_encode(
     ``(id, cluster, pq_code array<int>)``."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
+    k = len(codebooks[0])
+    if any(len(b) != k for b in codebooks):
+        raise ValueError("ivfpq_encode: codebooks must share one size")
     res = with_residual(corpus, centroids, id_col, vec_col)
-    codes = [
-        F.element_at(
-            nearest_centroids(
-                F.slice(F.col("residual"), j * sub + 1, sub), codebooks[j], 1
+    # same m-subspace fusion as pq_encode (one rank-3 literal, O(1)
+    # plan in m); the per-subspace argmin mirrors nearest_centroids'
+    # (distance, cid)-lexicographic pick exactly
+    allb = F.lit([[[float(x) for x in c] for c in b] for b in codebooks])
+
+    def _code(j: Column) -> Column:
+        mat = F.element_at(allb, j + 1)
+
+        def _nearest(sv):
+            scored = _scored_centroids_mat(sv, mat, k)
+            return F.element_at(F.array_sort(scored), 1)["cid"]
+
+        return F.element_at(
+            F.transform(
+                F.array(F.slice(F.col("residual"), j * sub + 1, sub)),
+                _nearest,
             ),
             1,
         )
-        for j in range(m)
-    ]
+
+    codes = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), _code)
     return res.select(
         F.col(id_col), "cluster",
-        F.array(*codes).cast("array<int>").alias("pq_code"),
+        codes.cast("array<int>").alias("pq_code"),
     )
 
 
@@ -1504,29 +1516,43 @@ def kmeans_train_fx(
     cents = [[float(x) for x in r[vec_col]] for r in seeds]
     d = len(cents[0])
     v = F.col(vec_col)
-    for _ in range(iters):
-        scored = scored_centroids(v, cents)
-        best = F.element_at(F.array_sort(scored), 1)["cid"].cast("int")
-        xfx = F.round(F.col("_x").cast("double") * F.lit(float(fx_scale)), 0).cast(
-            "long"
-        )
-        sums = (
-            # two-step projection: a lambda-bearing struct expression
-            # and a generator in ONE select trips the analyzer (struct
-            # field names degrade to col1/col2); assigning the cluster
-            # first keeps the plan identical after collapse
-            corpus.select(best.alias("_cid"), v.alias("_v"))
-            .select("_cid", F.posexplode("_v").alias("_pos", "_x"))
-            .groupBy("_cid", "_pos")
-            .agg(F.sum(xfx).alias("_s"), F.count(F.lit(1)).alias("_n"))
-            .collect()
-        )
-        new = [c[:] for c in cents]
-        for r in sums:
-            new[r["_cid"]][r["_pos"]] = float(r["_s"]) / (
-                float(fx_scale) * float(r["_n"])
+    # AQE off for the update loop only (the train_logreg convention,
+    # r17): the per-iteration aggregate lands on k x d bounded rows —
+    # nothing for AQE to re-plan — but under AQE every iteration
+    # schedules TWO jobs (shuffle materialization + final stage)
+    # instead of one. The integer-lattice sums are associative, so the
+    # collected model state is bit-identical under any post-shuffle
+    # partitioning. Restored in ``finally``.
+    spark = corpus.sparkSession
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for _ in range(iters):
+            scored = scored_centroids(v, cents)
+            best = F.element_at(F.array_sort(scored), 1)["cid"].cast("int")
+            xfx = F.round(
+                F.col("_x").cast("double") * F.lit(float(fx_scale)), 0
+            ).cast("long")
+            sums = (
+                # two-step projection: a lambda-bearing struct
+                # expression and a generator in ONE select trips the
+                # analyzer (struct field names degrade to col1/col2);
+                # assigning the cluster first keeps the plan identical
+                # after collapse
+                corpus.select(best.alias("_cid"), v.alias("_v"))
+                .select("_cid", F.posexplode("_v").alias("_pos", "_x"))
+                .groupBy("_cid", "_pos")
+                .agg(F.sum(xfx).alias("_s"), F.count(F.lit(1)).alias("_n"))
+                .collect()
             )
-        cents = new
+            new = [c[:] for c in cents]
+            for r in sums:
+                new[r["_cid"]][r["_pos"]] = float(r["_s"]) / (
+                    float(fx_scale) * float(r["_n"])
+                )
+            cents = new
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return cents
 
 

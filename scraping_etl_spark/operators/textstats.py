@@ -415,9 +415,18 @@ def _ct_dist_relation(
         # caller scoring MANY times against one model (the streaming
         # per-micro-batch shape) hoists the scalar once and passes
         # ``trained_m`` to skip the per-call driver action.
-        label_space = profiles.select("lang").distinct()
         if trained_m is None:
+            # materialize the model ONCE (L·top_m rows — broadcast
+            # material): the depth scalar below is an eager action and
+            # the final plan consumes profiles twice more (label space
+            # + the matched-join broadcast) — without the cut each
+            # consumer re-ran the whole profile-training subtree (r17).
+            # Callers that hoisted the scalar (``trained_m=`` — the
+            # streaming per-micro-batch shape) manage their model's
+            # lifecycle themselves and are untouched.
+            profiles = profiles.localCheckpoint()
             trained_m = profiles.agg(F.max("rank")).first()[0]
+        label_space = profiles.select("lang").distinct()
         top_m = int(trained_m) if trained_m is not None else top_m
         dp_arr = (
             df.select(

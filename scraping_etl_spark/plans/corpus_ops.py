@@ -513,7 +513,12 @@ def q_doc_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     scrubbed = CP.scrub_pii(_with_injected_pii(d), with_counts=False).select(
         "doc_id", F.col("text_scrubbed").alias("text"), "lang"
-    )
+    ).localCheckpoint()
+    # ^ the scrub regex chain feeds FOUR branches (repetition stats,
+    # decon corpus side, decon reference side, the keep join-back) —
+    # without the cut the final plan re-scans the parquet and re-runs
+    # the inject+scrub projection per branch (measured r17: 10 parquet
+    # scans -> 0, ~25% off the row, output identical)
     rep = CP.with_repetition_stats(scrubbed).select("doc_id", "repeated_flag")
     decon = CP.decontaminate(
         scrubbed, scrubbed.filter(F.col("doc_id") % 97 == 0), k=5

@@ -1393,7 +1393,11 @@ def q_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     survivors = cd.groupBy("chunk_text").agg(
         F.min("chunk_id").alias("chunk_id")
-    )
+    ).localCheckpoint()
+    # ^ bm25_topk consumes its corpus TWICE (the N/avgdl constants
+    # projection and the posting build) — without the cut the chunk
+    # explode + dedup shuffle ran once per consumer (r17; the kept2
+    # convention)
     queries = spark.createDataFrame(
         [(qid, list(terms)) for qid, terms in _BM25_QUERIES],
         "query_id INT, terms ARRAY<STRING>",

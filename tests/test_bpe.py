@@ -212,6 +212,7 @@ def test_encode_token_ids_order_and_unseen_fallback(spark, classic):
     assert list(out[3].token_ids) == [] and out[3].n_ids == 0
 
 
+@pytest.mark.slow
 def test_encode_token_ids_composes_with_arrow_segmentation(spark, classic):
     merges = bpe.bpe_train(classic, n_merges=5)
     probe = _docs(spark, [(1, "newest widest lowest")])
@@ -284,6 +285,7 @@ def test_encode_decode_roundtrip_on_training_corpus(spark):
     assert dec[3] == ""
 
 
+@pytest.mark.slow
 def test_encode_eow_ids_present_and_decode_unknown_lossy(spark):
     train = spark.createDataFrame([(1, "aa bb")], "doc_id LONG, text STRING")
     merges = bpe.bpe_train(train, n_merges=2, min_pair_count=1)

@@ -521,6 +521,7 @@ def test_phrase_match_lowercases_and_skips_absent(spark):
 # Hashed (fastText-shape) classifier
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_hashed_classifier_separates_and_is_deterministic(spark):
     base = _labeled_quality(spark)
     texts = base.select("doc_id", "text")

@@ -578,6 +578,7 @@ def test_emb_decontaminate_exclude_same_id_toggle(spark):
     assert incl[0].bench_id == 1 and incl[0].cos_sim == 1.0
 
 
+@pytest.mark.slow
 def test_emb_decontaminate_ivf_full_probe_equals_expression_tier(spark):
     """At n_probe = n_clusters every (corpus, bench) pair is compared,
     so the IVF tier must EQUAL the expression tier exactly — same
@@ -652,6 +653,7 @@ def test_emb_decontaminate_ivf_validation(spark):
         )
 
 
+@pytest.mark.slow
 def test_emb_decontaminate_broadcast_guard_falls_back(spark):
     """Above the measured cap the broadcast hint is dropped — the plan
     still returns identical rows (correctness never depends on the
@@ -833,6 +835,7 @@ def test_pq_encode_codes_in_range_and_deterministic(spark):
     assert a == b
 
 
+@pytest.mark.slow
 def test_pq_topk_recall_against_exact(spark):
     """ADC top-10 must capture most of the exact L2 top-10 — the
     paper's accuracy claim at this (tiny) scale. Deterministic corpus

@@ -36,6 +36,7 @@ _tricky = st.one_of(
 
 @settings(max_examples=30, deadline=None)
 @given(st.lists(st.tuples(st.integers(-10**9, 10**9), _tricky), min_size=1, max_size=8))
+@pytest.mark.slow
 def test_sql_literal_roundtrip(spark, rows):
     """Rendered INSERT literals parse back to the original values under
     standard SQL unescaping ('' → ')."""
@@ -97,6 +98,7 @@ def _asof_oracle(probe_rows, build_rows, direction, tolerance):
     st.sampled_from(["backward", "forward"]),
     st.sampled_from([None, 5.0]),
 )
+@pytest.mark.slow
 def test_asof_join_matches_loop_oracle(spark, probes, builds, direction, tol):
     from scraping_etl_spark.operators.asof import asof_join
 
@@ -124,6 +126,7 @@ def test_asof_join_matches_loop_oracle(spark, probes, builds, direction, tol):
              min_size=1, max_size=10),
     st.integers(7, 100),                                             # bucket width
 )
+@pytest.mark.slow
 def test_interval_join_matches_loop_oracle(spark, pts, ivs, width):
     """Bucketed range join == the O(n·m) loop for any point/interval
     set and any bucket width (width must not change results, only the
@@ -165,6 +168,7 @@ def test_interval_join_matches_loop_oracle(spark, pts, ivs, width):
     st.integers(1, 40),
     st.sampled_from([1, 4]),
 )
+@pytest.mark.slow
 def test_pack_sequences_conserves_tokens_and_docs(spark, docs, budget, n_shards):
     """Packing must conserve under any shard count: every doc appears in
     exactly one sequence, token totals per stratum are preserved, and
@@ -231,6 +235,7 @@ def test_stratified_quantiles_matches_sorted_definition(spark, vals, q):
         min_size=1, max_size=8,
     )
 )
+@pytest.mark.slow
 def test_lm_score_matches_python_reference(spark, docs):
     """Add-one bigram LM computed independently in Python: unigram and
     bigram counts over the whole corpus, V = |vocab|, per-doc mean
@@ -280,6 +285,7 @@ _url_query = st.lists(
     _url_query,
     st.sampled_from(["", "#frag", "#a/b?c=d"]),
 )
+@pytest.mark.slow
 def test_canonical_url_is_idempotent(spark, scheme, host, port, path, params, frag):
     """canon(canon(u)) == canon(u) for generated URL-shaped inputs —
     the property that makes the canonical form a stable dedup key
@@ -313,6 +319,7 @@ def test_canonical_url_is_idempotent(spark, scheme, host, port, path, params, fr
         min_size=1, max_size=4,
     )
 )
+@pytest.mark.slow
 def test_scd2_matches_python_reference(spark, batches):
     """Fold random update batches through scd2_merge and through an
     independent per-key Python state machine; the version histories
@@ -360,6 +367,7 @@ def test_scd2_matches_python_reference(spark, batches):
     st.lists(st.lists(st.sampled_from(["x", "y", "z", "w"]), min_size=1, max_size=6),
              min_size=1, max_size=5),
 )
+@pytest.mark.slow
 def test_token_divergence_properties(spark, da, db):
     """JS divergence is symmetric, non-negative, bounded by ln 2, and
     zero iff the smoothed distributions coincide (equal corpora)."""
@@ -392,6 +400,7 @@ def test_token_divergence_properties(spark, da, db):
         min_size=1, max_size=8,
     )
 )
+@pytest.mark.slow
 def test_kn_score_matches_python_reference(spark, docs):
     """Interpolated KN computed independently in Python: bigram counts,
     context totals/branching, continuation counts, type total, D=0.75
@@ -449,6 +458,7 @@ def test_kn_score_matches_python_reference(spark, docs):
         max_size=6,
     )
 )
+@pytest.mark.slow
 def test_char_entropy_matches_python_reference(spark, texts):
     import math
 
@@ -486,6 +496,7 @@ def test_char_entropy_matches_python_reference(spark, texts):
     ),
     st.integers(1, 3),
 )
+@pytest.mark.slow
 def test_ngram_novelty_matches_python_reference(spark, docs, k):
     from scraping_etl_spark.operators.dedup import ngram_novelty
 
@@ -615,6 +626,7 @@ def _ct_oracle(rows, n=3, top_m=10, doc_m=6):
     st.lists(_ct_text, min_size=2, max_size=8),
     st.lists(_ct_text, min_size=0, max_size=6),
 )
+@pytest.mark.slow
 def test_lang_id_ngram_matches_loop_oracle(spark, texts_a, texts_b):
     """lang_id_ngram (self-training mode) == the loop oracle for ANY
     ascii corpus: profiles, doc ranking, penalties, and BOTH tie-break
@@ -660,6 +672,7 @@ def _lev_dp(a: str, b: str) -> int:
     ),
     st.integers(1, 2),
 )
+@pytest.mark.slow
 def test_edit_distance_pairs_complete_vs_dp_oracle(spark, strings, k):
     """Tiny alphabet + short strings: repeated grams, shared prefixes
     and every near-tie the prefix filter could get wrong. q=1 keeps
@@ -703,6 +716,7 @@ def test_edit_distance_pairs_complete_vs_dp_oracle(spark, strings, k):
     ),
     st.sampled_from([0.5, 0.7, 0.9]),
 )
+@pytest.mark.slow
 def test_allpairs_cosine_weighted_complete_vs_loop(spark, raw, threshold):
     """A 7-feature universe forces heavy feature sharing — the regime
     where a buggy suffix bound would silently drop qualifying pairs.
@@ -756,6 +770,7 @@ _fs_row = st.tuples(st.booleans(), st.booleans(), st.booleans())
 
 @settings(max_examples=25, deadline=None)
 @given(st.lists(_fs_row, min_size=1, max_size=30))
+@pytest.mark.slow
 def test_fs_weights_and_score_match_python_reference(spark, rows):
     """The r15-seated FS pipeline end to end on arbitrary labeled
     agreement patterns: closed-form add-half m/u estimation + the
@@ -816,6 +831,7 @@ _vec3 = st.lists(
     st.lists(_vec3, min_size=1, max_size=3),
     st.sampled_from([0.3, 0.7, 0.95]),
 )
+@pytest.mark.slow
 def test_emb_decontaminate_ivf_full_probe_equals_brute_fuzz(
     spark, corpus_vecs, bench_vecs, cents, threshold
 ):
@@ -864,6 +880,7 @@ _rel64 = st.integers(min_value=0, max_value=64).map(lambda n: n / 64.0)
     ),
     st.sampled_from([0.5, 0.75]),
 )
+@pytest.mark.slow
 def test_mmr_rerank_structural_fuzz(spark, queries, lam):
     """On arbitrary candidate lists mmr_rerank must (a) emit exactly
     min(k, |cands|) rows per query with ranks 1..n and distinct
@@ -920,6 +937,7 @@ _ascii_text = st.one_of(
 
 @settings(max_examples=20, deadline=None)
 @given(st.lists(_ascii_text, min_size=1, max_size=12))
+@pytest.mark.slow
 def test_readability_replay_fuzz(spark, texts):
     """with_readability equals the pure-Python re replay on arbitrary
     ASCII text (letters/digits/punctuation/whitespace — the regex and

@@ -73,6 +73,7 @@ def test_bloom_size_bounded_and_validates(spark):
         BL.bloom_build(_keys(spark, ["x"]), k_hashes=0)
 
 
+@pytest.mark.slow
 def test_bloom_screen_shuffle_fallback_past_cap(spark):
     """A bit relation past the measured cap must lose the broadcast
     hint and still screen identically."""
@@ -173,6 +174,7 @@ def test_pmi_validates_args(spark):
 # containment
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_containment_catches_quote_inclusion_jaccard_misses(spark):
     """A 6-token quote inside a 40-token doc: containment 1.0, Jaccard
     tiny — the asymmetric case."""

@@ -219,6 +219,7 @@ def _edges(spark, pairs):
     return spark.createDataFrame(pairs, "src string, dst string")
 
 
+@pytest.mark.slow
 def test_pagerank_mass_conserved_and_hub_wins(spark):
     from scraping_etl_spark.operators.graph import PR_SCALE, pagerank
 
@@ -258,6 +259,7 @@ def test_pagerank_deterministic_across_partitioning(spark):
     assert a == b
 
 
+@pytest.mark.slow
 def test_pagerank_parallel_edges_weigh_double(spark):
     """Duplicate edges are parallel links: two a->b links send twice
     the per-link mass a->c gets from one."""

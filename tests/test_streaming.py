@@ -90,6 +90,7 @@ def test_sessionize_stream_matches_batch(spark, events_dir, tmp_path):
     assert got == exp
 
 
+@pytest.mark.slow
 def test_hourly_rollup_stream_multi_batch(spark, events_dir, tmp_path):
     """Two triggers (maxFilesPerTrigger=1): groups written by batch 1
     but untouched by batch 2 must survive — the partition-overwrite
@@ -136,6 +137,7 @@ def test_sessionize_stream_multi_batch(spark, events_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_incremental_star_stream(spark, tmp_path):
     """Streaming scrape source → incremental star maintenance: facts
     append per micro-batch, the topics dim dedup-merges idempotently
@@ -628,6 +630,7 @@ def test_corpus_prep_stream_oov_lm_chain_matches_batch_twin(spark, tmp_path):
     assert 0 < len(want_ids) < inc.count()
 
 
+@pytest.mark.slow
 def test_scd2_dim_stream_versions_match_sequential_batch_merges(spark, tmp_path):
     """Two micro-batches of attribute updates -> the streamed dim must
     equal applying scd2_merge sequentially in batch; a checkpoint-reset
@@ -849,6 +852,7 @@ def test_heavy_hitters_stream_merges_to_batch_sketch(spark, tmp_path):
     assert replayed == batch
 
 
+@pytest.mark.slow
 def test_corpus_gate_job_count_constant_per_batch(spark, tmp_path):
     """r8 brief #7: side-input prepare probes must run ONCE, never per
     micro-batch. Drives the extracted foreachBatch gate synchronously
@@ -1194,6 +1198,7 @@ def test_corpus_prep_stream_lang_screen_keeps_allowed_languages(spark, tmp_path)
     assert twin == got
 
 
+@pytest.mark.slow
 def test_corpus_prep_stream_lang_screen_replay_converges(spark, tmp_path):
     """The realistic deployment of the language screen (r11 verdict
     item 6): the model is trained OFFLINE on a labeled lake that is
@@ -1344,6 +1349,7 @@ def test_cdc_chunk_screen_stream_matches_batch_twin_and_replays(spark, tmp_path)
     assert after == before
 
 
+@pytest.mark.slow
 def test_cdc_chunk_screen_stream_growing_lake_refuses_intra_stream_mirror(
     spark, tmp_path
 ):

@@ -35,6 +35,16 @@ def main() -> None:
     for t in TESTDATA_TABLES:
         load_table(spark, SF_DIR, t).schema
 
+    # warm the train-once artifact caches exactly as bench.py does, so
+    # a profiled row measures SERVE time (training is its own bench
+    # row and must not pollute the first artifact consumer here)
+    import importlib
+
+    from tools.profile_trainers import TRAINERS
+
+    for _row, mod, fn_name in TRAINERS:
+        getattr(importlib.import_module(mod), fn_name)(SF_DIR)
+
     tracker = spark.sparkContext.statusTracker()
     only = set(sys.argv[1:])
     print(f"{'query':28s} {'build_s':>8s} {'exec_s':>8s} "
